@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable unit of engine surface: a Spark implementation plus (where
+  * SQL-expressible) an equivalent DuckDB oracle over the same parquet tables.
+  *
+  * Contract notes (driver correctness gate, see builder prompt):
+  *  - output column names must match the oracle exactly (driver sorts columns
+  *    by name before hashing);
+  *  - aggregates over doubles must go through exact decimal arithmetic in
+  *    BOTH engines, because double summation order differs between Spark
+  *    partial aggregation and DuckDB — see operators/Relational.scala;
+  *  - `oracle = None` → driver records a weaker rows-only check.
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    /** included in Bench headline timing */
+    headline: Boolean = false)
+
+object QueryRegistry {
+  def all: Seq[QueryDef] =
+    operators.Relational.queries ++
+      operators.FunctionQueries.queries ++
+      operators.TextOps.queries ++
+      operators.DedupOps.queries ++
+      operators.SimilarityOps.queries ++
+      operators.EventOps.queries
+
+  lazy val byName: Map[String, QueryDef] = {
+    val qs = all
+    val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(",")}")
+    qs.map(q => q.name -> q).toMap
+  }
+}
