@@ -1,9 +1,183 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** Deduplication operators over `documents` (exact, MinHash+LSH, SimHash,
-  * n-gram Jaccard, embedding near-dup). Filled in milestone 3. */
+/** Deduplication operators over `documents` / `embeddings` — the core
+  * LLM-data-pipeline surface. Scale design notes per operator:
+  *
+  *  - exact dedup: hash-shuffle on the content key; map-side partial
+  *    aggregation makes it one shuffle of (key → min,count) pairs.
+  *  - n-gram Jaccard: the quadratic candidate generation is bounded by
+  *    joining on shared shingles (inverted-index join), never a full cross
+  *    product. At 100 TB you additionally cap per-shingle document lists
+  *    (stop-shingle removal) — noted inline.
+  *  - MinHash+LSH: the linear-scale path — constant-size signature per doc,
+  *    banded bucket join, exact verify only on candidates.
+  *  - SimHash: constant-size 64-bit signature per doc, one scan.
+  *  - embedding near-dup: blocked by cluster label (generalizes to any
+  *    coarse quantizer/IVF cell) so the pair join is per-block, not global.
+  */
 object DedupOps {
-  def queries: Seq[QueryDef] = Seq.empty
+  import Tables.table
+
+  // --- shared shingling --------------------------------------------------
+  /** Distinct word-3-gram shingles, 1-based indexing mirrored by the
+    * DuckDB oracle. Docs with <3 tokens are dropped (same filter in the
+    * oracle). */
+  private def shingles(d: DataFrame): DataFrame = {
+    val w = split(trim(col("text")), " ")
+    d.select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("w")) - 2),
+          i => concat_ws(" ",
+            element_at(col("w"), i),
+            element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2))))).as("shingle"))
+  }
+
+  private val shinglesSql =
+    """SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents) t,
+      |     UNNEST(range(1, len(w) - 1)) AS r(i)
+      |WHERE len(w) >= 3""".stripMargin
+
+  // --- q_dedup_exact: exact content dedup (hash groupBy) -----------------
+  private def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select(col("keeper_id"), col("n_copies"))
+
+  private val qDedupExactSql =
+    "SELECT min(doc_id) AS keeper_id, COUNT(*) AS n_copies FROM documents GROUP BY text"
+
+  // --- q_dedup_ngram_jaccard: exact near-dup via inverted-index join -----
+  private def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(table(spark, dir, "documents")).cache()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // inverted-index self-join: only docs sharing ≥1 shingle become pairs.
+    // At 100 TB: drop shingles above a document-frequency cap first
+    // (stop-shingles dominate join fan-out and add no discrimination).
+    val pairs = sh.as("a").join(sh.as("b"), Seq("shingle"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(counts.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(counts.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .select(col("d1"), col("d2"),
+        (col("inter").cast(DoubleType)
+          / (col("n1") + col("n2") - col("inter")).cast(DoubleType)).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  private val qNgramJaccardSql =
+    s"""WITH sh AS ($shinglesSql),
+       |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b USING (shingle)
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2,
+       |  inter::DOUBLE / (c1.n + c2.n - inter)::DOUBLE AS jaccard
+       |FROM pairs
+       |JOIN counts c1 ON c1.doc_id = d1
+       |JOIN counts c2 ON c2.doc_id = d2
+       |WHERE inter::DOUBLE / (c1.n + c2.n - inter)::DOUBLE >= 0.5""".stripMargin
+
+  // --- q_dedup_minhash: MinHash signatures + LSH banding -----------------
+  // 32 permutations approximated by seeded xxhash64; 8 bands × 4 rows.
+  // Candidate pairs = docs sharing a band bucket; est. similarity =
+  // matching minhash fraction. No SQL oracle (xxhash64 is Spark-specific)
+  // → rows-only check; determinism guaranteed by xxhash64's fixed seed.
+  private val NumPerms = 32
+  private val BandSize = 4
+
+  private def qMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(table(spark, dir, "documents"))
+    val sigCols = (0 until NumPerms).map(k =>
+      min(xxhash64(lit(k), col("shingle"))).as(s"h$k"))
+    val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"), array((0 until NumPerms).map(k => col(s"h$k")): _*).as("sig"))
+      .cache()
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      explode(expr(s"transform(sequence(0, ${NumPerms / BandSize - 1}), " +
+        s"b -> named_struct('band', b, 'key', xxhash64(slice(sig, b*$BandSize + 1, $BandSize))))")).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("bkey"))
+    val cand = bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .distinct()
+    cand.select(col("d1"), col("d2"),
+      (aggregate(zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0L), (acc, x) => acc + x).cast(DoubleType) / NumPerms).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+  }
+
+  // --- q_dedup_simhash: 64-bit SimHash signatures ------------------------
+  // Majority vote per bit over token hashes; one scan, constant state per
+  // doc. Near-dup = small Hamming distance (pairing done downstream or via
+  // bit-band LSH at scale). No SQL oracle (xxhash64) → rows-only check.
+  private def qSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    val w = split(trim(col("text")), " ")
+    // per-bit majority vote: sum over token hashes of (+1 if bit b set
+    // else -1); signature bit b = 1 iff vote > 0. Dynamic shift amounts
+    // need the SQL builder (the Scala shiftright only takes a literal).
+    val sig = expr(
+      """aggregate(
+        |  zip_with(
+        |    transform(sequence(0, 63), b ->
+        |      aggregate(hs, 0L, (acc, h) ->
+        |        acc + (CASE WHEN (shiftright(h, b) & 1L) = 1L THEN 1L ELSE -1L END))),
+        |    sequence(0, 63),
+        |    (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END),
+        |  0L, (acc, x) -> acc | x)""".stripMargin)
+    d.select(col("doc_id"), transform(w, t => xxhash64(t)).as("hs"))
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  // --- q_dedup_embedding: cosine near-dup, blocked by cluster label ------
+  private def qEmbeddingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+    // block on label: the pair join is per-cluster — the same shape as
+    // IVF-cell blocking at scale (no global cross product)
+    e.as("a").join(e.as("b"), Seq("label"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        (aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x)
+          / (col("a.norm") * col("b.norm"))).as("cosine"))
+      .filter(col("cosine") >= 0.35)
+  }
+
+  private val qEmbeddingDedupSql =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |    sqrt(list_reduce(list_prepend(0.0, [x*x FOR x IN embedding::DOUBLE[]]), (a,x) -> a+x)) AS norm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS v1, b.vec_id AS v2,
+      |  list_reduce(list_prepend(0.0, [a.v[i]*b.v[i] FOR i IN range(1, 65)]), (acc,x) -> acc+x)
+      |    / (a.norm * b.norm) AS cosine
+      |FROM e a JOIN e b USING (label)
+      |WHERE a.vec_id < b.vec_id
+      |  AND list_reduce(list_prepend(0.0, [a.v[i]*b.v[i] FOR i IN range(1, 65)]), (acc,x) -> acc+x)
+      |    / (a.norm * b.norm) >= 0.35""".stripMargin
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_dedup_exact", qDedupExact, Some(qDedupExactSql)),
+    QueryDef("q_dedup_ngram_jaccard", qNgramJaccard, Some(qNgramJaccardSql), headline = true),
+    QueryDef("q_dedup_minhash", qMinhash, None, headline = true),
+    QueryDef("q_dedup_simhash", qSimhash, None),
+    QueryDef("q_dedup_embedding", qEmbeddingDedup, Some(qEmbeddingDedupSql)))
 }

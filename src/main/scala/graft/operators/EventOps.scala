@@ -1,9 +1,91 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** Event-stream operators over `events` (windowed aggregation,
-  * sessionization, JSON props extraction). Filled in milestone 4. */
+/** Batch event-stream operators over `events` (the streaming variants live
+  * in graft.streaming and share these transformations). All aggregations
+  * partition by (window/user) keys — a single hash shuffle each, with
+  * map-side partial aggregation.
+  */
 object EventOps {
-  def queries: Seq[QueryDef] = Seq.empty
+  import Tables.table
+
+  // --- q_events_hourly: tumbling-window aggregation ----------------------
+  private def qHourly(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(
+        date_trunc("hour", col("ts")).cast(TimestampNTZType).as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  private val qHourlySql =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  MIN(value) AS min_value,
+      |  MAX(value) AS max_value,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
+  // --- q_sessionize: 30-minute-gap sessionization ------------------------
+  // lag window per user → gap flags → per-user session/event counts.
+  // Timestamps are compared as exact epoch-seconds doubles (micros are
+  // exactly representable), identical to DuckDB's epoch().
+  private def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val secs = col("ts").cast(TimestampType).cast(DoubleType)
+    val gap = secs - lag(secs, 1).over(w)
+    table(spark, dir, "events")
+      .withColumn("new_session",
+        when(gap.isNull || gap > 1800.0, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("new_session")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+  }
+
+  private val qSessionizeSql =
+    """SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+      |FROM (
+      |  SELECT user_id,
+      |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800.0
+      |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |    THEN 1 ELSE 0 END AS new_session
+      |  FROM events) t
+      |GROUP BY user_id""".stripMargin
+
+  // --- q_json_props: semi-structured JSON extraction ---------------------
+  private def qJsonProps(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
+  private val qJsonPropsSql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  SUM(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+      |  MIN(json_extract_string(props, '$.k')::BIGINT) AS min_k,
+      |  MAX(json_extract_string(props, '$.k')::BIGINT) AS max_k
+      |FROM events
+      |GROUP BY event_type""".stripMargin
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_events_hourly", qHourly, Some(qHourlySql), headline = true),
+    QueryDef("q_sessionize", qSessionize, Some(qSessionizeSql), headline = true),
+    QueryDef("q_json_props", qJsonProps, Some(qJsonPropsSql)))
 }

@@ -1,9 +1,127 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** Text-analysis operators over `documents` (lang-ID, quality scoring,
-  * token counting, fingerprinting). Filled in milestone 3. */
+/** Text-analysis operators over `documents` — the LLM-training-pipeline
+  * surface (builder prompt): token counting, quality scoring, language-ID
+  * heuristic, document fingerprinting. Everything is a pure Column
+  * composition (whole-stage codegen, no UDFs), embarrassingly parallel per
+  * document — the shape that scales linearly to 100 TB: no shuffle at all,
+  * a single scan per query.
+  *
+  * Cross-engine determinism: token arithmetic is integer; ratios are a
+  * single double division performed identically in the DuckDB oracle;
+  * rolling hashes fold left from 0 in both engines.
+  */
 object TextOps {
-  def queries: Seq[QueryDef] = Seq.empty
+  import Tables.table
+
+  private def toks: Column = split(trim(col("text")), " ")
+
+  /** Sum an integer-producing lambda over an array: left fold from 0L. */
+  private def sumOver(arr: Column, f: Column => Column): Column =
+    aggregate(transform(arr, f), lit(0L), (acc, x) => acc + x)
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to")
+
+  // --- q_text_stats: token counting + quality scoring --------------------
+  private def qTextStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    val w = toks
+    val nTokens = size(w).cast(LongType)
+    val nStop = sumOver(w, t => when(t.isin(Stopwords: _*), 1L).otherwise(0L))
+    val sumLen = sumOver(w, t => length(t).cast(LongType))
+    val stopRatio = nStop.cast(DoubleType) / nTokens.cast(DoubleType)
+    d.select(
+      col("doc_id"),
+      length(col("text")).cast(LongType).as("n_chars"),
+      nTokens.as("n_tokens"),
+      size(array_distinct(w)).cast(LongType).as("n_distinct_tokens"),
+      stopRatio.as("stopword_ratio"),
+      (sumLen.cast(DoubleType) / nTokens.cast(DoubleType)).as("avg_token_len"),
+      (least(lit(1.0), nTokens.cast(DoubleType) / 100.0)
+        * (lit(1.0) - stopRatio)).as("quality_score"))
+  }
+
+  private val qTextStatsSql =
+    s"""SELECT doc_id,
+       |  length(text) AS n_chars,
+       |  len(string_split(trim(text), ' ')) AS n_tokens,
+       |  len(list_distinct(string_split(trim(text), ' '))) AS n_distinct_tokens,
+       |  list_reduce(list_prepend(0::BIGINT, [CASE WHEN t IN (${Stopwords.map("'" + _ + "'").mkString(",")}) THEN 1::BIGINT ELSE 0::BIGINT END FOR t IN string_split(trim(text), ' ')]), (a,x) -> a+x)::DOUBLE
+       |    / len(string_split(trim(text), ' ')) AS stopword_ratio,
+       |  list_reduce(list_prepend(0::BIGINT, [length(t)::BIGINT FOR t IN string_split(trim(text), ' ')]), (a,x) -> a+x)::DOUBLE
+       |    / len(string_split(trim(text), ' ')) AS avg_token_len,
+       |  least(1.0, len(string_split(trim(text), ' ')) / 100.0)
+       |    * (1.0 - list_reduce(list_prepend(0::BIGINT, [CASE WHEN t IN (${Stopwords.map("'" + _ + "'").mkString(",")}) THEN 1::BIGINT ELSE 0::BIGINT END FOR t IN string_split(trim(text), ' ')]), (a,x) -> a+x)::DOUBLE
+       |      / len(string_split(trim(text), ' '))) AS quality_score
+       |FROM documents""".stripMargin
+
+  // --- q_lang_id: marker-token language heuristic ------------------------
+  // Counts per-language function-word markers over the token list; argmax
+  // with fixed priority tie-break (en > de > fr > es). The synthetic corpus
+  // shares one vocabulary, so the value of the heuristic here is its
+  // deterministic, shuffle-free evaluation — the operator shape is what
+  // transfers to real corpora.
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "la", "et"),
+    "es" -> Seq("el", "los", "y"))
+
+  private def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    val w = toks
+    val scores = Markers.map { case (lang, ms) =>
+      lang -> sumOver(w, t => when(t.isin(ms: _*), 1L).otherwise(0L))
+    }
+    val m = greatest(scores.map(_._2): _*)
+    val pred = scores.init.foldLeft(when(lit(false), lit("")): Column) {
+      case (acc, (lang, s)) => acc.when(s === m, lang)
+    }.otherwise(scores.last._1)
+    d.select(
+      col("doc_id"),
+      col("lang").as("labeled_lang"),
+      pred.as("predicted_lang"))
+  }
+
+  private val qLangIdSql = {
+    def cnt(ms: Seq[String]) =
+      s"list_reduce(list_prepend(0::BIGINT, [CASE WHEN t IN (${ms.map("'" + _ + "'").mkString(",")}) THEN 1::BIGINT ELSE 0::BIGINT END FOR t IN string_split(trim(text), ' ')]), (a,x) -> a+x)"
+    val scores = Markers.map { case (lang, ms) => lang -> cnt(ms) }
+    val m = s"greatest(${scores.map(_._2).mkString(", ")})"
+    val cases = scores.init.map { case (lang, s) => s"WHEN $s = $m THEN '$lang'" }
+      .mkString(" ")
+    s"""SELECT doc_id, lang AS labeled_lang,
+       |  CASE $cases ELSE '${scores.last._1}' END AS predicted_lang
+       |FROM documents""".stripMargin
+  }
+
+  // --- q_fingerprint: polynomial rolling hash over characters ------------
+  // acc = (acc*31 + ascii(char)) mod 1e9+7, left fold from 0 — identical
+  // fold order in Spark `aggregate` and DuckDB `list_reduce`.
+  private def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    val chars = split(col("text"), "")
+    val fp = aggregate(
+      transform(chars, c => ascii(c).cast(LongType)),
+      lit(0L),
+      (acc, c) => (acc * 31 + c) % 1000000007L)
+    d.select(col("doc_id"), fp.as("fingerprint"))
+  }
+
+  private val qFingerprintSql =
+    """SELECT doc_id,
+      |  list_reduce(list_prepend(0::BIGINT,
+      |    [ascii(substring(text, i, 1))::BIGINT FOR i IN range(1, length(text)+1)]),
+      |    (acc, c) -> (acc*31 + c) % 1000000007) AS fingerprint
+      |FROM documents""".stripMargin
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_text_stats", qTextStats, Some(qTextStatsSql), headline = true),
+    QueryDef("q_lang_id", qLangId, Some(qLangIdSql)),
+    QueryDef("q_fingerprint", qFingerprint, Some(qFingerprintSql)))
 }
