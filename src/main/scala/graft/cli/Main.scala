@@ -1,0 +1,87 @@
+package graft.cli
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+import graft.Tables
+import graft.pipeline.{Loader, LoaderConfig}
+
+/** CLI entry with the reference's flag surface (README.md:107-126,
+  * cli.py:7-128):
+  *
+  *   graft.cli.Main <sources...> [--all] [--disable-unzip]
+  *     [--disable-import] [--combine-tables] [--disable-check]
+  *     [--exclude-regex RE] [--pre-load PATH...] [--post-load PATH...]
+  *     [--log-level LEVEL] [--out-dir DIR]
+  *
+  * The `--db-*` options of the reference select the Postgres sink; in this
+  * container (no PG server/driver) `--out-dir` writes parquet per table
+  * instead, exercising the identical pipeline shape.
+  */
+object Main {
+
+  def parse(args: Seq[String]): (LoaderConfig, Option[String], String) = {
+    var cfg = LoaderConfig(sources = Seq.empty)
+    var outDir: Option[String] = None
+    var logLevel = "WARN"
+    var i = 0
+    val sources = scala.collection.mutable.ListBuffer.empty[String]
+    def valueOf(flag: String): String = {
+      i += 1
+      require(i < args.length, s"$flag requires a value")
+      args(i)
+    }
+    def valuesOf(flag: String): Seq[String] = {
+      val vs = scala.collection.mutable.ListBuffer.empty[String]
+      while (i + 1 < args.length && !args(i + 1).startsWith("--")) { i += 1; vs += args(i) }
+      require(vs.nonEmpty, s"$flag requires at least one value")
+      vs.toSeq
+    }
+    while (i < args.length) {
+      args(i) match {
+        case "--all"             => cfg = cfg.copy(all = true)
+        case "--disable-unzip"   => cfg = cfg.copy(disableUnzip = true)
+        case "--disable-import"  => cfg = cfg.copy(disableImport = true)
+        case "--combine-tables"  => cfg = cfg.copy(combineTables = true)
+        case "--disable-check"   => cfg = cfg.copy(disableCheck = true)
+        case "--exclude-regex"   => cfg = cfg.copy(excludeRegex = Some(valueOf("--exclude-regex")))
+        case "--pre-load"        => cfg = cfg.copy(preLoad = valuesOf("--pre-load").map(Paths.get(_)))
+        case "--post-load"       => cfg = cfg.copy(postLoad = valuesOf("--post-load").map(Paths.get(_)))
+        case "--log-level"       => logLevel = valueOf("--log-level").toUpperCase
+        case "--out-dir"         => outDir = Some(valueOf("--out-dir"))
+        case s if s.startsWith("--") => throw new IllegalArgumentException(s"unknown flag $s")
+        case s                   => sources += s
+      }
+      i += 1
+    }
+    require(sources.nonEmpty, "at least one source dir or file required")
+    sources.foreach(s => require(Files.exists(Paths.get(s)), s"$s is not a directory or existing file"))
+    (cfg.copy(sources = sources.map(Paths.get(_)).toSeq), outDir, logLevel)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (cfg, outDir, logLevel) = parse(args.toIndexedSeq)
+    val b = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-loader")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+    Tables.RequiredConf.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel(logLevel)
+    try {
+      val sink: (String, org.apache.spark.sql.DataFrame) => Unit = outDir match {
+        case Some(dir) => (name, df) =>
+          df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+        case None => (_, _) => ()
+      }
+      val result = new Loader(spark, cfg, sink).load()
+      result.report.foreach { r =>
+        println(r.render)
+        if (r.fatal) { spark.stop(); sys.exit(1) }
+      }
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import java.nio.file.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.slf4j.LoggerFactory
+
+import graft.check.ReconciliationCheck
+import graft.combine.TableCombiner
+import graft.discover.{Slug, SourceScanner}
+import graft.functions.Functions
+import graft.hooks.SqlHookRunner
+import graft.ingest.{CsvTableReader, Unzipper}
+
+/** The six-stage pipeline (SURVEY §0 / §3.1), Spark-native:
+  *
+  *   0. pre-load SQL hooks        (SqlHookRunner)
+  *   1. unzip discovered *.zip    (Unzipper, idempotent)
+  *   2. import discovered *.csv   (CsvTableReader → temp views;
+  *      function registration ≙ functions.sql; prefix combine)
+  *   3. post-load SQL hooks       (SqlHookRunner)
+  *   4. count CSV rows            (ReconciliationCheck.csvLineCounts)
+  *   5. reconciliation check      (ReconciliationCheck.check)
+  *
+  * Individual per-file tables are registered under their raw stem, the
+  * combined table under the slugified prefix (reference asymmetry,
+  * SURVEY §1.2). The sink is pluggable: temp views always; `sink`
+  * callback (e.g. PostgresSink.write or a parquet writer) per table.
+  */
+final case class LoaderConfig(
+    sources: Seq[Path],
+    all: Boolean = false,
+    disableUnzip: Boolean = false,
+    disableImport: Boolean = false,
+    combineTables: Boolean = false,
+    disableCheck: Boolean = false,
+    excludeRegex: Option[String] = None,
+    preLoad: Seq[Path] = Seq.empty,
+    postLoad: Seq[Path] = Seq.empty)
+
+final case class LoadResult(
+    tables: Map[String, DataFrame],
+    combined: Map[String, DataFrame],
+    report: Option[ReconciliationCheck.Report])
+
+class Loader(
+    spark: SparkSession,
+    config: LoaderConfig,
+    sink: (String, DataFrame) => Unit = (_, _) => ()) {
+  private val log = LoggerFactory.getLogger(getClass)
+
+  def load(): LoadResult = {
+    // Step 0: pre-load hooks
+    config.preLoad.flatMap(SqlHookRunner.discoverScripts)
+      .foreach(SqlHookRunner.runScript(spark, _))
+
+    // Step 1: unzip
+    if (!config.disableUnzip) {
+      val zips = SourceScanner.discoverZips(config.sources)
+      val results = Unzipper.unzipAll(zips, config.all)
+      results.foreach(r => log.info(
+        if (r.skipped) s"skipped ${r.archive} (already extracted)"
+        else s"extracted ${r.archive} → ${r.dest} (${r.entries} entries)"))
+    }
+
+    // Step 2: import + function registration + combine
+    var tables = Map.empty[String, DataFrame]
+    var combined = Map.empty[String, DataFrame]
+    val csvs = SourceScanner.discoverCsvs(config.sources, config.excludeRegex)
+    val groups = SourceScanner.groupByTable(csvs)
+    if (!config.disableImport) {
+      // one all-text DataFrame per file, registered by raw stem
+      for (f <- csvs) {
+        val stem = Slug.rawStem(f)
+        val df = CsvTableReader.read(spark, Seq(f))
+        df.createOrReplaceTempView(stem)
+        tables += stem -> df
+        sink(stem, df)
+      }
+      // ≙ functions.sql registration after every import (main.py:203-208)
+      Functions.registerAll(spark)
+      // prefix combine
+      if (config.combineTables) {
+        for ((name, members) <- groups) {
+          val stems = members.map(Slug.rawStem)
+          TableCombiner.combineGrouped(name, stems, members.map(s => tables(Slug.rawStem(s))))
+            .foreach { df =>
+              df.createOrReplaceTempView(name)
+              combined += name -> df
+              sink(name, df)
+            }
+        }
+      }
+    }
+
+    // Step 3: post-load hooks
+    config.postLoad.flatMap(SqlHookRunner.discoverScripts)
+      .foreach(SqlHookRunner.runScript(spark, _))
+
+    // Steps 4+5: count + reconcile
+    val report = if (!config.disableCheck) {
+      val fileCounts = ReconciliationCheck.csvLineCounts(spark, csvs)
+      val csvByTable = groups.map { case (name, members) =>
+        name -> members.map(f => fileCounts.getOrElse(f.toUri.toString,
+          fileCounts.getOrElse(f.toString, 0L))).sum
+      }
+      val dbCounts = groups.map { case (name, members) =>
+        val df = combined.getOrElse(name,
+          members.map(m => tables(Slug.rawStem(m))).reduceOption[DataFrame](_.unionAll(_))
+            .getOrElse(spark.emptyDataFrame))
+        name -> df.count()
+      }
+      Some(ReconciliationCheck.check(csvByTable.toMap, dbCounts.toMap))
+    } else None
+
+    LoadResult(tables, combined, report)
+  }
+}

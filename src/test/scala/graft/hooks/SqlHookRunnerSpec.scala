@@ -1,0 +1,62 @@
+package graft.hooks
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class SqlHookRunnerSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("statement splitting handles dollar-quoted function bodies") {
+    // the reference's own functions.sql shape
+    val script =
+      """CREATE OR REPLACE FUNCTION strip(text) RETURNS TEXT
+        |    AS $$ SELECT NULLIF(regexp_replace($1, E'a;b', '', 'g'), '') $$
+        |    LANGUAGE SQL;
+        |SELECT 1;
+        |-- a comment; with a semicolon
+        |SELECT 2;""".stripMargin
+    val stmts = SqlHookRunner.splitStatements(script)
+    assert(stmts.size === 3)
+    assert(stmts.head.contains("$$ SELECT NULLIF"))
+  }
+
+  test("splitting respects quotes and block comments") {
+    val stmts = SqlHookRunner.splitStatements(
+      "SELECT 'a;b' /* c;d */ AS x; SELECT \"w;z\" FROM t")
+    assert(stmts.size === 2)
+  }
+
+  test("classification: PG-only DDL routes to pass-through") {
+    import SqlHookRunner._
+    assert(classify("CREATE OR REPLACE FUNCTION f() ...") === PassThroughLane)
+    assert(classify("CREATE TABLE x (LIKE y INCLUDING ALL)") === PassThroughLane)
+    assert(classify("SELECT * FROM information_schema.columns") === PassThroughLane)
+    assert(classify("SELECT count(*) FROM t") === SparkLane)
+    assert(classify("DROP TABLE IF EXISTS x") === SparkLane)
+    assert(classify("INSERT INTO a SELECT * FROM b") === SparkLane)
+  }
+
+  test("wrap_json aggregates any result into one JSON document (A2)") {
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v").orderBy("id")
+    val json = SqlHookRunner.wrapJson(spark, df).collect().head.getString(0)
+    assert(json === """[{"id":1,"v":"a"},{"id":2,"v":"b"}]""")
+  }
+
+  test("runScript executes spark-lane and routes pass-through") {
+    Seq((1, "x")).toDF("id", "v").createOrReplaceTempView("hook_input")
+    val script = Files.createTempFile("hook", ".sql")
+    Files.write(script,
+      """CREATE OR REPLACE FUNCTION pg_only() RETURNS int AS $$ SELECT 1 $$ LANGUAGE SQL;
+        |CREATE OR REPLACE TEMP VIEW hook_out AS SELECT id * 2 AS id2 FROM hook_input;
+        |SELECT * FROM hook_out;""".stripMargin.getBytes("UTF-8"))
+    val passed = scala.collection.mutable.ListBuffer.empty[String]
+    val report = SqlHookRunner.runScript(spark, script, passed += _)
+    assert(report.sparkRun === 2)
+    assert(report.passedThrough === 1)
+    assert(report.failed === 0)
+    assert(passed.head.startsWith("CREATE OR REPLACE FUNCTION"))
+    assert(spark.sql("SELECT id2 FROM hook_out").collect().head.getInt(0) === 2)
+  }
+}
