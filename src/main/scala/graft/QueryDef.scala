@@ -27,7 +27,8 @@ object QueryRegistry {
       operators.TextOps.queries ++
       operators.DedupOps.queries ++
       operators.SimilarityOps.queries ++
-      operators.EventOps.queries
+      operators.EventOps.queries ++
+      operators.MultimodalOps.queries
 
   lazy val byName: Map[String, QueryDef] = {
     val qs = all

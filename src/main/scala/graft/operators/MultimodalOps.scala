@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (builder prompt): image/audio/video travel
+  * as opaque `binary` columns with typed metadata; decode/feature-extract
+  * runs batched inside partitions — the Scala analogue of a Pandas-UDF
+  * `mapInPandas` stage (same batch shape: N rows in, N rows out, model
+  * loaded once per batch, columnar feature output).
+  *
+  * The actual media decoder is STUBBED (no image/audio libs in this
+  * container): `decodeBatch` produces deterministic fake features derived
+  * from the bytes. Everything around it — binary schema, metadata struct,
+  * partition-preserving batched execution, feature array shape — is real
+  * and tested; swapping the stub for a JNI/ONNX decoder changes no
+  * plumbing.
+  */
+object MultimodalOps {
+  import Tables.table
+
+  val FeatureDim = 8
+  val BatchSize = 64
+
+  /** documents → opaque media rows: binary payload + typed metadata (the
+    * shape a crawler would hand us; text bytes stand in for media bytes). */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents").select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        length(encode(col("text"), "UTF-8")).cast(LongType).as("n_bytes"),
+        col("source").as("origin"),
+        lit("text/plain").as("mime")).as("meta"))
+
+  // ================= STUB: media decode =================
+  /** Deterministic fake per-batch "decoder": one call per batch of ≤
+    * BatchSize rows (the model-inference shape). Features are a rolling
+    * byte hash folded into FeatureDim floats — stable across runs, cheap,
+    * and obviously not a real decoder. Replace with the real
+    * image/audio/frame decode; the call contract (batch in → equal-length
+    * feature rows out) is what the pipeline depends on.
+    */
+  def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]] =
+    payloads.map { bytes =>
+      val f = new Array[Float](FeatureDim)
+      var i = 0
+      while (i < bytes.length) {
+        f(i % FeatureDim) += (bytes(i) & 0xFF) / 255.0f
+        i += 1
+      }
+      f
+    }
+  // ======================================================
+
+  /** Batched per-partition feature extraction: preserves partitioning (no
+    * shuffle), groups rows into BatchSize chunks so the decoder amortizes
+    * per-batch setup — the exact execution shape of mapInPandas with a
+    * model handle. */
+  def extractFeatures(df: DataFrame): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(FloatType, containsNull = false)))
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        val feats = decodeBatch(batch.map(_.getAs[Array[Byte]](payloadIdx)))
+        batch.zip(feats).map { case (r, f) =>
+          Row.fromSeq(r.toSeq :+ f.toSeq)
+        }
+      }
+    }(enc)
+  }
+
+  // --- q_multimodal_meta: binary payload + metadata projection -----------
+  // Oracle-checked: byte length and hex prefix agree with DuckDB's BLOB
+  // handling, proving the binary column plumbing end-to-end.
+  private def qMeta(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir).select(
+      col("doc_id"),
+      col("meta.n_bytes").as("n_bytes"),
+      col("meta.mime").as("mime"),
+      lower(hex(encode(substring(col("meta.origin"), 1, 8), "UTF-8"))).as("origin_hex"))
+
+  private val qMetaSql =
+    """SELECT doc_id,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  'text/plain' AS mime,
+      |  lower(hex(encode(substring(source, 1, 8)))) AS origin_hex
+      |FROM documents""".stripMargin
+
+  // --- q_multimodal_features: stub decode through the batched pipeline ---
+  // No SQL oracle (the fake features are Spark-side); rows-only check.
+  private def qFeatures(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(mediaTable(spark, dir)).select(
+      col("doc_id"),
+      col("meta.n_bytes").as("n_bytes"),
+      col("features"))
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_multimodal_meta", qMeta, Some(qMetaSql)),
+    QueryDef("q_multimodal_features", qFeatures, None))
+}
