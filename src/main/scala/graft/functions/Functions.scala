@@ -128,7 +128,17 @@ object Functions {
   /** Trailing `+01:00` / `-03:30` offset token of an Oracle-shape string. */
   private val OffsetTail = "((?:\\+|-)\\d\\d:\\d\\d)$"
 
+  /** Native-expression fast path: ONE compiled-pattern match per branch
+    * inside whole-stage codegen (see expressions.scala); the Column
+    * composition below is the reference-shaped fallback kept for
+    * documentation and cross-checking. */
   def parseTimestamp(c: Column): Column =
+    column(ParseTimestampExpr(expression(c)))
+
+  /** The original faithful composition of built-ins (semantically equal to
+    * parseTimestamp; ~30 regex evaluations per row — don't use in hot
+    * paths). */
+  def parseTimestampComposed(c: Column): Column =
     when(c.rlike(B1) || c.rlike(B2), oracleFieldsToUtc(c, extr(c, OffsetTail, 1)))
       .when(c.rlike(B3) || c.rlike(B4), oracleFieldsToUtc(c, parseTimezone(c)))
       .when(c.rlike(B5), compactToUtc(c))
@@ -141,7 +151,13 @@ object Functions {
   // ---------------------------------------------------------------------
   private val DatePattern = "^(\\d\\d)-(\\w\\w\\w)-(\\d\\d)$"
 
-  def parseDate(c: Column): Column = {
+  /** Native-expression fast path (one compiled-pattern match; NULL on
+    * no-match and on invalid dates like 29-FEB-19). */
+  def parseDate(c: Column): Column =
+    column(ParseDateExpr(expression(c)))
+
+  /** Reference-shaped composition equivalent of parseDate. */
+  def parseDateComposed(c: Column): Column = {
     val dd   = extr(c, DatePattern, 1)
     val mon  = monthNumber(extr(c, DatePattern, 2))
     val yyyy = extr(c, DatePattern, 3).cast(IntegerType) + lit(2000)
