@@ -1,0 +1,34 @@
+package graft.cli
+
+import java.nio.file.Paths
+import org.apache.spark.sql.SparkSession
+
+import graft.Tables
+import graft.check.ReconciliationCheck
+import graft.discover.SourceScanner
+
+/** Standalone CSV row counter — reference entry point 3
+  * (`python -m postgresimporter.csvcount <source>`, csvcount.py:53-62):
+  * counts lines of every discovered CSV and prints one JSON object
+  * `{path: count, ...}`. One distributed Spark job over all files
+  * (splittable text scan), not a per-file driver loop.
+  */
+object CsvCount {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: CsvCount <source dir or file>...")
+    val b = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-csvcount")
+      .config("spark.ui.enabled", "false")
+    Tables.RequiredConf.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val files = SourceScanner.discoverCsvs(args.toIndexedSeq.map(Paths.get(_)))
+      val counts = ReconciliationCheck.csvLineCounts(spark, files)
+      def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      println(counts.toSeq.sortBy(_._1)
+        .map { case (f, n) => s"${q(f)}: $n" }.mkString("{", ", ", "}"))
+    } finally spark.stop()
+  }
+}
