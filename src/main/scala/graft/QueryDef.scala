@@ -23,6 +23,7 @@ final case class QueryDef(
 object QueryRegistry {
   def all: Seq[QueryDef] =
     operators.Relational.queries ++
+      operators.AdvancedOps.queries ++
       operators.FunctionQueries.queries ++
       operators.TextOps.queries ++
       operators.DedupOps.queries ++

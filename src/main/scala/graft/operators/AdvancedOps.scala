@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Advanced relational surface beyond the reference: rollup subtotals,
+  * pivot, having, exact median, as-of join, funnel analysis. Each is the
+  * Spark-idiomatic composition (no custom physical operators needed —
+  * SURVEY §4.2 holds for these too) with a DuckDB oracle.
+  */
+object AdvancedOps {
+  import Tables.table
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  // --- q6_revenue_forecast: TPC-H Q6 shape (filter + single agg) ---------
+  private def q6(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType)
+        && col("l_shipdate") < lit("1997-01-01").cast(TimestampType)
+        && col("l_discount").between(0.05, 0.07)
+        && col("l_quantity") < 24)
+      .agg(sum(dec2(col("l_extendedprice")) * dec2(col("l_discount")))
+        .cast(DoubleType).as("revenue"))
+
+  private val q6Sql =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  // --- q_rollup_revenue: ROLLUP subtotals --------------------------------
+  private def qRollup(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
+
+  private val qRollupSql =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
+  // --- q_pivot_status: segment × order-status pivot ----------------------
+  private def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    table(spark, dir, "orders")
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+  }
+
+  private val qPivotSql =
+    """SELECT c_mktsegment,
+      |  COUNT(*) FILTER (o_orderstatus = 'F') AS F,
+      |  COUNT(*) FILTER (o_orderstatus = 'O') AS O,
+      |  COUNT(*) FILTER (o_orderstatus = 'P') AS P
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
+  // --- q_big_spenders: HAVING over grouped agg (TPC-H Q18 shape) ---------
+  private def qHaving(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec2(col("l_quantity"))).cast(DoubleType).as("total_qty"))
+      .filter(col("total_qty") > 120)
+
+  private val qHavingSql =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem GROUP BY l_orderkey
+      |HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 120""".stripMargin
+
+  // --- q_median_price: exact median via rank windows ---------------------
+  // Built-in percentile interpolation differs in FP op order across
+  // engines; an explicit lo/hi-rank average in DECIMAL is exact and
+  // engine-agnostic. Median rank: lo = floor((n+1)/2), hi = ceil((n+1)/2).
+  private def qMedian(spark: SparkSession, dir: String): DataFrame = {
+    // ordering by the exact-decimal price is the same total order as the
+    // raw double (the cast is monotone and exact on 2-dec inputs)
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("price"), col("l_orderkey"), col("l_linenumber"))
+    table(spark, dir, "lineitem")
+      .select(col("l_returnflag"), dec2(col("l_extendedprice")).as("price"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+      // integer div: `/` on Spark integrals yields double
+      .filter(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("(n + 2) div 2"))
+      .groupBy(col("l_returnflag"))
+      .agg((sum(col("price")).cast(DoubleType) / count(lit(1))).as("median_price"))
+  }
+
+  private val qMedianSql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(price) AS DOUBLE) / COUNT(*) AS median_price
+      |FROM (
+      |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem) t
+      |WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+      |GROUP BY l_returnflag""".stripMargin
+
+  // --- q_asof_last_view: as-of join via ignore-nulls window --------------
+  // "For each click/purchase, the most recent preceding view by the same
+  // user" — the as-of-join semantics, composed from last(ignoreNulls)
+  // over an event-time window (preference (a): built-in composition,
+  // SURVEY §7.3). One shuffle on user_id; no range cross-product.
+  private def qAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    table(spark, dir, "events")
+      .withColumn("prev_view_id",
+        last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("event_type"), col("user_id"), col("prev_view_id"))
+  }
+
+  private val qAsOfSql =
+    """SELECT event_id, event_type, user_id, prev_view_id FROM (
+      |  SELECT event_id, event_type, user_id,
+      |    last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_view_id
+      |  FROM events) t
+      |WHERE event_type IN ('click', 'purchase')""".stripMargin
+
+  // --- q_funnel: view → click → purchase completion per user -------------
+  private def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+    def step(typ: String) = e.filter(col("event_type") === typ)
+      .select(col("user_id"), col("ts"))
+    val v = step("view").groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val c = step("click").join(v, "user_id").filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id"), col("t_view")).agg(min(col("ts")).as("t_click"))
+    val p = step("purchase").join(c, "user_id").filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id"), col("t_view"), col("t_click")).agg(min(col("ts")).as("t_purchase"))
+    v.join(c.select(col("user_id"), col("t_click")), Seq("user_id"), "left")
+      .join(p.select(col("user_id"), col("t_purchase")), Seq("user_id"), "left")
+  }
+
+  private val qFunnelSql =
+    """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events WHERE event_type='view' GROUP BY 1),
+      |c AS (SELECT e.user_id, v.t_view, MIN(e.ts) AS t_click
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type='click' AND e.ts > v.t_view GROUP BY 1, 2),
+      |p AS (SELECT e.user_id, c.t_view, c.t_click, MIN(e.ts) AS t_purchase
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type='purchase' AND e.ts > c.t_click GROUP BY 1, 2, 3)
+      |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+      |FROM v
+      |LEFT JOIN (SELECT user_id, t_click FROM c) c ON v.user_id = c.user_id
+      |LEFT JOIN (SELECT user_id, t_purchase FROM p) p ON v.user_id = p.user_id""".stripMargin
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef("q6_revenue_forecast", q6, Some(q6Sql)),
+    QueryDef("q_rollup_revenue", qRollup, Some(qRollupSql)),
+    QueryDef("q_pivot_status", qPivot, Some(qPivotSql)),
+    QueryDef("q_big_spenders", qHaving, Some(qHavingSql)),
+    QueryDef("q_median_price", qMedian, Some(qMedianSql)),
+    QueryDef("q_asof_last_view", qAsOf, Some(qAsOfSql), headline = true),
+    QueryDef("q_funnel", qFunnel, Some(qFunnelSql), headline = true))
+}
