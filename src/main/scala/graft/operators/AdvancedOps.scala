@@ -161,7 +161,38 @@ object AdvancedOps {
       |LEFT JOIN (SELECT user_id, t_click FROM c) c ON v.user_id = c.user_id
       |LEFT JOIN (SELECT user_id, t_purchase FROM p) p ON v.user_id = p.user_id""".stripMargin
 
+  // --- q_topk_per_group: custom bounded-buffer Aggregator ----------------
+  // Exact top-3 orders per customer through graft.functions.TopKAggregator
+  // (typed Aggregator with k-bounded partial state — map-side combine
+  // ships ≤k rows per group per partition, unlike the window-rank
+  // formulation which shuffles every row). Oracle: the equivalent
+  // ROW_NUMBER window — results must agree exactly.
+  private def qTopKAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TopKAggregator
+    table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(v => (v._2, v._3))
+      .agg(new TopKAggregator(3).toColumn.name("topk"))
+      .flatMap { case (custkey, topk) =>
+        topk.zipWithIndex.map { case ((price, orderkey), i) =>
+          (custkey, orderkey, price, (i + 1).toLong)
+        }
+      }
+      .toDF("custkey", "orderkey", "totalprice", "rank")
+  }
+
+  private val qTopKAggSql =
+    """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+      |       o_totalprice AS totalprice, rn AS rank
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |        ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t
+      |WHERE rn <= 3""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_topk_per_group", qTopKAgg, Some(qTopKAggSql)),
     QueryDef("q6_revenue_forecast", q6, Some(q6Sql)),
     QueryDef("q_rollup_revenue", qRollup, Some(qRollupSql)),
     QueryDef("q_pivot_status", qPivot, Some(qPivotSql)),

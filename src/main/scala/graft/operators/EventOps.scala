@@ -15,17 +15,24 @@ object EventOps {
   import Tables.table
 
   // --- q_events_hourly: tumbling-window aggregation ----------------------
-  private def qHourly(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
-      .groupBy(
-        date_trunc("hour", col("ts")).cast(TimestampNTZType).as("hour"),
-        col("event_type"))
+  // n_users via distinct-first double aggregation instead of
+  // countDistinct: avoids the Expand operator (which duplicates every
+  // input row per aggregate path) — two narrow shuffles beat one doubled
+  // shuffle at every scale.
+  private def qHourly(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+      .withColumn("hour", date_trunc("hour", col("ts")).cast(TimestampNTZType))
+    val base = e.groupBy(col("hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"),
         min(col("value")).as("min_value"),
-        max(col("value")).as("max_value"),
-        countDistinct(col("user_id")).as("n_users"))
+        max(col("value")).as("max_value"))
+    val users = e.select(col("hour"), col("event_type"), col("user_id")).distinct()
+      .groupBy(col("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+    base.join(users, Seq("hour", "event_type"))
+  }
 
   private val qHourlySql =
     """SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -101,6 +101,15 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup on event_id: state bounded by the watermark
+    * (duplicates arriving later than 1h are considered impossible/ignored
+    * by contract — at 100 TB/day the watermark is what keeps dedup state
+    * finite). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Convenience writer: stream → parquet sink with checkpointing. */
   def writeParquet(df: DataFrame, outDir: String, checkpointDir: String) =
     df.writeStream

@@ -63,6 +63,27 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val deduped = dedupStream(input.toDF())
+    val q = deduped.writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1),
+        ev(1, "2024-01-01 10:00:30", 1), // duplicate id, later ts
+        ev(2, "2024-01-01 10:01:00", 2))
+      q.processAllAvailable()
+      input.addData(ev(1, "2024-01-01 10:02:00", 1)) // dup again, later batch
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dedup ORDER BY event_id")
+        .collect().map(_.getLong(0))
+      assert(ids.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("watermark drops state for closed windows (append mode emits finalized windows)") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
