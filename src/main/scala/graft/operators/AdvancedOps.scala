@@ -139,13 +139,16 @@ object AdvancedOps {
     val e = table(spark, dir, "events")
     def step(typ: String) = e.filter(col("event_type") === typ)
       .select(col("user_id"), col("ts"))
+    // per-user step tables are tiny (one row per user) — broadcast them
+    // into the event-stream probes so the funnel is three broadcast joins
+    // and zero event shuffles
     val v = step("view").groupBy("user_id").agg(min(col("ts")).as("t_view"))
-    val c = step("click").join(v, "user_id").filter(col("ts") > col("t_view"))
+    val c = step("click").join(broadcast(v), "user_id").filter(col("ts") > col("t_view"))
       .groupBy(col("user_id"), col("t_view")).agg(min(col("ts")).as("t_click"))
-    val p = step("purchase").join(c, "user_id").filter(col("ts") > col("t_click"))
+    val p = step("purchase").join(broadcast(c), "user_id").filter(col("ts") > col("t_click"))
       .groupBy(col("user_id"), col("t_view"), col("t_click")).agg(min(col("ts")).as("t_purchase"))
-    v.join(c.select(col("user_id"), col("t_click")), Seq("user_id"), "left")
-      .join(p.select(col("user_id"), col("t_purchase")), Seq("user_id"), "left")
+    v.join(broadcast(c.select(col("user_id"), col("t_click"))), Seq("user_id"), "left")
+      .join(broadcast(p.select(col("user_id"), col("t_purchase"))), Seq("user_id"), "left")
   }
 
   private val qFunnelSql =
