@@ -94,7 +94,91 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
   }
 
+  // --- q_ann_ivf: IVF-style cell-probed ANN ------------------------------
+  // Coarse quantizer: one centroid per label cell, component-wise exact
+  // MEDIAN (rank-based — deterministic across engines, unlike a mean whose
+  // double-summation order diverges). Query → nearest centroid by cosine
+  // → search only that cell. The 100-TB shape: centroids are a tiny
+  // broadcast table; the corpus is probed per-cell, never cross-joined.
+  private def qIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(table(spark, dir, "embeddings"))
+    // (label, pos, val) — pos is 0-based here and 1-based in the oracle;
+    // both sides only use it for ordering, so alignment is consistent.
+    val comps = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "val")))
+    val w = Window.partitionBy(col("label"), col("pos")).orderBy(col("val"))
+    val cent = comps
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("label"), col("pos"))))
+      .filter(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("(n + 2) div 2"))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("val")) / count(lit(1))).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cv"))
+      .withColumn("cnorm", sqrt(aggregate(col("cv"), lit(0.0), (a, x) => a + x * x)))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    // assign each query to its nearest cell (tie-break on label)
+    val wAssign = Window.partitionBy(col("query_id"))
+      .orderBy((dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm"))).desc, col("label"))
+    val assigned = q.crossJoin(broadcast(cent))
+      .withColumn("cr", row_number().over(wAssign))
+      .filter(col("cr") === 1)
+      .select(col("query_id"), col("qv"), col("qnorm"), col("label"))
+    // probe only the assigned cell
+    val scored = e.join(broadcast(assigned), Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qnorm") * col("norm"))).as("cosine"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(wTop)).filter(col("rank") <= K)
+  }
+
+  private val qIvfSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+       |    sqrt(list_reduce(list_prepend(0.0, [x*x FOR x IN embedding::DOUBLE[]]), (a,x) -> a+x)) AS norm
+       |  FROM embeddings),
+       |comps AS (
+       |  SELECT label, i AS pos, v[i] AS val FROM e, UNNEST(range(1, 65)) AS r(i)),
+       |med AS (
+       |  SELECT label, pos, SUM(val) / COUNT(*) AS c FROM (
+       |    SELECT label, pos, val,
+       |      ROW_NUMBER() OVER (PARTITION BY label, pos ORDER BY val) AS rn,
+       |      COUNT(*) OVER (PARTITION BY label, pos) AS n
+       |    FROM comps) t
+       |  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+       |  GROUP BY label, pos),
+       |cent AS (
+       |  SELECT label, list(c ORDER BY pos) AS cv FROM med GROUP BY label),
+       |centn AS (
+       |  SELECT label, cv,
+       |    sqrt(list_reduce(list_prepend(0.0, [x*x FOR x IN cv]), (a,x) -> a+x)) AS cnorm
+       |  FROM cent),
+       |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e WHERE vec_id < $NumQueries),
+       |assigned AS (
+       |  SELECT query_id, qv, qnorm, label FROM (
+       |    SELECT q.query_id, q.qv, q.qnorm, c.label,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+       |        list_reduce(list_prepend(0.0, [q.qv[i]*c.cv[i] FOR i IN range(1, 65)]), (a,x) -> a+x)
+       |          / (q.qnorm * c.cnorm) DESC, c.label) AS cr
+       |    FROM q, centn c) t
+       |  WHERE cr = 1),
+       |scored AS (
+       |  SELECT a.query_id, e.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(0.0, [a.qv[i]*e.v[i] FOR i IN range(1, 65)]), (acc,x) -> acc+x)
+       |      / (a.qnorm * e.norm) AS cosine
+       |  FROM e JOIN assigned a USING (label)
+       |  WHERE e.vec_id != a.query_id)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= $K""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef("q_ann_cosine_topk", qBruteTopK, Some(qBruteTopKSql), headline = true),
-    QueryDef("q_ann_lsh", qLsh, None))
+    QueryDef("q_ann_lsh", qLsh, None),
+    QueryDef("q_ann_ivf", qIvf, Some(qIvfSql), headline = true))
 }
