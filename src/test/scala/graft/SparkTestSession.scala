@@ -10,6 +10,7 @@ object SparkTestSession {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir", s"/tmp/graft-warehouse-${java.util.UUID.randomUUID()}")
       .config("spark.ui.enabled", "false")
     Tables.RequiredConf.foreach { case (k, v) => b.config(k, v) }
     val s = b.getOrCreate()

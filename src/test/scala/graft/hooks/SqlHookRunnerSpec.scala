@@ -38,6 +38,16 @@ class SqlHookRunnerSpec extends AnyFunSuite {
     assert(classify("INSERT INTO a SELECT * FROM b") === SparkLane)
   }
 
+  test("spark lane parses the reference's :: cast dialect") {
+    // post-load hooks cast text columns with `::` (README.md:102-104);
+    // Spark 4 SQL parses this natively so the hook runs in the fast lane
+    import SqlHookRunner._
+    assert(classify("SELECT height::int FROM animals") === SparkLane)
+    Seq(Tuple1("220")).toDF("height").createOrReplaceTempView("cast_input")
+    val r = spark.sql("SELECT height::int AS h FROM cast_input").collect().head
+    assert(r.getInt(0) === 220)
+  }
+
   test("wrap_json aggregates any result into one JSON document (A2)") {
     val df = Seq((1, "a"), (2, "b")).toDF("id", "v").orderBy("id")
     val json = SqlHookRunner.wrapJson(spark, df).collect().head.getString(0)
