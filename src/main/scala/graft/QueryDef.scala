@@ -29,7 +29,8 @@ object QueryRegistry {
       operators.DedupOps.queries ++
       operators.SimilarityOps.queries ++
       operators.EventOps.queries ++
-      operators.MultimodalOps.queries
+      operators.MultimodalOps.queries ++
+      operators.ProfileOps.queries
 
   lazy val byName: Map[String, QueryDef] = {
     val qs = all

@@ -57,12 +57,22 @@ object DedupOps {
     "SELECT min(doc_id) AS keeper_id, COUNT(*) AS n_copies FROM documents GROUP BY text"
 
   // --- q_dedup_ngram_jaccard: exact near-dup via inverted-index join -----
+  /** Stop-shingle cap: shingles appearing in more than this many documents
+    * are dropped before the pair join — they dominate join fan-out
+    * quadratically and discriminate nothing. Mirrored exactly in the
+    * oracle, so the gate still checks the capped semantics. */
+  private val MaxShingleDf = 500
+
   private def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(table(spark, dir, "documents")).cache()
+    val all = shingles(table(spark, dir, "documents"))
+    val sh = all.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= MaxShingleDf)
+      .drop("df")
+      .cache()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // inverted-index self-join: only docs sharing ≥1 shingle become pairs.
-    // At 100 TB: drop shingles above a document-frequency cap first
-    // (stop-shingles dominate join fan-out and add no discrimination).
+    // inverted-index self-join: only docs sharing ≥1 surviving shingle
+    // become candidate pairs — never a full cross product.
     val pairs = sh.as("a").join(sh.as("b"), Seq("shingle"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -77,7 +87,12 @@ object DedupOps {
   }
 
   private val qNgramJaccardSql =
-    s"""WITH sh AS ($shinglesSql),
+    s"""WITH sh0 AS ($shinglesSql),
+       |sh AS (
+       |  SELECT doc_id, shingle FROM (
+       |    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+       |    FROM sh0) t
+       |  WHERE df <= $MaxShingleDf),
        |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        |pairs AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter

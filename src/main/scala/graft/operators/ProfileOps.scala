@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data-profiling operator: per-column summary statistics for any table —
+  * the quality-report shape an ETL pipeline runs after every load (the
+  * reference's reconciliation check generalized from row counts to
+  * per-column health). One scan computes all columns' stats (a single
+  * aggregate node, no per-column jobs); the per-column rows are unpivoted
+  * from that one aggregation.
+  */
+object ProfileOps {
+  import Tables.table
+
+  /** Profile: (column, n, n_null, n_distinct, min_s, max_s) per column.
+    * min/max rendered as strings so heterogeneous column types fit one
+    * deterministic schema (numeric rendering mirrored in the oracle by
+    * matching the type formatting). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"${c}__n"),
+        count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+        // exact multi-column distinct in one aggregate: Spark plans this
+        // as a single Expand(×cols)+hash-agg pass — spillable two-phase
+        // state, not a driver-sized set
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast(StringType).as(s"${c}__min"),
+        max(col(c)).cast(StringType).as(s"${c}__max"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col(s"${c}__n").as("n"),
+        col(s"${c}__nulls").as("n_null"),
+        col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_s"),
+        col(s"${c}__max").as("max_s"))
+    }
+    wide.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
+  // --- q_profile_orders: profile the orders table ------------------------
+  // String-typed columns only in the oracle-checked projection of min/max
+  // (numeric-to-string rendering differs between engines: Spark "1.0" vs
+  // DuckDB "1.0" agree for ints/strings; doubles are excluded from min/max
+  // string compare and checked via counts instead).
+  private val ProfCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+  private def qProfile(spark: SparkSession, dir: String): DataFrame =
+    profile(table(spark, dir, "orders"), ProfCols)
+
+  private val qProfileSql = ProfCols.map { c =>
+    s"""SELECT '$c' AS column, COUNT(*) AS n,
+       |  COUNT(*) FILTER ($c IS NULL) AS n_null,
+       |  COUNT(DISTINCT $c) AS n_distinct,
+       |  CAST(MIN($c) AS VARCHAR) AS min_s,
+       |  CAST(MAX($c) AS VARCHAR) AS max_s
+       |FROM orders""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "")
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_profile_orders", qProfile, Some(qProfileSql)))
+}
