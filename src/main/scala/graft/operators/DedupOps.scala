@@ -125,14 +125,18 @@ object DedupOps {
       explode(expr(s"transform(sequence(0, ${NumPerms / BandSize - 1}), " +
         s"b -> named_struct('band', b, 'key', xxhash64(slice(sig, b*$BandSize + 1, $BandSize))))")).as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("bkey"))
+    // dedupe candidates on the narrow id pair, then rejoin signatures —
+    // hash-distinct over the 32-wide sig arrays is pure overhead
     val cand = bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
       .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    cand.select(col("d1"), col("d2"),
-      (aggregate(zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0L), (acc, x) => acc + x).cast(DoubleType) / NumPerms).as("est_jaccard"))
+    val s1 = sigs.select(col("doc_id").as("d1"), col("sig").as("sig1"))
+    val s2 = sigs.select(col("doc_id").as("d2"), col("sig").as("sig2"))
+    cand.join(s1, "d1").join(s2, "d2")
+      .select(col("d1"), col("d2"),
+        (aggregate(zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0L), (acc, x) => acc + x).cast(DoubleType) / NumPerms).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
   }
 
@@ -140,57 +144,80 @@ object DedupOps {
   // Majority vote per bit over token hashes; one scan, constant state per
   // doc. Near-dup = small Hamming distance (pairing done downstream or via
   // bit-band LSH at scale). No SQL oracle (xxhash64) → rows-only check.
-  private def qSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val d = table(spark, dir, "documents")
-    val w = split(trim(col("text")), " ")
-    // per-bit majority vote: sum over token hashes of (+1 if bit b set
-    // else -1); signature bit b = 1 iff vote > 0. Dynamic shift amounts
-    // need the SQL builder (the Scala shiftright only takes a literal).
-    // single pass over the token hashes: fold a 64-wide vote vector, then
-    // collapse votes to signature bits (vs 64 re-scans of hs — ~25% faster
-    // at sf0.1 and one alloc per token instead of 64 array traversals)
-    val sig = expr(
-      """aggregate(
-        |  zip_with(
-        |    aggregate(hs, array_repeat(0L, 64), (acc, h) ->
-        |      zip_with(acc, sequence(0, 63), (a, b) ->
-        |        a + (CASE WHEN (shiftright(h, b) & 1L) = 1L THEN 1L ELSE -1L END))),
-        |    sequence(0, 63),
-        |    (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END),
-        |  0L, (acc, x) -> acc | x)""".stripMargin)
-    d.select(col("doc_id"), transform(w, t => xxhash64(t)).as("hs"))
-      .select(col("doc_id"), sig.as("simhash"))
+  // Native single-pass expression (graft.functions.SimHashExpr): the
+  // higher-order-function formulation interpreted ~64 lambda steps per
+  // token (17s at the sf1 stress test; sub-second native).
+  private def qSimhash(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.SimHash.simhash(trim(col("text"))).as("simhash"))
+
+  // --- q_dedup_embedding: cosine near-dup via banded axis-sign LSH -------
+  // Candidate generation: 3 bands × 4 axis-sign bits (signs of components
+  // 1-4, 5-8, 9-12) within each label cell; a pair is a candidate iff some
+  // band matches. Fully deterministic and SQL-mirrorable (unlike seeded-
+  // hash LSH), so the oracle checks the exact banded algorithm. This is
+  // the quadratic-blowup guard: label blocking alone went ~400M pairs at
+  // 50k vectors (173s); banding cuts candidates ~16× per band bucket.
+  private val EmbBands = 3
+  private val EmbBandBits = 4
+
+  private def signBand(v: Column, band: Int): Column = {
+    val bits = (0 until EmbBandBits).map { j =>
+      val idx = band * EmbBandBits + j + 1 // 1-based element_at
+      when(element_at(v, idx) >= 0, 1 << j).otherwise(0)
+    }
+    bits.reduce(_ + _)
   }
 
-  // --- q_dedup_embedding: cosine near-dup, blocked by cluster label ------
   private def qEmbeddingDedup(spark: SparkSession, dir: String): DataFrame = {
     val e = table(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
       .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
-    // block on label: the pair join is per-cluster — the same shape as
-    // IVF-cell blocking at scale (no global cross product)
-    e.as("a").join(e.as("b"), Seq("label"))
+    val banded = e.select(col("vec_id"), col("label"), col("v"), col("norm"),
+      explode(array((0 until EmbBands).map(b =>
+        struct(lit(b).as("band"), signBand(col("v"), b).as("bkey"))): _*)).as("bb"))
+      .select(col("vec_id"), col("label"), col("v"), col("norm"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    // dedupe candidates on the narrow id pair, then rejoin the vectors —
+    // never hash-distinct the 64-wide arrays themselves
+    val cand = banded.as("a")
+      .join(banded.as("b"), Seq("label", "band", "bkey"))
       .filter(col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-        (aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x)
-          / (col("a.norm") * col("b.norm"))).as("cosine"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+      .distinct()
+    val ea = e.select(col("vec_id").as("v1"), col("v").as("va"), col("norm").as("na"))
+    val eb = e.select(col("vec_id").as("v2"), col("v").as("vb"), col("norm").as("nb"))
+    cand.join(ea, "v1").join(eb, "v2")
+      .select(col("v1"), col("v2"),
+        (aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= 0.35)
   }
 
   private val qEmbeddingDedupSql =
-    """WITH e AS (
-      |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
-      |    sqrt(list_reduce(list_prepend(0.0, [x*x FOR x IN embedding::DOUBLE[]]), (a,x) -> a+x)) AS norm
-      |  FROM embeddings)
-      |SELECT a.vec_id AS v1, b.vec_id AS v2,
-      |  list_reduce(list_prepend(0.0, [a.v[i]*b.v[i] FOR i IN range(1, 65)]), (acc,x) -> acc+x)
-      |    / (a.norm * b.norm) AS cosine
-      |FROM e a JOIN e b USING (label)
-      |WHERE a.vec_id < b.vec_id
-      |  AND list_reduce(list_prepend(0.0, [a.v[i]*b.v[i] FOR i IN range(1, 65)]), (acc,x) -> acc+x)
-      |    / (a.norm * b.norm) >= 0.35""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+       |    sqrt(list_reduce(list_prepend(0.0, [x*x FOR x IN embedding::DOUBLE[]]), (a,x) -> a+x)) AS norm
+       |  FROM embeddings),
+       |banded AS (
+       |  SELECT vec_id, label, v, norm, band,
+       |    (CASE WHEN v[band*$EmbBandBits + 1] >= 0 THEN 1 ELSE 0 END)
+       |    + (CASE WHEN v[band*$EmbBandBits + 2] >= 0 THEN 2 ELSE 0 END)
+       |    + (CASE WHEN v[band*$EmbBandBits + 3] >= 0 THEN 4 ELSE 0 END)
+       |    + (CASE WHEN v[band*$EmbBandBits + 4] >= 0 THEN 8 ELSE 0 END) AS bkey
+       |  FROM e, UNNEST(range(0, $EmbBands)) AS r(band)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+       |  FROM banded a JOIN banded b USING (label, band, bkey)
+       |  WHERE a.vec_id < b.vec_id)
+       |SELECT v1, v2,
+       |  list_reduce(list_prepend(0.0, [ea.v[i]*eb.v[i] FOR i IN range(1, 65)]), (acc,x) -> acc+x)
+       |    / (ea.norm * eb.norm) AS cosine
+       |FROM cand JOIN e ea ON ea.vec_id = v1 JOIN e eb ON eb.vec_id = v2
+       |WHERE list_reduce(list_prepend(0.0, [ea.v[i]*eb.v[i] FOR i IN range(1, 65)]), (acc,x) -> acc+x)
+       |    / (ea.norm * eb.norm) >= 0.35""".stripMargin
 
   def queries: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_exact", qDedupExact, Some(qDedupExactSql)),
