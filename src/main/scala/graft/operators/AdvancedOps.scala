@@ -194,7 +194,86 @@ object AdvancedOps {
       |        ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t
       |WHERE rn <= 3""".stripMargin
 
+  // --- q7_nation_volume: nation-pair shipping volume by year -------------
+  private def q7(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = table(spark, dir, "nation").select(
+      col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = table(spark, dir, "nation").select(
+      col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val s = table(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val c = table(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val o = table(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"), col("l_shipdate"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+        .cast(DoubleType).as("volume"))
+  }
+
+  private val q7Sql =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  year(l_shipdate) AS l_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE n1.n_name != n2.n_name
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  // --- q12_priority_by_status: conditional CASE aggregation (Q12 shape) --
+  private def q12(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_count"))
+
+  private val q12Sql =
+    """SELECT o_orderstatus,
+      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_count,
+      |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_count
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  // --- q14_promo_revenue: conditional ratio (Q14 shape) ------------------
+  // Ratio computed from exact decimal sums cast to double, so the single
+  // final division is the only FP op — identical in both engines.
+  private def q14(spark: SparkSession, dir: String): DataFrame = {
+    val p = table(spark, dir, "part").select(col("p_partkey"), col("p_type"))
+    val rev = dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
+    table(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(DecimalType(18, 2))))
+          .cast(DoubleType) * 100.0
+          / sum(rev).cast(DoubleType)).as("promo_revenue_pct"))
+  }
+
+  private val q14Sql =
+    """SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0
+      |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |  AS promo_revenue_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
+    QueryDef("q7_nation_volume", q7, Some(q7Sql)),
+    QueryDef("q12_priority_by_status", q12, Some(q12Sql)),
+    QueryDef("q14_promo_revenue", q14, Some(q14Sql)),
     QueryDef("q_topk_per_group", qTopKAgg, Some(qTopKAggSql)),
     QueryDef("q6_revenue_forecast", q6, Some(q6Sql)),
     QueryDef("q_rollup_revenue", qRollup, Some(qRollupSql)),
