@@ -152,6 +152,49 @@ object DedupOps {
       .select(col("doc_id"),
         graft.functions.SimHash.simhash(trim(col("text"))).as("simhash"))
 
+  // --- q_dedup_minhash_verified: the production two-stage pipeline -------
+  // MinHash/LSH proposes candidates (linear scale), exact shingle-set
+  // Jaccard verifies ONLY those pairs — the shape that replaces the
+  // all-pairs exact join at 100 TB (the sf1 stress corpus made the
+  // all-pairs q_dedup_ngram_jaccard the dominant cost). No SQL oracle
+  // (candidates derive from xxhash64) → rows-only; exactness of the final
+  // jaccard values is inherited from the shingle counts.
+  private def qMinhashVerified(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(table(spark, dir, "documents")).cache()
+    val cand = minhashCandidates(sh).select(col("d1"), col("d2"))
+    // verify by joining each candidate pair to the two docs' shingle SETS
+    // and intersecting the arrays — cost ∝ |candidates| × shingles/doc,
+    // independent of inverted-index fan-out (which re-explodes on corpora
+    // where candidates are dense)
+    val docSets = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("shs"), count(lit(1)).as("n"))
+    val s1 = docSets.select(col("doc_id").as("d1"), col("shs").as("shs1"), col("n").as("n1"))
+    val s2 = docSets.select(col("doc_id").as("d2"), col("shs").as("shs2"), col("n").as("n2"))
+    cand.join(s1, "d1").join(s2, "d2")
+      .withColumn("inter", size(array_intersect(col("shs1"), col("shs2"))).cast(LongType))
+      .select(col("d1"), col("d2"),
+        (col("inter").cast(DoubleType)
+          / (col("n1") + col("n2") - col("inter")).cast(DoubleType)).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  /** Banded MinHash candidate pairs (shared by q_dedup_minhash and the
+    * two-stage verified variant). */
+  private def minhashCandidates(sh: DataFrame): DataFrame = {
+    val sigCols = (0 until NumPerms).map(k =>
+      min(xxhash64(lit(k), col("shingle"))).as(s"h$k"))
+    val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"), array((0 until NumPerms).map(k => col(s"h$k")): _*).as("sig"))
+    val bands = sigs.select(col("doc_id"),
+      explode(expr(s"transform(sequence(0, ${NumPerms / BandSize - 1}), " +
+        s"b -> named_struct('band', b, 'key', xxhash64(slice(sig, b*$BandSize + 1, $BandSize))))")).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("bkey"))
+    bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
   // --- q_dedup_embedding: cosine near-dup via banded axis-sign LSH -------
   // Candidate generation: 3 bands × 4 axis-sign bits (signs of components
   // 1-4, 5-8, 9-12) within each label cell; a pair is a candidate iff some
@@ -224,5 +267,6 @@ object DedupOps {
     QueryDef("q_dedup_ngram_jaccard", qNgramJaccard, Some(qNgramJaccardSql), headline = true),
     QueryDef("q_dedup_minhash", qMinhash, None, headline = true),
     QueryDef("q_dedup_simhash", qSimhash, None),
-    QueryDef("q_dedup_embedding", qEmbeddingDedup, Some(qEmbeddingDedupSql)))
+    QueryDef("q_dedup_embedding", qEmbeddingDedup, Some(qEmbeddingDedupSql)),
+    QueryDef("q_dedup_minhash_verified", qMinhashVerified, None, headline = true))
 }

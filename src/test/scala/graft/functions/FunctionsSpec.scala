@@ -95,6 +95,13 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq("2019-02-01", "2019-02-01", null, null))
   }
 
+  test("has_column: catalog introspection (F2)") {
+    Seq((1, "x")).toDF("id", "v").createOrReplaceTempView("hc_table")
+    assert(Functions.hasColumn(spark, "hc_table", "id"))
+    assert(!Functions.hasColumn(spark, "hc_table", "nope"))
+    assert(!Functions.hasColumn(spark, "hc_missing_table", "id"))
+  }
+
   test("SQL registration keeps functions callable from hook SQL") {
     Functions.registerAll(spark)
     val r = spark.sql(

@@ -1,5 +1,6 @@
 package graft.sink
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestSession
 import graft.operators.SkewJoin
@@ -24,6 +25,22 @@ class BucketingSpec extends AnyFunSuite {
       val raw = orders.join(items, "key")
       assert(Bucketing.hasShuffle(raw))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("date-partitioned events prune partitions on range filters") {
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("events_part").toString
+    val events = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-02 10:00:00"), 1L, "view", 1.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-03 10:00:00"), 2L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    PartitionedLayout.writeEventsByDay(events, dir)
+    val filtered = PartitionedLayout.readEvents(spark, dir)
+      .filter(col("event_date") === "2024-01-02")
+    assert(PartitionedLayout.prunesPartitions(filtered))
+    assert(filtered.count() === 1)
+    assert(filtered.collect().head.getAs[Long]("event_id") === 2L)
   }
 
   test("salted join equals plain join on skewed data") {
