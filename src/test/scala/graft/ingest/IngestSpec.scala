@@ -67,6 +67,21 @@ class IngestSpec extends AnyFunSuite {
     assert(df.count() === 2)
   }
 
+  test("distributed zip ingestion: executor-side decompress to all-text table") {
+    val dir = Files.createTempDirectory("zipcsv")
+    mkZip(dir, "animals_a.zip", Map(
+      "animals_1.csv" -> "name,origin,height\nGrizzly,NA,220\nGiraffe,Africa,600\n"))
+    mkZip(dir, "animals_b.zip", Map(
+      "animals_2.csv" -> "name,origin,height\nWallabie,Australia,180\n",
+      "notes.txt" -> "not a csv, ignored"))
+    val df = ZipCsvReader.read(spark, dir.toString)
+    assert(df.schema.fields.map(_.name).toSeq === Seq("name", "origin", "height"))
+    assert(df.schema.fields.forall(_.dataType == StringType))
+    assert(df.count() === 3)
+    val names = df.collect().map(_.getString(0)).sorted
+    assert(names.toSeq === Seq("Giraffe", "Grizzly", "Wallabie"))
+  }
+
   test("encoding detection: BOM and fallback") {
     val dir = Files.createTempDirectory("enc")
     val bom = dir.resolve("bom.csv")
