@@ -1,0 +1,21 @@
+#!/usr/bin/env bash
+# Full local gate: tests + both-SF oracle verification + bench.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== sbt test =="
+sbt -batch test 2>&1 | grep -E "Tests:|TEST FAILED"
+
+echo "== verify sf0.01 =="
+rm -rf /tmp/gate_v001
+sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/gate_v001" 2>&1 | grep "\[verify\]" || true
+python3 scripts/check_correctness.py /root/testdata/sf0.01 /tmp/gate_v001 | tail -1
+
+echo "== verify sf0.1 =="
+rm -rf /tmp/gate_v01
+sbt -batch "runMain graft.Verify /root/testdata/sf0.1 /tmp/gate_v01" 2>&1 | grep "\[verify\]" || true
+python3 scripts/check_correctness.py /root/testdata/sf0.1 /tmp/gate_v01 | tail -1
+
+echo "== bench sf0.1 =="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"'

@@ -253,7 +253,27 @@ object Relational {
       |  FROM orders) t
       |WHERE rn <= 3""".stripMargin
 
+  // --- q_running_revenue: frame-bounded running-sum window ---------------
+  // Exact-decimal running total per customer over order history; total
+  // order (date, orderkey) makes the cumulative frame deterministic.
+  private def qRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(dec2(col("o_totalprice"))).over(w).cast(DoubleType).as("running_total"))
+  }
+
+  private val qRunningSql =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      |FROM orders""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_running_revenue", qRunning, Some(qRunningSql)),
     QueryDef("q1_pricing_summary", q1, Some(q1Sql), headline = true),
     QueryDef("q_count_per_table", qCounts, Some(qCountsSql)),
     QueryDef("q_reconciliation", qReconciliation, Some(qReconciliationSql), headline = true),

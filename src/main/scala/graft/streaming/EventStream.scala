@@ -101,6 +101,28 @@ object EventStream {
       }
   }
 
+  /** Stream-stream interval join: attribute each click to view events by
+    * the same user within the preceding 30 minutes. Both sides carry
+    * watermarks so join state is evicted once the interval can no longer
+    * match — the bounded-state form of streaming attribution.
+    */
+  def clickViewAttribution(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    clicks.join(views,
+      expr("""c_user = v_user AND
+             |view_ts <= click_ts AND
+             |view_ts >= click_ts - INTERVAL 30 MINUTES""".stripMargin))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("click_ts"), col("view_ts"))
+  }
+
   /** Streaming exact dedup on event_id: state bounded by the watermark
     * (duplicates arriving later than 1h are considered impossible/ignored
     * by contract — at 100 TB/day the watermark is what keeps dedup state

@@ -63,6 +63,26 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks to recent views") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val joined = clickViewAttribution(input.toDF())
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "view"),
+        ev(2, "2024-01-01 10:10:00", 1, "click"), // within 30m of view 1
+        ev(3, "2024-01-01 11:30:00", 1, "click"), // no view within 30m
+        ev(4, "2024-01-01 10:05:00", 2, "view"))  // other user
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT click_id, view_id FROM attrib")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq === Seq((2L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
