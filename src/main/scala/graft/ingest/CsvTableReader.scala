@@ -31,7 +31,7 @@ object CsvTableReader {
       // concern (strip()); keep raw text here
       .option("nullValue", null: String)
       .csv(files.map(_.toString): _*)
-    df.toDF(df.columns.map(sanitize): _*)
+    df.toDF(df.columns.map(sanitize).toIndexedSeq: _*)
   }
 
   /** pgfutter-style identifier sanitization: lowercase, spaces and

@@ -75,6 +75,31 @@ object MultimodalOps {
     }(enc)
   }
 
+  /** Frame sampling: split the opaque payload into fixed-size "frames"
+    * and keep every Nth — the video-frame-extraction shape (chunking is
+    * real; what a frame means is the stubbed decoder's concern). Runs as
+    * a generator (posexplode) so one row fans out to its kept frames
+    * without any shuffle. */
+  def frameSample(df: DataFrame, frameBytes: Int, every: Int): DataFrame = {
+    val nFrames = ceil(length(col("payload")).cast(DoubleType) / frameBytes).cast(IntegerType)
+    df.select(col("doc_id"), col("payload"),
+        posexplode(sequence(lit(0), nFrames - 1)).as(Seq("frame_idx", "f")))
+      .filter(col("frame_idx") % every === 0)
+      .select(col("doc_id"), col("frame_idx"),
+        expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)").as("frame"))
+  }
+
+  /** "Resize": deterministic byte-decimation of a frame to `targetBytes`
+    * (stride sampling) — the stub standing in for an image resize; the
+    * pipeline contract (binary in, smaller binary out, no shuffle) is the
+    * real part. */
+  def resize(frames: DataFrame, targetBytes: Int): DataFrame =
+    frames.withColumn("resized",
+      expr(s"""aggregate(
+              |  transform(sequence(0, $targetBytes - 1),
+              |    i -> substring(frame, CAST(i * length(frame) / $targetBytes AS INT) + 1, 1)),
+              |  CAST('' AS BINARY), (acc, b) -> acc || b)""".stripMargin))
+
   // --- q_multimodal_meta: binary payload + metadata projection -----------
   // Oracle-checked: byte length and hex prefix agree with DuckDB's BLOB
   // handling, proving the binary column plumbing end-to-end.
