@@ -213,7 +213,7 @@ object AdvancedOps {
       .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
-        year(col("l_shipdate")).as("l_year"))
+        year(col("l_shipdate")).cast("long").as("l_year"))
       .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
         .cast(DoubleType).as("volume"))
   }

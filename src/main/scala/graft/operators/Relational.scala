@@ -242,7 +242,7 @@ object Relational {
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     table(spark, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
   }
 

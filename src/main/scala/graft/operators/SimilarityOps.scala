@@ -42,7 +42,7 @@ object SimilarityOps {
         (dot(col("qv"), col("v")) / (col("qnorm") * col("norm"))).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= K)
   }
 
   private val qBruteTopKSql =
@@ -91,7 +91,7 @@ object SimilarityOps {
         (dot(col("qv"), col("v")) / (col("qnorm") * col("norm"))).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= K)
   }
 
   // --- q_ann_ivf: IVF-style cell-probed ANN ------------------------------
@@ -132,7 +132,7 @@ object SimilarityOps {
         (dot(col("qv"), col("v")) / (col("qnorm") * col("norm"))).as("cosine"))
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(wTop)).filter(col("rank") <= K)
+    scored.withColumn("rank", row_number().over(wTop).cast("long")).filter(col("rank") <= K)
   }
 
   private val qIvfSql =
