@@ -30,6 +30,22 @@ object ReconciliationCheck {
       .toMap
   }
 
+  /** Precise mode (S8, reference csvcount.py:13-23): count CSV *records*
+    * (a quoted field may span lines) rather than raw lines. multiLine
+    * parsing is not block-splittable, so this is the slower, exact
+    * variant — the reference draws the same line/record distinction
+    * between its wc and csv.reader branches. Counts include the header
+    * row (csv.reader parity: it counts every row). */
+  def preciseCsvCounts(spark: SparkSession, files: Seq[Path]): Map[String, Long] =
+    files.map { f =>
+      f.toString -> spark.read
+        .option("header", "false")
+        .option("multiLine", "true")
+        .option("encoding", graft.ingest.CsvTableReader.detectEncoding(f))
+        .csv(f.toString)
+        .count()
+    }.toMap
+
   final case class TableDelta(table: String, csvCount: Long, dbCount: Long) {
     def delta: Long = math.abs(csvCount - dbCount)
   }

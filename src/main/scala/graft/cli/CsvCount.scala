@@ -9,13 +9,19 @@ import graft.discover.SourceScanner
 
 /** Standalone CSV row counter — reference entry point 3
   * (`python -m postgresimporter.csvcount <source>`, csvcount.py:53-62):
-  * counts lines of every discovered CSV and prints one JSON object
-  * `{path: count, ...}`. One distributed Spark job over all files
-  * (splittable text scan), not a per-file driver loop.
+  * counts every discovered CSV and prints one JSON object
+  * `{path: count, ...}`.
+  *
+  * Default mode counts records precisely (csv.reader parity — quoted
+  * fields may span lines); `--fast` switches to the splittable
+  * distributed line count (`wc -l` parity, the mode the pipeline's
+  * reconciliation step uses).
   */
 object CsvCount {
-  def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: CsvCount <source dir or file>...")
+  def main(rawArgs: Array[String]): Unit = {
+    val fast = rawArgs.contains("--fast")
+    val args = rawArgs.filterNot(_ == "--fast")
+    require(args.nonEmpty, "usage: CsvCount [--fast] <source dir or file>...")
     val b = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-csvcount")
@@ -25,7 +31,9 @@ object CsvCount {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val files = SourceScanner.discoverCsvs(args.toIndexedSeq.map(Paths.get(_)))
-      val counts = ReconciliationCheck.csvLineCounts(spark, files)
+      val counts =
+        if (fast) ReconciliationCheck.csvLineCounts(spark, files)
+        else ReconciliationCheck.preciseCsvCounts(spark, files)
       def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       println(counts.toSeq.sortBy(_._1)
         .map { case (f, n) => s"${q(f)}: $n" }.mkString("{", ", ", "}"))

@@ -20,10 +20,11 @@ import graft.pipeline.{Loader, LoaderConfig}
   */
 object Main {
 
-  def parse(args: Seq[String]): (LoaderConfig, Option[String], String) = {
+  def parse(args: Seq[String]): (LoaderConfig, Option[String], String, Map[String, String]) = {
     var cfg = LoaderConfig(sources = Seq.empty)
     var outDir: Option[String] = None
     var logLevel = "WARN"
+    var dbOpts = Map.empty[String, String]
     var i = 0
     val sources = scala.collection.mutable.ListBuffer.empty[String]
     def valueOf(flag: String): String = {
@@ -49,6 +50,11 @@ object Main {
         case "--post-load"       => cfg = cfg.copy(postLoad = valuesOf("--post-load").map(Paths.get(_)))
         case "--log-level"       => logLevel = valueOf("--log-level").toUpperCase
         case "--out-dir"         => outDir = Some(valueOf("--out-dir"))
+        case s if s.startsWith("--db-") =>
+          // reference db option surface (cli.py:79-127): --db-host,
+          // --db-port, --db-name, --db-user, --db-password; env DB_*
+          // fallback is applied at resolve time (PostgresSink.DbOptions)
+          dbOpts += (s.stripPrefix("--") -> valueOf(s))
         case s if s.startsWith("--") => throw new IllegalArgumentException(s"unknown flag $s")
         case s                   => sources += s
       }
@@ -56,11 +62,11 @@ object Main {
     }
     require(sources.nonEmpty, "at least one source dir or file required")
     sources.foreach(s => require(Files.exists(Paths.get(s)), s"$s is not a directory or existing file"))
-    (cfg.copy(sources = sources.map(Paths.get(_)).toSeq), outDir, logLevel)
+    (cfg.copy(sources = sources.map(Paths.get(_)).toSeq), outDir, logLevel, dbOpts)
   }
 
   def main(args: Array[String]): Unit = {
-    val (cfg, outDir, logLevel) = parse(args.toIndexedSeq)
+    val (cfg, outDir, logLevel, dbOpts) = parse(args.toIndexedSeq)
     val b = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-loader")
@@ -72,11 +78,13 @@ object Main {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel(logLevel)
     try {
-      val sink: (String, org.apache.spark.sql.DataFrame) => Unit = outDir match {
-        case Some(dir) => (name, df) =>
-          df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
-        case None => (_, _) => ()
-      }
+      val sink: (String, org.apache.spark.sql.DataFrame) => Unit =
+        if (outDir.isDefined) (name, df) =>
+          df.write.mode("overwrite").parquet(s"${outDir.get}/$name.parquet")
+        else if (dbOpts.nonEmpty) {
+          val resolved = graft.sink.PostgresSink.DbOptions.resolve(dbOpts)
+          (name, df) => graft.sink.PostgresSink.write(df, s"import.$name", resolved)
+        } else (_, _) => ()
       val result = new Loader(spark, cfg, sink).load()
       result.report.foreach { r =>
         println(r.render)

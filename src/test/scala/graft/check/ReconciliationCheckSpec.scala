@@ -16,6 +16,17 @@ class ReconciliationCheckSpec extends AnyFunSuite {
     assert(counts.values.toSeq.sorted === Seq(2L, 3L))
   }
 
+  test("precise counts parse quoted embedded newlines as one record") {
+    val dir = Files.createTempDirectory("precise")
+    val f = dir.resolve("q.csv")
+    // 1 header + 2 records, one containing a quoted newline → 4 raw lines
+    Files.write(f, "id,note\n1,\"line one\nline two\"\n2,plain\n".getBytes)
+    val precise = ReconciliationCheck.preciseCsvCounts(spark, Seq(f))
+    assert(precise.values.toSeq === Seq(3L)) // header + 2 records
+    val fast = ReconciliationCheck.csvLineCounts(spark, Seq(f))
+    assert(fast.values.toSeq === Seq(4L)) // raw lines, wc -l parity
+  }
+
   test("delta ledger and fatal threshold") {
     val r = ReconciliationCheck.check(
       Map("a" -> 100L, "b" -> 200L),

@@ -74,13 +74,17 @@ class LoaderSpec extends AnyFunSuite {
 
   test("cli parse: full flag surface") {
     val dir = animalsDir().toString
-    val (cfg, out, level) = Main.parse(Seq(
+    val (cfg, out, level, dbOpts) = Main.parse(Seq(
       dir, "--all", "--combine-tables", "--exclude-regex", "^.*sample.*$",
-      "--disable-check", "--log-level", "info", "--out-dir", "/tmp/x"))
+      "--disable-check", "--log-level", "info", "--out-dir", "/tmp/x",
+      "--db-host", "pg.example", "--db-port", "5433"))
     assert(cfg.all && cfg.combineTables && cfg.disableCheck)
     assert(cfg.excludeRegex === Some("^.*sample.*$"))
     assert(out === Some("/tmp/x"))
     assert(level === "INFO")
+    assert(dbOpts === Map("db-host" -> "pg.example", "db-port" -> "5433"))
+    val resolved = graft.sink.PostgresSink.DbOptions.resolve(dbOpts, env = Map.empty)
+    assert(resolved.host === "pg.example" && resolved.port === 5433)
     assertThrows[IllegalArgumentException](Main.parse(Seq(dir, "--bogus")))
     assertThrows[IllegalArgumentException](Main.parse(Seq("/nonexistent-path-xyz")))
   }
