@@ -120,7 +120,25 @@ object TextOps {
       |    (acc, c) -> (acc*31 + c) % 1000000007) AS fingerprint
       |FROM documents""".stripMargin
 
+  // --- q_top_terms: corpus term frequencies (wordcount at scale) ---------
+  // explode → hash-agg with map-side combine → deterministic top-20.
+  private def qTopTerms(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(explode(split(trim(col("text")), " ")).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(20)
+
+  private val qTopTermsSql =
+    """SELECT term, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents) t
+      |GROUP BY term
+      |ORDER BY n DESC, term
+      |LIMIT 20""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_top_terms", qTopTerms, Some(qTopTermsSql)),
     QueryDef("q_text_stats", qTextStats, Some(qTextStatsSql), headline = true),
     QueryDef("q_lang_id", qLangId, Some(qLangIdSql)),
     QueryDef("q_fingerprint", qFingerprint, Some(qFingerprintSql)))

@@ -82,6 +82,32 @@ class IngestSpec extends AnyFunSuite {
     assert(names.toSeq === Seq("Giraffe", "Grizzly", "Wallabie"))
   }
 
+  test("gzip-compressed CSV reads transparently (another source format)") {
+    val dir = Files.createTempDirectory("gz")
+    val f = dir.resolve("animals_1.csv.gz")
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(f))
+    out.write("name,origin,height\nGrizzly,NA,220\n".getBytes("UTF-8"))
+    out.close()
+    val df = spark.read.option("header", "true").option("inferSchema", "false")
+      .csv(f.toString)
+    assert(df.columns.toSeq === Seq("name", "origin", "height"))
+    assert(df.count() === 1)
+  }
+
+  test("json-lines source reads with explicit all-text discipline") {
+    val dir = Files.createTempDirectory("jsonl")
+    val f = dir.resolve("animals.jsonl")
+    Files.write(f,
+      """{"name":"Grizzly","origin":"NA","height":"220"}
+        |{"name":"Giraffe","origin":"Africa","height":"600"}""".stripMargin.getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq("name", "origin", "height").map(
+        org.apache.spark.sql.types.StructField(_, StringType, nullable = true)))
+    val df = spark.read.schema(schema).json(f.toString)
+    assert(df.count() === 2)
+    assert(df.schema.fields.forall(_.dataType == StringType))
+  }
+
   test("encoding detection: BOM and fallback") {
     val dir = Files.createTempDirectory("enc")
     val bom = dir.resolve("bom.csv")
