@@ -48,13 +48,18 @@ object AdvancedOps {
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
 
   // --- q_pivot_status: segment × order-status pivot ----------------------
+  // customer grows with the data — no broadcast hint; stats+AQE still pick
+  // broadcast at bench SFs, and revert to shuffle join beyond the
+  // threshold. Pivot yields NULL for an absent (segment, status) combo
+  // where the oracle's COUNT FILTER yields 0 → fill with 0.
   private def qPivot(spark: SparkSession, dir: String): DataFrame = {
     val c = table(spark, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
     table(spark, dir, "orders")
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))
       .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
   }
 
   private val qPivotSql =
@@ -135,20 +140,27 @@ object AdvancedOps {
       |WHERE event_type IN ('click', 'purchase')""".stripMargin
 
   // --- q_funnel: view → click → purchase completion per user -------------
+  // Single-shuffle formulation: one hash exchange on user_id, then three
+  // chained whole-partition windows (no orderBy → no sort) compute the
+  // sequential step times, and the final groupBy reuses the same
+  // partitioning (no second exchange). The per-user step cardinality is
+  // O(|users|) — unbounded — so nothing here is broadcast; at cluster
+  // scale this stays one shuffle of the event stream.
   private def qFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val e = table(spark, dir, "events")
-    def step(typ: String) = e.filter(col("event_type") === typ)
-      .select(col("user_id"), col("ts"))
-    // per-user step tables are tiny (one row per user) — broadcast them
-    // into the event-stream probes so the funnel is three broadcast joins
-    // and zero event shuffles
-    val v = step("view").groupBy("user_id").agg(min(col("ts")).as("t_view"))
-    val c = step("click").join(broadcast(v), "user_id").filter(col("ts") > col("t_view"))
-      .groupBy(col("user_id"), col("t_view")).agg(min(col("ts")).as("t_click"))
-    val p = step("purchase").join(broadcast(c), "user_id").filter(col("ts") > col("t_click"))
-      .groupBy(col("user_id"), col("t_view"), col("t_click")).agg(min(col("ts")).as("t_purchase"))
-    v.join(broadcast(c.select(col("user_id"), col("t_click"))), Seq("user_id"), "left")
-      .join(broadcast(p.select(col("user_id"), col("t_purchase"))), Seq("user_id"), "left")
+    val w = Window.partitionBy(col("user_id"))
+    table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("ts") > col("t_view"), col("ts"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t_click"), col("ts"))).over(w))
+      .filter(col("t_view").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(col("t_view")).as("t_view"),
+        min(col("t_click")).as("t_click"),
+        min(col("t_purchase")).as("t_purchase"))
   }
 
   private val qFunnelSql =
@@ -206,9 +218,12 @@ object AdvancedOps {
     table(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"),
         col("l_extendedprice"), col("l_discount"), col("l_shipdate"))
+      // supplier/customer grow with the data — leave them to stats+AQE
+      // (they still broadcast at bench SFs); nation is bounded (25 rows)
+      // so its hint is safe at any scale
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
       .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
       .filter(col("supp_nation") =!= col("cust_nation"))
@@ -243,8 +258,8 @@ object AdvancedOps {
 
   private val q12Sql =
     """SELECT o_orderstatus,
-      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_count,
-      |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_count
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_count
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
   // --- q14_promo_revenue: conditional ratio (Q14 shape) ------------------
@@ -254,8 +269,9 @@ object AdvancedOps {
     val p = table(spark, dir, "part").select(col("p_partkey"), col("p_type"))
     val rev = dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
     table(spark, dir, "lineitem")
+      // part is ~20% of lineitem cardinality — never hint-broadcast it
       .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .agg(
         (sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(DecimalType(18, 2))))
           .cast(DoubleType) * 100.0

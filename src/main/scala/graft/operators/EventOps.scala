@@ -62,7 +62,7 @@ object EventOps {
   }
 
   private val qSessionizeSql =
-    """SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+    """SELECT user_id, SUM(new_session)::BIGINT AS n_sessions, COUNT(*) AS n_events
       |FROM (
       |  SELECT user_id,
       |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800.0
@@ -85,7 +85,7 @@ object EventOps {
 
   private val qJsonPropsSql =
     """SELECT event_type, COUNT(*) AS n,
-      |  SUM(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+      |  SUM(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
       |  MIN(json_extract_string(props, '$.k')::BIGINT) AS min_k,
       |  MAX(json_extract_string(props, '$.k')::BIGINT) AS max_k
       |FROM events

@@ -118,12 +118,19 @@ object MultimodalOps {
       |FROM documents""".stripMargin
 
   // --- q_multimodal_features: stub decode through the batched pipeline ---
-  // No SQL oracle (the fake features are Spark-side); rows-only check.
+  // No SQL oracle (the fake features are Spark-side); rows-only check. The
+  // registered query projects scalar digests of the feature array (dim +
+  // rounded checksum) rather than the raw array<float> — the gate's
+  // comparator needs hashable/sortable cells, and the digests still pin the
+  // decoder's output. `extractFeatures` itself keeps returning the array
+  // for pipeline use.
   private def qFeatures(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(mediaTable(spark, dir)).select(
       col("doc_id"),
       col("meta.n_bytes").as("n_bytes"),
-      col("features"))
+      size(col("features")).cast(LongType).as("feature_dim"),
+      round(expr("aggregate(features, CAST(0.0 AS DOUBLE), (acc, f) -> acc + f)"), 4)
+        .as("feature_checksum"))
 
   def queries: Seq[QueryDef] = Seq(
     QueryDef("q_multimodal_meta", qMeta, Some(qMetaSql)),

@@ -148,8 +148,9 @@ object Relational {
   private def qMkt(spark: SparkSession, dir: String): DataFrame = {
     val c = table(spark, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
     val o = table(spark, dir, "orders")
-    // customer is the small side at every SF — broadcast to avoid a shuffle
-    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    // customer grows with the data — no forced broadcast hint; Spark's
+    // stats + AQE pick broadcast while it fits and shuffle join beyond
+    o.join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
         count(lit(1)).as("n_orders"),
@@ -173,7 +174,7 @@ object Relational {
     val li = table(spark, dir, "lineitem").filter(col("l_shipdate") > cutoff)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
         .cast(DoubleType).as("revenue"))
@@ -203,9 +204,11 @@ object Relational {
     val o = table(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val li = table(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    // customer/supplier are unbounded — planner-chosen joins only; nation
+    // (25 rows) and region (5 rows) stay hinted: safe at any scale
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey")
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey")
         && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
