@@ -41,7 +41,9 @@ object SqlHookRunner {
 
   /** Split a script into statements on ';' outside quotes/dollar-quotes/
     * comments (enough for the reference's hook corpus incl. functions.sql
-    * with $$-quoted bodies). */
+    * with $$-quoted bodies). Block comments nest, as in PostgreSQL — a
+    * commented-out function body containing its own `/* ... */` must not
+    * terminate the outer comment early. */
   def splitStatements(script: String): Seq[String] = {
     val out = scala.collection.mutable.ListBuffer.empty[String]
     val cur = new StringBuilder
@@ -50,13 +52,14 @@ object SqlHookRunner {
     var inDouble = false
     var inDollar = false
     var inLineComment = false
-    var inBlockComment = false
+    var blockDepth = 0
     while (i < script.length) {
       val c = script.charAt(i)
       val next2 = script.substring(i, math.min(i + 2, script.length))
       if (inLineComment) { if (c == '\n') inLineComment = false; cur += c; i += 1 }
-      else if (inBlockComment) {
-        if (next2 == "*/") { inBlockComment = false; cur ++= next2; i += 2 }
+      else if (blockDepth > 0) {
+        if (next2 == "/*") { blockDepth += 1; cur ++= next2; i += 2 }
+        else if (next2 == "*/") { blockDepth -= 1; cur ++= next2; i += 2 }
         else { cur += c; i += 1 }
       }
       else if (inSingle) { if (c == '\'') inSingle = false; cur += c; i += 1 }
@@ -67,7 +70,7 @@ object SqlHookRunner {
       }
       else next2 match {
         case "--" => inLineComment = true; cur ++= next2; i += 2
-        case "/*" => inBlockComment = true; cur ++= next2; i += 2
+        case "/*" => blockDepth = 1; cur ++= next2; i += 2
         case "$$" => inDollar = true; cur ++= next2; i += 2
         case _ =>
           c match {
@@ -90,8 +93,30 @@ object SqlHookRunner {
     "create trigger", "set ")
 
   def classify(stmt: String): Lane = {
-    val head = stmt.trim.toLowerCase.replaceAll("\\s+", " ")
-    val stripped = head.replaceAll("^(/\\*.*?\\*/\\s*)+", "").replaceAll("^(--[^\\n]*\\n\\s*)+", "")
+    // peel leading comments of either kind BEFORE collapsing whitespace —
+    // line comments are newline-delimited, so the strip must run while
+    // newlines still exist; block comments nest (PG semantics)
+    var s = stmt.trim
+    var changed = true
+    while (changed && s.nonEmpty) {
+      changed = false
+      if (s.startsWith("--")) {
+        val nl = s.indexOf('\n')
+        s = if (nl < 0) "" else s.substring(nl + 1).trim
+        changed = true
+      } else if (s.startsWith("/*")) {
+        var depth = 1
+        var i = 2
+        while (i < s.length && depth > 0) {
+          if (s.startsWith("/*", i)) { depth += 1; i += 2 }
+          else if (s.startsWith("*/", i)) { depth -= 1; i += 2 }
+          else i += 1
+        }
+        s = s.substring(math.min(i, s.length)).trim
+        changed = true
+      }
+    }
+    val stripped = s.toLowerCase.replaceAll("\\s+", " ")
     if (PassThroughPrefixes.exists(stripped.startsWith)) PassThroughLane
     else if (stripped.contains("(like ") && stripped.startsWith("create table")) PassThroughLane
     else if (stripped.contains("information_schema")) PassThroughLane

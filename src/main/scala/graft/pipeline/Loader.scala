@@ -8,7 +8,7 @@ import graft.check.ReconciliationCheck
 import graft.combine.TableCombiner
 import graft.discover.{Slug, SourceScanner}
 import graft.functions.Functions
-import graft.hooks.SqlHookRunner
+import graft.hooks.{PgFunctions, SqlHookRunner}
 import graft.ingest.{CsvTableReader, Unzipper}
 
 /** The six-stage pipeline (SURVEY §0 / §3.1), Spark-native:
@@ -45,13 +45,19 @@ final case class LoadResult(
 class Loader(
     spark: SparkSession,
     config: LoaderConfig,
-    sink: (String, DataFrame) => Unit = (_, _) => ()) {
+    sink: (String, DataFrame) => Unit = (_, _) => (),
+    passThrough: Option[String => Unit] = None) {
   private val log = LoggerFactory.getLogger(getClass)
+
+  // pass-through-lane statements (PG-only DDL, information_schema) run
+  // against the configured JDBC sink; without one they warn+skip
+  private val passThroughExec: String => Unit = passThrough.getOrElse(sql =>
+    log.warn(s"pass-through statement skipped (no JDBC sink configured): ${sql.take(80)}..."))
 
   def load(): LoadResult = {
     // Step 0: pre-load hooks
     config.preLoad.flatMap(SqlHookRunner.discoverScripts)
-      .foreach(SqlHookRunner.runScript(spark, _))
+      .foreach(SqlHookRunner.runScript(spark, _, passThroughExec))
 
     // Step 1: unzip
     if (!config.disableUnzip) {
@@ -76,8 +82,15 @@ class Loader(
         tables += stem -> df
         sink(stem, df)
       }
-      // ≙ functions.sql registration after every import (main.py:203-208)
+      // ≙ functions.sql registration after every import (main.py:203-208):
+      // Spark lane always; PG lane (packaged graft/functions.sql) whenever
+      // a JDBC sink is configured, so post-load hooks can call strip()/
+      // parse_timestamp()/... in either engine
       Functions.registerAll(spark)
+      passThrough.foreach { exec =>
+        val n = PgFunctions.install(exec)
+        log.info(s"installed $n packaged functions into the JDBC sink")
+      }
       // prefix combine
       if (config.combineTables) {
         for ((name, members) <- groups) {
@@ -94,7 +107,7 @@ class Loader(
 
     // Step 3: post-load hooks
     config.postLoad.flatMap(SqlHookRunner.discoverScripts)
-      .foreach(SqlHookRunner.runScript(spark, _))
+      .foreach(SqlHookRunner.runScript(spark, _, passThroughExec))
 
     // Steps 4+5: count + reconcile
     val report = if (!config.disableCheck) {
@@ -103,9 +116,13 @@ class Loader(
         name -> members.map(f => fileCounts.getOrElse(f.toUri.toString,
           fileCounts.getOrElse(f.toString, 0L))).sum
       }
+      // tables may be empty (--disable-import) or partial — missing members
+      // just count 0, mirroring the reference's check-only mode, which reads
+      // whatever the DB has and reports the delta instead of crashing
       val dbCounts = groups.map { case (name, members) =>
         val df = combined.getOrElse(name,
-          members.map(m => tables(Slug.rawStem(m))).reduceOption[DataFrame](_.unionAll(_))
+          members.flatMap(m => tables.get(Slug.rawStem(m)))
+            .reduceOption[DataFrame](_.unionAll(_))
             .getOrElse(spark.emptyDataFrame))
         name -> df.count()
       }

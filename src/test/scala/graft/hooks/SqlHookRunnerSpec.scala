@@ -28,6 +28,30 @@ class SqlHookRunnerSpec extends AnyFunSuite {
     assert(stmts.size === 2)
   }
 
+  test("splitting handles nested block comments (PG semantics)") {
+    // a commented-out function whose body contains its own /* ... */ —
+    // the inner */ must not end the outer comment and leak the body as a
+    // bogus statement (the reference's functions.sql has this shape)
+    val script =
+      """/* disabled:
+        |CREATE FUNCTION old() RETURNS int AS $$ SELECT 1 /* inner */ $$ LANGUAGE SQL;
+        |*/
+        |CREATE OR REPLACE FUNCTION live() RETURNS int AS $$ SELECT 2 $$ LANGUAGE SQL;
+        |SELECT 3;""".stripMargin
+    val stmts = SqlHookRunner.splitStatements(script)
+    assert(stmts.size === 2)
+    assert(stmts.head.contains("live"))
+    assert(SqlHookRunner.classify(stmts.head) === SqlHookRunner.PassThroughLane)
+  }
+
+  test("classification strips leading line and block comments") {
+    import SqlHookRunner._
+    assert(classify("-- install helper\nCREATE FUNCTION f() RETURNS int") === PassThroughLane)
+    assert(classify("-- note\n-- more\nSELECT 1") === SparkLane)
+    assert(classify("/* a /* nested */ b */ CREATE EXTENSION foo") === PassThroughLane)
+    assert(classify("/* c */ -- d\nVACUUM t") === PassThroughLane)
+  }
+
   test("classification: PG-only DDL routes to pass-through") {
     import SqlHookRunner._
     assert(classify("CREATE OR REPLACE FUNCTION f() ...") === PassThroughLane)
@@ -46,6 +70,15 @@ class SqlHookRunnerSpec extends AnyFunSuite {
     Seq(Tuple1("220")).toDF("height").createOrReplaceTempView("cast_input")
     val r = spark.sql("SELECT height::int AS h FROM cast_input").collect().head
     assert(r.getInt(0) === 220)
+  }
+
+  test("packaged functions.sql splits into pass-through-lane installs") {
+    val stmts = PgFunctions.statements
+    assert(stmts.size === 6)
+    assert(stmts.forall(SqlHookRunner.classify(_) === SqlHookRunner.PassThroughLane))
+    val names = Seq("strip", "has_column", "parse_timezone",
+      "parse_timestamp_with_tz", "parse_timestamp", "parse_date")
+    names.foreach(n => assert(stmts.exists(_.contains(s"FUNCTION $n(")), s"missing $n"))
   }
 
   test("wrap_json aggregates any result into one JSON document (A2)") {

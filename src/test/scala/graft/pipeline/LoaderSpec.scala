@@ -56,11 +56,43 @@ class LoaderSpec extends AnyFunSuite {
     assert(spark.sql("SELECT sum(height) FROM public_animals").collect().head.getLong(0) === 1000L)
   }
 
+  test("packaged functions.sql installs into the JDBC lane; strip() runs in both") {
+    val dir = animalsDir()
+    val hook = Files.createTempFile("post", ".sql")
+    Files.write(hook,
+      ("CREATE OR REPLACE TEMP VIEW stripped AS SELECT strip(name) AS name FROM animals;\n" +
+        "SELECT has_column('public', 'animals', 'name') FROM information_schema.columns;").getBytes)
+    val executed = scala.collection.mutable.ListBuffer.empty[String]
+    val cfg = LoaderConfig(sources = Seq(dir), combineTables = true, postLoad = Seq(hook))
+    new Loader(spark, cfg, passThrough = Some(executed += _)).load()
+    // Spark lane: registered strip() ran inside the hook view
+    assert(spark.sql("SELECT count(*) FROM stripped").collect().head.getLong(0) === 3L)
+    // PG lane: every packaged function definition went to the executor
+    // (statements keep their leading comment blocks — match on the DDL)
+    Seq("strip", "has_column", "parse_timestamp", "parse_date").foreach { n =>
+      assert(executed.exists(_.contains(s"FUNCTION $n(")), s"missing $n install")
+    }
+    // ...and the information_schema statement was executed, not warn-skipped
+    assert(executed.exists(_.contains("information_schema.columns")))
+  }
+
   test("disable flags gate stages (tests/test_cli.py:29-68)") {
     val dir = animalsDir()
     val result = new Loader(spark,
       LoaderConfig(sources = Seq(dir), disableImport = true, disableCheck = true)).load()
     assert(result.tables.isEmpty && result.combined.isEmpty && result.report.isEmpty)
+  }
+
+  test("check-only mode: --disable-import reports db count 0, no crash") {
+    // the reference tolerates check-without-import (reads whatever the DB
+    // has); we must report dbCount 0 per table, not throw
+    val dir = animalsDir()
+    val result = new Loader(spark,
+      LoaderConfig(sources = Seq(dir), disableImport = true)).load()
+    assert(result.tables.isEmpty)
+    val report = result.report.get
+    assert(report.tables.map(_.table) === Seq("animals"))
+    assert(report.tables.head.dbCount === 0L)
   }
 
   test("exclude regex drops matching stems (tests/test_load.py:91-120)") {
