@@ -78,14 +78,19 @@ object Main {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel(logLevel)
     try {
+      val resolvedDb =
+        if (dbOpts.nonEmpty) Some(graft.sink.PostgresSink.DbOptions.resolve(dbOpts)) else None
       val sink: (String, org.apache.spark.sql.DataFrame) => Unit =
         if (outDir.isDefined) (name, df) =>
           df.write.mode("overwrite").parquet(s"${outDir.get}/$name.parquet")
-        else if (dbOpts.nonEmpty) {
-          val resolved = graft.sink.PostgresSink.DbOptions.resolve(dbOpts)
-          (name, df) => graft.sink.PostgresSink.write(df, s"import.$name", resolved)
-        } else (_, _) => ()
-      val result = new Loader(spark, cfg, sink).load()
+        else resolvedDb match {
+          case Some(db) => (name, df) => graft.sink.PostgresSink.write(df, s"import.$name", db)
+          case None     => (_, _) => ()
+        }
+      // with a PG sink configured, pass-through hook statements and the
+      // packaged functions.sql install run against it
+      val passThrough = resolvedDb.map(graft.sink.PostgresSink.statementExecutor)
+      val result = new Loader(spark, cfg, sink, passThrough).load()
       result.report.foreach { r =>
         println(r.render)
         if (r.fatal) { spark.stop(); sys.exit(1) }

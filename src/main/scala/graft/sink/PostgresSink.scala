@@ -60,14 +60,45 @@ object PostgresSink {
   }
 
   /** Write a table (overwrite ≙ the reference's DROP+CREATE combine
-    * target; append for incremental loads). */
+    * target; append for incremental loads). Prefers the COPY path when the
+    * PG driver is present (pgfutter-speed); falls back to batched JDBC.
+    * `coalesce` (not `repartition`) bounds connection fan-in without an
+    * extra shuffle and without materializing RDD lineage for a count. */
   def write(
       df: DataFrame,
       table: String,
       opts: DbOptions,
       mode: SaveMode = SaveMode.Overwrite,
-      numWriters: Int = 8): Unit = {
-    val bounded = if (df.rdd.getNumPartitions > numWriters) df.repartition(numWriters) else df
-    bounded.write.mode(mode).jdbc(jdbcUrl(opts), table, writerProperties(opts))
+      numWriters: Int = 8): Unit =
+    if (CopyWriter.copyAvailable)
+      CopyWriter.write(df, table, opts, overwrite = mode == SaveMode.Overwrite, numWriters)
+    else
+      df.coalesce(numWriters).write.mode(mode).jdbc(jdbcUrl(opts), table, writerProperties(opts))
+
+  /** Driver-side statement executor for the hook runner's pass-through
+    * lane (PG-only DDL, information_schema queries) and COPY DDL — one
+    * short-lived connection per statement; hooks are rare and driver-side
+    * by nature. Only invoked when a JDBC sink is configured. */
+  def statementExecutor(opts: DbOptions): String => Unit = { sql =>
+    val conn = java.sql.DriverManager.getConnection(jdbcUrl(opts), opts.user, opts.password)
+    try { val st = conn.createStatement(); try st.execute(sql) finally st.close() }
+    finally conn.close()
+  }
+
+  /** PG lane of has_column (reference hooks/functions.sql:7-13): ask the
+    * sink's information_schema directly. The Spark-catalog lane lives in
+    * graft.functions.Functions.hasColumn. */
+  def hasColumn(opts: DbOptions, schema: String, table: String, column: String): Boolean = {
+    val conn = java.sql.DriverManager.getConnection(jdbcUrl(opts), opts.user, opts.password)
+    try {
+      val ps = conn.prepareStatement(
+        """SELECT EXISTS (SELECT 1 FROM information_schema.columns
+          |WHERE table_schema = ? AND table_name = ? AND column_name = ?)""".stripMargin)
+      try {
+        ps.setString(1, schema); ps.setString(2, table); ps.setString(3, column)
+        val rs = ps.executeQuery()
+        try { rs.next(); rs.getBoolean(1) } finally rs.close()
+      } finally ps.close()
+    } finally conn.close()
   }
 }
