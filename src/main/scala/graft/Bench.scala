@@ -38,7 +38,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warm-up: cheap scan+agg exercises session, parquet reader, codegen
+    // warm-up: touch EVERY table's parquet footer/reader (first-touch
+    // footer reads otherwise land on whichever measured query reads that
+    // table first), then one scan+agg to warm codegen/shuffle machinery
+    Tables.All.foreach { t =>
+      try { Tables.table(spark, sfDir, t).limit(1).collect(); () }
+      catch { case _: Throwable => () }
+    }
     try QueryRegistry.byName("q1_pricing_summary").run(spark, sfDir)
       .write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }

@@ -83,36 +83,53 @@ object AdvancedOps {
       |FROM lineitem GROUP BY l_orderkey
       |HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 120""".stripMargin
 
-  // --- q_median_price: exact median via rank windows ---------------------
+  // --- q_median_price: exact median via grouped cumulative counts --------
   // Built-in percentile interpolation differs in FP op order across
   // engines; an explicit lo/hi-rank average in DECIMAL is exact and
-  // engine-agnostic. Median rank: lo = floor((n+1)/2), hi = ceil((n+1)/2).
+  // engine-agnostic. Median ranks: lo = (n+1) div 2, hi = (n+2) div 2.
+  //
+  // Scale shape: a row_number window over raw lineitem would sort the
+  // whole fact table inside 3 returnflag partitions — a single-reducer
+  // straggler at any scale. Aggregating to (flag, price, cnt) FIRST makes
+  // the window input bounded by the price value-domain (2-decimal money —
+  // constant in corpus size), with map-side combine doing the heavy
+  // lifting; the rank-lookup then reads cumulative counts.
   private def qMedian(spark: SparkSession, dir: String): DataFrame = {
-    // ordering by the exact-decimal price is the same total order as the
-    // raw double (the cast is monotone and exact on 2-dec inputs)
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("price"), col("l_orderkey"), col("l_linenumber"))
-    table(spark, dir, "lineitem")
-      .select(col("l_returnflag"), dec2(col("l_extendedprice")).as("price"),
-        col("l_orderkey"), col("l_linenumber"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
-      // integer div: `/` on Spark integrals yields double
-      .filter(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("(n + 2) div 2"))
+    val g = table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), dec2(col("l_extendedprice")).as("price"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    val hits =
+      when(expr("(n + 1) div 2").between(col("cum") - col("cnt") + 1, col("cum")), 1).otherwise(0) +
+      when(expr("(n + 2) div 2").between(col("cum") - col("cnt") + 1, col("cum")), 1).otherwise(0)
+    g.withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("hits", hits)
+      .filter(col("hits") > 0)
       .groupBy(col("l_returnflag"))
-      .agg((sum(col("price")).cast(DoubleType) / count(lit(1))).as("median_price"))
+      .agg((sum(col("price") * col("hits")).cast(DoubleType) / sum(col("hits")))
+        .as("median_price"))
   }
 
   private val qMedianSql =
-    """SELECT l_returnflag,
-      |  CAST(SUM(price) AS DOUBLE) / COUNT(*) AS median_price
-      |FROM (
-      |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
-      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
-      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
-      |  FROM lineitem) t
-      |WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
-      |GROUP BY l_returnflag""".stripMargin
+    """WITH g AS (
+      |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS price, COUNT(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (
+      |  SELECT l_returnflag, price, cnt,
+      |    SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY price
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM g),
+      |h AS (
+      |  SELECT l_returnflag, price,
+      |    (CASE WHEN (n+1)//2 BETWEEN cum - cnt + 1 AND cum THEN 1 ELSE 0 END)
+      |    + (CASE WHEN (n+2)//2 BETWEEN cum - cnt + 1 AND cum THEN 1 ELSE 0 END) AS hits
+      |  FROM r)
+      |SELECT l_returnflag, CAST(SUM(price * hits) AS DOUBLE) / SUM(hits) AS median_price
+      |FROM h WHERE hits > 0 GROUP BY l_returnflag""".stripMargin
 
   // --- q_asof_last_view: as-of join via ignore-nulls window --------------
   // "For each click/purchase, the most recent preceding view by the same

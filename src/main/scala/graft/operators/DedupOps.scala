@@ -57,25 +57,37 @@ object DedupOps {
     "SELECT min(doc_id) AS keeper_id, COUNT(*) AS n_copies FROM documents GROUP BY text"
 
   // --- q_dedup_ngram_jaccard: exact near-dup via inverted-index join -----
-  /** Stop-shingle cap: shingles appearing in more than this many documents
-    * are dropped before the pair join — they dominate join fan-out
-    * quadratically and discriminate nothing. Mirrored exactly in the
-    * oracle, so the gate still checks the capped semantics. */
-  private val MaxShingleDf = 500
+  /** Stop-shingle cap — THE exactness-baseline contract of this operator:
+    * shingles appearing in more than this many documents are dropped
+    * before the pair join. They dominate join fan-out quadratically
+    * (a df-D shingle alone yields D·(D-1)/2 candidate pairs) while
+    * discriminating nothing — a shingle shared by >100 documents is
+    * boilerplate, not content. The cap is mirrored exactly in the DuckDB
+    * oracle, so the gate checks the capped semantics, and it is what keeps
+    * this operator's cost ∝ output pairs instead of ∝ corpus²; for
+    * unbounded corpora use q_dedup_minhash_verified (LSH-propose,
+    * exact-verify), whose cost has no df term at all. */
+  private val MaxShingleDf = 50
 
   private def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val all = shingles(table(spark, dir, "documents"))
-    val sh = all.withColumn("df",
-        count(lit(1)).over(Window.partitionBy(col("shingle"))))
+    // df prefilter as a counted agg + join (map-side combine; no window
+    // sort). The join re-shuffles shingle rows once; everything groupBy'd
+    // on shingle afterwards reuses that partitioning.
+    val dfOk = all.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf)
-      .drop("df")
-      .cache()
+    val sh = all.join(dfOk, "shingle").cache()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // inverted-index self-join: only docs sharing ≥1 surviving shingle
-    // become candidate pairs — never a full cross product.
-    val pairs = sh.as("a").join(sh.as("b"), Seq("shingle"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    // inverted-index pair generation: per-shingle doc lists are bounded by
+    // the df cap (≤ MaxShingleDf ids — collect_list is safe BECAUSE the
+    // stop-shingles are already gone), pairs generated inline — cheaper
+    // than a self-join shuffling both sides again.
+    val pairs = sh.filter(col("df") >= 2)
+      .groupBy(col("shingle")).agg(collect_list(col("doc_id")).as("ids"))
+      .select(explode(expr(
+        "filter(flatten(transform(ids, x -> transform(ids, y -> named_struct('d1', x, 'd2', y))))," +
+          " p -> p.d1 < p.d2)")).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("inter"))
     pairs
       .join(counts.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
