@@ -77,6 +77,9 @@ object Main {
     Tables.RequiredConf.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel(logLevel)
+    // O2/O7 progress bridge + O4 signal-driven graceful shutdown
+    spark.sparkContext.addSparkListener(new ProgressReporter())
+    GracefulShutdown.install(spark)
     try {
       val resolvedDb =
         if (dbOpts.nonEmpty) Some(graft.sink.PostgresSink.DbOptions.resolve(dbOpts)) else None

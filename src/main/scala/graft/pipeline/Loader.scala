@@ -54,6 +54,13 @@ class Loader(
   private val passThroughExec: String => Unit = passThrough.getOrElse(sql =>
     log.warn(s"pass-through statement skipped (no JDBC sink configured): ${sql.take(80)}..."))
 
+  /** Label the Spark jobs an action spawns (surfaces in ProgressReporter
+    * lines and the UI), restoring the previous label after. */
+  private def labeled[A](desc: String)(body: => A): A = {
+    spark.sparkContext.setJobDescription(desc)
+    try body finally spark.sparkContext.setJobDescription(null)
+  }
+
   def load(): LoadResult = {
     // Step 0: pre-load hooks
     config.preLoad.flatMap(SqlHookRunner.discoverScripts)
@@ -80,7 +87,7 @@ class Loader(
         val df = CsvTableReader.read(spark, Seq(f))
         df.createOrReplaceTempView(stem)
         tables += stem -> df
-        sink(stem, df)
+        labeled(s"Import $stem")(sink(stem, df))
       }
       // ≙ functions.sql registration after every import (main.py:203-208):
       // Spark lane always; PG lane (packaged graft/functions.sql) whenever
@@ -99,7 +106,7 @@ class Loader(
             .foreach { df =>
               df.createOrReplaceTempView(name)
               combined += name -> df
-              sink(name, df)
+              labeled(s"Combine $name")(sink(name, df))
             }
         }
       }
@@ -110,7 +117,7 @@ class Loader(
       .foreach(SqlHookRunner.runScript(spark, _, passThroughExec))
 
     // Steps 4+5: count + reconcile
-    val report = if (!config.disableCheck) {
+    val report = if (!config.disableCheck) labeled("Check") {
       val fileCounts = ReconciliationCheck.csvLineCounts(spark, csvs)
       val csvByTable = groups.map { case (name, members) =>
         name -> members.map(f => fileCounts.getOrElse(f.toUri.toString,
