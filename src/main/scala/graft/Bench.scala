@@ -35,7 +35,11 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // queries may cache intra-query intermediates; drop them so 46
+      // queries in one session don't accumulate executor memory
+      spark.sharedState.cacheManager.clearCache()
+      dt
     }
 
     // warm-up: touch EVERY table's parquet footer/reader (first-touch

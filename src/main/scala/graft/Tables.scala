@@ -22,7 +22,16 @@ object Tables {
   /** Session options every graft entry point must set. */
   val RequiredConf: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-    "spark.sql.session.timeZone" -> "UTC")
+    "spark.sql.session.timeZone" -> "UTC",
+    // Split-size tuning: Spark packs file splits to
+    // min(maxPartitionBytes, max(openCostInBytes, totalBytes/parallelism)).
+    // The default 4 MiB openCost makes every small-SF table a SINGLE scan
+    // partition, serializing all pre-shuffle compute (shingling, hashing,
+    // parsing) on one core. Lowering openCost lets the totalBytes/
+    // parallelism term govern — splits shrink to fill the cluster on small
+    // inputs while the 128 MiB maxPartitionBytes cap keeps task counts
+    // sane at 100 TB (where totalBytes/parallelism exceeds the cap).
+    "spark.sql.files.openCostInBytes" -> "131072")
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")

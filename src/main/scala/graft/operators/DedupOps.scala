@@ -25,20 +25,27 @@ object DedupOps {
   import Tables.table
 
   // --- shared shingling --------------------------------------------------
-  /** Distinct word-3-gram shingles, 1-based indexing mirrored by the
-    * DuckDB oracle. Docs with <3 tokens are dropped (same filter in the
-    * oracle). */
-  private def shingles(d: DataFrame): DataFrame = {
-    val w = split(trim(col("text")), " ")
-    d.select(col("doc_id"), w.as("w"))
+  /** Distinct word-3-gram shingle array from a PROJECTED token-array
+    * column. `w` must be a plain column reference (not an inline split):
+    * this expression references the token array 5×, and an inlined
+    * split would be re-evaluated per lambda step — the projection pins
+    * one split per row. */
+  private def shingleArrayOf(w: Column): Column =
+    array_distinct(
+      transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ",
+          element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+
+  /** (doc_id, token-array) rows for docs with ≥3 tokens (the oracle's
+    * len(w) >= 3 filter). */
+  private def tokenized(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(trim(col("text")), " ").as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(1), size(col("w")) - 2),
-          i => concat_ws(" ",
-            element_at(col("w"), i),
-            element_at(col("w"), i + 1),
-            element_at(col("w"), i + 2))))).as("shingle"))
-  }
+
+  /** Exploded (doc_id, shingle) rows, 1-based indexing mirrored by the
+    * DuckDB oracle. */
+  private def shingles(d: DataFrame): DataFrame =
+    tokenized(d).select(col("doc_id"), explode(shingleArrayOf(col("w"))).as("shingle"))
 
   private val shinglesSql =
     """SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
@@ -127,12 +134,7 @@ object DedupOps {
   private val BandSize = 4
 
   private def qMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(table(spark, dir, "documents"))
-    val sigCols = (0 until NumPerms).map(k =>
-      min(xxhash64(lit(k), col("shingle"))).as(s"h$k"))
-    val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-      .select(col("doc_id"), array((0 until NumPerms).map(k => col(s"h$k")): _*).as("sig"))
-      .cache()
+    val sigs = signatures(spark, dir).cache()
     val bands = sigs.select(col("doc_id"), col("sig"),
       explode(expr(s"transform(sequence(0, ${NumPerms / BandSize - 1}), " +
         s"b -> named_struct('band', b, 'key', xxhash64(slice(sig, b*$BandSize + 1, $BandSize))))")).as("bk"))
@@ -172,14 +174,24 @@ object DedupOps {
   // (candidates derive from xxhash64) → rows-only; exactness of the final
   // jaccard values is inherited from the shingle counts.
   private def qMinhashVerified(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(table(spark, dir, "documents")).cache()
-    val cand = minhashCandidates(sh).select(col("d1"), col("d2"))
+    val cand = minhashCandidates(spark, dir).select(col("d1"), col("d2"))
     // verify by joining each candidate pair to the two docs' shingle SETS
     // and intersecting the arrays — cost ∝ |candidates| × shingles/doc,
     // independent of inverted-index fan-out (which re-explodes on corpora
-    // where candidates are dense)
-    val docSets = sh.groupBy(col("doc_id"))
-      .agg(collect_set(col("shingle")).as("shs"), count(lit(1)).as("n"))
+    // where candidates are dense). The sets are built per-row from the
+    // projected token array — no explode/collect_set shuffle — and are
+    // carried through the pair joins as 64-bit shingle HASHES, not
+    // strings: the candidate join shuffles |cand| × set-size cells, and
+    // fixed-width longs serialize ~5× tighter than shingle text (a 64-bit
+    // intersection collision is ~1e-15 per pair — the distinct-string
+    // count n stays exact).
+    // cached: referenced twice (s1/s2) — |docs| × set-size longs
+    val docSets = tokenized(table(spark, dir, "documents"))
+      .select(col("doc_id"), shingleArrayOf(col("w")).as("shs0"))
+      .select(col("doc_id"),
+        expr("transform(shs0, s -> xxhash64(s))").as("shs"),
+        size(col("shs0")).cast(LongType).as("n"))
+      .cache()
     val s1 = docSets.select(col("doc_id").as("d1"), col("shs").as("shs1"), col("n").as("n1"))
     val s2 = docSets.select(col("doc_id").as("d2"), col("shs").as("shs2"), col("n").as("n2"))
     cand.join(s1, "d1").join(s2, "d2")
@@ -190,13 +202,27 @@ object DedupOps {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** Per-doc 32-minhash signatures via the native single-pass expression
+    * (graft.functions.MinHash) — NO explode, no aggregation shuffle;
+    * bit-equal to the composed min(xxhash64) aggregation
+    * (NativeVsComposedSpec). The narrow repartition BEFORE the hashing
+    * spreads the CPU-heavy signature computation across the cluster
+    * (parquet layout may pack small inputs into few splits) and gives the
+    * band self-join a shared exchange to reuse. */
+  private def signatures(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.MinHash.signature(col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
+
   /** Banded MinHash candidate pairs (shared by q_dedup_minhash and the
-    * two-stage verified variant). */
-  private def minhashCandidates(sh: DataFrame): DataFrame = {
-    val sigCols = (0 until NumPerms).map(k =>
-      min(xxhash64(lit(k), col("shingle"))).as(s"h$k"))
-    val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-      .select(col("doc_id"), array((0 until NumPerms).map(k => col(s"h$k")): _*).as("sig"))
+    * two-stage verified variant). The signature table is cached: the band
+    * self-join otherwise recomputes the whole hashing pipeline once per
+    * side (it is tiny — |docs| × 32 longs). */
+  private def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = signatures(spark, dir).cache()
     val bands = sigs.select(col("doc_id"),
       explode(expr(s"transform(sequence(0, ${NumPerms / BandSize - 1}), " +
         s"b -> named_struct('band', b, 'key', xxhash64(slice(sig, b*$BandSize + 1, $BandSize))))")).as("bk"))

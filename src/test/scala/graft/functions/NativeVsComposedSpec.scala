@@ -35,6 +35,41 @@ class NativeVsComposedSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash signature: native expression == composed min(xxhash64) agg") {
+    val inline = Seq(
+      (0L, "a b c d e"),
+      (1L, "a b c"),
+      (2L, "a b"), // <3 tokens → dropped
+      (3L, ""), // dropped
+      (4L, "x  y z w"), // double space → empty token
+      (5L, "a b c a b c a b c"), // duplicate shingles
+      (6L, "  padded text here now  ")).toDF("doc_id", "text")
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    for (docs <- Seq(inline, real)) {
+      val w = split(trim(col("text")), " ")
+      val sh = docs
+        .select(col("doc_id"), when(size(w) >= 3, array_distinct(
+          transform(sequence(lit(1), size(w) - 2), i => concat_ws(" ",
+            element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))).as("shs"))
+        .select(col("doc_id"), explode(col("shs")).as("shingle"))
+      val sigCols = (0 until MinHash.NumPerms).map(k =>
+        min(xxhash64(lit(k), col("shingle"))).as(s"h$k"))
+      val composed = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+        .select(col("doc_id"),
+          array((0 until MinHash.NumPerms).map(k => col(s"h$k")): _*).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val native = docs
+        .select(col("doc_id"), MinHash.signature(col("text")).as("sig"))
+        .filter(col("sig").isNotNull)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(native.keySet === composed.keySet)
+      native.foreach { case (id, sig) =>
+        assert(sig === composed(id), s"signature mismatch for doc $id")
+      }
+    }
+  }
+
   test("parse_date: native expression == composed built-ins") {
     val dates = Seq("01-FEB-19", "01-Feb-19", "29-FEB-19", "29-FEB-20",
       "31-APR-19", "nope", "")
