@@ -180,24 +180,35 @@ object Functions {
   // import). SQL-callable names for hook scripts; the DataFrame API above
   // remains the codegen'd fast path.
   // ---------------------------------------------------------------------
-  def registerAll(spark: SparkSession): Unit = {
-    import spark.implicits._
-    // Register via the expression tree of the Column composition so the
-    // SQL-callable functions stay codegen'd (no Scala UDF indirection).
-    def reg(name: String, arity: Int)(build: Seq[Column] => Column): Unit =
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        name,
+  /** (name, arity, expression builder) for every SQL-callable function —
+    * shared by per-session registration (registerAll) and cluster-wide
+    * injection (graft.GraftExtensions via spark.sql.extensions). Builders
+    * go through the Column compositions' expression trees, so the
+    * SQL-callable functions stay codegen'd (no Scala UDF indirection). */
+  lazy val registrations: Seq[(String, Int,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+        => org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    def entry(name: String, arity: Int)(build: Seq[Column] => Column) =
+      (name, arity,
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
           require(exprs.length == arity, s"$name expects $arity argument(s)")
           expression(build(exprs.map(e => column(e))))
-        },
-        "internal")
-    reg("strip", 1)(cs => strip(cs.head))
-    reg("parse_timestamp", 1)(cs => parseTimestamp(cs.head))
-    reg("parse_timestamp_with_tz", 2)(cs => parseTimestampWithTz(cs(0), cs(1)))
-    reg("parse_timezone", 1)(cs => parseTimezone(cs.head))
-    reg("parse_date", 1)(cs => parseDate(cs.head))
+        })
+    Seq(
+      entry("strip", 1)(cs => strip(cs.head)),
+      entry("parse_timestamp", 1)(cs => parseTimestamp(cs.head)),
+      entry("parse_timestamp_with_tz", 2)(cs => parseTimestampWithTz(cs(0), cs(1))),
+      entry("parse_timezone", 1)(cs => parseTimezone(cs.head)),
+      entry("parse_date", 1)(cs => parseDate(cs.head)),
+      entry("minhash_signature", 1)(cs => MinHash.signature(cs.head)),
+      entry("simhash", 1)(cs => SimHash.simhash(cs.head)))
   }
+
+  def registerAll(spark: SparkSession): Unit =
+    registrations.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "internal")
+    }
 
   // Column ↔ Expression bridges (Spark 4 classic API).
   private def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =

@@ -105,8 +105,10 @@ object DedupOps {
       .filter(col("jaccard") >= 0.5)
   }
 
-  private val qNgramJaccardSql =
-    s"""WITH sh0 AS ($shinglesSql),
+  /** Shared oracle CTEs: exact capped-Jaccard pair generation (reused by
+    * the clustering oracle below). */
+  private val ngramPairCtes =
+    s"""sh0 AS ($shinglesSql),
        |sh AS (
        |  SELECT doc_id, shingle FROM (
        |    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
@@ -117,13 +119,85 @@ object DedupOps {
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
        |  FROM sh a JOIN sh b USING (shingle)
        |  WHERE a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT d1, d2,
-       |  inter::DOUBLE / (c1.n + c2.n - inter)::DOUBLE AS jaccard
-       |FROM pairs
-       |JOIN counts c1 ON c1.doc_id = d1
-       |JOIN counts c2 ON c2.doc_id = d2
-       |WHERE inter::DOUBLE / (c1.n + c2.n - inter)::DOUBLE >= 0.5""".stripMargin
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private val ngramJaccardSelect =
+    """SELECT d1, d2,
+      |  inter::DOUBLE / (c1.n + c2.n - inter)::DOUBLE AS jaccard
+      |FROM pairs
+      |JOIN counts c1 ON c1.doc_id = d1
+      |JOIN counts c2 ON c2.doc_id = d2
+      |WHERE inter::DOUBLE / (c1.n + c2.n - inter)::DOUBLE >= 0.5""".stripMargin
+
+  private val qNgramJaccardSql =
+    s"WITH $ngramPairCtes\n$ngramJaccardSelect"
+
+  // --- q_dedup_clusters: connected components over near-dup pairs --------
+  /** Distributed union-find by min-label propagation: every node starts
+    * labeled with its own id; each round, a node adopts the minimum label
+    * among itself and its neighbors; fixpoint = connected components.
+    * Each round is ONE join + agg over the PAIR set — output-scale, far
+    * smaller than the corpus — and rounds are bounded by component
+    * diameter (near-dup clusters are near-cliques → 2-3 rounds). The
+    * driver loop only reads a convergence count per round; all data stays
+    * distributed. This is the keeper-selection step of a dedup pipeline:
+    * keep `is_keeper`, drop the rest.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 32): DataFrame = {
+    // materialize the pair pipeline ONCE — both union branches and every
+    // iteration read it
+    val p = pairs.select(col("d1"), col("d2")).localCheckpoint()
+    val edges = p.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionAll(p.select(col("d2").as("src"), col("d1").as("dst")))
+      .cache()
+    // localCheckpoint (not cache) each round: an iterative DataFrame's
+    // lineage otherwise grows by one join per round and plan processing
+    // goes quadratic-to-OOM; checkpointing truncates the plan to the
+    // materialized result. (On a real cluster with a checkpoint dir,
+    // Dataset.checkpoint is the reliable-storage equivalent.)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr"))
+        .withColumnRenamed("src", "id")
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint()
+      // labels only ever decrease — count strict decreases to detect change
+      val changed = next
+        .join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") < col("prev"))
+        .count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  private def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(qNgramJaccard(spark, dir).select(col("d1"), col("d2")))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        when(col("id") === col("label"), 1L).otherwise(0L).as("is_keeper"))
+
+  private val qDedupClustersSql =
+    s"""WITH RECURSIVE $ngramPairCtes,
+       |jp AS ($ngramJaccardSelect),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM jp
+       |          UNION ALL SELECT d2, d1 FROM jp),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+       |SELECT id AS doc_id, MIN(r) AS cluster_id,
+       |  CAST(CASE WHEN id = MIN(r) THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+       |FROM reach GROUP BY id""".stripMargin
 
   // --- q_dedup_minhash: MinHash signatures + LSH banding -----------------
   // 32 permutations approximated by seeded xxhash64; 8 bands × 4 rows.
@@ -306,5 +380,6 @@ object DedupOps {
     QueryDef("q_dedup_minhash", qMinhash, None, headline = true),
     QueryDef("q_dedup_simhash", qSimhash, None),
     QueryDef("q_dedup_embedding", qEmbeddingDedup, Some(qEmbeddingDedupSql)),
-    QueryDef("q_dedup_minhash_verified", qMinhashVerified, None, headline = true))
+    QueryDef("q_dedup_minhash_verified", qMinhashVerified, None, headline = true),
+    QueryDef("q_dedup_clusters", qDedupClusters, Some(qDedupClustersSql)))
 }

@@ -137,9 +137,39 @@ object TextOps {
       |ORDER BY n DESC, term
       |LIMIT 20""".stripMargin
 
+  // --- q_train_split: deterministic train/validation/test assignment -----
+  // A training-data pipeline must split reproducibly, independent of row
+  // order, partitioning, and engine: assign by a multiplicative hash of
+  // the stable doc_id (Knuth constant), bucket mod 100 → 80/10/10. The
+  // arithmetic is plain BIGINT ops, so the DuckDB oracle computes the
+  // identical assignment. (For string keys at 100 TB swap in xxhash64 —
+  // same shape; the portable arithmetic keeps this one oracle-checked.)
+  private def qTrainSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(100L))
+    val splitCol = when(bucket < 80, "train")
+      .when(bucket < 90, "validation").otherwise("test")
+    table(spark, dir, "documents")
+      .select(col("source"), splitCol.as("split"),
+        size(split(trim(col("text")), " ")).cast(LongType).as("toks"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).cast(LongType).as("n_tokens"))
+  }
+
+  private val qTrainSplitSql =
+    """SELECT source,
+      |  CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+      |       WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'validation'
+      |       ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+      |FROM documents
+      |GROUP BY 1, 2""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef("q_top_terms", qTopTerms, Some(qTopTermsSql)),
     QueryDef("q_text_stats", qTextStats, Some(qTextStatsSql), headline = true),
     QueryDef("q_lang_id", qLangId, Some(qLangIdSql)),
-    QueryDef("q_fingerprint", qFingerprint, Some(qFingerprintSql)))
+    QueryDef("q_fingerprint", qFingerprint, Some(qFingerprintSql)),
+    QueryDef("q_train_split", qTrainSplit, Some(qTrainSplitSql)))
 }

@@ -139,4 +139,18 @@ object EventStream {
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
+
+  /** Stream → table sink via foreachBatch: each micro-batch lands through
+    * the batch writer (PostgresSink.write when a PG sink is configured —
+    * COPY-speed per batch — or any (DataFrame, batchId) consumer). Append
+    * semantics; exactly-once derives from the checkpointed batchId, which
+    * the consumer can record for idempotent re-delivery. */
+  def writeBatches(
+      df: DataFrame,
+      checkpointDir: String,
+      sink: (DataFrame, Long) => Unit) =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch(sink)
 }

@@ -9,6 +9,9 @@ object SparkTestSession {
     val b = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // static conf — must be set when the context is built; exercised by
+      // GraftExtensionsSpec via newSession() (fresh function registry)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.warehouse.dir", s"/tmp/graft-warehouse-${java.util.UUID.randomUUID()}")
       .config("spark.ui.enabled", "false")

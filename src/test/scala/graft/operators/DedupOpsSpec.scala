@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class DedupOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("connectedComponents: chains, cliques and isolated pairs converge to min labels") {
+    // components: {1,2,3,4} as a chain (needs propagation across hops),
+    // {10,11,12} as a triangle, {20,21} as a lone pair
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)).toDF("d1", "d2")
+    val labels = DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents: long path exercises multi-round propagation") {
+    // a 12-node path: min label must travel the full diameter
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val labels = DedupOps.connectedComponents(pairs).collect()
+    assert(labels.length === 12)
+    assert(labels.forall(_.getLong(1) === 1L))
+  }
+}

@@ -121,4 +121,25 @@ class EventStreamSpec extends AnyFunSuite {
       assert(finalized.map(r => r.getTimestamp(0)).toSeq === Seq(ts("2024-01-01 10:00:00")))
     } finally q.stop()
   }
+
+  test("foreachBatch sink delivers micro-batches to a table writer") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val delivered = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    // the (df, batchId) consumer stands in for PostgresSink.write — the
+    // wiring under test is batch delivery + checkpointed batch ids
+    val q = writeBatches(input.toDF(), ckpt,
+      (df, id) => delivered.add(id -> df.count())).start()
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00", 1), ev(2, "2024-01-01 10:01:00", 2))
+      q.processAllAvailable()
+      input.addData(ev(3, "2024-01-01 10:02:00", 3))
+      q.processAllAvailable()
+      val batches = delivered.toArray(Array.empty[(Long, Long)]).toSeq
+      assert(batches.map(_._2).sum === 3L)
+      assert(batches.map(_._1) === batches.map(_._1).sorted)
+    } finally q.stop()
+  }
 }
