@@ -20,18 +20,24 @@ object ProfileOps {
     * deterministic schema (numeric rendering mirrored in the oracle by
     * matching the type formatting). */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // counts/nulls/min/max for ALL columns in one scan-and-agg pass —
+    // deliberately WITHOUT countDistinct, whose multi-column form plans
+    // an Expand that duplicates every input row per profiled column
     val aggs: Seq[Column] = cols.flatMap { c =>
       Seq(
         count(lit(1)).as(s"${c}__n"),
         count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
-        // exact multi-column distinct in one aggregate: Spark plans this
-        // as a single Expand(×cols)+hash-agg pass — spillable two-phase
-        // state, not a driver-sized set
-        countDistinct(col(c)).as(s"${c}__distinct"),
         min(col(c)).cast(StringType).as(s"${c}__min"),
         max(col(c)).cast(StringType).as(s"${c}__max"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // exact distincts as per-column two-phase aggs: map-side partial
+    // distinct means each shuffles only the column's distinct values —
+    // Σ|distinct(c)| rows moved vs Expand's |rows|×|cols|
+    val distincts = cols.map { c =>
+      df.select(col(c)).filter(col(c).isNotNull).distinct()
+        .agg(count(lit(1)).as(s"${c}__distinct"))
+    }
+    val wide = (df.agg(aggs.head, aggs.tail: _*) +: distincts).reduce(_.crossJoin(_))
     val rows = cols.map { c =>
       struct(
         lit(c).as("column"),

@@ -166,7 +166,60 @@ object TextOps {
       |FROM documents
       |GROUP BY 1, 2""".stripMargin
 
+  // --- q_curation: the end-to-end curation funnel ------------------------
+  // What a training-data pipeline actually runs: quality gate → exact-dedup
+  // keeper → train-split assignment, reported as per-stage attrition
+  // (docs + tokens surviving each stage). One scan computes all per-doc
+  // flags; the only shuffle is the keeper window on the dedup key. (At
+  // 100 TB, partition that window by a 64-bit text hash instead of the
+  // raw text to keep shuffle keys narrow — same result, same shape.)
+  private def qCuration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = toks
+    val nTokens = size(w).cast(LongType)
+    val nStop = sumOver(w, t => when(t.isin(Stopwords: _*), 1L).otherwise(0L))
+    val stopRatio = nStop.cast(DoubleType) / nTokens.cast(DoubleType)
+    val quality = least(lit(1.0), nTokens.cast(DoubleType) / 100.0) * (lit(1.0) - stopRatio)
+    val keeper = min(col("doc_id")).over(Window.partitionBy(col("text")))
+    val bucket = pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(100L))
+    val flags = table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), nTokens.as("n_toks"), quality.as("q"),
+        (bucket < 80).as("in_train"))
+      .withColumn("is_keeper", col("doc_id") === keeper)
+      .withColumn("qual_ok", col("q") >= 0.5 && col("n_toks") >= 20)
+    flags.select(col("n_toks"), explode(array(
+        struct(lit("1_total").as("stage"), lit(true).as("keep")),
+        struct(lit("2_quality").as("stage"), col("qual_ok").as("keep")),
+        struct(lit("3_dedup").as("stage"), (col("qual_ok") && col("is_keeper")).as("keep")),
+        struct(lit("4_train").as("stage"),
+          (col("qual_ok") && col("is_keeper") && col("in_train")).as("keep")))).as("s"))
+      .filter(col("s.keep"))
+      .groupBy(col("s.stage").as("stage"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).cast(LongType).as("n_tokens"))
+  }
+
+  private val qCurationSql = {
+    val nToks = "len(string_split(trim(text), ' '))"
+    val nStop = s"list_reduce(list_prepend(0::BIGINT, [CASE WHEN t IN (${Stopwords.map("'" + _ + "'").mkString(",")}) THEN 1::BIGINT ELSE 0::BIGINT END FOR t IN string_split(trim(text), ' ')]), (a,x) -> a+x)"
+    s"""WITH f AS (
+       |  SELECT doc_id, $nToks AS n_toks,
+       |    least(1.0, $nToks / 100.0) * (1.0 - $nStop::DOUBLE / $nToks) AS q,
+       |    doc_id = MIN(doc_id) OVER (PARTITION BY text) AS is_keeper,
+       |    (doc_id * 2654435761) % 4294967296 % 100 < 80 AS in_train
+       |  FROM documents),
+       |g AS (SELECT *, q >= 0.5 AND n_toks >= 20 AS qual_ok FROM f)
+       |SELECT '1_total' AS stage, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens FROM g
+       |UNION ALL
+       |SELECT '2_quality', COUNT(*), CAST(SUM(n_toks) AS BIGINT) FROM g WHERE qual_ok
+       |UNION ALL
+       |SELECT '3_dedup', COUNT(*), CAST(SUM(n_toks) AS BIGINT) FROM g WHERE qual_ok AND is_keeper
+       |UNION ALL
+       |SELECT '4_train', COUNT(*), CAST(SUM(n_toks) AS BIGINT) FROM g
+       |WHERE qual_ok AND is_keeper AND in_train""".stripMargin
+  }
+
   def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_curation", qCuration, Some(qCurationSql)),
     QueryDef("q_top_terms", qTopTerms, Some(qTopTermsSql)),
     QueryDef("q_text_stats", qTextStats, Some(qTextStatsSql), headline = true),
     QueryDef("q_lang_id", qLangId, Some(qLangIdSql)),
