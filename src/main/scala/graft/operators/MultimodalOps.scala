@@ -132,7 +132,34 @@ object MultimodalOps {
       round(expr("aggregate(features, CAST(0.0 AS DOUBLE), (acc, f) -> acc + f)"), 4)
         .as("feature_checksum"))
 
+  // --- q_frame_sample: frame extraction plumbing, oracle-checked ---------
+  // Every-2nd 64-byte frame per payload; counting frames and surviving
+  // bytes is pure arithmetic on the binary column, so DuckDB mirrors the
+  // whole generator pipeline — proving the chunking math end-to-end.
+  private val FrameBytes = 64
+  private val Every = 2
+
+  private def qFrameSample(spark: SparkSession, dir: String): DataFrame =
+    frameSample(mediaTable(spark, dir), FrameBytes, Every)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(length(col("frame")).cast(LongType)).cast(LongType).as("n_bytes"))
+
+  // DuckDB cannot substring a BLOB, so the oracle checks the chunking
+  // arithmetic (a kept frame i spans min(FrameBytes, L - i*FrameBytes)
+  // bytes) while the Spark side slices real binary frames — same totals.
+  private val qFrameSampleSql =
+    s"""WITH m AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+       |fr AS (
+       |  SELECT doc_id, LEAST($FrameBytes, len - i * $FrameBytes) AS frame_len
+       |  FROM m, UNNEST(range(0, CAST(ceil(len / $FrameBytes.0) AS BIGINT))) r(i)
+       |  WHERE i % $Every = 0)
+       |SELECT doc_id, COUNT(*) AS n_frames,
+       |  CAST(SUM(frame_len) AS BIGINT) AS n_bytes
+       |FROM fr GROUP BY doc_id""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef("q_multimodal_meta", qMeta, Some(qMetaSql)),
-    QueryDef("q_multimodal_features", qFeatures, None))
+    QueryDef("q_multimodal_features", qFeatures, None),
+    QueryDef("q_frame_sample", qFrameSample, Some(qFrameSampleSql)))
 }
