@@ -326,10 +326,11 @@ object DedupOps {
   }
 
   private def qEmbeddingDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps.dot
     val e = table(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
     val banded = e.select(col("vec_id"), col("label"), col("v"), col("norm"),
       explode(array((0 until EmbBands).map(b =>
         struct(lit(b).as("band"), signBand(col("v"), b).as("bkey"))): _*)).as("bb"))
@@ -346,8 +347,7 @@ object DedupOps {
     val eb = e.select(col("vec_id").as("v2"), col("v").as("vb"), col("norm").as("nb"))
     cand.join(ea, "v1").join(eb, "v2")
       .select(col("v1"), col("v2"),
-        (aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb"))).as("cosine"))
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= 0.35)
   }
 

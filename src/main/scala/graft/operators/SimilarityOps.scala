@@ -24,13 +24,16 @@ object SimilarityOps {
   private val K = 5
   private val NumQueries = 20
 
-  private def withNorm(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
-
+  /** Native codegen'd dot product — bit-equal to the composed
+    * aggregate(zip_with(...)) fold (NativeVsComposedSpec). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorOps.dot(a, b)
+
+  private def withNorm(df: DataFrame): DataFrame = {
+    val d = df.select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+    d.withColumn("norm", sqrt(dot(col("v"), col("v"))))
+  }
 
   // --- q_ann_cosine_topk: brute-force exact top-k ------------------------
   private def qBruteTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -115,7 +118,7 @@ object SimilarityOps {
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         s => s.getField("c")).as("cv"))
-      .withColumn("cnorm", sqrt(aggregate(col("cv"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
     // assign each query to its nearest cell (tie-break on label)

@@ -70,6 +70,28 @@ class NativeVsComposedSpec extends AnyFunSuite {
     }
   }
 
+  test("dot product: native expression == composed aggregate(zip_with) fold") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val paired = real.as("a").crossJoin(real.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id")).limit(500)
+      .select(col("a.v").as("va"), col("b.v").as("vb"))
+    val r = paired.select(
+      VectorOps.dot(col("va"), col("vb")).as("native"),
+      aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("composed"),
+      VectorOps.dot(col("va"), col("va")).as("native_sq"),
+      aggregate(col("va"), lit(0.0), (a, x) => a + x * x).as("composed_sq"))
+      .collect()
+    r.foreach { row =>
+      // bit-identical, not approximately equal
+      assert(row.getDouble(0) === row.getDouble(1))
+      assert(row.getDouble(2) === row.getDouble(3))
+    }
+    assert(r.length === 500)
+  }
+
   test("parse_date: native expression == composed built-ins") {
     val dates = Seq("01-FEB-19", "01-Feb-19", "29-FEB-19", "29-FEB-20",
       "31-APR-19", "nope", "")
