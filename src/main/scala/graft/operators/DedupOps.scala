@@ -80,7 +80,8 @@ object DedupOps {
     val all = shingles(table(spark, dir, "documents"))
     // df prefilter as a counted agg + join (map-side combine; no window
     // sort). The join re-shuffles shingle rows once; everything groupBy'd
-    // on shingle afterwards reuses that partitioning.
+    // on shingle afterwards reuses that partitioning, and the joined
+    // result is cached for its two consumers (counts + pair generation).
     val dfOk = all.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf)
     val sh = all.join(dfOk, "shingle").cache()
