@@ -65,31 +65,52 @@ object SimilarityOps {
        |  FROM scored) t
        |WHERE rank <= $K""".stripMargin
 
-  // --- q_ann_lsh: random-hyperplane LSH bucketing ------------------------
-  // Hyperplane p component i ∈ {-1,+1} derived from xxhash64(p*64+i) —
-  // deterministic, no stored model. Bucket = 12-bit sign signature;
-  // candidates share the query's bucket. Recall is approximate by design
-  // (rows-only check); the shape is the linear-scale ANN path.
-  private val NumPlanes = 8
+  // --- q_ann_lsh: banded random-hyperplane LSH ---------------------------
+  // 16 deterministic hyperplanes (component i of plane p ∈ {-1,+1} from
+  // XXH64.hashLong(p*64+i) — no stored model), grouped into 4 bands of 4
+  // sign bits; a corpus vector is a candidate iff ANY band's 4-bit key
+  // matches the query's (multi-table LSH — single-bucket probing has
+  // near-zero recall at this dimensionality). Planes are precomputed
+  // driver-side into literal arrays so the projections run through the
+  // native dot product, not interpreted lambdas. Candidates dedupe on the
+  // narrow id pair before rescoring. Rows-only check (recall approximate
+  // by design; q_ann_recall quantifies it against brute force).
+  private val NumPlanes = 32
+  private val LshBandBits = 4
+  private val LshBands = NumPlanes / LshBandBits
+
+  private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(NumPlanes) { p =>
+      Array.tabulate(64) { i =>
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(p.toLong * 64L + i, 42L)
+        if ((h & 1L) == 1L) 1.0 else -1.0
+      }
+    }
+
+  /** 4-bit sign key of band b. */
+  private def bandKey(v: Column, b: Int): Column =
+    (0 until LshBandBits).map { j =>
+      val p = b * LshBandBits + j
+      when(dot(v, typedLit(planes(p).toSeq)) > 0.0, 1L << j).otherwise(0L)
+    }.reduce(_ + _)
 
   private def qLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(table(spark, dir, "embeddings"))
-    // sign bit per plane: dot(v, hyperplane_p) > 0
-    val bucket = expr(
-      s"""aggregate(
-         |  transform(sequence(0, ${NumPlanes - 1}), p ->
-         |    CASE WHEN aggregate(
-         |      zip_with(v, sequence(0, 63), (x, i) ->
-         |        x * (CASE WHEN (xxhash64(p * 64 + i) & 1L) = 1L THEN 1.0D ELSE -1.0D END)),
-         |      0.0D, (acc, x) -> acc + x) > 0.0D
-         |    THEN shiftleft(1L, p) ELSE 0L END),
-         |  0L, (acc, x) -> acc | x)""".stripMargin)
-    val eb = e.withColumn("bucket", bucket).cache()
-    val q = eb.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("norm").as("qnorm"), col("bucket"))
-    val scored = eb.join(broadcast(q), Seq("bucket"))
+    val e = withNorm(table(spark, dir, "embeddings")).cache()
+    val bands = e.select(col("vec_id"), explode(array((0 until LshBands).map(b =>
+        struct(lit(b).as("band"), bandKey(col("v"), b).as("bkey"))): _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val qBands = bands.filter(col("vec_id") < NumQueries)
+      .withColumnRenamed("vec_id", "query_id")
+    // bounded query set — broadcast is safe at any corpus scale
+    val cand = bands.join(broadcast(qBands), Seq("band", "bkey"))
       .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val scored = cand
+      .join(e, "vec_id")
+      .join(broadcast(q), "query_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("qv"), col("v")) / (col("qnorm") * col("norm"))).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
@@ -180,8 +201,24 @@ object SimilarityOps {
        |  FROM scored) t
        |WHERE rank <= $K""".stripMargin
 
+  // --- q_ann_recall: evaluation harness — LSH recall@k vs brute force ----
+  // The metric an ANN deployment is tuned by: fraction of the exact top-k
+  // the approximate index returns, per query. Both sides reuse the
+  // registered pipelines; no oracle (LSH hashes are Spark-specific) —
+  // rows-only, deterministic.
+  private def qAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val bf = qBruteTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = qLsh(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    bf.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg((sum(coalesce(col("hit"), lit(0L))).cast(DoubleType)
+        / count(lit(1))).as("recall_at_k"))
+  }
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef("q_ann_cosine_topk", qBruteTopK, Some(qBruteTopKSql), headline = true),
     QueryDef("q_ann_lsh", qLsh, None),
-    QueryDef("q_ann_ivf", qIvf, Some(qIvfSql), headline = true))
+    QueryDef("q_ann_ivf", qIvf, Some(qIvfSql), headline = true),
+    QueryDef("q_ann_recall", qAnnRecall, None))
 }

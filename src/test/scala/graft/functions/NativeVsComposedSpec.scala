@@ -70,6 +70,38 @@ class NativeVsComposedSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash signature: property — random unicode/whitespace corpora agree") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // tokens with multibyte UTF-8, empties via double spaces, punctuation
+    val token = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("ä", "日本", "é!", "", "x"))
+    val doc = Gen.chooseNum(0, 9).flatMap(n => Gen.listOfN(n, token))
+      .map(_.mkString(" "))
+    val prop = Prop.forAll(Gen.listOfN(8, doc)) { texts: List[String] =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val w = split(trim(col("text")), " ")
+      val sh = docs
+        .select(col("doc_id"), when(size(w) >= 3, array_distinct(
+          transform(sequence(lit(1), size(w) - 2), i => concat_ws(" ",
+            element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))).as("shs"))
+        .select(col("doc_id"), explode(col("shs")).as("shingle"))
+      val sigCols = (0 until MinHash.NumPerms).map(k =>
+        min(xxhash64(lit(k), col("shingle"))).as(s"h$k"))
+      val composed = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+        .select(col("doc_id"),
+          array((0 until MinHash.NumPerms).map(k => col(s"h$k")): _*).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val native = docs
+        .select(col("doc_id"), MinHash.signature(col("text")).as("sig"))
+        .filter(col("sig").isNotNull)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      native == composed
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("dot product: native expression == composed aggregate(zip_with) fold") {
     val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"),
