@@ -46,6 +46,7 @@ object Main {
         case "--combine-tables"  => cfg = cfg.copy(combineTables = true)
         case "--disable-check"   => cfg = cfg.copy(disableCheck = true)
         case "--exclude-regex"   => cfg = cfg.copy(excludeRegex = Some(valueOf("--exclude-regex")))
+        case "--max-parallel"    => cfg = cfg.copy(maxParallel = valueOf("--max-parallel").toInt)
         case "--pre-load"        => cfg = cfg.copy(preLoad = valuesOf("--pre-load").map(Paths.get(_)))
         case "--post-load"       => cfg = cfg.copy(postLoad = valuesOf("--post-load").map(Paths.get(_)))
         case "--log-level"       => logLevel = valueOf("--log-level").toUpperCase

@@ -19,11 +19,14 @@ object Unzipper {
   final case class Result(archive: Path, dest: Path, entries: Int, skipped: Boolean)
 
   def unzipAll(zips: Seq[Path], all: Boolean = false): Seq[Result] =
-    zips.sortBy(_.toString).map { z =>
-      val dest = z.getParent.resolve(stem(z))
-      if (Files.isDirectory(dest) && !all) Result(z, dest, 0, skipped = true)
-      else extract(z, dest)
-    }
+    zips.sortBy(_.toString).map(unzip(_, all))
+
+  /** Extract one archive next to itself, idempotent unless `all`. */
+  def unzip(z: Path, all: Boolean = false): Result = {
+    val dest = z.getParent.resolve(stem(z))
+    if (Files.isDirectory(dest) && !all) Result(z, dest, 0, skipped = true)
+    else extract(z, dest)
+  }
 
   def extract(zip: Path, dest: Path): Result = {
     Files.createDirectories(dest)

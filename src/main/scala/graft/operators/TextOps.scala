@@ -218,7 +218,33 @@ object TextOps {
        |WHERE qual_ok AND is_keeper AND in_train""".stripMargin
   }
 
+  // --- q_bpe_tokens: BPE-style pre-tokenization counts -------------------
+  // The pre-tokenizer split BPE vocabularies are trained over: letter
+  // runs, digit runs, and punctuation runs as separate tokens (the
+  // GPT-2-family shape, minus lookaheads so the pattern is portable
+  // between Java regex and DuckDB's RE2). Token counting at corpus scale
+  // is a pure per-row map — no shuffle until the final per-source rollup.
+  private val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+  private def qBpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val bpe = size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).cast(LongType)
+    val ws = size(split(trim(col("text")), " ")).cast(LongType)
+    table(spark, dir, "documents")
+      .select(col("source"), bpe.as("bpe"), ws.as("ws"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("bpe")).cast(LongType).as("n_bpe_tokens"),
+        sum(col("ws")).cast(LongType).as("n_ws_tokens"))
+  }
+
+  private val qBpeTokensSql =
+    s"""SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(regexp_extract_all(text, '$BpePattern'))) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS n_ws_tokens
+       |FROM documents GROUP BY source""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_bpe_tokens", qBpeTokens, Some(qBpeTokensSql)),
     QueryDef("q_curation", qCuration, Some(qCurationSql)),
     QueryDef("q_top_terms", qTopTerms, Some(qTopTermsSql)),
     QueryDef("q_text_stats", qTextStats, Some(qTextStatsSql), headline = true),

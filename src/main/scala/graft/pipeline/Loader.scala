@@ -35,7 +35,10 @@ final case class LoaderConfig(
     disableCheck: Boolean = false,
     excludeRegex: Option[String] = None,
     preLoad: Seq[Path] = Seq.empty,
-    postLoad: Seq[Path] = Seq.empty)
+    postLoad: Seq[Path] = Seq.empty,
+    // ≙ exec.py:65 max_concurrency: bound on simultaneous unzip/import
+    // tasks — here concurrent Spark actions sharing the scheduler
+    maxParallel: Int = 4)
 
 final case class LoadResult(
     tables: Map[String, DataFrame],
@@ -61,18 +64,38 @@ class Loader(
     try body finally spark.sparkContext.setJobDescription(null)
   }
 
+  /** Run `tasks` with at most `config.maxParallel` in flight (≙ the
+    * reference's run_simultaneously cap, exec.py:65-69) — concurrent
+    * Spark actions are scheduled fairly across the cluster; job
+    * descriptions are thread-local so labels stay correct. */
+  private def inParallel(tasks: Seq[() => Unit]): Unit =
+    if (tasks.nonEmpty) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(config.maxParallel, tasks.size)))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            tasks.map(t => scala.concurrent.Future(t()))),
+          scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    }
+
   def load(): LoadResult = {
     // Step 0: pre-load hooks
     config.preLoad.flatMap(SqlHookRunner.discoverScripts)
       .foreach(SqlHookRunner.runScript(spark, _, passThroughExec))
 
-    // Step 1: unzip
+    // Step 1: unzip (IO-bound — parallel like the reference's task pool)
     if (!config.disableUnzip) {
       val zips = SourceScanner.discoverZips(config.sources)
-      val results = Unzipper.unzipAll(zips, config.all)
-      results.foreach(r => log.info(
-        if (r.skipped) s"skipped ${r.archive} (already extracted)"
-        else s"extracted ${r.archive} → ${r.dest} (${r.entries} entries)"))
+      inParallel(zips.map(z => () => {
+        val r = Unzipper.unzip(z, config.all)
+        log.info(
+          if (r.skipped) s"skipped ${r.archive} (already extracted)"
+          else s"extracted ${r.archive} → ${r.dest} (${r.entries} entries)")
+      }))
     }
 
     // Step 2: import + function registration + combine
@@ -81,14 +104,17 @@ class Loader(
     val csvs = SourceScanner.discoverCsvs(config.sources, config.excludeRegex)
     val groups = SourceScanner.groupByTable(csvs)
     if (!config.disableImport) {
-      // one all-text DataFrame per file, registered by raw stem
+      // one all-text DataFrame per file, registered by raw stem (driver
+      // only — cheap); the sink ACTIONS run as parallel Spark jobs
       for (f <- csvs) {
         val stem = Slug.rawStem(f)
         val df = CsvTableReader.read(spark, Seq(f))
         df.createOrReplaceTempView(stem)
         tables += stem -> df
-        labeled(s"Import $stem")(sink(stem, df))
       }
+      inParallel(tables.toSeq.map { case (stem, df) =>
+        () => labeled(s"Import $stem")(sink(stem, df))
+      })
       // ≙ functions.sql registration after every import (main.py:203-208):
       // Spark lane always; PG lane (packaged graft/functions.sql) whenever
       // a JDBC sink is configured, so post-load hooks can call strip()/

@@ -109,8 +109,10 @@ class LoaderSpec extends AnyFunSuite {
     val (cfg, out, level, dbOpts) = Main.parse(Seq(
       dir, "--all", "--combine-tables", "--exclude-regex", "^.*sample.*$",
       "--disable-check", "--log-level", "info", "--out-dir", "/tmp/x",
+      "--max-parallel", "8",
       "--db-host", "pg.example", "--db-port", "5433"))
     assert(cfg.all && cfg.combineTables && cfg.disableCheck)
+    assert(cfg.maxParallel === 8)
     assert(cfg.excludeRegex === Some("^.*sample.*$"))
     assert(out === Some("/tmp/x"))
     assert(level === "INFO")
