@@ -52,6 +52,20 @@ object Bench {
     try QueryRegistry.byName("q1_pricing_summary").run(spark, sfDir)
       .write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
+    // JIT warm-up of the heavier execution machinery (higher-order
+    // lambdas, window frames, iterative joins, native expressions) on the
+    // TINY sf0.001 fixture — cold-JIT otherwise lands on the first
+    // measured query using each code path (2-5× observed)
+    val tiny = "/root/testdata/sf0.001"
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(tiny)))
+      Seq("q_text_stats", "q_sessionize", "q_dedup_ngram_jaccard",
+          "q_ann_lsh", "q_dedup_minhash_verified").foreach { n =>
+        try {
+          QueryRegistry.byName(n).run(spark, tiny)
+            .write.mode("overwrite").format("noop").save()
+          spark.sharedState.cacheManager.clearCache()
+        } catch { case _: Throwable => () }
+      }
 
     val ordered = QueryRegistry.all.sortBy(q => (!q.headline, q.name)).map(_.name)
     val results = ordered.map(n => n -> materialize(n))
