@@ -243,7 +243,57 @@ object TextOps {
        |  CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS n_ws_tokens
        |FROM documents GROUP BY source""".stripMargin
 
+  // --- q_contamination: train→test n-gram leakage check ------------------
+  // Eval hygiene for a training pipeline: how much of each TEST document's
+  // 3-gram content also appears anywhere in the TRAIN split. The train
+  // side collapses to its DISTINCT shingle set before the join, so the
+  // work is ∝ test-side shingle rows joined against a vocabulary-bounded
+  // set — never pairwise in documents (no df cap needed, unlike the
+  // all-pairs Jaccard).
+  private def qContamination(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(trim(col("text")), " ")
+    val bucket = pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(100L))
+    val sh = table(spark, dir, "documents")
+      .select(col("doc_id"), w.as("w"), bucket.as("bucket"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("bucket"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("w")) - 2),
+          i => concat_ws(" ", element_at(col("w"), i),
+            element_at(col("w"), i + 1), element_at(col("w"), i + 2))))).as("shingle"))
+    val trainSh = sh.filter(col("bucket") < 80).select(col("shingle")).distinct()
+    val testSh = sh.filter(col("bucket") >= 90).select(col("doc_id"), col("shingle"))
+    val totals = testSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val shared = testSh.join(trainSh, "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    totals.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)).cast(DoubleType)
+          / col("n_shingles").cast(DoubleType)).as("contamination"))
+  }
+
+  private val qContaminationSql =
+    """WITH sh AS (
+      |  SELECT doc_id, (doc_id * 2654435761) % 4294967296 % 100 AS bucket,
+      |    shingle
+      |  FROM (
+      |    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |    FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents) t,
+      |         UNNEST(range(1, len(w) - 1)) AS r(i)
+      |    WHERE len(w) >= 3) s),
+      |train AS (SELECT DISTINCT shingle FROM sh WHERE bucket < 80),
+      |test AS (SELECT doc_id, shingle FROM sh WHERE bucket >= 90),
+      |totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM test GROUP BY 1),
+      |shared AS (
+      |  SELECT doc_id, COUNT(*) AS n_shared FROM test JOIN train USING (shingle)
+      |  GROUP BY 1)
+      |SELECT t.doc_id, t.n_shingles,
+      |  COALESCE(s.n_shared, 0) AS n_shared,
+      |  COALESCE(s.n_shared, 0)::DOUBLE / t.n_shingles AS contamination
+      |FROM totals t LEFT JOIN shared s ON t.doc_id = s.doc_id""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_contamination", qContamination, Some(qContaminationSql)),
     QueryDef("q_bpe_tokens", qBpeTokens, Some(qBpeTokensSql)),
     QueryDef("q_curation", qCuration, Some(qCurationSql)),
     QueryDef("q_top_terms", qTopTerms, Some(qTopTermsSql)),
