@@ -22,6 +22,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // harness sizing for a single 128 GiB node: the stress-SF orders/
+      // part tables (~14 MB) sit right at the default 10 MB broadcast
+      // threshold, making AQE flip between broadcast and sort-merge run
+      // to run; 64 MB keeps the decision stats-driven but stable here.
+      // A real cluster sizes this to executor memory the same way.
+      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
       .config("spark.ui.enabled", "false")
     Tables.RequiredConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
