@@ -156,8 +156,11 @@ object DedupOps {
     // goes quadratic-to-OOM; checkpointing truncates the plan to the
     // materialized result. (On a real cluster with a checkpoint dir,
     // Dataset.checkpoint is the reliable-storage equivalent.)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed with min(self, min neighbor) — one propagation round for free
+    // (every node appears as src because edges are bidirectional)
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .withColumnRenamed("src", "id")
       .localCheckpoint()
     var converged = false
     var i = 0
