@@ -82,7 +82,10 @@ object MultimodalOps {
     * without any shuffle. */
   def frameSample(df: DataFrame, frameBytes: Int, every: Int): DataFrame = {
     val nFrames = ceil(length(col("payload")).cast(DoubleType) / frameBytes).cast(IntegerType)
-    df.select(col("doc_id"), col("payload"),
+    // zero-length payloads have no frames; without this guard
+    // sequence(0, -1) would DESCEND and emit a phantom empty frame
+    df.filter(length(col("payload")) > 0)
+      .select(col("doc_id"), col("payload"),
         posexplode(sequence(lit(0), nFrames - 1)).as(Seq("frame_idx", "f")))
       .filter(col("frame_idx") % every === 0)
       .select(col("doc_id"), col("frame_idx"),
