@@ -170,9 +170,14 @@ object TextOps {
   // What a training-data pipeline actually runs: quality gate → exact-dedup
   // keeper → train-split assignment, reported as per-stage attrition
   // (docs + tokens surviving each stage). One scan computes all per-doc
-  // flags; the only shuffle is the keeper window on the dedup key. (At
-  // 100 TB, partition that window by a 64-bit text hash instead of the
-  // raw text to keep shuffle keys narrow — same result, same shape.)
+  // flags; the only shuffle is the keeper window — and the document text
+  // is projected down to xxhash64(text) BEFORE that window, so both the
+  // exchange KEY and the shuffled row payload are fixed-width (at 100 TB,
+  // partitioning by raw text would move the full corpus body through the
+  // exchange twice). Collision contract: 1e-15 per pair — identical to
+  // the hashed-shingle intersect the verified-dedup path already accepts;
+  // the oracle keeps PARTITION BY text as the semantic spec, and the two
+  // agree absent a 64-bit collision.
   private def qCuration(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = toks
@@ -180,10 +185,11 @@ object TextOps {
     val nStop = sumOver(w, t => when(t.isin(Stopwords: _*), 1L).otherwise(0L))
     val stopRatio = nStop.cast(DoubleType) / nTokens.cast(DoubleType)
     val quality = least(lit(1.0), nTokens.cast(DoubleType) / 100.0) * (lit(1.0) - stopRatio)
-    val keeper = min(col("doc_id")).over(Window.partitionBy(col("text")))
+    val keeper = min(col("doc_id")).over(Window.partitionBy(col("text_h")))
     val bucket = pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(100L))
     val flags = table(spark, dir, "documents")
-      .select(col("doc_id"), col("text"), nTokens.as("n_toks"), quality.as("q"),
+      .select(col("doc_id"), xxhash64(col("text")).as("text_h"),
+        nTokens.as("n_toks"), quality.as("q"),
         (bucket < 80).as("in_train"))
       .withColumn("is_keeper", col("doc_id") === keeper)
       .withColumn("qual_ok", col("q") >= 0.5 && col("n_toks") >= 20)
