@@ -68,8 +68,11 @@ object DedupOps {
     * shingles appearing in more than this many documents are dropped
     * before the pair join. They dominate join fan-out quadratically
     * (a df-D shingle alone yields D·(D-1)/2 candidate pairs) while
-    * discriminating nothing — a shingle shared by >100 documents is
-    * boilerplate, not content. The cap is mirrored exactly in the DuckDB
+    * discriminating nothing — a shingle shared by more than 50 documents
+    * is boilerplate, not content. (Retuned 500→50 in round 2: the test
+    * corpus' average shingle df ≈ 96, so 500 never bound — see PERF.md;
+    * the retune CHANGES this operator's output contract, documented
+    * there.) The cap is mirrored exactly in the DuckDB
     * oracle, so the gate checks the capped semantics, and it is what keeps
     * this operator's cost ∝ output pairs instead of ∝ corpus²; for
     * unbounded corpora use q_dedup_minhash_verified (LSH-propose,
@@ -145,33 +148,38 @@ object DedupOps {
     * keep `is_keeper`, drop the rest.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 32): DataFrame = {
+    val spark = pairs.sparkSession
+    // checkpoint (not cache) each round: an iterative DataFrame's lineage
+    // otherwise grows by one join per round and plan processing goes
+    // quadratic-to-OOM; checkpointing truncates the plan to the
+    // materialized result. When the session has a checkpoint dir
+    // configured, use reliable Dataset.checkpoint — executor-local
+    // checkpoints are lost on executor failure, which on a long 100 TB
+    // job means silent recompute-from-nothing; otherwise fall back to
+    // localCheckpoint (single-node / ephemeral sessions).
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def chk(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     // materialize the pair pipeline ONCE — both union branches and every
     // iteration read it
-    val p = pairs.select(col("d1"), col("d2")).localCheckpoint()
+    val p = chk(pairs.select(col("d1"), col("d2")))
     val edges = p.select(col("d1").as("src"), col("d2").as("dst"))
       .unionAll(p.select(col("d2").as("src"), col("d1").as("dst")))
       .cache()
-    // localCheckpoint (not cache) each round: an iterative DataFrame's
-    // lineage otherwise grows by one join per round and plan processing
-    // goes quadratic-to-OOM; checkpointing truncates the plan to the
-    // materialized result. (On a real cluster with a checkpoint dir,
-    // Dataset.checkpoint is the reliable-storage equivalent.)
     // seed with min(self, min neighbor) — one propagation round for free
     // (every node appears as src because edges are bidirectional)
-    var labels = edges.groupBy(col("src"))
+    var labels = chk(edges.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("label"))
-      .withColumnRenamed("src", "id")
-      .localCheckpoint()
+      .withColumnRenamed("src", "id"))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr"))
         .withColumnRenamed("src", "id")
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val next = chk(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        .localCheckpoint()
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label")))
       // labels only ever decrease — count strict decreases to detect change
       val changed = next
         .join(labels.withColumnRenamed("label", "prev"), "id")
@@ -182,6 +190,14 @@ object DedupOps {
       i += 1
     }
     edges.unpersist()
+    // labels-only-decrease means partial propagation is WRONG output, not
+    // approximate output — make non-convergence observable instead of
+    // silently returning it (only reachable on components whose diameter
+    // exceeds maxIter; near-dup clusters converge in 2-3 rounds)
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents did not converge after $maxIter rounds; " +
+          "labels may be partially propagated — raise maxIter")
     labels
   }
 
@@ -311,6 +327,140 @@ object DedupOps {
       .distinct()
   }
 
+  // --- q_dedup_minhash_portable / q_dedup_simhash_portable ---------------
+  // The SAME MinHash-banding / SimHash algorithms as the native queries,
+  // but over a PORTABLE seeded hash family both engines compute
+  // identically — so the algorithm itself rides the full rows+schema+hash
+  // oracle gate (the native xxhash64 variants can only be rows-only
+  // checked; they remain the production path, ~an order of magnitude
+  // faster via the codegen'd single-pass expressions).
+  //
+  // Hash family: base(s) = polynomial rolling hash of the shingle/token
+  // characters mod P (the q_fingerprint construction, oracle-proven), and
+  // h_k(s) = (A_k·base(s) + B_k) mod P — a classic universal family. All
+  // intermediates stay < 31·P ≈ 3.1e10 (fold step) / P² ≈ 1e18 (affine
+  // step), inside BIGINT for both engines (DuckDB errors on overflow, so
+  // this bound is load-bearing).
+  private val PortP = 1000000007L
+  private val PortK = 16
+  private val PortBandSize = 4
+  private val PortBands = PortK / PortBandSize
+  private val PortA: Seq[Long] = (1 to PortK).map(k => (2654435761L * k) % PortP)
+  private val PortB: Seq[Long] = (1 to PortK).map(k => (40503L * k * k + 17) % PortP)
+
+  /** Portable per-string hash: left fold (acc*31 + ascii(c)) mod P. */
+  private def polyHash(s: Column): Column =
+    aggregate(
+      transform(split(s, ""), c => ascii(c).cast(LongType)),
+      lit(0L),
+      (acc, c) => (acc * 31 + c) % PortP)
+
+  private val polyHashSqlOf: String => String = e =>
+    s"list_reduce(list_prepend(0::BIGINT, [ascii(substring($e, i, 1))::BIGINT FOR i IN range(1, length($e)+1)]), (acc, c) -> (acc*31 + c) % $PortP)"
+
+  private def qMinhashPortable(spark: SparkSession, dir: String): DataFrame = {
+    val polyA = typedLit(PortA)
+    val polyB = typedLit(PortB)
+    // per-doc distinct shingle set → base hashes → K affine minima.
+    // repartition before the CPU-heavy hashing for the same reason as
+    // `signatures` (spread small parquet splits across the cluster).
+    val sigs = tokenized(table(spark, dir, "documents"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), shingleArrayOf(col("w")).as("shs"))
+      .select(col("doc_id"), transform(col("shs"), s => polyHash(s)).as("bh"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(PortK - 1)), k =>
+          array_min(transform(col("bh"), h =>
+            (element_at(polyA, k + 1) * h + element_at(polyB, k + 1)) % PortP))).as("sig"))
+      .cache()
+    // band key: portable fold of the band's signature slice (NOT xxhash64)
+    val bands = sigs.select(col("doc_id"),
+      explode(expr(
+        s"transform(sequence(0, ${PortBands - 1}), b -> named_struct('band', b, " +
+          s"'bkey', aggregate(slice(sig, b*$PortBandSize + 1, $PortBandSize), " +
+          s"CAST(0 AS BIGINT), (acc, x) -> (acc*31 + x) % $PortP)))")).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val s1 = sigs.select(col("doc_id").as("d1"), col("sig").as("sig1"))
+    val s2 = sigs.select(col("doc_id").as("d2"), col("sig").as("sig2"))
+    cand.join(s1, "d1").join(s2, "d2")
+      .select(col("d1"), col("d2"),
+        (aggregate(zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).cast(DoubleType) / PortK).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+  }
+
+  private val qMinhashPortableSql: String = {
+    val minCols = (0 until PortK)
+      .map(k => s"min((${PortA(k)} * h + ${PortB(k)}) % $PortP) AS m$k")
+      .mkString(",\n    ")
+    // band key: manual unrolling of the fold over the band's 4 minima
+    def bandKeyExpr(b: Int): String =
+      (0 until PortBandSize).foldLeft("0::BIGINT") { (acc, j) =>
+        s"(($acc * 31 + m${b * PortBandSize + j}) % $PortP)"
+      }
+    val bandCases = (0 until PortBands)
+      .map(b => s"WHEN $b THEN ${bandKeyExpr(b)}")
+      .mkString(" ")
+    val matches = (0 until PortK)
+      .map(k => s"CASE WHEN s1.m$k = s2.m$k THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH sh0 AS ($shinglesSql),
+       |bh AS (SELECT doc_id, ${polyHashSqlOf("shingle")} AS h FROM sh0),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $minCols
+       |  FROM bh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, b AS band, CASE b $bandCases END AS bkey
+       |  FROM sig, UNNEST(range(0, $PortBands)) r(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b USING (band, bkey)
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT d1, d2, ($matches)::DOUBLE / $PortK AS est_jaccard
+       |FROM cand JOIN sig s1 ON s1.doc_id = d1 JOIN sig s2 ON s2.doc_id = d2
+       |WHERE ($matches)::DOUBLE / $PortK >= 0.5""".stripMargin
+  }
+
+  // Portable SimHash: 16-bit majority-vote signature over portable token
+  // hashes (the native 64-bit xxhash64 expression remains production).
+  // bit_j(h) = (h >> j) & 1 via integer div/mod — portable to DuckDB.
+  private val PortSimBits = 16
+
+  private def qSimhashPortable(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      // project the hash array ONCE — each of the 16 bit-folds reads it
+      .select(col("doc_id"), size(col("w")).cast(LongType).as("n"),
+        transform(col("w"), t => polyHash(t)).as("hs"))
+    val simhash = (0 until PortSimBits).map { j =>
+      val ones = aggregate(
+        transform(col("hs"), h => shiftright(h, j).cast(LongType) % 2L),
+        lit(0L), (acc, x) => acc + x)
+      when(ones * 2 > col("n"), lit(1L << j).cast(LongType)).otherwise(0L)
+    }.reduce(_ + _)
+    d.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  private val qSimhashPortableSql: String = {
+    val bitSum = (0 until PortSimBits).map { j =>
+      val ones = s"list_reduce(list_prepend(0::BIGINT, [(x // ${1L << j}) % 2 FOR x IN hs]), (a, b) -> a + b)"
+      s"CASE WHEN 2 * $ones > n THEN ${1L << j}::BIGINT ELSE 0::BIGINT END"
+    }.mkString("\n    + ")
+    s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       |h AS (
+       |  SELECT doc_id, len(w)::BIGINT AS n,
+       |    [${polyHashSqlOf("tok")} FOR tok IN w] AS hs
+       |  FROM t)
+       |SELECT doc_id, $bitSum AS simhash
+       |FROM h""".stripMargin
+  }
+
   // --- q_dedup_embedding: cosine near-dup via banded axis-sign LSH -------
   // Candidate generation: 3 bands × 4 axis-sign bits (signs of components
   // 1-4, 5-8, 9-12) within each label cell; a pair is a candidate iff some
@@ -382,7 +532,9 @@ object DedupOps {
     QueryDef("q_dedup_exact", qDedupExact, Some(qDedupExactSql)),
     QueryDef("q_dedup_ngram_jaccard", qNgramJaccard, Some(qNgramJaccardSql), headline = true),
     QueryDef("q_dedup_minhash", qMinhash, None, headline = true),
+    QueryDef("q_dedup_minhash_portable", qMinhashPortable, Some(qMinhashPortableSql)),
     QueryDef("q_dedup_simhash", qSimhash, None),
+    QueryDef("q_dedup_simhash_portable", qSimhashPortable, Some(qSimhashPortableSql)),
     QueryDef("q_dedup_embedding", qEmbeddingDedup, Some(qEmbeddingDedupSql)),
     QueryDef("q_dedup_minhash_verified", qMinhashVerified, None, headline = true),
     QueryDef("q_dedup_clusters", qDedupClusters, Some(qDedupClustersSql)))

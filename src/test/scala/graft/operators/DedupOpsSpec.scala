@@ -29,4 +29,26 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(labels.length === 12)
     assert(labels.forall(_.getLong(1) === 1L))
   }
+
+  test("connectedComponents: uses reliable checkpoints when a checkpoint dir is set") {
+    // cluster-grade lane: with a checkpoint dir configured the iteration
+    // must run through Dataset.checkpoint (survives executor loss) and
+    // still converge across ≥3 rounds (a 12-node path forces that)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("d1", "d2")
+      val labels = DedupOps.connectedComponents(pairs).collect()
+      assert(labels.length === 12)
+      assert(labels.forall(_.getLong(1) === 1L))
+      // the reliable lane actually wrote RDD checkpoint data
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "expected reliable checkpoint files under the checkpoint dir")
+    } finally {
+      // other suites share this session — leave no checkpoint dir behind
+      spark.sparkContext.setCheckpointDir(null)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
