@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** LSH geometry tuning harness (not part of the driver contract): for each
+  * candidate bands×bits geometry, measure mean recall@5 against the
+  * brute-force truth plus wall time at the given SF. Run:
+  *
+  *   sbt "runMain graft.RecallSweep /root/testdata/sf0.01"
+  */
+object RecallSweep {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val builder = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    Tables.RequiredConf.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val geometries = Seq((8, 4), (16, 4), (8, 6), (12, 6), (16, 6), (24, 6), (16, 8))
+    // warm once so the first geometry doesn't pay cold JIT
+    operators.SimilarityOps.lshTopK(spark, dir, 8, 4).count()
+    geometries.foreach { case (bands, bits) =>
+      val t0 = System.nanoTime()
+      val approx = operators.SimilarityOps.lshTopK(spark, dir, bands, bits)
+      val recall = operators.SimilarityOps.recallOf(spark, dir, approx)
+        .agg(avg(col("recall_at_k"))).head().getDouble(0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      println(f"[sweep] bands=$bands%2d bits=$bits%d planes=${bands * bits}%3d  recall@5=$recall%.3f  time=$dt%.2fs")
+    }
+    spark.stop()
+  }
+}

@@ -66,21 +66,26 @@ object SimilarityOps {
        |WHERE rank <= $K""".stripMargin
 
   // --- q_ann_lsh: banded random-hyperplane LSH ---------------------------
-  // 16 deterministic hyperplanes (component i of plane p ∈ {-1,+1} from
-  // XXH64.hashLong(p*64+i) — no stored model), grouped into 4 bands of 4
-  // sign bits; a corpus vector is a candidate iff ANY band's 4-bit key
+  // Deterministic hyperplanes (component i of plane p ∈ {-1,+1} from
+  // XXH64.hashLong(p*64+i) — no stored model), grouped into `bands` bands
+  // of `bits` sign bits; a corpus vector is a candidate iff ANY band's key
   // matches the query's (multi-table LSH — single-bucket probing has
   // near-zero recall at this dimensionality). Planes are precomputed
   // driver-side into literal arrays so the projections run through the
   // native dot product, not interpreted lambdas. Candidates dedupe on the
   // narrow id pair before rescoring. Rows-only check (recall approximate
   // by design; q_ann_recall quantifies it against brute force).
-  private val NumPlanes = 32
+  //
+  // Default geometry 16 bands × 4 bits (64 planes), tuned by RecallSweep
+  // at sf0.01: recall@5 0.71 → 0.97 over the round-2 8×4 setting, and
+  // FASTER (1.7s vs 2.2s — doubling the band tables catches true
+  // neighbors; 6-or-8-bit keys looked cheaper but starve recall to
+  // 0.22-0.63 at this dimensionality). See PERF.md for the sweep table.
   private val LshBandBits = 4
-  private val LshBands = NumPlanes / LshBandBits
+  private val LshBands = 16
 
-  private lazy val planes: Array[Array[Double]] =
-    Array.tabulate(NumPlanes) { p =>
+  private def planesFor(numPlanes: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes) { p =>
       Array.tabulate(64) { i =>
         val h = org.apache.spark.sql.catalyst.expressions.XXH64
           .hashLong(p.toLong * 64L + i, 42L)
@@ -88,17 +93,20 @@ object SimilarityOps {
       }
     }
 
-  /** 4-bit sign key of band b. */
-  private def bandKey(v: Column, b: Int): Column =
-    (0 until LshBandBits).map { j =>
-      val p = b * LshBandBits + j
+  /** Sign key of band b under the given geometry. */
+  private def bandKey(planes: Array[Array[Double]], v: Column, b: Int, bits: Int): Column =
+    (0 until bits).map { j =>
+      val p = b * bits + j
       when(dot(v, typedLit(planes(p).toSeq)) > 0.0, 1L << j).otherwise(0L)
     }.reduce(_ + _)
 
-  private def qLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** Parameterized LSH top-k (geometry exposed for the recall sweep). */
+  private[graft] def lshTopK(
+      spark: SparkSession, dir: String, nBands: Int, bits: Int): DataFrame = {
+    val planes = planesFor(nBands * bits)
     val e = withNorm(table(spark, dir, "embeddings")).cache()
-    val bands = e.select(col("vec_id"), explode(array((0 until LshBands).map(b =>
-        struct(lit(b).as("band"), bandKey(col("v"), b).as("bkey"))): _*)).as("bb"))
+    val bands = e.select(col("vec_id"), explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"), bandKey(planes, col("v"), b, bits).as("bkey"))): _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     val qBands = bands.filter(col("vec_id") < NumQueries)
       .withColumnRenamed("vec_id", "query_id")
@@ -117,6 +125,9 @@ object SimilarityOps {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= K)
   }
+
+  private def qLsh(spark: SparkSession, dir: String): DataFrame =
+    lshTopK(spark, dir, LshBands, LshBandBits)
 
   // --- q_ann_ivf: IVF-style cell-probed ANN ------------------------------
   // Coarse quantizer: one centroid per label cell, component-wise exact
@@ -206,15 +217,19 @@ object SimilarityOps {
   // the approximate index returns, per query. Both sides reuse the
   // registered pipelines; no oracle (LSH hashes are Spark-specific) —
   // rows-only, deterministic.
-  private def qAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+  /** recall@k of any approximate top-k result vs the brute-force truth. */
+  private[graft] def recallOf(
+      spark: SparkSession, dir: String, approx: DataFrame): DataFrame = {
     val bf = qBruteTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
-    val approx = qLsh(spark, dir)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-    bf.join(approx, Seq("query_id", "neighbor_id"), "left")
+    val a = approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    bf.join(a, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg((sum(coalesce(col("hit"), lit(0L))).cast(DoubleType)
         / count(lit(1))).as("recall_at_k"))
   }
+
+  private def qAnnRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOf(spark, dir, qLsh(spark, dir))
 
   def queries: Seq[QueryDef] = Seq(
     QueryDef("q_ann_cosine_topk", qBruteTopK, Some(qBruteTopKSql), headline = true),
