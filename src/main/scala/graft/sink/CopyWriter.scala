@@ -43,13 +43,41 @@ object CopyWriter {
     b.toString
   }
 
+  /** Instant-bearing values are rendered in UTC WITH an explicit offset:
+    * `Timestamp.toString` formats the wall clock in the JVM default zone
+    * with no offset, and PG would then reinterpret it in the server
+    * session's TimeZone — silently shifting instants whenever executor tz
+    * != server tz. An explicit `+00` makes the line tz-independent. */
+  private val UtcTsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSSxxx")
+    .withZone(java.time.ZoneOffset.UTC)
+
   /** Render one value in COPY TEXT format; NULL is `\N`. */
   def encodeField(v: Any): String = v match {
-    case null                 => "\\N"
-    case b: Array[Byte]       => "\\\\x" + b.map("%02x".format(_)).mkString
-    case s: String            => escapeField(s)
-    case other                => escapeField(other.toString)
+    case null                      => "\\N"
+    case b: Array[Byte]            => "\\\\x" + b.map("%02x".format(_)).mkString
+    case s: String                 => escapeField(s)
+    case t: java.sql.Timestamp     => UtcTsFmt.format(t.toInstant)
+    case i: java.time.Instant      => UtcTsFmt.format(i)
+    // NTZ values carry no instant — render the wall clock as-is
+    case dt: java.time.LocalDateTime =>
+      dt.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    case seq: scala.collection.Seq[_] => escapeField(pgArrayLiteral(seq))
+    case other                     => escapeField(other.toString)
   }
+
+  /** PG array literal for an ArrayType column: `{e1,e2,...}` with
+    * per-element double-quoting (PG's array-literal quoting layer, applied
+    * BEFORE the COPY escaping layer in encodeField). */
+  def pgArrayLiteral(seq: scala.collection.Seq[_]): String =
+    seq.map {
+      case null => "NULL"
+      case e: java.sql.Timestamp => "\"" + UtcTsFmt.format(e.toInstant) + "\""
+      case e: java.time.Instant  => "\"" + UtcTsFmt.format(e) + "\""
+      case e =>
+        val s = e.toString
+        "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
 
   /** One COPY input line: tab-separated fields, newline-terminated. */
   def encodeRow(row: Row): String = {
@@ -79,8 +107,26 @@ object CopyWriter {
     case TimestampType              => "timestamptz"
     case TimestampNTZType           => "timestamp"
     case BinaryType                 => "bytea"
+    case ArrayType(et, _) if isAtomic(et) => pgType(et) + "[]"
     case _                          => "text"
   }
+
+  private def isAtomic(dt: DataType): Boolean = dt match {
+    case _: ArrayType | _: StructType | _: MapType => false
+    case _                                         => true
+  }
+
+  /** Types the COPY encoder can render faithfully. Struct/map/nested-array
+    * columns are rejected up front — their only text rendering would be a
+    * Scala debug string, lossy and unparseable on the PG side. */
+  def unsupportedColumns(schema: StructType): Seq[String] =
+    schema.fields.collect {
+      case f if !isAtomic(f.dataType) &&
+        !(f.dataType match {
+          case ArrayType(et, _) => isAtomic(et)
+          case _                => false
+        }) => s"${f.name}: ${f.dataType.simpleString}"
+    }.toSeq
 
   def createTableDdl(table: String, schema: StructType): String =
     schema.fields
@@ -105,40 +151,64 @@ object CopyWriter {
     override def close(): Unit = ()
   }
 
-  // ---- reflection-gated execution ---------------------------------------
+  // ---- execution --------------------------------------------------------
 
-  /** COPY a partition's rows into `table` over `conn` (a PG connection),
-    * touching the driver's CopyManager only through reflection. */
-  private def copyPartition(conn: java.sql.Connection, table: String, rows: Iterator[Row]): Long = {
-    val pgConnCls = Class.forName("org.postgresql.PGConnection")
-    val pgConn = conn.unwrap(pgConnCls.asInstanceOf[Class[AnyRef]])
-    val copyApi = pgConnCls.getMethod("getCopyAPI").invoke(pgConn)
-    val copyIn = copyApi.getClass.getMethod(
-      "copyIn", classOf[String], classOf[java.io.Reader])
-    copyIn.invoke(copyApi,
-      s"COPY $table FROM STDIN",
-      new LinesReader(rows.map(encodeRow))).asInstanceOf[java.lang.Long]
+  /** The one capability `write` needs from the driver's CopyManager — a
+    * narrow seam so the partition-writer wiring is unit-testable without
+    * the PG driver jar (absent in this container; the real implementation
+    * below reaches it reflectively behind [[copyAvailable]]). */
+  trait CopyTarget extends java.io.Closeable {
+    /** Stream `data` through `COPY ... FROM STDIN`; returns rows copied. */
+    def copyIn(sql: String, data: java.io.Reader): Long
   }
 
+  /** Real PG-backed target: one connection, CopyManager via reflection.
+    * Runs SET TimeZone='UTC' defensively — encodeField already renders
+    * explicit +00:00 offsets, so instants are correct either way. */
+  private def pgTarget(url: String, user: String, password: String): CopyTarget =
+    new CopyTarget {
+      private val conn = DriverManager.getConnection(url, user, password)
+      conn.createStatement().execute("SET TimeZone='UTC'")
+      override def copyIn(sql: String, data: java.io.Reader): Long = {
+        val pgConnCls = Class.forName("org.postgresql.PGConnection")
+        val pgConn = conn.unwrap(pgConnCls.asInstanceOf[Class[AnyRef]])
+        val copyApi = pgConnCls.getMethod("getCopyAPI").invoke(pgConn)
+        val copyIn = copyApi.getClass.getMethod(
+          "copyIn", classOf[String], classOf[java.io.Reader])
+        copyIn.invoke(copyApi, sql, data).asInstanceOf[java.lang.Long]
+      }
+      override def close(): Unit = conn.close()
+    }
+
   /** Full COPY write: (re)create the table through a driver-side statement,
-    * then stream each partition executor-side. Requires [[copyAvailable]]. */
+    * then stream each partition executor-side — one COPY stream per
+    * partition, no driver-side collection. Requires [[copyAvailable]]
+    * unless a test `mkTarget`/`exec` seam is injected. */
   def write(
       df: DataFrame,
       table: String,
       opts: PostgresSink.DbOptions,
       overwrite: Boolean = true,
-      numWriters: Int = 8): Unit = {
-    require(copyAvailable, "PostgreSQL driver not on the classpath; use PostgresSink.write (JDBC)")
-    val exec = PostgresSink.statementExecutor(opts)
-    if (overwrite) exec(s"DROP TABLE IF EXISTS $table")
-    exec(createTableDdl(table, df.schema))
+      numWriters: Int = 8,
+      mkTarget: Option[() => CopyTarget] = None,
+      exec: Option[String => Unit] = None): Unit = {
+    if (mkTarget.isEmpty)
+      require(copyAvailable, "PostgreSQL driver not on the classpath; use PostgresSink.write (JDBC)")
+    val bad = unsupportedColumns(df.schema)
+    require(bad.isEmpty,
+      s"COPY cannot faithfully encode non-atomic columns: ${bad.mkString(", ")}")
+    val executor = exec.getOrElse(PostgresSink.statementExecutor(opts))
+    if (overwrite) executor(s"DROP TABLE IF EXISTS $table")
+    executor(createTableDdl(table, df.schema))
     val url = PostgresSink.jdbcUrl(opts)
     val (user, password) = (opts.user, opts.password)
+    val factory: () => CopyTarget =
+      mkTarget.getOrElse(() => pgTarget(url, user, password))
     df.coalesce(numWriters).foreachPartition { rows: Iterator[Row] =>
       if (rows.hasNext) {
-        val conn = DriverManager.getConnection(url, user, password)
-        try { copyPartition(conn, table, rows); () }
-        finally conn.close()
+        val target = factory()
+        try { target.copyIn(s"COPY $table FROM STDIN", new LinesReader(rows.map(encodeRow))); () }
+        finally target.close()
       }
     }
   }

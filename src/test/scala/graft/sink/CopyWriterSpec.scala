@@ -41,7 +41,35 @@ class CopyWriterSpec extends AnyFunSuite {
       StructField("tags", ArrayType(StringType))))
     assert(createTableDdl("import.t", schema) ===
       """CREATE TABLE IF NOT EXISTS import.t ("id" bigint, "name" text, """ +
-      """"price" numeric(18,2), "ts" timestamptz, "raw" bytea, "tags" text)""")
+      """"price" numeric(18,2), "ts" timestamptz, "raw" bytea, "tags" text[])""")
+  }
+
+  test("timestamps are rendered in UTC with an explicit offset") {
+    // Timestamp.toString would format this in the JVM default tz with no
+    // offset; the COPY encoding must be tz-independent.
+    val inst = java.time.Instant.parse("2024-01-02T03:04:05.123456Z")
+    assert(encodeField(java.sql.Timestamp.from(inst)) ===
+      "2024-01-02 03:04:05.123456+00:00")
+    assert(encodeField(inst) === "2024-01-02 03:04:05.123456+00:00")
+    assert(encodeField(java.time.LocalDateTime.of(2024, 1, 2, 3, 4, 5)) ===
+      "2024-01-02 03:04:05.000000")
+  }
+
+  test("array columns encode as PG array literals, not Scala debug strings") {
+    assert(encodeField(Seq(1L, 2L, 3L)) === """{"1","2","3"}""")
+    assert(encodeField(Seq("a", null, "b\"c", "d\\e")) ===
+      """{"a",NULL,"b\\"c","d\\\\e"}""")
+  }
+
+  test("non-atomic columns are rejected up front") {
+    val ok = StructType(Seq(
+      StructField("id", LongType),
+      StructField("tags", ArrayType(StringType))))
+    assert(unsupportedColumns(ok) === Seq.empty)
+    val bad = StructType(Seq(
+      StructField("m", MapType(StringType, LongType)),
+      StructField("nested", ArrayType(ArrayType(LongType)))))
+    assert(unsupportedColumns(bad).length === 2)
   }
 
   test("LinesReader streams an iterator without materializing it") {
@@ -60,5 +88,57 @@ class CopyWriterSpec extends AnyFunSuite {
       write(null, "t", PostgresSink.DbOptions())
     }
     assert(e.getMessage.contains("PostgreSQL driver"))
+  }
+
+  test("write streams every partition through the CopyTarget seam") {
+    // the full write path — DDL statements, partition fan-in bound, COPY
+    // sql, row encoding, close-per-stream — up to the connection boundary
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    CopyCapture.reset()
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c\td"), (4L, "e")).toDF("id", "name")
+    write(df, "import.t", PostgresSink.DbOptions(), numWriters = 2,
+      mkTarget = Some(() => CopyCapture.newTarget()),
+      exec = Some(CopyCapture.statements.add(_)))
+    import scala.jdk.CollectionConverters._
+    assert(CopyCapture.statements.asScala.toSeq === Seq(
+      "DROP TABLE IF EXISTS import.t",
+      """CREATE TABLE IF NOT EXISTS import.t ("id" bigint, "name" text)"""))
+    assert(CopyCapture.sqls.asScala.toSet === Set("COPY import.t FROM STDIN"))
+    val copied = CopyCapture.payloads.asScala.mkString
+      .split("\n").filter(_.nonEmpty).toSet
+    assert(copied === Set("1\ta", "2\tb", "3\tc\\td", "4\te"))
+    // every opened stream was closed; fan-in bounded by numWriters
+    assert(CopyCapture.opened.get() === CopyCapture.closed.get())
+    assert(CopyCapture.opened.get() > 0 && CopyCapture.opened.get() <= 2)
+  }
+}
+
+/** Static capture sink for the executor-side fake CopyTargets (local-mode
+  * executors share the JVM, so statics are visible to the assertions). */
+object CopyCapture {
+  val statements = new java.util.concurrent.ConcurrentLinkedQueue[String]
+  val sqls = new java.util.concurrent.ConcurrentLinkedQueue[String]
+  val payloads = new java.util.concurrent.ConcurrentLinkedQueue[String]
+  val opened = new java.util.concurrent.atomic.AtomicInteger
+  val closed = new java.util.concurrent.atomic.AtomicInteger
+
+  def reset(): Unit = {
+    statements.clear(); sqls.clear(); payloads.clear()
+    opened.set(0); closed.set(0)
+  }
+
+  def newTarget(): CopyWriter.CopyTarget = new CopyWriter.CopyTarget {
+    opened.incrementAndGet()
+    override def copyIn(sql: String, data: java.io.Reader): Long = {
+      sqls.add(sql)
+      val sb = new StringBuilder
+      val buf = new Array[Char](256)
+      var n = data.read(buf, 0, buf.length)
+      while (n >= 0) { sb.appendAll(buf, 0, n); n = data.read(buf, 0, buf.length) }
+      payloads.add(sb.toString)
+      sb.toString.count(_ == '\n').toLong
+    }
+    override def close(): Unit = { closed.incrementAndGet(); () }
   }
 }
