@@ -340,13 +340,15 @@ object DedupOps {
   // h_k(s) = (A_k·base(s) + B_k) mod P — a classic universal family. All
   // intermediates stay < 31·P ≈ 3.1e10 (fold step) / P² ≈ 1e18 (affine
   // step), inside BIGINT for both engines (DuckDB errors on overflow, so
-  // this bound is load-bearing).
-  private val PortP = 1000000007L
-  private val PortK = 16
+  // this bound is load-bearing). The family constants live in
+  // [[graft.functions.PolyMinHash]], the codegen'd single-pass signature
+  // expression (parity spec: NativeVsComposedSpec).
+  private val PortP = graft.functions.PolyMinHash.P
+  private val PortK = graft.functions.PolyMinHash.NumPerms
   private val PortBandSize = 4
   private val PortBands = PortK / PortBandSize
-  private val PortA: Seq[Long] = (1 to PortK).map(k => (2654435761L * k) % PortP)
-  private val PortB: Seq[Long] = (1 to PortK).map(k => (40503L * k * k + 17) % PortP)
+  private val PortA: Seq[Long] = graft.functions.PolyMinHash.A.toSeq
+  private val PortB: Seq[Long] = graft.functions.PolyMinHash.B.toSeq
 
   /** Portable per-string hash: left fold (acc*31 + ascii(c)) mod P. */
   private def polyHash(s: Column): Column =
@@ -359,19 +361,15 @@ object DedupOps {
     s"list_reduce(list_prepend(0::BIGINT, [ascii(substring($e, i, 1))::BIGINT FOR i IN range(1, length($e)+1)]), (acc, c) -> (acc*31 + c) % $PortP)"
 
   private def qMinhashPortable(spark: SparkSession, dir: String): DataFrame = {
-    val polyA = typedLit(PortA)
-    val polyB = typedLit(PortB)
-    // per-doc distinct shingle set → base hashes → K affine minima.
+    // single-pass codegen'd signature (shingling + code-point fold + K
+    // affine minima in one document walk — the composed HOF formulation
+    // interprets one lambda step per CHARACTER and was 5× slower at sf1).
     // repartition before the CPU-heavy hashing for the same reason as
     // `signatures` (spread small parquet splits across the cluster).
-    val sigs = tokenized(table(spark, dir, "documents"))
+    val sigs = table(spark, dir, "documents")
       .repartition(col("doc_id"))
-      .select(col("doc_id"), shingleArrayOf(col("w")).as("shs"))
-      .select(col("doc_id"), transform(col("shs"), s => polyHash(s)).as("bh"))
-      .select(col("doc_id"),
-        transform(sequence(lit(0), lit(PortK - 1)), k =>
-          array_min(transform(col("bh"), h =>
-            (element_at(polyA, k + 1) * h + element_at(polyB, k + 1)) % PortP))).as("sig"))
+      .select(col("doc_id"), graft.functions.PolyMinHash.signature(col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
       .cache()
     // band key: portable fold of the band's signature slice (NOT xxhash64)
     val bands = sigs.select(col("doc_id"),

@@ -102,6 +102,75 @@ class NativeVsComposedSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  /** Composed Column formulation of the portable minhash signature —
+    * the reference shape PolyMinHash must agree with bit-for-bit. */
+  private def composedPolySig(docs: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.types.LongType
+    val P = PolyMinHash.P
+    val pa = typedLit(PolyMinHash.A.toSeq)
+    val pb = typedLit(PolyMinHash.B.toSeq)
+    val w = split(trim(col("text")), " ")
+    val shs = array_distinct(
+      transform(sequence(lit(1), size(w) - 2), i => concat_ws(" ",
+        element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+    val bh = transform(shs, s => aggregate(
+      transform(split(s, ""), c => ascii(c).cast(LongType)),
+      lit(0L), (acc, c) => (acc * 31 + c) % P))
+    // <3-token docs filtered up front (`tokenized` parity — a `when` here
+    // would yield an array of 16 nulls, not a null array)
+    docs.filter(size(w) >= 3)
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(PolyMinHash.NumPerms - 1)), k =>
+          array_min(transform(bh, h =>
+            (element_at(pa, k + 1) * h + element_at(pb, k + 1)) % P))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+  }
+
+  private def nativePolySig(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id"), PolyMinHash.signature(col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+  test("portable minhash signature: native expression == composed HOF fold") {
+    val inline = Seq(
+      (0L, "a b c d e"),
+      (1L, "a b c"),
+      (2L, "a b"), // <3 tokens → dropped
+      (3L, ""), // dropped
+      (4L, "x  y z w"), // double space → empty token
+      (5L, "a b c a b c a b c"), // duplicate shingles
+      (6L, "  padded text here now  "),
+      (7L, "ümlaut tökens ärē fine")).toDF("doc_id", "text")
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    for (docs <- Seq(inline, real)) {
+      val composed = composedPolySig(docs)
+      val native = nativePolySig(docs)
+      assert(native.keySet === composed.keySet)
+      native.foreach { case (id, sig) =>
+        assert(sig === composed(id), s"portable signature mismatch for doc $id")
+      }
+    }
+  }
+
+  test("portable minhash signature: property — random BMP corpora agree") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // BMP tokens only: Spark's split(s, "") walks code UNITS, so astral
+    // chars diverge between composed and any formulation — out of the
+    // portable contract (the oracle corpus is ASCII)
+    val token = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("ä", "日本", "é!", "", "x"))
+    val doc = Gen.chooseNum(0, 9).flatMap(n => Gen.listOfN(n, token))
+      .map(_.mkString(" "))
+    val prop = Prop.forAll(Gen.listOfN(8, doc)) { texts: List[String] =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      composedPolySig(docs) == nativePolySig(docs)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("dot product: native expression == composed aggregate(zip_with) fold") {
     val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"),
