@@ -231,9 +231,53 @@ object SimilarityOps {
   private def qAnnRecall(spark: SparkSession, dir: String): DataFrame =
     recallOf(spark, dir, qLsh(spark, dir))
 
+  // --- q_quantize: int8 symmetric quantization + reconstruction error ----
+  // What an ANN deployment ships to the index: per-vector symmetric int8
+  // (scale = 127/max|x|), plus the reconstruction-error audit. Pure
+  // per-row array expressions — one scan, no shuffle, linear at 100 TB.
+  // Cross-engine determinism: float→double widening is exact; scale is
+  // ONE division; round() is half-away-from-zero in both engines;
+  // the error fold runs in list order from 0.0 (list_reduce parity).
+  private def qQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast(DoubleType))
+    val d = table(spark, dir, "embeddings")
+      .select(col("vec_id"), v.as("v"))
+      .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
+      // all-zero vectors quantize to zeros with scale 1 (guard, not data)
+      .withColumn("scale", when(col("amax") > 0.0, lit(127.0) / col("amax")).otherwise(1.0))
+    val err = transform(col("v"), x => abs(x - round(x * col("scale")) / col("scale")))
+    d.select(col("vec_id"), col("amax"),
+        aggregate(err, lit(0.0), (acc, e) => acc + e).as("sum_abs_err"),
+        array_max(err).as("max_abs_err"),
+        size(col("v")).cast(LongType).as("dim"))
+      .select(col("vec_id"), col("amax"),
+        (col("sum_abs_err") / col("dim").cast(DoubleType)).as("mean_abs_err"),
+        col("max_abs_err"))
+  }
+
+  private val qQuantizeSql =
+    """WITH q AS (
+      |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v,
+      |    list_max([abs(x::DOUBLE) FOR x IN embedding]) AS amax
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, v, amax,
+      |    CASE WHEN amax > 0.0 THEN 127.0 / amax ELSE 1.0 END AS scale
+      |  FROM q),
+      |e AS (
+      |  SELECT vec_id, amax,
+      |    [abs(x - round(x * scale) / scale) FOR x IN v] AS errs,
+      |    len(v) AS dim
+      |  FROM s)
+      |SELECT vec_id, amax,
+      |  list_reduce(list_prepend(0.0, errs), (a, x) -> a + x) / dim AS mean_abs_err,
+      |  list_max(errs) AS max_abs_err
+      |FROM e""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef("q_ann_cosine_topk", qBruteTopK, Some(qBruteTopKSql), headline = true),
     QueryDef("q_ann_lsh", qLsh, None),
     QueryDef("q_ann_ivf", qIvf, Some(qIvfSql), headline = true),
-    QueryDef("q_ann_recall", qAnnRecall, None))
+    QueryDef("q_ann_recall", qAnnRecall, None),
+    QueryDef("q_quantize", qQuantize, Some(qQuantizeSql)))
 }

@@ -298,7 +298,132 @@ object TextOps {
       |  COALESCE(s.n_shared, 0)::DOUBLE / t.n_shingles AS contamination
       |FROM totals t LEFT JOIN shared s ON t.doc_id = s.doc_id""".stripMargin
 
+  // --- q_repetition: Gopher-style repetition quality filters -------------
+  // The repetition signals real curation pipelines gate on (Rae et al.
+  // 2021 §A1.1): most-frequent-token fraction and duplicate n-gram
+  // fractions. All three are pure per-row array expressions — NO shuffle,
+  // single scan, linear at 100 TB. The mode count is O(distinct × n) per
+  // row, bounded because quality filters run on length-capped documents
+  // (the curation funnel drops pathological lengths first).
+  private def qRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    val w = toks
+    val n = size(w).cast(LongType)
+    val maxTok = array_max(transform(array_distinct(w),
+      t => size(filter(w, x => x === t)).cast(LongType)))
+    def dupFrac(gram: Int): Column = {
+      val grams = transform(sequence(lit(1), size(w) - (gram - 1)),
+        i => concat_ws(" ", (0 until gram).map(j => element_at(w, i + j)): _*))
+      // sequence() DESCENDS when stop < start — guard short docs
+      when(size(w) >= gram + 1,
+        lit(1.0) - size(array_distinct(grams)).cast(DoubleType)
+          / size(grams).cast(DoubleType)).otherwise(0.0)
+    }
+    val maxTokFrac = maxTok.cast(DoubleType) / n.cast(DoubleType)
+    val dup2 = dupFrac(2)
+    val dup3 = dupFrac(3)
+    d.select(col("doc_id"), n.as("n_tokens"),
+      maxTokFrac.as("max_tok_frac"),
+      dup2.as("dup_2gram_frac"),
+      dup3.as("dup_3gram_frac"),
+      (maxTokFrac > 0.2 || dup3 > 0.3).as("repetitive"))
+  }
+
+  private val qRepetitionSql = {
+    val w = "string_split(trim(text), ' ')"
+    def dupFrac(gram: Int) = {
+      val g = (0 until gram).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+      s"""CASE WHEN len(w) >= ${gram + 1} THEN
+         |  1.0 - len(list_distinct([$g FOR i IN range(1, len(w) - ${gram - 2})]))::DOUBLE
+         |    / len([$g FOR i IN range(1, len(w) - ${gram - 2})])
+         |  ELSE 0.0 END""".stripMargin
+    }
+    val maxTok = "list_max([len(list_filter(w, x -> x = t))::BIGINT FOR t IN list_distinct(w)])"
+    s"""SELECT doc_id, len(w)::BIGINT AS n_tokens,
+       |  $maxTok::DOUBLE / len(w) AS max_tok_frac,
+       |  ${dupFrac(2)} AS dup_2gram_frac,
+       |  ${dupFrac(3)} AS dup_3gram_frac,
+       |  ($maxTok::DOUBLE / len(w)) > 0.2 OR (${dupFrac(3)}) > 0.3 AS repetitive
+       |FROM (SELECT doc_id, $w AS w FROM documents) t""".stripMargin
+  }
+
+  // --- q_stratified_sample: deterministic per-stratum sampling -----------
+  // Mixture construction: a reproducible N-per-language sample, ranked by
+  // the multiplicative hash of the stable doc_id (order/partitioning/
+  // engine-independent — same family as q_train_split). Spark plans the
+  // rank-filter as WindowGroupLimit: each task keeps only its local top-N
+  // per stratum BEFORE the exchange, so the shuffle moves ≤ N·tasks rows
+  // per stratum, not the corpus — the scale-correct shape even though a
+  // handful of language strata would otherwise skew.
+  private val SamplePerStratum = 20
+
+  private def qStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), h.as("h"))
+      .withColumn("sample_rank", row_number().over(w).cast(LongType))
+      .filter(col("sample_rank") <= SamplePerStratum)
+      .select(col("lang"), col("doc_id"), col("sample_rank"))
+  }
+
+  private val qStratifiedSampleSql =
+    s"""SELECT lang, doc_id, sample_rank
+       |FROM (
+       |  SELECT lang, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS sample_rank
+       |  FROM documents) t
+       |WHERE sample_rank <= $SamplePerStratum""".stripMargin
+
+  // --- q_tfidf: per-document top-k TF-IDF keywords -----------------------
+  // tf from one wordcount-shaped agg; df is vocabulary-bounded (planner
+  // broadcasts it); the corpus doc count joins as a 1-row broadcast. The
+  // score is tf·N/df — (tf·N) stays integer-exact, ONE double division,
+  // so both engines rank identically (a float ln() idf would differ in
+  // the last ulp between libm implementations; ranking by tf·N/df is
+  // order-equivalent to tf/df and oracle-safe). Top-3 per doc plans as
+  // WindowGroupLimit (map-side partial top-k).
+  private val TfIdfK = 3
+
+  private def qTfIdf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = table(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .cache()
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = tf.select(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(df, "term").crossJoin(nDocs)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        ((col("tf") * col("n_docs")).cast(DoubleType) / col("df").cast(DoubleType)).as("score"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= TfIdfK)
+  }
+
+  private val qTfIdfSql =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+       |        FROM documents) t
+       |  GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf)
+       |SELECT doc_id, term, tf, df, score, rank FROM (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |    (tf.tf * n.n_docs)::DOUBLE / df.df AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY (tf.tf * n.n_docs)::DOUBLE / df.df DESC, tf.term) AS rank
+       |  FROM tf JOIN df USING (term) CROSS JOIN n) s
+       |WHERE rank <= $TfIdfK""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_repetition", qRepetition, Some(qRepetitionSql)),
+    QueryDef("q_stratified_sample", qStratifiedSample, Some(qStratifiedSampleSql)),
+    QueryDef("q_tfidf", qTfIdf, Some(qTfIdfSql)),
     QueryDef("q_contamination", qContamination, Some(qContaminationSql)),
     QueryDef("q_bpe_tokens", qBpeTokens, Some(qBpeTokensSql)),
     QueryDef("q_curation", qCuration, Some(qCurationSql)),
