@@ -274,10 +274,92 @@ object SimilarityOps {
       |  list_max(errs) AS max_abs_err
       |FROM e""".stripMargin
 
+  // --- q_kmedians_step: one clustering refinement iteration --------------
+  // Corpus organization for mixture balancing: one k-MEDIANS Lloyd step.
+  // Means would make the oracle impossible (double-summation order), but
+  // every piece here is engine-deterministic: centroids are component-wise
+  // exact MEDIANS (the rank-based IVF construction), assignment is argmin
+  // squared-L2 (a left fold), and re-estimation is the same median
+  // construction keyed by the NEW assignment. Scale shape: centroids are
+  // a k-row broadcast; assignment is one scan; each re-estimation median
+  // shuffles (cluster, component)-keyed rows — never a cross product.
+  // Output: per-cluster membership count + how far the centroid moved
+  // (the convergence signal a driver loop would watch).
+  private def centroids(of: DataFrame, key: String): DataFrame = {
+    val comps = of.select(col(key), posexplode(col("v")).as(Seq("pos", "val")))
+    val w = Window.partitionBy(col(key), col("pos")).orderBy(col("val"))
+    comps
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(key), col("pos"))))
+      .filter(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("(n + 2) div 2"))
+      .groupBy(col(key), col("pos"))
+      .agg((sum(col("val")) / count(lit(1))).as("c"))
+      .groupBy(col(key))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cv"))
+  }
+
+  /** Squared L2 distance: left fold over component diffs. */
+  private def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
+
+  private def qKMediansStep(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+    val init = centroids(e, "label").withColumnRenamed("label", "cluster")
+    // argmin over the k-row broadcast; ties break on cluster id
+    val wA = Window.partitionBy(col("vec_id"))
+      .orderBy(dist2(col("v"), col("cv")), col("cluster"))
+    val assigned = e.crossJoin(broadcast(init))
+      .withColumn("ar", row_number().over(wA))
+      .filter(col("ar") === 1)
+      .select(col("vec_id"), col("v"), col("cluster"))
+    val updated = centroids(assigned, "cluster")
+      .withColumnRenamed("cv", "cv_new")
+    assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n_assigned"))
+      .join(init, "cluster")
+      .join(updated, "cluster")
+      .select(col("cluster").cast(LongType).as("cluster"), col("n_assigned"),
+        sqrt(dist2(col("cv"), col("cv_new"))).as("centroid_shift"))
+  }
+
+  private val qKMediansStepSql = {
+    def medians(src: String, key: String) =
+      s"""SELECT $key, list(c ORDER BY pos) AS cv FROM (
+         |  SELECT $key, pos, SUM(val) / COUNT(*) AS c FROM (
+         |    SELECT $key, pos, val,
+         |      ROW_NUMBER() OVER (PARTITION BY $key, pos ORDER BY val) AS rn,
+         |      COUNT(*) OVER (PARTITION BY $key, pos) AS n
+         |    FROM (SELECT $key, i AS pos, v[i] AS val
+         |          FROM $src, UNNEST(range(1, 65)) AS r(i)) c0) t
+         |  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+         |  GROUP BY $key, pos) m
+         |GROUP BY $key""".stripMargin
+    val d2 = "list_reduce(list_prepend(0.0, [(a.v[i]-c.cv[i])*(a.v[i]-c.cv[i]) FOR i IN range(1, 65)]), (acc,d) -> acc+d)"
+    s"""WITH e AS (
+       |  SELECT vec_id, label, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+       |init AS (SELECT label AS cluster, cv FROM (${medians("e", "label")}) i0),
+       |assigned AS (
+       |  SELECT vec_id, v, cluster FROM (
+       |    SELECT a.vec_id, a.v, c.cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY $d2, c.cluster) AS ar
+       |    FROM e a, init c) t
+       |  WHERE ar = 1),
+       |upd AS (SELECT cluster, cv AS cv_new FROM (${medians("assigned", "cluster")}) u0),
+       |cnt AS (SELECT cluster, COUNT(*) AS n_assigned FROM assigned GROUP BY 1)
+       |SELECT cnt.cluster::BIGINT AS cluster, cnt.n_assigned,
+       |  sqrt(list_reduce(list_prepend(0.0,
+       |    [(init.cv[i]-upd.cv_new[i])*(init.cv[i]-upd.cv_new[i]) FOR i IN range(1, 65)]),
+       |    (acc,d) -> acc+d)) AS centroid_shift
+       |FROM cnt JOIN init USING (cluster) JOIN upd USING (cluster)""".stripMargin
+  }
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef("q_ann_cosine_topk", qBruteTopK, Some(qBruteTopKSql), headline = true),
     QueryDef("q_ann_lsh", qLsh, None),
     QueryDef("q_ann_ivf", qIvf, Some(qIvfSql), headline = true),
     QueryDef("q_ann_recall", qAnnRecall, None),
-    QueryDef("q_quantize", qQuantize, Some(qQuantizeSql)))
+    QueryDef("q_quantize", qQuantize, Some(qQuantizeSql)),
+    QueryDef("q_kmedians_step", qKMediansStep, Some(qKMediansStepSql)))
 }

@@ -420,7 +420,59 @@ object TextOps {
        |  FROM tf JOIN df USING (term) CROSS JOIN n) s
        |WHERE rank <= $TfIdfK""".stripMargin
 
+  // --- q_token_budget: per-source token-budget sampling ------------------
+  // Mixture construction by TOKEN budget, not doc count: per source, take
+  // documents in deterministic hash order until the running token total
+  // exceeds the budget. The SPEC (and the oracle) is the naive running
+  // sum over the full stratum — but a single window per source would
+  // funnel each stratum through one reducer at 100 TB, so the
+  // implementation is the two-phase prefix-sum: (1) aggregate token
+  // totals per hash-order BUCKET (1024 per stratum — a tiny table), take
+  // the exclusive running prefix over buckets; (2) an exact window only
+  // WITHIN each (source, bucket) partition — balanced, 1024-way parallel
+  // per stratum — and each doc's global cumsum = bucket prefix + local
+  // cumsum. Identical output to the naive window, shuffle partitioned by
+  // (source, bucket).
+  // ~55-70% of each stratum's total at the test SFs — the cutoff bites
+  private val TokenBudget = 800L
+
+  private def qTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    val docs = table(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), h.as("h"),
+        size(split(trim(col("text")), " ")).cast(LongType).as("toks"))
+      .withColumn("bucket", shiftright(col("h"), 22)) // = h div (2^32/1024), order-preserving
+    val bucketTotals = docs.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("toks")).as("btoks"))
+    val wB = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = bucketTotals
+      .withColumn("prefix", coalesce(sum(col("btoks")).over(wB), lit(0L)))
+      .select(col("source"), col("bucket"), col("prefix"))
+    val wIn = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(prefixes), Seq("source", "bucket"))
+      .withColumn("cum_toks", col("prefix") + sum(col("toks")).over(wIn))
+      .filter(col("cum_toks") <= TokenBudget)
+      .select(col("source"), col("doc_id"), col("toks"), col("cum_toks"))
+  }
+
+  // the oracle is the naive spec: one running sum per stratum
+  private val qTokenBudgetSql =
+    s"""SELECT source, doc_id, toks, cum_toks FROM (
+       |  SELECT source, doc_id, toks,
+       |    CAST(SUM(toks) OVER (PARTITION BY source
+       |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+       |  FROM (SELECT source, doc_id,
+       |          len(string_split(trim(text), ' '))::BIGINT AS toks
+       |        FROM documents) d) t
+       |WHERE cum_toks <= $TokenBudget""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_token_budget", qTokenBudget, Some(qTokenBudgetSql)),
     QueryDef("q_repetition", qRepetition, Some(qRepetitionSql)),
     QueryDef("q_stratified_sample", qStratifiedSample, Some(qStratifiedSampleSql)),
     QueryDef("q_tfidf", qTfIdf, Some(qTfIdfSql)),

@@ -62,6 +62,49 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(viol.count() === 0)
   }
 
+  test("q_token_budget: budget respected, binding, and prefix-maximal") {
+    val kept = run("q_token_budget").cache()
+    assert(kept.filter(col("cum_toks") > 800L).count() === 0)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // the budget binds: every stratum's total exceeds it, so some doc of
+    // every source is excluded
+    val keptPer = kept.groupBy(col("source")).count()
+    val allPer = docs.groupBy(col("source")).count()
+    val short = keptPer.as("k").join(allPer.as("a"), "source")
+      .filter(col("k.count") >= col("a.count"))
+    assert(short.count() === 0)
+    // prefix-maximality: the first EXCLUDED doc per source (in hash
+    // order) would push the running total past the budget
+    val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    val toks = size(split(trim(col("text")), " ")).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val naive = docs.select(col("source"), col("doc_id"), h.as("h"), toks.as("toks"))
+      .withColumn("cum", sum(col("toks")).over(w))
+    val firstExcluded = naive.filter(col("cum") > 800L)
+      .groupBy(col("source")).agg(min(col("cum")).as("cum"))
+    // its cumulative total minus budget is positive for every source
+    assert(firstExcluded.filter(col("cum") <= 800L).count() === 0)
+    // and the two-phase implementation equals the naive spec exactly
+    val naiveKept = naive.filter(col("cum") <= 800L)
+      .select(col("source"), col("doc_id"), col("toks"), col("cum").as("cum_toks"))
+    assert(kept.exceptAll(naiveKept).count() === 0)
+    assert(naiveKept.exceptAll(kept).count() === 0)
+  }
+
+  test("q_kmedians_step: full assignment, clusters preserved, finite shifts") {
+    val step = run("q_kmedians_step").cache()
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    assert(step.agg(sum(col("n_assigned"))).head().getLong(0) === e.count())
+    val labels = e.select(col("label").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(step.select(col("cluster")).collect().map(_.getLong(0)).toSet === labels)
+    assert(step.filter(col("centroid_shift") < 0.0 ||
+      col("centroid_shift").isNull || isnan(col("centroid_shift"))).count() === 0)
+  }
+
   test("q_quantize: int8 error bounded by half a quantization step") {
     val q = run("q_quantize").cache()
     assert(q.count() === spark.read.parquet(s"$dir/embeddings.parquet").count())
