@@ -1,0 +1,117 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming document ingest with near-duplicate suppression — the
+  * streaming half of the batch propose/verify dedup pipeline
+  * (graft.operators.DedupOps): documents arrive continuously (a crawl, a
+  * feed) and must be deduplicated AT INGEST, before they land in the
+  * corpus.
+  *
+  * Two lanes, mirroring the batch design:
+  *
+  *  - [[signatureDedupStream]]: drops documents whose full MinHash
+  *    signature has already been seen inside the watermark — catches
+  *    exact and signature-identical near-duplicates with Spark's own
+  *    bounded dedup state. One stateful op, no custom state.
+  *  - [[nearDupCandidates]]: the LSH propose stage as a stream — each
+  *    band bucket remembers its KEEPER (first document to claim it);
+  *    later documents hitting the bucket emit (keeper_id, doc_id)
+  *    candidate pairs for downstream exact verification (foreachBatch
+  *    into the batch verifier). State is one long per active bucket,
+  *    evicted by event-time timeout — the 100 TB contract is the same as
+  *    every watermarked operator here: near-dups farther apart than the
+  *    eviction horizon are the batch job's responsibility, not the
+  *    stream's.
+  *
+  * Signatures ride [[graft.functions.MinHash]] — the same codegen'd
+  * single-pass expression as the batch path, so stream and batch agree
+  * on what "near-duplicate" means.
+  */
+object DocStream {
+
+  final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+  final case class BandHit(band: Int, bkey: Long, doc_id: Long, ts: Timestamp)
+
+  final case class CandidatePair(keeper_id: Long, doc_id: Long, band: Int)
+
+  /** Per-bucket keeper state: the first doc to claim the bucket. */
+  final case class BucketState(keeperId: Long, lastSeenMs: Long)
+
+  val BandSize = 4
+  val NumBands: Int = graft.functions.MinHash.NumPerms / BandSize // 8
+
+  /** (band, bkey) rows for one document column set: the signature is
+    * sliced into NumBands bands of BandSize minima, each folded to a
+    * 64-bit key with xxhash64 — identical banding to the batch LSH. */
+  private def bandRows(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("sig", graft.functions.MinHash.signature(col("text")))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), col("ts"),
+        explode(expr(
+          s"transform(sequence(0, ${NumBands - 1}), b -> named_struct('band', b, " +
+            s"'bkey', xxhash64(b, slice(sig, b*$BandSize + 1, $BandSize))))")).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"),
+        col("doc_id"), col("ts"))
+
+  /** Suppress documents whose full signature was already seen within the
+    * watermark. Emits the surviving documents unchanged. */
+  def signatureDedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("sig", graft.functions.MinHash.signature(col("text")))
+      .filter(col("sig").isNotNull)
+      .withColumn("sig_key", xxhash64(col("sig")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("sig_key")
+      .drop("sig", "sig_key")
+
+  /** LSH propose stage: stream of (keeper_id, doc_id, band) candidate
+    * pairs. Within a micro-batch, rows are processed in (ts, doc_id)
+    * order, so the earliest document deterministically claims each
+    * bucket. Bucket state evicts after `bucketTtlMs` of event-time
+    * inactivity. */
+  def nearDupCandidates(
+      spark: SparkSession,
+      docs: DataFrame,
+      bucketTtlMs: Long = 60 * 60 * 1000L): Dataset[CandidatePair] = {
+    import spark.implicits._
+    bandRows(docs)
+      .select(col("band"), col("bkey"), col("doc_id"), col("ts"))
+      .as[BandHit]
+      .withWatermark("ts", "1 hour")
+      .groupByKey(h => (h.band, h.bkey))
+      .flatMapGroupsWithState[BucketState, CandidatePair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Int, Long), batch: Iterator[BandHit], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = batch.toSeq.sortBy(h => (h.ts.getTime, h.doc_id))
+            val out = scala.collection.mutable.ListBuffer.empty[CandidatePair]
+            var cur = state.getOption
+            for (h <- sorted) {
+              val tMs = h.ts.getTime
+              cur match {
+                case Some(s) =>
+                  if (h.doc_id != s.keeperId)
+                    out += CandidatePair(s.keeperId, h.doc_id, key._1)
+                  cur = Some(s.copy(lastSeenMs = math.max(s.lastSeenMs, tMs)))
+                case None =>
+                  cur = Some(BucketState(h.doc_id, tMs))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeenMs + bucketTtlMs)
+            }
+            out.iterator
+          }
+      }
+  }
+}

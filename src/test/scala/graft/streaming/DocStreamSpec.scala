@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class DocStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  import DocStream._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // >=3 tokens so the MinHash signature is defined; base/copy share all
+  // shingles, distinct is disjoint
+  private val base = "alpha beta gamma delta epsilon zeta eta theta"
+  private val distinct = "one two three four five six seven eight nine"
+
+  test("signatureDedupStream suppresses signature-identical docs") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Doc]
+    val q = signatureDedupStream(input.toDF()).writeStream
+      .format("memory").queryName("sigdedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Doc(1L, ts("2024-01-01 10:00:00"), base),
+        Doc(2L, ts("2024-01-01 10:01:00"), base), // exact dup
+        Doc(3L, ts("2024-01-01 10:02:00"), distinct))
+      q.processAllAvailable()
+      // a later batch re-sending the same content is also suppressed
+      input.addData(Doc(4L, ts("2024-01-01 10:10:00"), base))
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM sigdedup ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(kept === Seq(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("nearDupCandidates proposes keeper pairs for near-duplicates") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Doc]
+    val pairs = nearDupCandidates(spark, input.toDF())
+    val q = pairs.writeStream.format("memory").queryName("cands")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // doc 2 is a near-dup of doc 1 (one token changed → most shingles
+      // shared → some band agrees); doc 3 is unrelated
+      input.addData(
+        Doc(1L, ts("2024-01-01 10:00:00"), base),
+        Doc(2L, ts("2024-01-01 10:01:00"), base.replace("theta", "iota")),
+        Doc(3L, ts("2024-01-01 10:02:00"), distinct))
+      q.processAllAvailable()
+      // a second batch: another copy of doc 1's content pairs with the
+      // STATE-held keeper, proving the bucket survives across batches
+      input.addData(Doc(4L, ts("2024-01-01 10:20:00"), base))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT DISTINCT keeper_id, doc_id FROM cands")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((1L, 2L)), s"expected near-dup pair (1,2) in $got")
+      assert(got.contains((1L, 4L)), s"expected cross-batch pair (1,4) in $got")
+      assert(!got.exists { case (k, d) => k == 3L || d == 3L },
+        s"unrelated doc 3 must not pair: $got")
+    } finally q.stop()
+  }
+
+  test("stream banding agrees with the batch LSH band keys") {
+    import spark.implicits._
+    // the stream's (band, bkey) construction must equal the batch
+    // formulation over the same signature — same slicing, same fold
+    val docs = Seq((1L, base), (2L, distinct)).toDF("doc_id", "text")
+      .withColumn("sig", graft.functions.MinHash.signature(col("text")))
+    val fromExpr = docs.select(col("doc_id"),
+        expr(s"transform(sequence(0, ${NumBands - 1}), b -> " +
+          s"xxhash64(b, slice(sig, b*$BandSize + 1, $BandSize)))").as("keys"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sigs = docs.collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    sigs.foreach { case (id, sig) =>
+      val manual = (0 until NumBands).map { b =>
+        docs.sparkSession.range(1).select(
+          xxhash64(lit(b), typedLit(sig.slice(b * BandSize, (b + 1) * BandSize))))
+          .head().getLong(0)
+      }
+      assert(fromExpr(id) === manual, s"band keys diverge for doc $id")
+    }
+  }
+}
