@@ -1,0 +1,384 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-level analytics — the cross-document half of the LLM-pipeline
+  * surface (per-document signals live in [[TextOps]]): sequence packing for
+  * training-batch construction, a BPE merge-step (corpus-wide adjacent-pair
+  * argmax), fixed-point inverted-index keyword search, per-document rarity
+  * scoring, source-pair Jaccard overlap, a KMV distinct-count sketch, and
+  * percentile winsorization.
+  *
+  * Determinism contract (driver gate): all scores stay in BIGINT fixed-point
+  * or end in a SINGLE double division, ranks are integer, every orderBy has
+  * a total tie-break — bit-identical between Spark and the DuckDB oracle.
+  *
+  * Scale notes are per-operator; the common patterns are the two-phase
+  * prefix-sum (a global running sum without a single-reducer window), the
+  * value-domain pre-aggregation (windows over the bounded value space, not
+  * the corpus), and inverted-index pair generation bounded by group fan-out.
+  */
+object CorpusOps {
+  import Tables.table
+
+  private def toks: Column = split(trim(col("text")), " ")
+
+  /** Word 3-gram shingles (same construction as DedupOps/TextOps). */
+  private def shingles(w: Column): Column =
+    transform(sequence(lit(1), size(w) - 2),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
+
+  /** Portable polynomial string hash: (acc*31 + codepoint) mod 1e9+7, left
+    * fold from 0 — the q_fingerprint family, expressible in DuckDB. */
+  private def polyHash(s: Column): Column =
+    aggregate(
+      transform(split(s, ""), c => ascii(c).cast(LongType)),
+      lit(0L),
+      (acc, c) => (acc * 31 + c) % 1000000007L)
+
+  /** Multiplicative doc_id hash — the deterministic shuffle-order family
+    * shared with q_train_split / q_stratified_sample / q_token_budget. */
+  private def docHash: Column =
+    pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+
+  // --- q_pack_sequences: concat-and-chunk packing for training batches ---
+  // The standard LLM batch-prep step: documents are concatenated in a
+  // deterministic hash order and chunked into fixed-length token windows;
+  // each document's span is [start_tok, start_tok + toks), so the bins it
+  // touches are start_tok div L .. (start_tok + toks - 1) div L.
+  //
+  // The SPEC (and oracle) is one global running token sum — which at 100 TB
+  // would funnel the corpus through a single reducer. The implementation is
+  // the same two-phase prefix-sum as q_token_budget: bucket the hash order
+  // into 1024 order-preserving ranges (h >> 22), aggregate per-bucket token
+  // totals (a 1024-row table), take the exclusive bucket prefix, and run
+  // the exact window only WITHIN each bucket — 1024-way parallel, identical
+  // output to the naive window.
+  private val SeqLen = 512L
+
+  private def qPackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), docHash.as("h"),
+        size(toks).cast(LongType).as("toks"))
+      .withColumn("bucket", shiftright(col("h"), 22))
+    val bucketTotals = docs.groupBy(col("bucket")).agg(sum(col("toks")).as("btoks"))
+    val wB = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = bucketTotals
+      .withColumn("prefix", coalesce(sum(col("btoks")).over(wB), lit(0L)))
+      .select(col("bucket"), col("prefix"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(prefixes), Seq("bucket"))
+      .withColumn("cum", col("prefix") + sum(col("toks")).over(wIn))
+      .withColumn("start_tok", col("cum") - col("toks"))
+      .withColumn("start_bin", expr(s"start_tok div $SeqLen"))
+      .withColumn("end_bin", expr(s"(cum - 1) div $SeqLen"))
+      .select(col("doc_id"), col("toks"), col("start_tok"),
+        col("start_bin"), col("end_bin"),
+        (col("end_bin") - col("start_bin") + lit(1L)).as("n_bins"))
+  }
+
+  private val qPackSequencesSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, len(string_split(trim(text), ' '))::BIGINT AS toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, toks,
+       |    CAST(SUM(toks) OVER (
+       |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM d)
+       |SELECT doc_id, toks, cum - toks AS start_tok,
+       |  (cum - toks) // $SeqLen AS start_bin,
+       |  (cum - 1) // $SeqLen AS end_bin,
+       |  (cum - 1) // $SeqLen - (cum - toks) // $SeqLen + 1 AS n_bins
+       |FROM c""".stripMargin
+
+  // --- q_bpe_merge: one BPE training step — corpus-wide adjacent-pair top-k
+  // The inner loop of BPE vocabulary training: count every adjacent token
+  // pair across the corpus and take the most frequent merges. Wordcount-
+  // shaped (map-side partial agg); the final rank window's input is bounded
+  // by the DISTINCT pair space (≤ vocab²), not the corpus, so the single
+  // unpartitioned window is value-domain-bounded — the same argument as
+  // q_median_price.
+  private val MergeTopK = 20
+
+  private def qBpeMerge(spark: SparkSession, dir: String): DataFrame = {
+    val w = toks
+    val pairs = table(spark, dir, "documents")
+      .filter(size(w) >= 2)
+      .select(explode(transform(sequence(lit(1), size(w) - 1),
+        i => struct(element_at(w, i).as("pair_left"),
+          element_at(w, i + 1).as("pair_right")))).as("p"))
+      .select(col("p.pair_left").as("pair_left"), col("p.pair_right").as("pair_right"))
+    val wR = Window.orderBy(col("cnt").desc, col("pair_left"), col("pair_right"))
+    pairs.groupBy(col("pair_left"), col("pair_right"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(wR).cast(LongType))
+      .filter(col("rank") <= MergeTopK)
+  }
+
+  private val qBpeMergeSql =
+    s"""WITH p AS (
+       |  SELECT w[i] AS pair_left, w[i+1] AS pair_right
+       |  FROM (SELECT string_split(trim(text), ' ') AS w FROM documents) t,
+       |       UNNEST(range(1, len(w))) AS r(i)
+       |  WHERE len(w) >= 2)
+       |SELECT pair_left, pair_right, cnt, rank FROM (
+       |  SELECT pair_left, pair_right, COUNT(*) AS cnt,
+       |    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair_left, pair_right) AS rank
+       |  FROM p GROUP BY 1, 2) s
+       |WHERE rank <= $MergeTopK""".stripMargin
+
+  // --- q_keyword_search: fixed-point inverted-index retrieval ------------
+  // Top-k documents for a term query, scored by Σ_t tf·N·1e6 div df — the
+  // tf·N/df family q_tfidf proved rank-equivalent to tf-idf, kept in BIGINT
+  // fixed-point so the cross-term SUM stays integer-exact (a double sum
+  // would reassociate under partial aggregation). The tf table is filtered
+  // to the query terms BEFORE any shuffle (predicate on the scan), df and
+  // the corpus count are broadcast, and the final top-k is
+  // TakeOrderedAndProject — never a corpus-wide sort.
+  private val QueryTerms = Seq("spark", "window", "merge")
+  private val SearchTopK = 20
+
+  private def qKeywordSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(toks).as("term"))
+      .filter(col("term").isin(QueryTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+      .withColumn("term_score", expr("(tf * n_docs * 1000000) div df"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), sum(col("term_score")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(SearchTopK)
+    // rank window runs over the ≤k collected rows, not the corpus
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast(LongType))
+  }
+
+  private val qKeywordSearchSql = {
+    val terms = QueryTerms.map("'" + _ + "'").mkString(", ")
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+       |        FROM documents) t
+       |  WHERE term IN ($terms)
+       |  GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+       |SELECT doc_id, n_hits, score,
+       |  ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+       |FROM (
+       |  SELECT tf.doc_id, COUNT(*) AS n_hits,
+       |    CAST(SUM(tf.tf * n.n_docs * 1000000 // df.df) AS BIGINT) AS score
+       |  FROM tf JOIN df USING (term) CROSS JOIN n
+       |  GROUP BY 1) s
+       |ORDER BY score DESC, doc_id LIMIT $SearchTopK""".stripMargin
+  }
+
+  // --- q_doc_rarity: mean corpus document-frequency of a doc's terms -----
+  // A quality signal real curation stacks use (rare-vocabulary documents
+  // are disproportionately noise; all-boilerplate documents score high):
+  // join each document's DISTINCT terms to the corpus df table and average.
+  // sum_df stays integer; mean_df is ONE double division. df is
+  // vocabulary-bounded — stats-driven broadcast, never a corpus shuffle.
+  private def qDocRarity(spark: SparkSession, dir: String): DataFrame = {
+    val dt = table(spark, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(toks)).as("term"))
+    val df = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    dt.join(df, "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("df")).as("sum_df"))
+      .withColumn("mean_df",
+        col("sum_df").cast(DoubleType) / col("n_terms").cast(DoubleType))
+  }
+
+  private val qDocRaritySql =
+    """WITH dt AS (
+      |  SELECT DISTINCT doc_id, t.term
+      |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents) d,
+      |       UNNEST(w) AS t(term)),
+      |df AS (SELECT term, COUNT(*) AS df FROM dt GROUP BY 1)
+      |SELECT doc_id, COUNT(*) AS n_terms,
+      |  CAST(SUM(df) AS BIGINT) AS sum_df,
+      |  CAST(SUM(df) AS BIGINT)::DOUBLE / COUNT(*) AS mean_df
+      |FROM dt JOIN df USING (term)
+      |GROUP BY 1""".stripMargin
+
+  // --- q_source_similarity: pairwise source overlap (corpus comparison) --
+  // Dataset-level dedup triage: Jaccard similarity between every pair of
+  // sources over their DISTINCT 3-gram shingle sets — "is dump A just a
+  // recrawl of dump B?". Pairs are generated INLINE from each shingle's
+  // sorted source set (the q_dedup_ngram_jaccard shape): one groupBy
+  // shuffle, per-shingle fan-out bounded by C(|sources|, 2) — never a
+  // corpus × corpus join. Source sizes join back as a broadcast.
+  private def qSourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val w = toks
+    val sh = table(spark, dir, "documents")
+      .filter(size(w) >= 3)
+      .select(col("source"), explode(shingles(w)).as("shingle"))
+      .distinct()
+      .cache()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .select(explode(expr(
+        "flatten(transform(ss, (a, i) -> " +
+          "transform(slice(ss, i + 2, size(ss)), b -> " +
+          "named_struct('source_a', a, 'source_b', b))))")).as("p"))
+      .select(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n", "n_a")), Seq("source_a"))
+      .join(broadcast(sizes.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n", "n_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_inter"),
+        (col("n_inter").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_inter")).cast(DoubleType)).as("jaccard"))
+  }
+
+  private val qSourceSimilaritySql =
+    """WITH sh AS (
+      |  SELECT DISTINCT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |  FROM (SELECT source, string_split(trim(text), ' ') AS w FROM documents) t,
+      |       UNNEST(range(1, len(w) - 1)) AS r(i)
+      |  WHERE len(w) >= 3),
+      |sz AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, n_inter,
+      |  n_inter::DOUBLE / (sa.n + sb.n - n_inter) AS jaccard
+      |FROM inter
+      |JOIN sz sa ON sa.source = source_a
+      |JOIN sz sb ON sb.source = source_b""".stripMargin
+
+  // --- q_kmv_distinct: k-minimum-values distinct-count sketch ------------
+  // The mergeable sketch a 100 TB engine estimates cardinalities with: per
+  // source, keep the k smallest DISTINCT portable hashes of its shingles;
+  // D̂ = (k-1)·M / h_(k) for hash space [0, M). Deterministic (portable
+  // polynomial hash, integer estimator) → fully oracle-checkable, unlike
+  // HLL whose harmonic mean needs floats. The rank filter plans as
+  // WindowGroupLimit: each task keeps only its local k minima before the
+  // exchange — the sketch property itself. Exact counts ride along to show
+  // estimator error.
+  private val KmvK = 64
+  private val HashMod = 1000000007L
+  private val KmvNum: Long = (KmvK - 1).toLong * HashMod // integer-exact numerator
+
+  private def qKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val w = toks
+    val hashed = table(spark, dir, "documents")
+      .filter(size(w) >= 3)
+      .select(col("source"), explode(shingles(w)).as("shingle"))
+      .select(col("source"), polyHash(col("shingle")).as("h"))
+      .distinct()
+      .cache()
+    val wK = Window.partitionBy(col("source")).orderBy(col("h"))
+    val kth = hashed
+      .withColumn("r", row_number().over(wK))
+      .filter(col("r") <= KmvK)
+      .groupBy(col("source"))
+      .agg(max(col("h")).as("kth_min"), count(lit(1)).as("kc"))
+      .filter(col("kc") === KmvK)
+      .select(col("source"), col("kth_min"))
+    val exact = hashed.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    exact.join(kth, Seq("source"))
+      .withColumn("kmv_estimate", expr(s"$KmvNum div greatest(kth_min, 1L)"))
+  }
+
+  private val qKmvDistinctSql =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT source,
+       |    list_reduce(list_prepend(0::BIGINT,
+       |      [ascii(substring(s, i, 1))::BIGINT FOR i IN range(1, length(s)+1)]),
+       |      (acc, c) -> (acc*31 + c) % $HashMod) AS h
+       |  FROM (SELECT DISTINCT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |        FROM (SELECT source, string_split(trim(text), ' ') AS w FROM documents) t,
+       |             UNNEST(range(1, len(w) - 1)) AS r(i)
+       |        WHERE len(w) >= 3) q),
+       |ranked AS (
+       |  SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS r
+       |  FROM sh),
+       |kth AS (
+       |  SELECT source, MAX(h) AS kth_min, COUNT(*) AS kc
+       |  FROM ranked WHERE r <= $KmvK GROUP BY 1),
+       |exact AS (SELECT source, COUNT(*) AS n_exact FROM sh GROUP BY 1)
+       |SELECT e.source, n_exact, kth_min,
+       |  $KmvNum // greatest(kth_min, 1) AS kmv_estimate
+       |FROM exact e JOIN kth k ON e.source = k.source
+       |WHERE kc = $KmvK""".stripMargin
+
+  // --- q_winsorize: percentile clamp via the value-domain trick ----------
+  // Outlier-robust length statistics per source: clamp n_chars to the exact
+  // [p5, p95] corpus percentiles. The percentile ranks use pure integer
+  // ceilings ((N·p + 99) div 100) and the cumulative window runs over the
+  // DISTINCT value domain (hundreds of rows), not the corpus — the
+  // q_median_price argument. Bounds broadcast back; per-source stats are
+  // one map-side-combined agg; mean is the single final double division.
+  private def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select(col("source"), col("n_chars"))
+    val vc = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
+    val wV = Window.orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vc.withColumn("cum", sum(col("cnt")).over(wV))
+    val tot = docs.agg(count(lit(1)).as("n_total"))
+    val bounds = cum.crossJoin(tot).agg(
+      min(when(col("cum") >= expr("(n_total * 5 + 99) div 100"), col("n_chars"))).as("lo"),
+      min(when(col("cum") >= expr("(n_total * 95 + 99) div 100"), col("n_chars"))).as("hi"))
+    val clamped = least(greatest(col("n_chars"), col("lo")), col("hi"))
+    docs.crossJoin(broadcast(bounds))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("n_chars") > col("hi"), 1L).otherwise(0L)).as("n_high"),
+        sum(clamped).as("sum_winsorized"))
+      .withColumn("mean_winsorized",
+        col("sum_winsorized").cast(DoubleType) / col("n_docs").cast(DoubleType))
+  }
+
+  private val qWinsorizeSql =
+    """WITH vc AS (SELECT n_chars, COUNT(*) AS cnt FROM documents GROUP BY 1),
+      |cum AS (
+      |  SELECT n_chars,
+      |    SUM(cnt) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM vc),
+      |tot AS (SELECT COUNT(*) AS n_total FROM documents),
+      |b AS (
+      |  SELECT
+      |    MIN(CASE WHEN cum >= (n_total * 5 + 99) // 100 THEN n_chars END) AS lo,
+      |    MIN(CASE WHEN cum >= (n_total * 95 + 99) // 100 THEN n_chars END) AS hi
+      |  FROM cum CROSS JOIN tot)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN n_chars < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      |  CAST(SUM(CASE WHEN n_chars > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+      |  CAST(SUM(least(greatest(n_chars, lo), hi)) AS BIGINT) AS sum_winsorized,
+      |  CAST(SUM(least(greatest(n_chars, lo), hi)) AS BIGINT)::DOUBLE / COUNT(*)
+      |    AS mean_winsorized
+      |FROM documents CROSS JOIN b
+      |GROUP BY source""".stripMargin
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_pack_sequences", qPackSequences, Some(qPackSequencesSql)),
+    QueryDef("q_bpe_merge", qBpeMerge, Some(qBpeMergeSql)),
+    QueryDef("q_keyword_search", qKeywordSearch, Some(qKeywordSearchSql)),
+    QueryDef("q_doc_rarity", qDocRarity, Some(qDocRaritySql)),
+    QueryDef("q_source_similarity", qSourceSimilarity, Some(qSourceSimilaritySql)),
+    QueryDef("q_kmv_distinct", qKmvDistinct, Some(qKmvDistinctSql)),
+    QueryDef("q_winsorize", qWinsorize, Some(qWinsorizeSql)))
+}

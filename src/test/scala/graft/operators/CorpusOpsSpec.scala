@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{QueryRegistry, SparkTestSession}
+
+/** Semantic invariants of the corpus-level operators on the real sf0.001
+  * fixture (exactness itself rides the DuckDB oracle gate; these pin the
+  * properties a consumer relies on). */
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) = QueryRegistry.byName(name).run(spark, dir)
+
+  test("q_pack_sequences: spans tile the token stream exactly") {
+    val p = run("q_pack_sequences").cache()
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(p.count() === nDocs)
+    // conservation: total tokens == the end of the last span
+    val total = p.agg(sum(col("toks"))).head().getLong(0)
+    val lastEnd = p.agg(max(col("start_tok") + col("toks"))).head().getLong(0)
+    assert(total === lastEnd)
+    // spans are gapless: every start offset is another span's end (or 0)
+    val starts = p.select(col("start_tok")).except(
+      p.select((col("start_tok") + col("toks")).as("start_tok"))
+        .union(spark.range(1).select(lit(0L).as("start_tok"))))
+    assert(starts.count() === 0)
+    // bin arithmetic is consistent
+    val badBins = p.filter(
+      col("start_bin") > col("end_bin") ||
+        col("n_bins") =!= col("end_bin") - col("start_bin") + 1 ||
+        col("start_bin") =!= expr("start_tok div 512"))
+    assert(badBins.count() === 0)
+  }
+
+  test("q_bpe_merge: contiguous ranks, non-increasing counts") {
+    val m = run("q_bpe_merge").cache()
+    val rows = m.orderBy(col("rank")).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.map(_.getLong(rows.head.fieldIndex("rank"))).toSeq ===
+      (1L to rows.length))
+    val cnts = rows.map(_.getLong(rows.head.fieldIndex("cnt"))).toSeq
+    assert(cnts === cnts.sorted.reverse, s"counts not non-increasing: $cnts")
+  }
+
+  test("q_keyword_search: bounded result, monotone scores, real hits") {
+    val s = run("q_keyword_search").cache()
+    assert(s.count() <= 20)
+    val rows = s.orderBy(col("rank")).collect()
+    val scores = rows.map(_.getLong(rows.head.fieldIndex("score"))).toSeq
+    assert(scores === scores.sorted.reverse)
+    assert(rows.forall(_.getLong(rows.head.fieldIndex("n_hits")) >= 1))
+  }
+
+  test("q_doc_rarity: mean df bounded by corpus size") {
+    val r = run("q_doc_rarity").cache()
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(r.count() === nDocs)
+    val bad = r.filter(
+      col("mean_df") < 1.0 || col("mean_df") > nDocs.toDouble ||
+        col("n_terms") < 1)
+    assert(bad.count() === 0)
+  }
+
+  test("q_source_similarity: ordered pairs, jaccard and intersection bounds") {
+    val s = run("q_source_similarity").cache()
+    val bad = s.filter(
+      col("source_a") >= col("source_b") ||
+        col("n_inter") > least(col("n_a"), col("n_b")) ||
+        col("jaccard") <= 0.0 || col("jaccard") > 1.0)
+    assert(bad.count() === 0)
+    assert(s.count() >= 1)
+  }
+
+  test("q_kmv_distinct: estimate lands near the exact cardinality") {
+    val k = run("q_kmv_distinct").cache()
+    assert(k.count() >= 1) // every source has >= 64 distinct shingles here
+    // k=64 → standard error ≈ 1/sqrt(62) ≈ 13%; 2x is a generous gate that
+    // still catches an estimator that is off by construction
+    val bad = k.filter(
+      col("kmv_estimate") < col("n_exact") / 2 ||
+        col("kmv_estimate") > col("n_exact") * 2)
+    val badRows = bad.collect()
+    assert(badRows.isEmpty, s"estimates off >2x: ${badRows.mkString(", ")}")
+  }
+
+  test("q_winsorize: clamp fractions respect the percentile ranks") {
+    val w = run("q_winsorize").cache()
+    val n = w.agg(sum(col("n_docs"))).head().getLong(0)
+    val nLow = w.agg(sum(col("n_low"))).head().getLong(0)
+    val nHigh = w.agg(sum(col("n_high"))).head().getLong(0)
+    // strictly-below-p5 is < ceil(5% N); strictly-above-p95 is <= N - ceil(95% N)
+    assert(nLow < (n * 5 + 99) / 100, s"n_low=$nLow of $n")
+    assert(nHigh <= n - (n * 95 + 99) / 100, s"n_high=$nHigh of $n")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val (mn, mx) = (docs.agg(min("n_chars")).head().getLong(0),
+      docs.agg(max("n_chars")).head().getLong(0))
+    val bad = w.filter(
+      col("mean_winsorized") < mn.toDouble || col("mean_winsorized") > mx.toDouble)
+    assert(bad.count() === 0)
+  }
+}
