@@ -109,8 +109,11 @@ object CorpusOps {
   private val MergeTopK = 20
 
   private def qBpeMerge(spark: SparkSession, dir: String): DataFrame = {
-    val w = toks
+    // project the token array BEFORE the lambda references it (an inlined
+    // split() re-tokenizes once per element — see q_repetition)
+    val w = col("w")
     val pairs = table(spark, dir, "documents")
+      .select(toks.as("w"))
       .filter(size(w) >= 2)
       .select(explode(transform(sequence(lit(1), size(w) - 1),
         i => struct(element_at(w, i).as("pair_left"),
@@ -223,8 +226,9 @@ object CorpusOps {
   // shuffle, per-shingle fan-out bounded by C(|sources|, 2) — never a
   // corpus × corpus join. Source sizes join back as a broadcast.
   private def qSourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
-    val w = toks
+    val w = col("w")
     val sh = table(spark, dir, "documents")
+      .select(col("source"), toks.as("w"))
       .filter(size(w) >= 3)
       .select(col("source"), explode(shingles(w)).as("shingle"))
       .distinct()
@@ -281,10 +285,15 @@ object CorpusOps {
   private val KmvNum: Long = (KmvK - 1).toLong * HashMod // integer-exact numerator
 
   private def qKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val w = toks
+    val w = col("w")
+    // dedup (source, shingle) BEFORE hashing: the interpreted char fold
+    // runs once per distinct shingle (bounded by shingle space × sources),
+    // not once per occurrence (corpus-sized)
     val hashed = table(spark, dir, "documents")
+      .select(col("source"), toks.as("w"))
       .filter(size(w) >= 3)
       .select(col("source"), explode(shingles(w)).as("shingle"))
+      .distinct()
       .select(col("source"), polyHash(col("shingle")).as("h"))
       .distinct()
       .cache()
