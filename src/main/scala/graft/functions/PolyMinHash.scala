@@ -102,6 +102,84 @@ object PolyMinHash {
   def signature(c: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
       PolyMinHashSigExpr(org.apache.spark.sql.GraftSqlBridge.expression(c)))
+
+  /** DISTINCT portable base hashes of the trimmed text's word-3-gram
+    * shingles, ascending; null for <3-token docs. Same span walk as
+    * [[signature]] (code points INCLUDING the two interior joining
+    * spaces), so each value equals the composed
+    * `aggregate(split(shingle, ''), ascii-fold mod P)` of the
+    * `w[i] || ' ' || w[i+1] || ' ' || w[i+2]` shingle string — the form
+    * the DuckDB oracle computes. Per-document dedup happens here (sort +
+    * unique) so downstream explodes move longs, not shingle strings. */
+  def shingleHashes(s: UTF8String): GenericArrayData = {
+    val str = s.trim.toString
+    val n = str.length
+    var numTokens = 1
+    var i = 0
+    while (i < n) { if (str.charAt(i) == ' ') numTokens += 1; i += 1 }
+    if (n == 0 || numTokens < 3) return null
+    val starts = new Array[Int](numTokens + 1)
+    var tok = 1
+    i = 0
+    while (i < n) {
+      if (str.charAt(i) == ' ') { starts(tok) = i + 1; tok += 1 }
+      i += 1
+    }
+    starts(numTokens) = n + 1
+    val hs = new Array[Long](numTokens - 2)
+    var s0 = 0
+    while (s0 + 3 <= numTokens) {
+      val from = starts(s0)
+      val until = starts(s0 + 3) - 1
+      var acc = 0L
+      var j = from
+      while (j < until) {
+        val cp = str.codePointAt(j)
+        acc = (acc * 31 + cp) % P
+        j += Character.charCount(cp)
+      }
+      hs(s0) = acc
+      s0 += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    var r = 0
+    while (r < hs.length) {
+      if (r == 0 || hs(r) != hs(r - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+  }
+
+  def shingleHashes(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      PolyShingleHashesExpr(org.apache.spark.sql.GraftSqlBridge.expression(c)))
+}
+
+/** Array of distinct portable shingle hashes — see
+  * [[PolyMinHash.shingleHashes]]. */
+case class PolyShingleHashesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "poly_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    PolyMinHash.shingleHashes(input.asInstanceOf[UTF8String])
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else nullSafeEval(v)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.PolyMinHash.shingleHashes($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): PolyShingleHashesExpr =
+    copy(child = newChild)
 }
 
 case class PolyMinHashSigExpr(child: Expression) extends UnaryExpression {

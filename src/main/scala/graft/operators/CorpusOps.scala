@@ -32,14 +32,6 @@ object CorpusOps {
     transform(sequence(lit(1), size(w) - 2),
       i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
 
-  /** Portable polynomial string hash: (acc*31 + codepoint) mod 1e9+7, left
-    * fold from 0 — the q_fingerprint family, expressible in DuckDB. */
-  private def polyHash(s: Column): Column =
-    aggregate(
-      transform(split(s, ""), c => ascii(c).cast(LongType)),
-      lit(0L),
-      (acc, c) => (acc * 31 + c) % 1000000007L)
-
   /** Multiplicative doc_id hash — the deterministic shuffle-order family
     * shared with q_train_split / q_stratified_sample / q_token_budget. */
   private def docHash: Column =
@@ -285,16 +277,14 @@ object CorpusOps {
   private val KmvNum: Long = (KmvK - 1).toLong * HashMod // integer-exact numerator
 
   private def qKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val w = col("w")
-    // dedup (source, shingle) BEFORE hashing: the interpreted char fold
-    // runs once per distinct shingle (bounded by shingle space × sources),
-    // not once per occurrence (corpus-sized)
+    // the native single-pass expression (codegen'd, per-doc deduped —
+    // PolyShingleHashesExpr) emits each document's distinct shingle
+    // hashes directly: the explode and the distinct shuffle move LONGS,
+    // never shingle strings, and no interpreted char fold runs per
+    // occurrence. explode() drops null arrays — the <3-token filter.
     val hashed = table(spark, dir, "documents")
-      .select(col("source"), toks.as("w"))
-      .filter(size(w) >= 3)
-      .select(col("source"), explode(shingles(w)).as("shingle"))
-      .distinct()
-      .select(col("source"), polyHash(col("shingle")).as("h"))
+      .select(col("source"),
+        explode(graft.functions.PolyMinHash.shingleHashes(col("text"))).as("h"))
       .distinct()
       .cache()
     val wK = Window.partitionBy(col("source")).orderBy(col("h"))
@@ -382,7 +372,46 @@ object CorpusOps {
       |FROM documents CROSS JOIN b
       |GROUP BY source""".stripMargin
 
+  // --- q_length_quantiles: exact grouped percentiles, value-domain -------
+  // Per-source p50/p90/p99 of document length — the length-distribution
+  // profile a curation run gates on. Same exact rank-based definition as
+  // q_median_price/q_winsorize (lowest value whose cumulative count reaches
+  // ceil(p·n/100), pure integer ceilings): the cumulative window runs over
+  // the (source × distinct value) domain, not the corpus, and the final
+  // percentile extraction is one map-side-combinable agg per source.
+  private def qLengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select(col("source"), col("n_chars"))
+    val vc = docs.groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("cnt"))
+    val wV = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vc.withColumn("cum", sum(col("cnt")).over(wV))
+    val tot = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    def pct(p: Int): Column =
+      min(when(col("cum") >= expr(s"(n_docs * $p + 99) div 100"), col("n_chars")))
+    cum.join(broadcast(tot), Seq("source"))
+      .groupBy(col("source"))
+      .agg(first(col("n_docs")).as("n_docs"),
+        pct(50).as("p50"), pct(90).as("p90"), pct(99).as("p99"))
+  }
+
+  private val qLengthQuantilesSql =
+    """WITH vc AS (
+      |  SELECT source, n_chars, COUNT(*) AS cnt FROM documents GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT source, n_chars,
+      |    SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM vc),
+      |tot AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+      |SELECT source, ANY_VALUE(n_docs) AS n_docs,
+      |  MIN(CASE WHEN cum >= (n_docs * 50 + 99) // 100 THEN n_chars END) AS p50,
+      |  MIN(CASE WHEN cum >= (n_docs * 90 + 99) // 100 THEN n_chars END) AS p90,
+      |  MIN(CASE WHEN cum >= (n_docs * 99 + 99) // 100 THEN n_chars END) AS p99
+      |FROM cum JOIN tot USING (source)
+      |GROUP BY source""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_length_quantiles", qLengthQuantiles, Some(qLengthQuantilesSql)),
     QueryDef("q_pack_sequences", qPackSequences, Some(qPackSequencesSql)),
     QueryDef("q_bpe_merge", qBpeMerge, Some(qBpeMergeSql)),
     QueryDef("q_keyword_search", qKeywordSearch, Some(qKeywordSearchSql)),

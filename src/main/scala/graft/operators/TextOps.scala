@@ -301,33 +301,28 @@ object TextOps {
   // --- q_repetition: Gopher-style repetition quality filters -------------
   // The repetition signals real curation pipelines gate on (Rae et al.
   // 2021 §A1.1): most-frequent-token fraction and duplicate n-gram
-  // fractions. All three are pure per-row array expressions — NO shuffle,
-  // single scan, linear at 100 TB. The mode count is O(distinct × n) per
-  // row, bounded because quality filters run on length-capped documents
-  // (the curation funnel drops pathological lengths first). The token
-  // array is PROJECTED before any lambda touches it — a split() inlined
-  // into a higher-order function re-tokenizes the document once per array
-  // element (21.8s → sub-second at sf0.1).
+  // fractions. Single scan, NO shuffle, linear at 100 TB. The six integer
+  // counters come from ONE codegen'd pass over the document
+  // (`RepetitionStatsExpr` — the composed HOF formulation costs ~100 µs
+  // per doc interpreted; parity asserted in NativeVsComposedSpec); the
+  // fractions stay Column arithmetic, so the oracle SQL is independent of
+  // the native expression.
   private def qRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val w = col("w")
-    val n = size(w).cast(LongType)
-    val maxTok = array_max(transform(array_distinct(w),
-      t => size(filter(w, x => x === t)).cast(LongType)))
-    def dupFrac(gram: Int): Column = {
-      val grams = transform(sequence(lit(1), size(w) - (gram - 1)),
-        i => concat_ws(" ", (0 until gram).map(j => element_at(w, i + j)): _*))
-      // sequence() DESCENDS when stop < start — guard short docs
-      when(size(w) >= gram + 1,
-        lit(1.0) - size(array_distinct(grams)).cast(DoubleType)
-          / size(grams).cast(DoubleType)).otherwise(0.0)
+    val st = col("st")
+    val n = element_at(st, 1)
+    def dupFrac(dIdx: Int, tIdx: Int): Column = {
+      val (d, t) = (element_at(st, dIdx), element_at(st, tIdx))
+      // the composed `when(size >= g+1)` guard: total is reported 0 then
+      when(t > 0, lit(1.0) - d.cast(DoubleType) / t.cast(DoubleType))
+        .otherwise(0.0)
     }
-    val maxTokFrac = maxTok.cast(DoubleType) / n.cast(DoubleType)
     table(spark, dir, "documents")
-      .select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"),
+        graft.functions.RepetitionStats.stats(col("text")).as("st"))
       .select(col("doc_id"), n.as("n_tokens"),
-        maxTokFrac.as("max_tok_frac"),
-        dupFrac(2).as("dup_2gram_frac"),
-        dupFrac(3).as("dup_3gram_frac"))
+        (element_at(st, 2).cast(DoubleType) / n.cast(DoubleType)).as("max_tok_frac"),
+        dupFrac(3, 4).as("dup_2gram_frac"),
+        dupFrac(5, 6).as("dup_3gram_frac"))
       .withColumn("repetitive",
         col("max_tok_frac") > 0.2 || col("dup_3gram_frac") > 0.3)
   }

@@ -171,6 +171,80 @@ class NativeVsComposedSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("shingle hashes: native expression == composed per-shingle HOF fold") {
+    import org.apache.spark.sql.types.LongType
+    val P = PolyMinHash.P
+    val w = split(trim(col("text")), " ")
+    val shs = array_distinct(
+      transform(sequence(lit(1), size(w) - 2), i => concat_ws(" ",
+        element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+    val inline = Seq(
+      (0L, "a b c d e"),
+      (1L, "a b c"),
+      (2L, "a b"), // <3 tokens → dropped
+      (3L, ""), // dropped
+      (4L, "x  y z w"), // double space → empty token
+      (5L, "a b c a b c a b c"), // duplicate shingles → deduped
+      (6L, "  padded text here now  ")).toDF("doc_id", "text")
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    for (docs <- Seq(inline, real)) {
+      val composed = docs.filter(size(w) >= 3)
+        .select(col("doc_id"), array_sort(array_distinct(transform(shs, s =>
+          aggregate(transform(split(s, ""), c => ascii(c).cast(LongType)),
+            lit(0L), (acc, c) => (acc * 31 + c) % P)))).as("hs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val native = docs
+        .select(col("doc_id"), PolyMinHash.shingleHashes(col("text")).as("hs"))
+        .filter(col("hs").isNotNull)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(native.keySet === composed.keySet)
+      native.foreach { case (id, hs) =>
+        assert(hs === composed(id), s"shingle hash set mismatch for doc $id")
+      }
+    }
+  }
+
+  test("repetition stats: native expression == composed HOF formulation") {
+    import org.apache.spark.sql.types.LongType
+    val w = split(trim(col("text")), " ")
+    val n = size(w).cast(LongType)
+    val maxTok = array_max(transform(array_distinct(w),
+      t => size(filter(w, x => x === t)).cast(LongType)))
+    def gram(g: Int): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+      val grams = transform(sequence(lit(1), size(w) - (g - 1)),
+        i => concat_ws(" ", (0 until g).map(j => element_at(w, i + j)): _*))
+      (when(size(w) >= g + 1, size(array_distinct(grams)).cast(LongType))
+        .otherwise(lit(0L)),
+        when(size(w) >= g + 1, size(grams).cast(LongType)).otherwise(lit(0L)))
+    }
+    val (d2, t2) = gram(2)
+    val (d3, t3) = gram(3)
+    val inline = Seq(
+      (0L, "a b c d e"),
+      (1L, "x y x y x y"), // heavy 2-gram repetition
+      (2L, "a"), // single token: no grams
+      (3L, "a b"), // n == 2: 2-gram total guarded to 0 (n < g+1)
+      (4L, "a b c"), // n == 3: 3-gram guarded, 2-grams real
+      (5L, ""), // empty → one empty token
+      (6L, "x  y z w"), // double space → empty token counts
+      (7L, "t t t t t t t t")).toDF("doc_id", "text")
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    for (docs <- Seq(inline, real)) {
+      val composed = docs.select(col("doc_id"),
+        array(n, maxTok, d2, t2, d3, t3).as("st"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val native = docs.select(col("doc_id"),
+        graft.functions.RepetitionStats.stats(col("text")).as("st"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(native.keySet === composed.keySet)
+      native.foreach { case (id, st) =>
+        assert(st === composed(id), s"repetition counters mismatch for doc $id")
+      }
+    }
+  }
+
   test("dot product: native expression == composed aggregate(zip_with) fold") {
     val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"),
