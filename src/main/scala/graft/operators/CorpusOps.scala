@@ -219,7 +219,14 @@ object CorpusOps {
   // corpus × corpus join. Source sizes join back as a broadcast.
   private def qSourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
     val w = col("w")
+    // duplicate documents contribute no new DISTINCT shingles — dedup
+    // (source, text) before shingling. distinct() partial-aggregates
+    // map-side, so the first shuffle moves only distinct texts (on a
+    // crawl-with-recrawls corpus that is the dedup ratio), and the
+    // shingle explode runs once per distinct document
     val sh = table(spark, dir, "documents")
+      .select(col("source"), col("text"))
+      .distinct()
       .select(col("source"), toks.as("w"))
       .filter(size(w) >= 3)
       .select(col("source"), explode(shingles(w)).as("shingle"))
@@ -283,6 +290,8 @@ object CorpusOps {
     // never shingle strings, and no interpreted char fold runs per
     // occurrence. explode() drops null arrays — the <3-token filter.
     val hashed = table(spark, dir, "documents")
+      .select(col("source"), col("text"))
+      .distinct() // duplicate docs add no distinct hashes (see q_source_similarity)
       .select(col("source"),
         explode(graft.functions.PolyMinHash.shingleHashes(col("text"))).as("h"))
       .distinct()

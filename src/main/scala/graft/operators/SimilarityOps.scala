@@ -355,7 +355,65 @@ object SimilarityOps {
        |FROM cnt JOIN init USING (cluster) JOIN upd USING (cluster)""".stripMargin
   }
 
+  // --- q_gram_int8: integer-exact Gram matrix over quantized embeddings --
+  // Σ q·qᵀ over the int8-quantized corpus (same symmetric scheme as
+  // q_quantize) — the covariance/PCA/whitening precursor, exactly
+  // oracle-checkable BECAUSE quantization makes every product integer.
+  // The implementation is graft.functions.GramAggregator: one fixed
+  // d(d+1)/2 buffer per partition, map-side combined, so the shuffle is
+  // #partitions × 2080 longs — never |corpus|·d² rows (that explode
+  // formulation is what the oracle runs, where exactness is the job).
+  private val EmbDim = 64
+
+  private def qGramInt8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = transform(col("embedding"), x => x.cast(DoubleType))
+    val q = table(spark, dir, "embeddings")
+      .select(v.as("v"))
+      .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("scale",
+        when(col("amax") > 0.0, lit(127.0) / col("amax")).otherwise(1.0))
+      .select(transform(col("v"),
+        x => round(x * col("scale")).cast(LongType)).as("q"))
+      .as[Seq[Long]]
+    q.groupByKey(_ => true)
+      .agg(new graft.functions.GramAggregator(EmbDim).toColumn.name("g"))
+      .flatMap { case (_, g) =>
+        val out = Seq.newBuilder[(Long, Long, Long)]
+        var idx = 0
+        var i = 0
+        while (i < EmbDim) {
+          var j = i
+          while (j < EmbDim) {
+            out += ((i.toLong, j.toLong, g(idx)))
+            idx += 1
+            j += 1
+          }
+          i += 1
+        }
+        out.result()
+      }
+      .toDF("i", "j", "gram")
+  }
+
+  private val qGramInt8Sql =
+    """WITH s AS (
+      |  SELECT [x::DOUBLE FOR x IN embedding] AS v,
+      |    CASE WHEN list_max([abs(x::DOUBLE) FOR x IN embedding]) > 0.0
+      |         THEN 127.0 / list_max([abs(x::DOUBLE) FOR x IN embedding])
+      |         ELSE 1.0 END AS scale
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT [CAST(round(x * scale) AS BIGINT) FOR x IN v] AS q FROM s),
+      |p AS (
+      |  SELECT i.i AS i, j.j AS j, q[i.i + 1] * q[j.j + 1] AS prod
+      |  FROM q, UNNEST(range(0, len(q))) AS i(i), UNNEST(range(0, len(q))) AS j(j)
+      |  WHERE j.j >= i.i)
+      |SELECT i, j, CAST(SUM(prod) AS BIGINT) AS gram
+      |FROM p GROUP BY 1, 2""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_gram_int8", qGramInt8, Some(qGramInt8Sql)),
     QueryDef("q_ann_cosine_topk", qBruteTopK, Some(qBruteTopKSql), headline = true),
     QueryDef("q_ann_lsh", qLsh, None),
     QueryDef("q_ann_ivf", qIvf, Some(qIvfSql), headline = true),

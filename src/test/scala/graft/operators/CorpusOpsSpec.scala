@@ -85,6 +85,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(badRows.isEmpty, s"estimates off >2x: ${badRows.mkString(", ")}")
   }
 
+  test("q_gram_int8: true Gram matrix — full triangle, Cauchy-Schwarz holds") {
+    val g = run("q_gram_int8").cache()
+    assert(g.count() === 64L * 65 / 2)
+    val entries = g.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // diagonal of Σ q qᵀ is a sum of squares
+    (0 until 64).foreach(i => assert(entries((i.toLong, i.toLong)) >= 0L))
+    // every 2x2 principal minor of a Gram matrix is nonneg:
+    // g_ij² ≤ g_ii·g_jj — catches any indexing slip in the flat buffer
+    entries.foreach { case ((i, j), gij) =>
+      val (gii, gjj) = (entries((i, i)), entries((j, j)))
+      assert(BigInt(gij) * BigInt(gij) <= BigInt(gii) * BigInt(gjj),
+        s"Cauchy-Schwarz violated at ($i,$j)")
+    }
+  }
+
+  test("q_length_quantiles: ordered quantiles within the observed range") {
+    val q = run("q_length_quantiles").cache()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val (mn, mx) = (docs.agg(min("n_chars")).head().getLong(0),
+      docs.agg(max("n_chars")).head().getLong(0))
+    val bad = q.filter(
+      col("p50") > col("p90") || col("p90") > col("p99") ||
+        col("p50") < mn || col("p99") > mx)
+    assert(bad.count() === 0)
+    assert(q.count() === docs.select("source").distinct().count())
+  }
+
   test("q_winsorize: clamp fractions respect the percentile ranks") {
     val w = run("q_winsorize").cache()
     val n = w.agg(sum(col("n_docs"))).head().getLong(0)
