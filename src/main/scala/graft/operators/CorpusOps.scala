@@ -283,19 +283,22 @@ object CorpusOps {
   private val HashMod = 1000000007L
   private val KmvNum: Long = (KmvK - 1).toLong * HashMod // integer-exact numerator
 
-  private def qKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
-    // the native single-pass expression (codegen'd, per-doc deduped —
-    // PolyShingleHashesExpr) emits each document's distinct shingle
-    // hashes directly: the explode and the distinct shuffle move LONGS,
-    // never shingle strings, and no interpreted char fold runs per
-    // occurrence. explode() drops null arrays — the <3-token filter.
-    val hashed = table(spark, dir, "documents")
+  /** Distinct (source, portable shingle hash) pairs — the KMV sketch
+    * input. The native single-pass expression (codegen'd, per-doc deduped
+    * — PolyShingleHashesExpr) emits each document's distinct shingle
+    * hashes directly: the explode and the distinct shuffle move LONGS,
+    * never shingle strings, and no interpreted char fold runs per
+    * occurrence. explode() drops null arrays — the <3-token filter. */
+  private def kmvHashed(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
       .select(col("source"), col("text"))
       .distinct() // duplicate docs add no distinct hashes (see q_source_similarity)
       .select(col("source"),
         explode(graft.functions.PolyMinHash.shingleHashes(col("text"))).as("h"))
       .distinct()
-      .cache()
+
+  private def qKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = kmvHashed(spark, dir).cache()
     val wK = Window.partitionBy(col("source")).orderBy(col("h"))
     val kth = hashed
       .withColumn("r", row_number().over(wK))
@@ -330,6 +333,65 @@ object CorpusOps {
        |  $KmvNum // greatest(kth_min, 1) AS kmv_estimate
        |FROM exact e JOIN kth k ON e.source = k.source
        |WHERE kc = $KmvK""".stripMargin
+
+  // --- q_kmv_union: sketch MERGE — union/intersection estimates ----------
+  // The property that makes sketches the 100 TB tool: two sources' KMV
+  // sketches merge WITHOUT rescanning either corpus — the k smallest of
+  // the union of two k-min sets IS the union's sketch. Per source pair:
+  // D̂(A∪B) from the merged sketch, D̂(A∩B) by inclusion-exclusion
+  // (clamped at 0). All work after sketch construction happens on a
+  // |sources|-row table of k-long arrays — constant in corpus size.
+  // Deterministic integer arithmetic end to end → fully oracle-checked.
+  private def qKmvUnion(spark: SparkSession, dir: String): DataFrame = {
+    val wK = Window.partitionBy(col("source")).orderBy(col("h"))
+    val sketches = kmvHashed(spark, dir)
+      .withColumn("r", row_number().over(wK))
+      .filter(col("r") <= KmvK)
+      .groupBy(col("source"))
+      .agg(sort_array(collect_list(col("h"))).as("mins"), count(lit(1)).as("kc"))
+      .filter(col("kc") === KmvK)
+      .select(col("source"), col("mins"))
+    val a = sketches.select(col("source").as("source_a"), col("mins").as("la"))
+    val b = sketches.select(col("source").as("source_b"), col("mins").as("lb"))
+    a.crossJoin(b).filter(col("source_a") < col("source_b"))
+      .withColumn("est_a",
+        expr(s"$KmvNum div greatest(element_at(la, $KmvK), 1L)"))
+      .withColumn("est_b",
+        expr(s"$KmvNum div greatest(element_at(lb, $KmvK), 1L)"))
+      .withColumn("est_union",
+        expr(s"$KmvNum div greatest(element_at(array_sort(array_union(la, lb)), $KmvK), 1L)"))
+      .withColumn("est_intersection",
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+      .select(col("source_a"), col("source_b"),
+        col("est_a"), col("est_b"), col("est_union"), col("est_intersection"))
+  }
+
+  private val qKmvUnionSql =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT source,
+       |    list_reduce(list_prepend(0::BIGINT,
+       |      [ascii(substring(s, i, 1))::BIGINT FOR i IN range(1, length(s)+1)]),
+       |      (acc, c) -> (acc*31 + c) % $HashMod) AS h
+       |  FROM (SELECT DISTINCT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |        FROM (SELECT source, string_split(trim(text), ' ') AS w FROM documents) t,
+       |             UNNEST(range(1, len(w) - 1)) AS r(i)
+       |        WHERE len(w) >= 3) q),
+       |ranked AS (
+       |  SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS r
+       |  FROM sh),
+       |sk AS (
+       |  SELECT source, list_sort(list(h)) AS mins
+       |  FROM ranked WHERE r <= $KmvK GROUP BY 1 HAVING COUNT(*) = $KmvK),
+       |pairs AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    $KmvNum // greatest(a.mins[$KmvK], 1) AS est_a,
+       |    $KmvNum // greatest(b.mins[$KmvK], 1) AS est_b,
+       |    $KmvNum // greatest(list_sort(list_distinct(a.mins || b.mins))[$KmvK], 1)
+       |      AS est_union
+       |  FROM sk a, sk b WHERE a.source < b.source)
+       |SELECT source_a, source_b, est_a, est_b, est_union,
+       |  greatest(0, est_a + est_b - est_union) AS est_intersection
+       |FROM pairs""".stripMargin
 
   // --- q_winsorize: percentile clamp via the value-domain trick ----------
   // Outlier-robust length statistics per source: clamp n_chars to the exact
@@ -427,5 +489,6 @@ object CorpusOps {
     QueryDef("q_doc_rarity", qDocRarity, Some(qDocRaritySql)),
     QueryDef("q_source_similarity", qSourceSimilarity, Some(qSourceSimilaritySql)),
     QueryDef("q_kmv_distinct", qKmvDistinct, Some(qKmvDistinctSql)),
+    QueryDef("q_kmv_union", qKmvUnion, Some(qKmvUnionSql)),
     QueryDef("q_winsorize", qWinsorize, Some(qWinsorizeSql)))
 }

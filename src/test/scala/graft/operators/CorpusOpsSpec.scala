@@ -85,6 +85,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(badRows.isEmpty, s"estimates off >2x: ${badRows.mkString(", ")}")
   }
 
+  test("q_kmv_union: merged-sketch estimates respect the lattice inequalities") {
+    val u = run("q_kmv_union").cache()
+    val nSources = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source").distinct().count()
+    assert(u.count() === nSources * (nSources - 1) / 2)
+    // kth(union sketch) <= kth(each sketch) → est_union >= max(est_a, est_b);
+    // inclusion-exclusion then bounds the intersection by the smaller side
+    val bad = u.filter(
+      col("est_union") < greatest(col("est_a"), col("est_b")) ||
+        col("est_intersection") > least(col("est_a"), col("est_b")) ||
+        col("est_intersection") < 0)
+    assert(bad.count() === 0)
+  }
+
   test("q_gram_int8: true Gram matrix — full triangle, Cauchy-Schwarz holds") {
     val g = run("q_gram_int8").cache()
     assert(g.count() === 64L * 65 / 2)
