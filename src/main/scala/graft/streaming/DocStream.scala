@@ -59,6 +59,29 @@ object DocStream {
       .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"),
         col("doc_id"), col("ts"))
 
+  /** Stateless quality gate at ingest — the streaming face of the batch
+    * q_repetition/q_curation filters, sharing the SAME native counters
+    * (`RepetitionStatsExpr`), so stream and batch agree on what passes.
+    * Pure map-side (no state, no watermark needed): drops documents that
+    * are too short, mode-token-dominated, or 3-gram-repetitive. Runs in
+    * front of the dedup lanes so state is never spent on rejects. */
+  def qualityFilterStream(
+      docs: DataFrame,
+      minTokens: Long = 5,
+      maxTokFrac: Double = 0.2,
+      maxDup3: Double = 0.3): DataFrame = {
+    val st = col("st")
+    val n = element_at(st, 1)
+    val modeFrac = element_at(st, 2).cast("double") / n.cast("double")
+    val dup3 = when(element_at(st, 6) > 0,
+      lit(1.0) - element_at(st, 5).cast("double") / element_at(st, 6).cast("double"))
+      .otherwise(0.0)
+    docs
+      .withColumn("st", graft.functions.RepetitionStats.stats(col("text")))
+      .filter(n >= minTokens && modeFrac <= maxTokFrac && dup3 <= maxDup3)
+      .drop("st")
+  }
+
   /** Suppress documents whose full signature was already seen within the
     * watermark. Emits the surviving documents unchanged. */
   def signatureDedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =

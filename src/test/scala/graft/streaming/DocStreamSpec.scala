@@ -69,6 +69,26 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("qualityFilterStream drops short, mode-dominated and repetitive docs") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Doc]
+    val q = qualityFilterStream(input.toDF()).writeStream
+      .format("memory").queryName("qgate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Doc(1L, ts("2024-01-01 10:00:00"), base), // clean → passes
+        Doc(2L, ts("2024-01-01 10:01:00"), "too short"), // < 5 tokens
+        Doc(3L, ts("2024-01-01 10:02:00"), "spam spam spam spam spam spam"), // mode-dominated
+        Doc(4L, ts("2024-01-01 10:03:00"), "x y z x y z x y z x y z")) // 3-gram repetitive
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM qgate ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(kept === Seq(1L))
+    } finally q.stop()
+  }
+
   test("stream banding agrees with the batch LSH band keys") {
     import spark.implicits._
     // the stream's (band, bkey) construction must equal the batch
