@@ -91,7 +91,36 @@ object EventOps {
       |FROM events
       |GROUP BY event_type""".stripMargin
 
+  // --- q_retention: day-grain cohort retention matrix --------------------
+  // The product-analytics staple: users bucketed by first-seen day, then
+  // for each (cohort_day, days_since) the count of users active that day.
+  // Every stage is narrow and linear: distinct (user, day) partial-
+  // aggregates map-side; the cohort min and the join share the user_id
+  // key (one exchange each, AQE co-plans them); the final rows are
+  // already unique per (user, days_since), so a plain COUNT(*) IS the
+  // distinct-user count — no countDistinct, no Expand.
+  private def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val activity = table(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val cohort = activity.groupBy(col("user_id")).agg(min(col("d")).as("cohort_date"))
+    activity.join(cohort, "user_id")
+      .select(col("cohort_date"),
+        datediff(col("d"), col("cohort_date")).cast(LongType).as("days_since"))
+      .groupBy(col("cohort_date"), col("days_since"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  private val qRetentionSql =
+    """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |c AS (SELECT user_id, MIN(d) AS cohort_date FROM a GROUP BY 1)
+      |SELECT cohort_date, date_diff('day', cohort_date, d) AS days_since,
+      |  COUNT(*) AS n_users
+      |FROM a JOIN c USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_retention", qRetention, Some(qRetentionSql)),
     QueryDef("q_events_hourly", qHourly, Some(qHourlySql), headline = true),
     QueryDef("q_sessionize", qSessionize, Some(qSessionizeSql), headline = true),
     QueryDef("q_json_props", qJsonProps, Some(qJsonPropsSql)))

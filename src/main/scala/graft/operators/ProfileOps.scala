@@ -69,6 +69,34 @@ object ProfileOps {
        |FROM orders""".stripMargin
   }.mkString("", "\nUNION ALL\n", "")
 
+  // --- q_histogram: fixed-width price histogram --------------------------
+  // Distribution profiling beyond min/max: $5,000 bins over
+  // l_extendedprice. The money column is pre-rounded to 2 decimals, so
+  // cents = round(price·100) is integer-exact in both engines and the bin
+  // arithmetic stays BIGINT. One wordcount-shaped agg (map-side combine,
+  // output bounded by the value domain / bin width, not the corpus).
+  private val BinCents = 500000L
+
+  private def qHistogram(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .select(expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+      .groupBy(expr(s"cents div $BinCents").as("bin"))
+      .agg(count(lit(1)).as("n_items"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+      .withColumn("bin_lo_cents", col("bin") * BinCents)
+      .select(col("bin"), col("bin_lo_cents"), col("n_items"),
+        col("min_cents"), col("max_cents"))
+
+  private val qHistogramSql =
+    s"""SELECT bin, bin * $BinCents AS bin_lo_cents, COUNT(*) AS n_items,
+       |  MIN(cents) AS min_cents, MAX(cents) AS max_cents
+       |FROM (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) // $BinCents AS bin,
+       |             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+       |      FROM lineitem) t
+       |GROUP BY bin""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_histogram", qHistogram, Some(qHistogramSql)),
     QueryDef("q_profile_orders", qProfile, Some(qProfileSql)))
 }

@@ -127,6 +127,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(q.count() === docs.select("source").distinct().count())
   }
 
+  test("q_retention: day-zero rows account for every user exactly once") {
+    val r = run("q_retention").cache()
+    assert(r.filter(col("days_since") < 0).count() === 0)
+    // every user appears in exactly one cohort's day-0 row
+    val day0Users = r.filter(col("days_since") === 0)
+      .agg(sum(col("n_users"))).head().getLong(0)
+    val users = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id").distinct().count()
+    assert(day0Users === users)
+    // retention never exceeds the cohort size
+    val day0 = r.filter(col("days_since") === 0)
+      .select(col("cohort_date"), col("n_users").as("cohort_size"))
+    val bad = r.join(day0, "cohort_date").filter(col("n_users") > col("cohort_size"))
+    assert(bad.count() === 0)
+  }
+
+  test("q_histogram: bins partition the table, bounds respected") {
+    val h = run("q_histogram").cache()
+    val n = spark.read.parquet(s"$dir/lineitem.parquet").count()
+    assert(h.agg(sum(col("n_items"))).head().getLong(0) === n)
+    val bad = h.filter(
+      col("min_cents") < col("bin_lo_cents") ||
+        col("max_cents") >= col("bin_lo_cents") + 500000L ||
+        col("min_cents") > col("max_cents"))
+    assert(bad.count() === 0)
+  }
+
   test("q_winsorize: clamp fractions respect the percentile ranks") {
     val w = run("q_winsorize").cache()
     val n = w.agg(sum(col("n_docs"))).head().getLong(0)
