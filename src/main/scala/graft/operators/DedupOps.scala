@@ -80,33 +80,64 @@ object DedupOps {
   private val MaxShingleDf = 50
 
   private def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val all = shingles(table(spark, dir, "documents"))
-    // df prefilter as a counted agg + join (map-side combine; no window
-    // sort). The join re-shuffles shingle rows once; everything groupBy'd
-    // on shingle afterwards reuses that partitioning, and the joined
-    // result is cached for its two consumers (counts + pair generation).
-    val dfOk = all.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val docs = table(spark, dir, "documents")
+    // Exact-dedup FIRST: Jaccard is a function of the TEXT, so all
+    // shingle work runs once per DISTINCT text and doc pairs are expanded
+    // at the end. On a corpus with duplicates (every recrawl) this divides
+    // the inverted-index work by the dup ratio and the pair-counting agg
+    // by its square; the expansion joins are output-sized — irreducible.
+    // The group key is xxhash64(text) (narrow shuffle key, the q_curation
+    // 1e-15 collision contract); the doc-level df the cap contract is
+    // defined over equals the copy-count-weighted df over distinct texts.
+    val t = docs.select(col("doc_id"), xxhash64(col("text")).as("tkey"), col("text"))
+    val members = t.select(col("doc_id"), col("tkey"))
+    val groups = t.groupBy(col("tkey"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_copies"),
+        first(col("text")).as("text"))
+    val tsh = groups
+      .select(col("tkey"), col("n_copies"), split(trim(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("tkey"), col("n_copies"), explode(shingleArrayOf(col("w"))).as("shingle"))
+    val dfOk = tsh.groupBy(col("shingle")).agg(sum(col("n_copies")).as("df"))
       .filter(col("df") <= MaxShingleDf)
-    val sh = all.join(dfOk, "shingle").cache()
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // inverted-index pair generation: per-shingle doc lists are bounded by
-    // the df cap (≤ MaxShingleDf ids — collect_list is safe BECAUSE the
-    // stop-shingles are already gone), pairs generated inline — cheaper
-    // than a self-join shuffling both sides again.
-    val pairs = sh.filter(col("df") >= 2)
-      .groupBy(col("shingle")).agg(collect_list(col("doc_id")).as("ids"))
+    val sh = tsh.join(dfOk, "shingle").cache()
+    // capped shingle count per TEXT (identical for every copy of it)
+    val counts = sh.groupBy(col("tkey")).agg(count(lit(1)).as("n"))
+    // inverted-index pair generation: per-shingle text lists are bounded
+    // by the df cap (#distinct texts ≤ df ≤ MaxShingleDf — collect_list
+    // is safe BECAUSE the stop-shingles are already gone), pairs
+    // generated inline — cheaper than a self-join shuffling both sides.
+    val textPairs = sh
+      .groupBy(col("shingle")).agg(collect_list(col("tkey")).as("ids"))
+      .filter(size(col("ids")) >= 2)
       .select(explode(expr(
-        "filter(flatten(transform(ids, x -> transform(ids, y -> named_struct('d1', x, 'd2', y))))," +
-          " p -> p.d1 < p.d2)")).as("p"))
-      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+        "filter(flatten(transform(ids, x -> transform(ids, y -> named_struct('t1', x, 't2', y))))," +
+          " p -> p.t1 < p.t2)")).as("p"))
+      .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
       .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(counts.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-      .join(counts.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
-      .select(col("d1"), col("d2"),
+    val simTexts = textPairs
+      .join(counts.withColumnRenamed("tkey", "t1").withColumnRenamed("n", "n1"), "t1")
+      .join(counts.withColumnRenamed("tkey", "t2").withColumnRenamed("n", "n2"), "t2")
+      .select(col("t1"), col("t2"),
         (col("inter").cast(DoubleType)
           / (col("n1") + col("n2") - col("inter")).cast(DoubleType)).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
+    // expansion 1: cross-text doc pairs, ordering normalized to d1 < d2
+    val cross = simTexts
+      .join(members.withColumnRenamed("tkey", "t1").withColumnRenamed("doc_id", "da"), "t1")
+      .join(members.withColumnRenamed("tkey", "t2").withColumnRenamed("doc_id", "db"), "t2")
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"), col("jaccard"))
+    // expansion 2: intra-text pairs — identical docs share every capped
+    // shingle, so inter = n1 = n2 = n and jaccard = n/n = exactly 1.0,
+    // provided the text kept ≥1 capped shingle (`counts` membership)
+    val m2 = members.join(counts.select(col("tkey")), "tkey")
+    val intra = m2.alias("a")
+      .join(m2.alias("b"),
+        col("a.tkey") === col("b.tkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(intra)
   }
 
   /** Shared oracle CTEs: exact capped-Jaccard pair generation (reused by
