@@ -299,32 +299,65 @@ object DedupOps {
   // (candidates derive from xxhash64) → rows-only; exactness of the final
   // jaccard values is inherited from the shingle counts.
   private def qMinhashVerified(spark: SparkSession, dir: String): DataFrame = {
-    val cand = minhashCandidates(spark, dir).select(col("d1"), col("d2"))
-    // verify by joining each candidate pair to the two docs' shingle SETS
-    // and intersecting the arrays — cost ∝ |candidates| × shingles/doc,
-    // independent of inverted-index fan-out (which re-explodes on corpora
-    // where candidates are dense). The sets are built per-row from the
-    // projected token array — no explode/collect_set shuffle — and are
-    // carried through the pair joins as 64-bit shingle HASHES, not
-    // strings: the candidate join shuffles |cand| × set-size cells, and
-    // fixed-width longs serialize ~5× tighter than shingle text (a 64-bit
-    // intersection collision is ~1e-15 per pair — the distinct-string
-    // count n stays exact).
-    // cached: referenced twice (s1/s2) — |docs| × set-size longs
-    val docSets = tokenized(table(spark, dir, "documents"))
-      .select(col("doc_id"), shingleArrayOf(col("w")).as("shs0"))
-      .select(col("doc_id"),
+    // Exact-dedup FIRST (same move as q_dedup_ngram_jaccard): signature
+    // and shingle set are functions of the TEXT, so propose and verify
+    // run once per DISTINCT text — on a recrawl corpus the candidate-pair
+    // volume divides by the dup ratio SQUARED — and doc pairs are
+    // expanded by output-sized joins at the end. Identical docs share
+    // every band (same signature), so intra-text pairs are candidates by
+    // construction and verify to exactly 1.0.
+    //
+    // Verification joins each candidate text pair to the two shingle
+    // SETS, carried as 64-bit shingle HASHES, not strings: the candidate
+    // join shuffles |cand| × set-size cells, and fixed-width longs
+    // serialize ~5× tighter than shingle text (a 64-bit intersection
+    // collision is ~1e-15 per pair — the distinct-string count n stays
+    // exact). Sets are built per-row from the projected token array — no
+    // explode/collect_set shuffle. The narrow repartition spreads the
+    // CPU-heavy signature+set computation (parquet layout may pack small
+    // inputs into few splits).
+    val docs = table(spark, dir, "documents")
+    val t = docs.select(col("doc_id"), xxhash64(col("text")).as("tkey"), col("text"))
+    val members = t.select(col("doc_id"), col("tkey"))
+    val base = t.groupBy(col("tkey")).agg(first(col("text")).as("text"))
+      .repartition(col("tkey"))
+      .select(col("tkey"), col("text"), split(trim(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 3) // == signature non-null
+      .select(col("tkey"),
+        graft.functions.MinHash.signature(col("text")).as("sig"),
+        shingleArrayOf(col("w")).as("shs0"))
+      .select(col("tkey"), col("sig"),
         expr("transform(shs0, s -> xxhash64(s))").as("shs"),
         size(col("shs0")).cast(LongType).as("n"))
-      .cache()
-    val s1 = docSets.select(col("doc_id").as("d1"), col("shs").as("shs1"), col("n").as("n1"))
-    val s2 = docSets.select(col("doc_id").as("d2"), col("shs").as("shs2"), col("n").as("n2"))
-    cand.join(s1, "d1").join(s2, "d2")
+      .cache() // referenced three times (bands + both verify sides)
+    val bands = base.select(col("tkey"),
+      explode(expr(s"transform(sequence(0, ${NumPerms / BandSize - 1}), " +
+        s"b -> named_struct('band', b, 'key', xxhash64(slice(sig, b*$BandSize + 1, $BandSize))))")).as("bk"))
+      .select(col("tkey"), col("bk.band").as("band"), col("bk.key").as("bkey"))
+    val cand = bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
+      .filter(col("a.tkey") < col("b.tkey"))
+      .select(col("a.tkey").as("t1"), col("b.tkey").as("t2"))
+      .distinct()
+    val s1 = base.select(col("tkey").as("t1"), col("shs").as("shs1"), col("n").as("n1"))
+    val s2 = base.select(col("tkey").as("t2"), col("shs").as("shs2"), col("n").as("n2"))
+    val simTexts = cand.join(s1, "t1").join(s2, "t2")
       .withColumn("inter", size(array_intersect(col("shs1"), col("shs2"))).cast(LongType))
-      .select(col("d1"), col("d2"),
+      .select(col("t1"), col("t2"),
         (col("inter").cast(DoubleType)
           / (col("n1") + col("n2") - col("inter")).cast(DoubleType)).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
+    val cross = simTexts
+      .join(members.withColumnRenamed("tkey", "t1").withColumnRenamed("doc_id", "da"), "t1")
+      .join(members.withColumnRenamed("tkey", "t2").withColumnRenamed("doc_id", "db"), "t2")
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"), col("jaccard"))
+    val m2 = members.join(base.select(col("tkey")), "tkey")
+    val intra = m2.alias("a")
+      .join(m2.alias("b"),
+        col("a.tkey") === col("b.tkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(intra)
   }
 
   /** Per-doc 32-minhash signatures via the native single-pass expression

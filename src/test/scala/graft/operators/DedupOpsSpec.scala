@@ -51,4 +51,34 @@ class DedupOpsSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  test("two-stage verified dedup == all-pairs exact jaccard on the fixture") {
+    import org.apache.spark.sql.functions._
+    // ground truth: brute-force EXACT jaccard over string shingle sets,
+    // every pair, no df cap — what the propose/verify pipeline promises
+    // to reproduce (LSH recall on same-signature/near-dup pairs + exact
+    // verification). 500 docs → 125k pairs: fine in a test.
+    val dir = "/root/testdata/sf0.01"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), array_distinct(
+        transform(sequence(lit(1), size(col("w")) - 2),
+          i => concat_ws(" ", element_at(col("w"), i),
+            element_at(col("w"), i + 1), element_at(col("w"), i + 2)))).as("shs"))
+    val a = docs.select(col("doc_id").as("d1"), col("shs").as("s1"))
+    val b = docs.select(col("doc_id").as("d2"), col("shs").as("s2"))
+    val exact = a.crossJoin(b).filter(col("d1") < col("d2"))
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("s1")) + size(col("s2")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("d1"), col("d2"), col("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val verified = graft.QueryRegistry.byName("q_dedup_minhash_verified")
+      .run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(verified === exact,
+      s"missing=${(exact -- verified).take(5)} extra=${(verified -- exact).take(5)}")
+  }
 }
