@@ -387,19 +387,34 @@ object TextOps {
 
   private def qTfIdf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = table(spark, dir, "documents")
-      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    // Exact-dedup first (the DedupOps move): tf, df, score and rank are
+    // functions of the TEXT, so the term explode, both aggregations and
+    // the top-k window run once per DISTINCT text; per-doc rows expand by
+    // one output-sized join at the end. Doc-level df == copy-weighted df
+    // over distinct texts; n_docs == Σ copies. Oracle untouched.
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), xxhash64(col("text")).as("tkey"), col("text"))
+    val members = docs.select(col("doc_id"), col("tkey"))
+    val groups = docs.groupBy(col("tkey"))
+      .agg(count(lit(1)).as("n_copies"), first(col("text")).as("text"))
       .cache()
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = tf.select(countDistinct(col("doc_id")).as("n_docs"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    val tf = groups
+      .select(col("tkey"), col("n_copies"),
+        explode(split(trim(col("text")), " ")).as("term"))
+      .groupBy(col("tkey"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("n_copies")).as("n_copies"))
+      .cache()
+    val df = tf.groupBy(col("term")).agg(sum(col("n_copies")).as("df"))
+    val nDocs = groups.agg(sum(col("n_copies")).as("n_docs"))
+    val w = Window.partitionBy(col("tkey")).orderBy(col("score").desc, col("term"))
     tf.join(df, "term").crossJoin(nDocs)
-      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+      .select(col("tkey"), col("term"), col("tf"), col("df"),
         ((col("tf") * col("n_docs")).cast(DoubleType) / col("df").cast(DoubleType)).as("score"))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= TfIdfK)
+      .join(members, "tkey")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
   }
 
   private val qTfIdfSql =
