@@ -79,21 +79,26 @@ object DedupOps {
     * exact-verify), whose cost has no df term at all. */
   private val MaxShingleDf = 50
 
-  private def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = table(spark, dir, "documents")
-    // Exact-dedup FIRST: Jaccard is a function of the TEXT, so all
-    // shingle work runs once per DISTINCT text and doc pairs are expanded
-    // at the end. On a corpus with duplicates (every recrawl) this divides
-    // the inverted-index work by the dup ratio and the pair-counting agg
-    // by its square; the expansion joins are output-sized — irreducible.
-    // The group key is xxhash64(text) (narrow shuffle key, the q_curation
-    // 1e-15 collision contract); the doc-level df the cap contract is
-    // defined over equals the copy-count-weighted df over distinct texts.
-    val t = docs.select(col("doc_id"), xxhash64(col("text")).as("tkey"), col("text"))
+  /** Text-level near-dup machinery shared by q_dedup_ngram_jaccard and
+    * q_dedup_clusters. Exact-dedup FIRST: Jaccard is a function of the
+    * TEXT, so all shingle work runs once per DISTINCT text; doc-level
+    * results are expanded afterwards by output-sized joins. On a corpus
+    * with duplicates (every recrawl) this divides the inverted-index work
+    * by the dup ratio and the pair-counting agg by its square. The group
+    * key is xxhash64(text) (narrow shuffle key, the q_curation 1e-15
+    * collision contract); the doc-level df the cap contract is defined
+    * over equals the copy-count-weighted df over distinct texts.
+    *
+    * Returns (members = (doc_id, tkey),
+    *          counts = capped shingle count per text (texts with ≥1),
+    *          simTexts = (t1, t2, jaccard ≥ 0.5) over distinct texts). */
+  private def ngramTextPairs(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val t = table(spark, dir, "documents")
+      .select(col("doc_id"), xxhash64(col("text")).as("tkey"), col("text"))
     val members = t.select(col("doc_id"), col("tkey"))
     val groups = t.groupBy(col("tkey"))
-      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_copies"),
-        first(col("text")).as("text"))
+      .agg(count(lit(1)).as("n_copies"), first(col("text")).as("text"))
     val tsh = groups
       .select(col("tkey"), col("n_copies"), split(trim(col("text")), " ").as("w"))
       .filter(size(col("w")) >= 3)
@@ -122,6 +127,11 @@ object DedupOps {
         (col("inter").cast(DoubleType)
           / (col("n1") + col("n2") - col("inter")).cast(DoubleType)).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
+    (members, counts, simTexts)
+  }
+
+  private def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val (members, counts, simTexts) = ngramTextPairs(spark, dir)
     // expansion 1: cross-text doc pairs, ordering normalized to d1 < d2
     val cross = simTexts
       .join(members.withColumnRenamed("tkey", "t1").withColumnRenamed("doc_id", "da"), "t1")
@@ -232,10 +242,36 @@ object DedupOps {
     labels
   }
 
-  private def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
-    connectedComponents(qNgramJaccard(spark, dir).select(col("d1"), col("d2")))
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
-        when(col("id") === col("label"), 1L).otherwise(0L).as("is_keeper"))
+  // Clusters are computed at the TEXT level and labels expanded to docs:
+  // copies of one text are pairwise-connected (intra jaccard 1.0), so the
+  // doc-pair graph is exactly the text-pair graph with each node blown up
+  // into a clique — its components are the text components. The CC
+  // iteration therefore runs on a graph smaller by the dup ratio squared;
+  // cluster ids (min doc id of the component) come from min-rep per
+  // component, and the doc expansion is one output-sized join.
+  private def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val (members, counts, simTexts) = ngramTextPairs(spark, dir)
+    val copies = members.groupBy(col("tkey"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("rep"))
+    val comp = connectedComponents(
+      simTexts.select(col("t1").as("d1"), col("t2").as("d2")))
+      .select(col("id").as("tkey"), col("label"))
+    // texts with no near-dup edge but ≥2 copies (and ≥1 capped shingle —
+    // otherwise no intra pairs exist) form their own singleton component
+    val intraOnly = copies.join(counts.select(col("tkey")), "tkey")
+      .filter(col("n_copies") >= 2)
+      .join(comp, Seq("tkey"), "left_anti")
+      .select(col("tkey"), col("tkey").as("label"))
+    val allComp = comp.unionByName(intraOnly)
+    // component label lives in tkey space; the cluster id is the min
+    // member DOC id = min representative over the component's texts
+    val clusterIds = allComp.join(copies.select(col("tkey"), col("rep")), "tkey")
+      .groupBy(col("label")).agg(min(col("rep")).as("cluster_id"))
+    allComp.join(clusterIds, "label")
+      .join(members, "tkey")
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L).as("is_keeper"))
+  }
 
   private val qDedupClustersSql =
     s"""WITH RECURSIVE $ngramPairCtes,
