@@ -3,7 +3,8 @@ package graft.streaming
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Streaming document ingest with near-duplicate suppression — the
   * streaming half of the batch propose/verify dedup pipeline
@@ -44,6 +45,52 @@ object DocStream {
 
   val BandSize = 4
   val NumBands: Int = graft.functions.MinHash.NumPerms / BandSize // 8
+
+  /** Exact verification of proposed pairs against a corpus — the batch
+    * half of the two-stage pipeline, shared by [[verifiedNearDups]] and
+    * callable standalone: joins each (keeper_id, doc_id) pair to both
+    * documents' hashed shingle sets and keeps pairs whose EXACT jaccard
+    * clears the threshold (same 64-bit set-intersect contract as
+    * DedupOps.qMinhashVerified). Cost ∝ |pairs| × set size. */
+  def verifyCandidates(
+      corpus: DataFrame, pairs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sets = corpus
+      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        expr("transform(array_distinct(transform(sequence(1, size(w) - 2), " +
+          "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), " +
+          "element_at(w, i + 2)))), s -> xxhash64(s))").as("shs"))
+      .select(col("doc_id"), col("shs"), size(col("shs")).cast(LongType).as("n"))
+    val s1 = sets.select(col("doc_id").as("keeper_id"),
+      col("shs").as("shs1"), col("n").as("n1"))
+    val s2 = sets.select(col("doc_id"), col("shs").as("shs2"), col("n").as("n2"))
+    pairs.join(s1, "keeper_id").join(s2, "doc_id")
+      .withColumn("inter", size(array_intersect(col("shs1"), col("shs2"))).cast(LongType))
+      .select(col("keeper_id"), col("doc_id"),
+        (col("inter").cast(DoubleType)
+          / (col("n1") + col("n2") - col("inter")).cast(DoubleType)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** End-to-end streaming two-stage dedup: the LSH propose stage streams
+    * candidate pairs; every micro-batch is exactly verified against the
+    * corpus via foreachBatch, and only confirmed near-duplicates reach
+    * `emit`. This is the production wiring: the stream spends state only
+    * on band keepers, the exact work is bounded by the candidate volume,
+    * and a false band collision never reaches the output. */
+  def verifiedNearDups(
+      spark: SparkSession,
+      docs: DataFrame,
+      corpus: DataFrame,
+      threshold: Double = 0.5)(emit: DataFrame => Unit): StreamingQuery =
+    nearDupCandidates(spark, docs).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        emit(verifyCandidates(corpus,
+          batch.select(col("keeper_id"), col("doc_id")).distinct(), threshold))
+      }
+      .start()
 
   /** (band, bkey) rows for one document column set: the signature is
     * sliced into NumBands bands of BandSize minima, each folded to a

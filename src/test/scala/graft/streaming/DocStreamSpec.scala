@@ -89,6 +89,42 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("verifiedNearDups: exact verification gates the proposed pairs") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // near-dup of base differs in ONE token → exact jaccard 5/7 ≈ 0.714:
+    // passes at 0.5, rejected at 0.9; the exact copy is 1.0 — passes both
+    val nearDup = base.replace("theta", "iota")
+    val corpus = Seq((1L, base), (2L, nearDup), (3L, distinct), (4L, base))
+      .toDF("doc_id", "text")
+    def runWith(threshold: Double): Set[(Long, Long)] = {
+      val input = MemoryStream[Doc]
+      val got = scala.collection.mutable.Set.empty[(Long, Long)]
+      val q = DocStream.verifiedNearDups(spark, input.toDF(), corpus, threshold) {
+        verified =>
+          got ++= verified.collect().map(r => (r.getLong(0), r.getLong(1)))
+      }
+      try {
+        input.addData(
+          Doc(1L, ts("2024-01-01 10:00:00"), base),
+          Doc(2L, ts("2024-01-01 10:01:00"), nearDup),
+          Doc(3L, ts("2024-01-01 10:02:00"), distinct),
+          Doc(4L, ts("2024-01-01 10:03:00"), base))
+        q.processAllAvailable()
+      } finally q.stop()
+      got.toSet
+    }
+    val loose = runWith(0.5)
+    assert(loose.contains((1L, 2L)), s"near-dup must verify at 0.5: $loose")
+    assert(loose.contains((1L, 4L)), s"exact copy must verify: $loose")
+    assert(!loose.exists { case (k, d) => k == 3L || d == 3L },
+      s"unrelated doc must not verify: $loose")
+    val strict = runWith(0.9)
+    assert(!strict.contains((1L, 2L)),
+      s"0.714-jaccard pair must be rejected at 0.9: $strict")
+    assert(strict.contains((1L, 4L)), s"exact copy must survive 0.9: $strict")
+  }
+
   test("stream banding agrees with the batch LSH band keys") {
     import spark.implicits._
     // the stream's (band, bkey) construction must equal the batch
