@@ -242,6 +242,68 @@ object DedupOps {
     labels
   }
 
+  // --- q_dedup_incremental: dedup a NEW batch against the EXISTING corpus
+  // The incremental-ingest shape: when a new crawl lands, only new×old
+  // (and new×new, handled by the regular operators) similarity matters —
+  // re-deduping the 100 TB resident corpus against itself would be
+  // quadratic waste. The split is the deterministic multiplicative-hash
+  // bucket (old = bucket<80 ≙ the resident corpus, new = bucket≥90 ≙ the
+  // arriving batch — the q_train_split/q_contamination family). The
+  // inverted index is built once over the union (df cap identical to
+  // q_dedup_ngram_jaccard); per-shingle OLD×NEW cross pairs are generated
+  // inline, bounded by the cap — no old×old pair is ever materialized.
+  private def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val all = shingles(table(spark, dir, "documents"))
+    val dfOk = all.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf)
+    val capped = all.join(dfOk, "shingle")
+      .withColumn("bucket",
+        pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(100L)))
+      .cache()
+    val counts = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = capped
+      .withColumn("side",
+        when(col("bucket") < 80, lit("o")).when(col("bucket") >= 90, lit("n")))
+      .filter(col("side").isNotNull)
+      .groupBy(col("shingle"))
+      .agg(
+        collect_list(when(col("side") === "o", col("doc_id"))).as("olds"),
+        collect_list(when(col("side") === "n", col("doc_id"))).as("news"))
+      .filter(size(col("olds")) >= 1 && size(col("news")) >= 1)
+      .select(explode(expr(
+        "flatten(transform(olds, o -> transform(news, nn -> " +
+          "named_struct('old_id', o, 'new_id', nn))))")).as("p"))
+      .groupBy(col("p.old_id").as("old_id"), col("p.new_id").as("new_id"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(counts.withColumnRenamed("doc_id", "old_id").withColumnRenamed("n", "n1"), "old_id")
+      .join(counts.withColumnRenamed("doc_id", "new_id").withColumnRenamed("n", "n2"), "new_id")
+      .select(col("old_id"), col("new_id"),
+        (col("inter").cast(DoubleType)
+          / (col("n1") + col("n2") - col("inter")).cast(DoubleType)).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  private val qDedupIncrementalSql =
+    s"""WITH sh0 AS ($shinglesSql),
+       |capped AS (
+       |  SELECT doc_id, (doc_id * 2654435761) % 4294967296 % 100 AS bucket, shingle
+       |  FROM (SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+       |        FROM sh0) t
+       |  WHERE df <= $MaxShingleDf),
+       |counts AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS old_id, b.doc_id AS new_id, COUNT(*) AS inter
+       |  FROM capped a JOIN capped b USING (shingle)
+       |  WHERE a.bucket < 80 AND b.bucket >= 90
+       |  GROUP BY 1, 2)
+       |SELECT old_id, new_id,
+       |  inter::DOUBLE / (c1.n + c2.n - inter)::DOUBLE AS jaccard
+       |FROM pairs
+       |JOIN counts c1 ON c1.doc_id = old_id
+       |JOIN counts c2 ON c2.doc_id = new_id
+       |WHERE inter::DOUBLE / (c1.n + c2.n - inter)::DOUBLE >= 0.5""".stripMargin
+
   // Clusters are computed at the TEXT level and labels expanded to docs:
   // copies of one text are pairwise-connected (intra jaccard 1.0), so the
   // doc-pair graph is exactly the text-pair graph with each node blown up
@@ -635,5 +697,6 @@ object DedupOps {
     QueryDef("q_dedup_simhash_portable", qSimhashPortable, Some(qSimhashPortableSql)),
     QueryDef("q_dedup_embedding", qEmbeddingDedup, Some(qEmbeddingDedupSql)),
     QueryDef("q_dedup_minhash_verified", qMinhashVerified, None, headline = true),
-    QueryDef("q_dedup_clusters", qDedupClusters, Some(qDedupClustersSql)))
+    QueryDef("q_dedup_clusters", qDedupClusters, Some(qDedupClustersSql)),
+    QueryDef("q_dedup_incremental", qDedupIncremental, Some(qDedupIncrementalSql)))
 }

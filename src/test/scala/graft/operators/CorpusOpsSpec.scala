@@ -127,6 +127,16 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(q.count() === docs.select("source").distinct().count())
   }
 
+  test("q_dedup_incremental: pairs cross the split only, never within a side") {
+    val p = run("q_dedup_incremental").cache()
+    def bucket(c: org.apache.spark.sql.Column) =
+      pmod(pmod(c * lit(2654435761L), lit(4294967296L)), lit(100L))
+    val bad = p.filter(
+      bucket(col("old_id")) >= 80 || bucket(col("new_id")) < 90 ||
+        col("jaccard") < 0.5 || col("jaccard") > 1.0)
+    assert(bad.count() === 0)
+  }
+
   test("q_retention: day-zero rows account for every user exactly once") {
     val r = run("q_retention").cache()
     assert(r.filter(col("days_since") < 0).count() === 0)
