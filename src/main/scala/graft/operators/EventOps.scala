@@ -119,7 +119,56 @@ object EventOps {
       |FROM a JOIN c USING (user_id)
       |GROUP BY 1, 2""".stripMargin
 
+  // --- q_hourly_anomaly: z-score outliers over hourly event volumes ------
+  // Monitoring staple: flag hours whose event count deviates > 2σ from
+  // that event type's mean hourly volume. Cross-engine determinism
+  // argument: the moments are INTEGER sums (n, Σx, Σx²) — exact in both
+  // engines — and mean/variance/z follow in a fixed double expression
+  // tree of exactly-rounded IEEE ops (+,−,×,÷,sqrt are all correctly
+  // rounded per IEEE-754, so identical trees give identical bits; only
+  // REASSOCIATED sums and libm transcendentals diverge, and there are
+  // none here). Two narrow aggs: hourly counts, then per-type moments —
+  // value-domain-sized, broadcast back.
+  private def qHourlyAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = table(spark, dir, "events")
+      .withColumn("hour", date_trunc("hour", col("ts")).cast(TimestampNTZType))
+      .groupBy(col("hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("cnt")).as("s1"),
+        sum(col("cnt") * col("cnt")).as("s2"))
+      .withColumn("mean", col("s1").cast(DoubleType) / col("n_hours").cast(DoubleType))
+      .withColumn("variance",
+        (col("s2").cast(DoubleType) - col("s1").cast(DoubleType) * col("mean"))
+          / col("n_hours").cast(DoubleType))
+      .select(col("event_type"), col("n_hours"), col("mean"), col("variance"))
+    hourly.join(broadcast(stats), "event_type")
+      .withColumn("z",
+        (col("cnt").cast(DoubleType) - col("mean")) / sqrt(col("variance")))
+      .filter(abs(col("z")) > 2.0)
+      .select(col("event_type"), col("hour"), col("cnt"), col("mean"), col("z"))
+  }
+
+  private val qHourlyAnomalySql =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, COUNT(*) AS n_hours,
+      |    CAST(SUM(cnt) AS BIGINT) AS s1,
+      |    CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+      |  FROM hourly GROUP BY 1),
+      |m AS (
+      |  SELECT event_type, n_hours, s1::DOUBLE / n_hours AS mean,
+      |    (s2::DOUBLE - s1::DOUBLE * (s1::DOUBLE / n_hours)) / n_hours AS variance
+      |  FROM stats)
+      |SELECT event_type, hour, cnt, mean,
+      |  (cnt::DOUBLE - mean) / sqrt(variance) AS z
+      |FROM hourly JOIN m USING (event_type)
+      |WHERE abs((cnt::DOUBLE - mean) / sqrt(variance)) > 2.0""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_hourly_anomaly", qHourlyAnomaly, Some(qHourlyAnomalySql)),
     QueryDef("q_retention", qRetention, Some(qRetentionSql)),
     QueryDef("q_events_hourly", qHourly, Some(qHourlySql), headline = true),
     QueryDef("q_sessionize", qSessionize, Some(qSessionizeSql), headline = true),

@@ -484,7 +484,43 @@ object TextOps {
        |        FROM documents) d) t
        |WHERE cum_toks <= $TokenBudget""".stripMargin
 
+  // --- q_weighted_sample: quality-weighted deterministic sampling --------
+  // Mixture construction where inclusion probability ∝ quality: keep a
+  // document iff u < weight·rate, with u = docHash/2³² the deterministic
+  // uniform draw (the q_train_split family — reproducible across runs,
+  // partitionings and engines) and weight = the q_text_stats quality
+  // score. Every value is a fixed tree of exactly-rounded IEEE doubles —
+  // no reassociation, no libm — so the kept set is engine-identical.
+  // Single scan, no shuffle.
+  private val SampleRate = 0.5
+
+  private def qWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = toks
+    val nTokens = size(w).cast(LongType)
+    val nStop = sumOver(w, t => when(t.isin(Stopwords: _*), 1L).otherwise(0L))
+    val quality = least(lit(1.0), nTokens.cast(DoubleType) / 100.0) *
+      (lit(1.0) - nStop.cast(DoubleType) / nTokens.cast(DoubleType))
+    val u = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      .cast(DoubleType) / 4294967296.0
+    table(spark, dir, "documents")
+      .select(col("doc_id"), u.as("u"), quality.as("weight"))
+      .filter(col("u") < col("weight") * SampleRate)
+  }
+
+  private val qWeightedSampleSql = {
+    val stop = Stopwords.map("'" + _ + "'").mkString(",")
+    val nStop = s"list_reduce(list_prepend(0::BIGINT, [CASE WHEN t IN ($stop) THEN 1::BIGINT ELSE 0::BIGINT END FOR t IN string_split(trim(text), ' ')]), (a,x) -> a+x)"
+    val nTok = "len(string_split(trim(text), ' '))"
+    s"""SELECT doc_id, u, weight FROM (
+       |  SELECT doc_id,
+       |    ((doc_id * 2654435761) % 4294967296)::DOUBLE / 4294967296 AS u,
+       |    least(1.0, $nTok / 100.0) * (1.0 - $nStop::DOUBLE / $nTok) AS weight
+       |  FROM documents) t
+       |WHERE u < weight * $SampleRate""".stripMargin
+  }
+
   def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_weighted_sample", qWeightedSample, Some(qWeightedSampleSql)),
     QueryDef("q_token_budget", qTokenBudget, Some(qTokenBudgetSql)),
     QueryDef("q_repetition", qRepetition, Some(qRepetitionSql)),
     QueryDef("q_stratified_sample", qStratifiedSample, Some(qStratifiedSampleSql)),

@@ -137,6 +137,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("q_weighted_sample: kept set respects the acceptance inequality") {
+    val s = run("q_weighted_sample").cache()
+    assert(s.count() >= 1)
+    val bad = s.filter(
+      col("u") >= col("weight") * 0.5 ||
+        col("u") < 0.0 || col("u") >= 1.0 ||
+        col("weight") < 0.0 || col("weight") > 1.0)
+    assert(bad.count() === 0)
+  }
+
+  test("q_hourly_anomaly: only >2-sigma hours flagged") {
+    val a = run("q_hourly_anomaly").cache()
+    assert(a.count() >= 1)
+    // every flagged row actually deviates: |cnt - mean| > 2σ ⇒ |z| > 2
+    assert(a.filter(abs(col("z")) <= 2.0).count() === 0)
+  }
+
   test("q_retention: day-zero rows account for every user exactly once") {
     val r = run("q_retention").cache()
     assert(r.filter(col("days_since") < 0).count() === 0)
