@@ -253,35 +253,28 @@ object DedupOps {
   // q_dedup_ngram_jaccard); per-shingle OLD×NEW cross pairs are generated
   // inline, bounded by the cap — no old×old pair is ever materialized.
   private def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val all = shingles(table(spark, dir, "documents"))
-    val dfOk = all.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf)
-    val capped = all.join(dfOk, "shingle")
-      .withColumn("bucket",
-        pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(100L)))
-      .cache()
-    val counts = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = capped
-      .withColumn("side",
-        when(col("bucket") < 80, lit("o")).when(col("bucket") >= 90, lit("n")))
-      .filter(col("side").isNotNull)
-      .groupBy(col("shingle"))
-      .agg(
-        collect_list(when(col("side") === "o", col("doc_id"))).as("olds"),
-        collect_list(when(col("side") === "n", col("doc_id"))).as("news"))
-      .filter(size(col("olds")) >= 1 && size(col("news")) >= 1)
-      .select(explode(expr(
-        "flatten(transform(olds, o -> transform(news, nn -> " +
-          "named_struct('old_id', o, 'new_id', nn))))")).as("p"))
-      .groupBy(col("p.old_id").as("old_id"), col("p.new_id").as("new_id"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(counts.withColumnRenamed("doc_id", "old_id").withColumnRenamed("n", "n1"), "old_id")
-      .join(counts.withColumnRenamed("doc_id", "new_id").withColumnRenamed("n", "n2"), "new_id")
-      .select(col("old_id"), col("new_id"),
-        (col("inter").cast(DoubleType)
-          / (col("n1") + col("n2") - col("inter")).cast(DoubleType)).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+    // rides the shared text-level machinery (ngramTextPairs): similarity
+    // is computed once per distinct-text pair; the old/new SPLIT is
+    // per-document (hash bucket), so side membership filters during the
+    // expansion joins, not during the expensive pair generation
+    val (members, counts, simTexts) = ngramTextPairs(spark, dir)
+    val bucket = pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(100L))
+    val sided = members.withColumn("bucket", bucket)
+    val olds = sided.filter(col("bucket") < 80).select(col("doc_id"), col("tkey"))
+    val news = sided.filter(col("bucket") >= 90).select(col("doc_id"), col("tkey"))
+    // cross-text: old docs of t1 × new docs of t2, both orientations
+    def expand(keyA: String, keyB: String): DataFrame = simTexts
+      .join(olds.withColumnRenamed("tkey", keyA).withColumnRenamed("doc_id", "old_id"), keyA)
+      .join(news.withColumnRenamed("tkey", keyB).withColumnRenamed("doc_id", "new_id"), keyB)
+      .select(col("old_id"), col("new_id"), col("jaccard"))
+    val cross = expand("t1", "t2").unionByName(expand("t2", "t1"))
+    // same-text: identical docs straddling the split share every capped
+    // shingle → jaccard exactly 1.0 (requires ≥1 capped shingle)
+    val intra = olds.join(counts.select(col("tkey")), "tkey")
+      .withColumnRenamed("doc_id", "old_id")
+      .join(news.withColumnRenamed("doc_id", "new_id"), "tkey")
+      .select(col("old_id"), col("new_id"), lit(1.0).as("jaccard"))
+    cross.unionByName(intra)
   }
 
   private val qDedupIncrementalSql =
