@@ -245,6 +245,50 @@ class NativeVsComposedSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition stats + shingle hashes: property — random BMP corpora agree") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.types.LongType
+    // same BMP-only contract as the portable-minhash property (split(s,'')
+    // walks code units, so astral chars are out of the portable contract)
+    val token = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("ä", "日本", "é!", "", "x", "x x"))
+    val doc = Gen.chooseNum(0, 9).flatMap(n => Gen.listOfN(n, token))
+      .map(_.mkString(" "))
+    val w = split(trim(col("text")), " ")
+    val n = size(w).cast(LongType)
+    val maxTok = array_max(transform(array_distinct(w),
+      t => size(filter(w, x => x === t)).cast(LongType)))
+    def gram(g: Int): Seq[org.apache.spark.sql.Column] = {
+      val grams = transform(sequence(lit(1), size(w) - (g - 1)),
+        i => concat_ws(" ", (0 until g).map(j => element_at(w, i + j)): _*))
+      Seq(when(size(w) >= g + 1, size(array_distinct(grams)).cast(LongType))
+        .otherwise(lit(0L)),
+        when(size(w) >= g + 1, size(grams).cast(LongType)).otherwise(lit(0L)))
+    }
+    val composedShs = array_sort(array_distinct(transform(
+      array_distinct(transform(sequence(lit(1), size(w) - 2), i => concat_ws(" ",
+        element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))),
+      s => aggregate(transform(split(s, ""), c => ascii(c).cast(LongType)),
+        lit(0L), (acc, c) => (acc * 31 + c) % PolyMinHash.P))))
+    val prop = Prop.forAll(Gen.listOfN(6, doc)) { texts: List[String] =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val composed = docs.select(col("doc_id"),
+        array((Seq(n, maxTok) ++ gram(2) ++ gram(3)): _*).as("st"),
+        when(size(w) >= 3, composedShs).as("hs"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getSeq[Long](1), Option(r.getSeq[Long](2)))).toMap
+      val native = docs.select(col("doc_id"),
+        graft.functions.RepetitionStats.stats(col("text")).as("st"),
+        graft.functions.PolyMinHash.shingleHashes(col("text")).as("hs"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getSeq[Long](1), Option(r.getSeq[Long](2)))).toMap
+      native == composed
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("dot product: native expression == composed aggregate(zip_with) fold") {
     val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"),
