@@ -257,21 +257,32 @@ object TextOps {
   // set — never pairwise in documents (no df cap needed, unlike the
   // all-pairs Jaccard).
   private def qContamination(spark: SparkSession, dir: String): DataFrame = {
-    val w = split(trim(col("text")), " ")
+    // Exact-dedup first (the DedupOps text-level move): shingle sets are
+    // text functions, so they're built once per DISTINCT text; the
+    // train/test SPLIT is per-document (hash bucket), so membership
+    // filters ride the narrow (doc_id, tkey) table — a text is in the
+    // train set iff ANY of its copies lands in a train bucket, and every
+    // test copy of one text shares the same counts, expanded at the end.
     val bucket = pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(100L))
-    val sh = table(spark, dir, "documents")
-      .select(col("doc_id"), w.as("w"), bucket.as("bucket"))
+    val t = table(spark, dir, "documents")
+      .select(col("doc_id"), xxhash64(col("text")).as("tkey"), col("text"))
+    val members = t.select(col("doc_id"), col("tkey"), bucket.as("bucket"))
+    val tsh = t.groupBy(col("tkey")).agg(first(col("text")).as("text"))
+      .select(col("tkey"), split(trim(col("text")), " ").as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), col("bucket"), explode(array_distinct(
+      .select(col("tkey"), explode(array_distinct(
         transform(sequence(lit(1), size(col("w")) - 2),
           i => concat_ws(" ", element_at(col("w"), i),
             element_at(col("w"), i + 1), element_at(col("w"), i + 2))))).as("shingle"))
-    val trainSh = sh.filter(col("bucket") < 80).select(col("shingle")).distinct()
-    val testSh = sh.filter(col("bucket") >= 90).select(col("doc_id"), col("shingle"))
-    val totals = testSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val shared = testSh.join(trainSh, "shingle")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-    totals.join(shared, Seq("doc_id"), "left")
+      .cache()
+    val trainKeys = members.filter(col("bucket") < 80).select(col("tkey")).distinct()
+    val trainSh = tsh.join(trainKeys, "tkey").select(col("shingle")).distinct()
+    val totalsT = tsh.groupBy(col("tkey")).agg(count(lit(1)).as("n_shingles"))
+    val sharedT = tsh.join(trainSh, "shingle")
+      .groupBy(col("tkey")).agg(count(lit(1)).as("n_shared"))
+    members.filter(col("bucket") >= 90)
+      .join(totalsT, "tkey")
+      .join(sharedT, Seq("tkey"), "left")
       .select(col("doc_id"), col("n_shingles"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         (coalesce(col("n_shared"), lit(0L)).cast(DoubleType)
