@@ -634,28 +634,59 @@ object DedupOps {
 
   private def qEmbeddingDedup(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorOps.dot
-    val e = table(spark, dir, "embeddings")
-      .select(col("vec_id"), col("label"),
+    // Exact-dedup FIRST (the text-level move, for vectors): banding,
+    // candidate generation and scoring run once per DISTINCT (label,
+    // embedding) — identical vectors (re-ingested shards, recrawl
+    // copies) share every sign band, so without this the within-bucket
+    // self-join grows with the dup ratio SQUARED. Group key is
+    // xxhash64(label, embedding) (narrow, the standard 1e-15 collision
+    // contract); expansions are output-sized; intra-group pairs score
+    // through the SAME pair formula on (v, v), bit-equal to the oracle.
+    val raw = table(spark, dir, "embeddings")
+      .withColumn("ekey", xxhash64(col("label"), col("embedding")))
+    val members = raw.select(col("vec_id"), col("ekey"))
+    val groups = raw.groupBy(col("ekey"))
+      .agg(first(col("label")).as("label"), first(col("embedding")).as("embedding"))
+      .select(col("ekey"), col("label"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-    val banded = e.select(col("vec_id"), col("label"), col("v"), col("norm"),
+      .cache()
+    val banded = groups.select(col("ekey"), col("label"),
       explode(array((0 until EmbBands).map(b =>
         struct(lit(b).as("band"), signBand(col("v"), b).as("bkey"))): _*)).as("bb"))
-      .select(col("vec_id"), col("label"), col("v"), col("norm"),
+      .select(col("ekey"), col("label"),
         col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    // dedupe candidates on the narrow id pair, then rejoin the vectors —
+    // dedupe candidates on the narrow key pair, then rejoin the vectors —
     // never hash-distinct the 64-wide arrays themselves
     val cand = banded.as("a")
       .join(banded.as("b"), Seq("label", "band", "bkey"))
-      .filter(col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+      .filter(col("a.ekey") < col("b.ekey"))
+      .select(col("a.ekey").as("e1"), col("b.ekey").as("e2"))
       .distinct()
-    val ea = e.select(col("vec_id").as("v1"), col("v").as("va"), col("norm").as("na"))
-    val eb = e.select(col("vec_id").as("v2"), col("v").as("vb"), col("norm").as("nb"))
-    cand.join(ea, "v1").join(eb, "v2")
-      .select(col("v1"), col("v2"),
+    val ga = groups.select(col("ekey").as("e1"), col("v").as("va"), col("norm").as("na"))
+    val gb = groups.select(col("ekey").as("e2"), col("v").as("vb"), col("norm").as("nb"))
+    val simGroups = cand.join(ga, "e1").join(gb, "e2")
+      .select(col("e1"), col("e2"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= 0.35)
+    val cross = simGroups
+      .join(members.withColumnRenamed("ekey", "e1").withColumnRenamed("vec_id", "ia"), "e1")
+      .join(members.withColumnRenamed("ekey", "e2").withColumnRenamed("vec_id", "ib"), "e2")
+      .select(least(col("ia"), col("ib")).as("v1"),
+        greatest(col("ia"), col("ib")).as("v2"), col("cosine"))
+    // intra-group pairs: identical vectors — same formula, same bits
+    val intraCos = groups
+      .select(col("ekey"),
+        (dot(col("v"), col("v")) / (col("norm") * col("norm"))).as("cosine"))
+      .filter(col("cosine") >= 0.35)
+    val intra = members.as("a")
+      .join(members.as("b"),
+        col("a.ekey") === col("b.ekey") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.ekey").as("ekey"),
+        col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+      .join(intraCos, "ekey")
+      .select(col("v1"), col("v2"), col("cosine"))
+    cross.unionByName(intra)
   }
 
   private val qEmbeddingDedupSql =
