@@ -102,18 +102,23 @@ object CorpusOps {
 
   private def qBpeMerge(spark: SparkSession, dir: String): DataFrame = {
     // project the token array BEFORE the lambda references it (an inlined
-    // split() re-tokenizes once per element — see q_repetition)
+    // split() re-tokenizes once per element — see q_repetition), and
+    // tokenize once per DISTINCT text with copy-weighted counts (the
+    // DedupOps dedup-first move): doc-level pair count = Σ copies ×
+    // per-text occurrences, so the explode runs on distinct texts only
     val w = col("w")
     val pairs = table(spark, dir, "documents")
-      .select(toks.as("w"))
+      .groupBy(col("text")).agg(count(lit(1)).as("n_copies"))
+      .select(col("n_copies"), toks.as("w"))
       .filter(size(w) >= 2)
-      .select(explode(transform(sequence(lit(1), size(w) - 1),
+      .select(col("n_copies"), explode(transform(sequence(lit(1), size(w) - 1),
         i => struct(element_at(w, i).as("pair_left"),
           element_at(w, i + 1).as("pair_right")))).as("p"))
-      .select(col("p.pair_left").as("pair_left"), col("p.pair_right").as("pair_right"))
+      .select(col("n_copies"),
+        col("p.pair_left").as("pair_left"), col("p.pair_right").as("pair_right"))
     val wR = Window.orderBy(col("cnt").desc, col("pair_left"), col("pair_right"))
     pairs.groupBy(col("pair_left"), col("pair_right"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("n_copies")).as("cnt"))
       .withColumn("rank", row_number().over(wR).cast(LongType))
       .filter(col("rank") <= MergeTopK)
   }

@@ -104,13 +104,20 @@ object TextOps {
   // acc = (acc*31 + ascii(char)) mod 1e9+7, left fold from 0 — identical
   // fold order in Spark `aggregate` and DuckDB `list_reduce`.
   private def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    // the interpreted char fold runs once per DISTINCT text (the
+    // dedup-first move); per-doc rows expand through the narrow
+    // (doc_id, tkey) table
     val d = table(spark, dir, "documents")
+      .select(col("doc_id"), xxhash64(col("text")).as("tkey"), col("text"))
     val chars = split(col("text"), "")
     val fp = aggregate(
       transform(chars, c => ascii(c).cast(LongType)),
       lit(0L),
       (acc, c) => (acc * 31 + c) % 1000000007L)
-    d.select(col("doc_id"), fp.as("fingerprint"))
+    val perText = d.groupBy(col("tkey")).agg(first(col("text")).as("text"))
+      .select(col("tkey"), fp.as("fingerprint"))
+    d.select(col("doc_id"), col("tkey")).join(perText, "tkey")
+      .select(col("doc_id"), col("fingerprint"))
   }
 
   private val qFingerprintSql =
