@@ -17,7 +17,14 @@ import org.apache.spark.sql.SparkSession
   *    contention (another process stealing the cores for a few seconds)
   *    become the round's permanent record. The minimum of two passes is
   *    robust to one-sided noise — contention only ever adds time. Both
-  *    raw pass totals are printed alongside for transparency.
+  *    raw pass totals are printed alongside for transparency;
+  *  - a contention SENTINEL: the warm-up query is timed once right after
+  *    warm-up and once again after the last measured pass. Min-of-2
+  *    rejects one-sided noise but not contention spanning both passes;
+  *    a >2× regression of this fixed, trivial query flags the whole
+  *    record as `"contended":true` so a hot-host run is never mistaken
+  *    for a real slowdown. Per-query [min,max] spread is printed too —
+  *    a wide spread localizes which queries absorbed the noise.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -79,9 +86,21 @@ object Bench {
         } catch { case _: Throwable => () }
       }
 
+    // sentinel baseline: the warm-up query is already hot, so this is a
+    // pure measurement of how fast the host runs a trivial fixed plan NOW
+    val sentinelQuery = "q1_pricing_summary"
+    val sentinelBefore = materialize(sentinelQuery)
+
     val ordered = QueryRegistry.all.sortBy(q => (!q.headline, q.name)).map(_.name)
     val pass1 = ordered.map(n => n -> materialize(n))
     val pass2 = ordered.map(n => n -> materialize(n))
+
+    // sentinel re-run: if the same trivial plan regressed >2×, the host
+    // was contended during the suite and the record says so
+    val sentinelAfter = materialize(sentinelQuery)
+    val contended = sentinelBefore > 0 && sentinelAfter > 0 &&
+      sentinelAfter > 2 * sentinelBefore
+
     // per-query min of the two passes; a query that failed in one pass
     // reports the other pass's time, and -1 only if it failed in both
     val results = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
@@ -90,10 +109,15 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val spread = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
+      val valid = Seq(a, b).filter(_ >= 0)
+      val (lo, hi) = if (valid.isEmpty) (-1.0, -1.0) else (valid.min, valid.max)
+      "\"" + n + "\":[" + lo + "," + hi + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     def passTotal(p: Seq[(String, Double)]) = p.map(_._2).filter(_ >= 0).sum
     val t1 = passTotal(pass1); val t2 = passTotal(pass2)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pass_totals":[$t1,$t2]}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pass_totals":[$t1,$t2],"sentinel":[$sentinelBefore,$sentinelAfter],"contended":$contended,"spread":$spread}""")
     spark.stop()
   }
 }
