@@ -101,7 +101,8 @@ class Loader(
     // Step 2: import + function registration + combine
     var tables = Map.empty[String, DataFrame]
     var combined = Map.empty[String, DataFrame]
-    val csvs = SourceScanner.discoverCsvs(config.sources, config.excludeRegex)
+    // spark-aware lane selection: many roots → executor-side walk
+    val csvs = SourceScanner.discoverCsvs(spark, config.sources, config.excludeRegex)
     val groups = SourceScanner.groupByTable(csvs)
     if (!config.disableImport) {
       // one all-text DataFrame per file, registered by raw stem (driver
