@@ -28,6 +28,7 @@ object QueryRegistry {
       operators.TextOps.queries ++
       operators.CorpusOps.queries ++
       operators.DedupOps.queries ++
+      operators.IncrementalDedup.queries ++
       operators.SimilarityOps.queries ++
       operators.EventOps.queries ++
       operators.MultimodalOps.queries ++

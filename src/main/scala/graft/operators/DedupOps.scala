@@ -30,7 +30,7 @@ object DedupOps {
     * this expression references the token array 5×, and an inlined
     * split would be re-evaluated per lambda step — the projection pins
     * one split per row. */
-  private def shingleArrayOf(w: Column): Column =
+  private[operators] def shingleArrayOf(w: Column): Column =
     array_distinct(
       transform(sequence(lit(1), size(w) - 2),
         i => concat_ws(" ",
@@ -77,7 +77,7 @@ object DedupOps {
     * this operator's cost ∝ output pairs instead of ∝ corpus²; for
     * unbounded corpora use q_dedup_minhash_verified (LSH-propose,
     * exact-verify), whose cost has no df term at all. */
-  private val MaxShingleDf = 50
+  private[operators] val MaxShingleDf = 50
 
   /** Text-level near-dup machinery shared by q_dedup_ngram_jaccard and
     * q_dedup_clusters. Exact-dedup FIRST: Jaccard is a function of the
@@ -277,7 +277,7 @@ object DedupOps {
     cross.unionByName(intra)
   }
 
-  private val qDedupIncrementalSql =
+  private[operators] val qDedupIncrementalSql =
     s"""WITH sh0 AS ($shinglesSql),
        |capped AS (
        |  SELECT doc_id, (doc_id * 2654435761) % 4294967296 % 100 AS bucket, shingle
