@@ -43,7 +43,12 @@ object GracefulShutdown {
     * the shutdown hook still covers normal JVM termination). */
   def install(
       spark: SparkSession,
-      exit: Int => Unit = sys.exit,
+      // MUST stay an explicit lambda: `= sys.exit` compiles as the
+      // APPLICATION sys.exit() (all-default-args method + Nothing <: any
+      // expected type), killing the JVM the moment the default is
+      // evaluated — i.e. on every plain install(spark) call. Caught by
+      // MainE2ESpec; the unit specs always injected exit and never saw it.
+      exit: Int => Unit = code => sys.exit(code),
       signals: Seq[String] = Seq("TERM", "HUP", "INT")): Seq[String] = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => shutdown(spark, "JVM exit")))
     signals.flatMap { name =>

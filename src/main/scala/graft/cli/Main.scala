@@ -10,7 +10,7 @@ import graft.pipeline.{Loader, LoaderConfig}
   * cli.py:7-128):
   *
   *   graft.cli.Main <sources...> [--all] [--disable-unzip]
-  *     [--disable-import] [--combine-tables] [--disable-check]
+  *     [--disable-import] [--combine-tables] [--combine-by-name] [--disable-check]
   *     [--exclude-regex RE] [--pre-load PATH...] [--post-load PATH...]
   *     [--log-level LEVEL] [--out-dir DIR]
   *
@@ -44,6 +44,9 @@ object Main {
         case "--disable-unzip"   => cfg = cfg.copy(disableUnzip = true)
         case "--disable-import"  => cfg = cfg.copy(disableImport = true)
         case "--combine-tables"  => cfg = cfg.copy(combineTables = true)
+        // extension beyond the reference flag surface: by-name combine for
+        // ragged sibling schemas (implies --combine-tables)
+        case "--combine-by-name" => cfg = cfg.copy(combineTables = true, combineByName = true)
         case "--disable-check"   => cfg = cfg.copy(disableCheck = true)
         case "--exclude-regex"   => cfg = cfg.copy(excludeRegex = Some(valueOf("--exclude-regex")))
         case "--max-parallel"    => cfg = cfg.copy(maxParallel = valueOf("--max-parallel").toInt)

@@ -23,16 +23,27 @@ import org.slf4j.LoggerFactory
 object TableCombiner {
   private val log = LoggerFactory.getLogger(getClass)
 
-  /** Positional n-ary union; first member is schema authority. */
-  def combine(members: Seq[DataFrame]): DataFrame = {
+  /** Positional n-ary union; first member is schema authority.
+    *
+    * `byName = true` (the `--combine-by-name` opt-in, SURVEY §7.4 risk 4)
+    * switches to `unionByName(allowMissingColumns = true)`: ragged sibling
+    * schemas — a month's export gained a column, another lost one — align
+    * by header name, absent columns padded with NULL. Positional stays the
+    * default because it is the reference's contract (LIKE INCLUDING ALL +
+    * SELECT *, main.py:229-247). */
+  def combine(members: Seq[DataFrame], byName: Boolean = false): DataFrame = {
     require(members.nonEmpty, "no member tables to combine")
-    val arity = members.head.columns.length
-    members.zipWithIndex.foreach { case (m, i) =>
-      require(m.columns.length == arity,
-        s"member $i has ${m.columns.length} columns, first member has $arity")
+    if (byName)
+      members.reduce(_.unionByName(_, allowMissingColumns = true))
+    else {
+      val arity = members.head.columns.length
+      members.zipWithIndex.foreach { case (m, i) =>
+        require(m.columns.length == arity,
+          s"member $i has ${m.columns.length} columns, first member has $arity")
+      }
+      val names = members.head.columns
+      members.map(_.toDF(names.toIndexedSeq: _*)).reduce(_.unionAll(_))
     }
-    val names = members.head.columns
-    members.map(_.toDF(names.toIndexedSeq: _*)).reduce(_.unionAll(_))
   }
 
   /** Combine guarded by the reference's stem-collision rule. Returns None
@@ -40,11 +51,12 @@ object TableCombiner {
   def combineGrouped(
       combinedName: String,
       memberStems: Seq[String],
-      members: Seq[DataFrame]): Option[DataFrame] =
+      members: Seq[DataFrame],
+      byName: Boolean = false): Option[DataFrame] =
     if (memberStems.contains(combinedName)) {
       log.warn(
         s"Cannot combine tables $memberStems into $combinedName " +
           "because a table with the same name exists")
       None
-    } else Some(combine(members))
+    } else Some(combine(members, byName))
 }

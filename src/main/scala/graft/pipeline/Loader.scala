@@ -33,6 +33,9 @@ final case class LoaderConfig(
     disableImport: Boolean = false,
     combineTables: Boolean = false,
     disableCheck: Boolean = false,
+    // opt-in: align ragged sibling schemas by column name (NULL-padded)
+    // instead of the faithful positional union
+    combineByName: Boolean = false,
     excludeRegex: Option[String] = None,
     preLoad: Seq[Path] = Seq.empty,
     postLoad: Seq[Path] = Seq.empty,
@@ -129,7 +132,8 @@ class Loader(
       if (config.combineTables) {
         for ((name, members) <- groups) {
           val stems = members.map(Slug.rawStem)
-          TableCombiner.combineGrouped(name, stems, members.map(s => tables(Slug.rawStem(s))))
+          TableCombiner.combineGrouped(name, stems,
+              members.map(s => tables(Slug.rawStem(s))), config.combineByName)
             .foreach { df =>
               df.createOrReplaceTempView(name)
               combined += name -> df

@@ -23,6 +23,28 @@ class TableCombinerSpec extends AnyFunSuite {
     }
   }
 
+  test("ragged siblings fail positionally, succeed by name (opt-in)") {
+    // a later export gained a column and reordered the common ones
+    val jan = Seq(("x", "1")).toDF("name", "height")
+    val feb = Seq(("2", "y", "blue")).toDF("height", "name", "color")
+    assertThrows[IllegalArgumentException] {
+      TableCombiner.combine(Seq(jan, feb)) // positional: arity mismatch
+    }
+    val c = TableCombiner.combine(Seq(jan, feb), byName = true)
+    assert(c.columns.toSeq === Seq("name", "height", "color"))
+    val rows = c.collect().map(r =>
+      (r.getString(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(rows === Set(("x", "1", None), ("y", "2", Some("blue"))))
+  }
+
+  test("by-name combine flows through combineGrouped") {
+    val a = Seq(("x", "1")).toDF("name", "height")
+    val b = Seq(("2", "y")).toDF("height", "name")
+    val c = TableCombiner.combineGrouped("t", Seq("t_1", "t_2"), Seq(a, b), byName = true)
+    assert(c.get.collect().map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("x", "1"), ("y", "2")))
+  }
+
   test("stem collision skips combine with warning (main.py:222-226)") {
     val a = Seq(("x", "1")).toDF("name", "height")
     assert(TableCombiner.combineGrouped("animals", Seq("animals", "animals_2"), Seq(a, a)).isEmpty)
