@@ -21,17 +21,23 @@ object RecallSweep {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val geometries = Seq((8, 4), (16, 4), (8, 6), (12, 6), (16, 6), (24, 6), (16, 8))
+    // (bands, bits, multiprobe): probe=1-bit query-side multiprobe — same
+    // corpus index, query fans out ×(bits+1) buckets per band
+    val geometries = Seq(
+      (8, 4, false), (16, 4, false), (8, 6, false), (12, 6, false),
+      (16, 6, false), (16, 8, false),
+      (4, 4, true), (6, 4, true), (8, 4, true), (4, 6, true), (8, 6, true))
     // warm once so the first geometry doesn't pay cold JIT
     operators.SimilarityOps.lshTopK(spark, dir, 8, 4).count()
-    geometries.foreach { case (bands, bits) =>
+    geometries.foreach { case (bands, bits, probe) =>
       val t0 = System.nanoTime()
-      val approx = operators.SimilarityOps.lshTopK(spark, dir, bands, bits)
+      val approx = operators.SimilarityOps.lshTopK(spark, dir, bands, bits, probe)
       val recall = operators.SimilarityOps.recallOf(spark, dir, approx)
         .agg(avg(col("recall_at_k"))).head().getDouble(0)
       val dt = (System.nanoTime() - t0) / 1e9
       spark.sharedState.cacheManager.clearCache()
-      println(f"[sweep] bands=$bands%2d bits=$bits%d planes=${bands * bits}%3d  recall@5=$recall%.3f  time=$dt%.2fs")
+      val tag = if (probe) "+probe" else "      "
+      println(f"[sweep] bands=$bands%2d bits=$bits%d$tag planes=${bands * bits}%3d  recall@5=$recall%.3f  time=$dt%.2fs")
     }
     spark.stop()
   }

@@ -76,13 +76,15 @@ object SimilarityOps {
   // narrow id pair before rescoring. Rows-only check (recall approximate
   // by design; q_ann_recall quantifies it against brute force).
   //
-  // Default geometry 16 bands × 4 bits (64 planes), tuned by RecallSweep
-  // at sf0.01: recall@5 0.71 → 0.97 over the round-2 8×4 setting, and
-  // FASTER (1.7s vs 2.2s — doubling the band tables catches true
-  // neighbors; 6-or-8-bit keys looked cheaper but starve recall to
-  // 0.22-0.63 at this dimensionality). See PERF.md for the sweep table.
+  // Default geometry 8 bands × 4 bits (32 planes) WITH 1-bit query-side
+  // multiprobe, tuned by RecallSweep at sf0.01: recall@5 0.99 vs the
+  // round-3 16×4 exact-probe default's 0.97, with HALF the hyperplane
+  // projections per corpus vector (the dominant index-build cost at
+  // 100 TB) and the fastest in-suite wall time (1.4s vs 3.8s). Probing
+  // replaces geometry growth: the bits+1 query buckets per band recover
+  // the recall that more band tables used to buy. See PERF.md.
   private val LshBandBits = 4
-  private val LshBands = 16
+  private val LshBands = 8
 
   private def planesFor(numPlanes: Int): Array[Array[Double]] =
     Array.tabulate(numPlanes) { p =>
@@ -100,16 +102,34 @@ object SimilarityOps {
       when(dot(v, typedLit(planes(p).toSeq)) > 0.0, 1L << j).otherwise(0L)
     }.reduce(_ + _)
 
-  /** Parameterized LSH top-k (geometry exposed for the recall sweep). */
+  /** Parameterized LSH top-k (geometry exposed for the recall sweep).
+    *
+    * `multiprobe`: query-side 1-bit probing — each query band additionally
+    * probes the `bits` buckets whose key differs in exactly one sign bit
+    * (the nearest-neighbor buckets in Hamming space, the standard
+    * multiprobe heuristic). The corpus index is UNTOUCHED: a corpus
+    * vector still stores one key per band, so index size and build cost
+    * are unchanged; only the bounded, broadcast query side fans out
+    * ×(bits+1). This is the graceful-degradation knob the 100 TB story
+    * needs — when corpus density per bucket shifts, recall is recovered
+    * by probing, not by re-hashing the corpus with bigger geometry. The
+    * RecallSweep table (PERF.md) shows 8×4+probe ≥ recall of 16×4
+    * exact-probe with HALF the hyperplane projections per corpus vector. */
   private[graft] def lshTopK(
-      spark: SparkSession, dir: String, nBands: Int, bits: Int): DataFrame = {
+      spark: SparkSession, dir: String, nBands: Int, bits: Int,
+      multiprobe: Boolean = false): DataFrame = {
     val planes = planesFor(nBands * bits)
     val e = withNorm(table(spark, dir, "embeddings")).cache()
     val bands = e.select(col("vec_id"), explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"), bandKey(planes, col("v"), b, bits).as("bkey"))): _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val qBands = bands.filter(col("vec_id") < NumQueries)
+    val qBands0 = bands.filter(col("vec_id") < NumQueries)
       .withColumnRenamed("vec_id", "query_id")
+    val qBands =
+      if (!multiprobe) qBands0
+      else qBands0.select(col("query_id"), col("band"),
+        explode(array((col("bkey") +: (0 until bits).map(j =>
+          col("bkey").bitwiseXOR(lit(1L << j)))): _*)).as("bkey"))
     // bounded query set — broadcast is safe at any corpus scale
     val cand = bands.join(broadcast(qBands), Seq("band", "bkey"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -127,7 +147,7 @@ object SimilarityOps {
   }
 
   private def qLsh(spark: SparkSession, dir: String): DataFrame =
-    lshTopK(spark, dir, LshBands, LshBandBits)
+    lshTopK(spark, dir, LshBands, LshBandBits, multiprobe = true)
 
   // --- q_ann_ivf: IVF-style cell-probed ANN ------------------------------
   // Coarse quantizer: one centroid per label cell, component-wise exact

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class SimilarityOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("multiprobe never lowers LSH recall (candidate-superset monotonicity)") {
+    // 1-bit multiprobe only ADDS candidate buckets per query band; the
+    // rescoring top-k over a candidate superset cannot lose true top-k
+    // members (anything displacing a true member has higher cosine and is
+    // itself a true member — tie-breaks on neighbor_id agree both sides)
+    def meanRecall(probe: Boolean): Double =
+      SimilarityOps.recallOf(spark, dir,
+          SimilarityOps.lshTopK(spark, dir, 8, 4, probe))
+        .agg(avg(col("recall_at_k"))).head().getDouble(0)
+    val exact = meanRecall(probe = false)
+    val probed = meanRecall(probe = true)
+    assert(probed >= exact,
+      s"multiprobe recall $probed must be >= exact-probe recall $exact")
+    assert(probed > 0.8, s"8x4+probe should recover strong recall, got $probed")
+  }
+
+  test("multiprobe output is structurally a top-k per query") {
+    val out = SimilarityOps.lshTopK(spark, dir, 8, 4, multiprobe = true)
+      .select(col("query_id"), col("neighbor_id"), col("rank")).collect()
+    val byQuery = out.groupBy(_.getLong(0))
+    byQuery.foreach { case (q, rows) =>
+      val ranks = rows.map(_.getLong(2)).sorted.toSeq
+      assert(ranks === (1L to ranks.length).toSeq, s"ranks must be dense for query $q")
+      assert(ranks.length <= 5, s"at most k=5 rows per query, got ${ranks.length}")
+      assert(!rows.exists(_.getLong(1) == q), s"query $q must not be its own neighbor")
+    }
+  }
+}
