@@ -40,6 +40,14 @@ object DocStream {
 
   final case class CandidatePair(keeper_id: Long, doc_id: Long, band: Int)
 
+  /** Band event for the self-maintaining lane: a collision
+    * (`keeper_id != doc_id`) or a fresh bucket claim
+    * (`keeper_id == doc_id`). Claims are what let fully-novel documents
+    * reach the fold-back sink; `text` rides along because the verifier
+    * needs the NEW side's shingles before the doc is resident. */
+  final case class BandEvent(
+      keeper_id: Long, doc_id: Long, band: Int, text: String)
+
   /** Per-bucket keeper state: the first doc to claim the bucket. */
   final case class BucketState(keeperId: Long, lastSeenMs: Long)
 
@@ -184,4 +192,114 @@ object DocStream {
           }
       }
   }
+
+  // not `private`: the Dataset encoder's generated deserializer needs
+  // bytecode-level access to the constructor
+  private[streaming] final case class BandHitT(
+      band: Int, bkey: Long, doc_id: Long, ts: Timestamp, text: String)
+
+  /** Propose stage for the self-maintaining lane: same bucket-keeper state
+    * machine as [[nearDupCandidates]], but ALSO emits a claim event when a
+    * document takes a fresh bucket, and carries the document text. The
+    * claims are load-bearing — they are the only way a fully-novel
+    * document (no collisions anywhere) reaches the fold-back sink. Cost
+    * note vs the lean lane: text rides the (band, bkey) shuffle, i.e.
+    * NumBands copies per doc per micro-batch; the lean twin moves ids
+    * only and is the right lane when the caller owns corpus maintenance. */
+  def nearDupEvents(
+      spark: SparkSession,
+      docs: DataFrame,
+      bucketTtlMs: Long = 60 * 60 * 1000L): Dataset[BandEvent] = {
+    import spark.implicits._
+    docs
+      .withColumn("sig", graft.functions.MinHash.signature(col("text")))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), col("ts"), col("text"),
+        explode(expr(
+          s"transform(sequence(0, ${NumBands - 1}), b -> named_struct('band', b, " +
+            s"'bkey', xxhash64(b, slice(sig, b*$BandSize + 1, $BandSize))))")).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"),
+        col("doc_id"), col("ts"), col("text"))
+      .as[BandHitT]
+      .withWatermark("ts", "1 hour")
+      .groupByKey(h => (h.band, h.bkey))
+      .flatMapGroupsWithState[BucketState, BandEvent](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Int, Long), batch: Iterator[BandHitT], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = batch.toSeq.sortBy(h => (h.ts.getTime, h.doc_id))
+            val out = scala.collection.mutable.ListBuffer.empty[BandEvent]
+            var cur = state.getOption
+            for (h <- sorted) {
+              val tMs = h.ts.getTime
+              cur match {
+                case Some(s) =>
+                  if (h.doc_id != s.keeperId)
+                    out += BandEvent(s.keeperId, h.doc_id, key._1, h.text)
+                  cur = Some(s.copy(lastSeenMs = math.max(s.lastSeenMs, tMs)))
+                case None =>
+                  out += BandEvent(h.doc_id, h.doc_id, key._1, h.text)
+                  cur = Some(BucketState(h.doc_id, tMs))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeenMs + bucketTtlMs)
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** Self-maintaining streaming dedup: like [[verifiedNearDups]], but the
+    * resident corpus is a parquet table the stream OWNS. Each micro-batch:
+    *
+    *  1. proposed pairs are exactly verified — the keeper side's shingles
+    *     come from the resident table (or the same batch, for
+    *     intra-batch keepers), the new side's from the event itself;
+    *  2. confirmed near-duplicates go to `emit` and are NOT admitted;
+    *  3. everything else (novel claims, false band collisions) is folded
+    *     into the resident table via [[graft.sink.Upsert]]'s atomic merge.
+    *
+    * This closes the loop the static-corpus lane leaves open: a document
+    * that was NOVEL in batch N is resident by batch N+1, so its later
+    * duplicates are caught without any external corpus refresh. Restart
+    * safety: the merge is idempotent on doc_id (re-upserting the same
+    * docs after a foreachBatch replay converges to the same table). */
+  def selfMaintainingNearDups(
+      spark: SparkSession,
+      docs: DataFrame,
+      corpusDir: String,
+      threshold: Double = 0.5)(emit: DataFrame => Unit): StreamingQuery =
+    nearDupEvents(spark, docs).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          val batchDocs = b.select(col("doc_id"), col("text")).distinct()
+          val fs = new org.apache.hadoop.fs.Path(corpusDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val exists = fs.exists(new org.apache.hadoop.fs.Path(corpusDir))
+          val resident =
+            if (exists) spark.read.parquet(corpusDir).select(col("doc_id"), col("text"))
+            else spark.emptyDataFrame
+              .select(lit(0L).as("doc_id"), lit("").as("text")).limit(0)
+          val pairs = b.filter(col("keeper_id") =!= col("doc_id"))
+            .select(col("keeper_id"), col("doc_id")).distinct()
+          val confirmed = verifyCandidates(
+            resident.unionByName(batchDocs).distinct(), pairs, threshold).persist()
+          try {
+            emit(confirmed)
+            val novel = batchDocs.join(
+              confirmed.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+            if (exists) graft.sink.Upsert.merge(spark, corpusDir, novel, "doc_id")
+            else novel.write.parquet(corpusDir)
+          } finally confirmed.unpersist()
+        } finally b.unpersist()
+        ()
+      }
+      .start()
 }

@@ -125,6 +125,42 @@ class DocStreamSpec extends AnyFunSuite {
     assert(strict.contains((1L, 4L)), s"exact copy must survive 0.9: $strict")
   }
 
+  test("selfMaintainingNearDups catches a dup of a PREVIOUS batch's novel doc") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-docstream").resolve("corpus").toString
+    val nearDup = base.replace("theta", "iota")
+    val input = MemoryStream[Doc]
+    val got = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = DocStream.selfMaintainingNearDups(spark, input.toDF(), corpusDir, 0.5) {
+      verified => got ++= verified.collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    try {
+      // batch 1: all novel — no resident corpus exists yet
+      input.addData(
+        Doc(1L, ts("2024-01-01 10:00:00"), base),
+        Doc(3L, ts("2024-01-01 10:02:00"), distinct))
+      q.processAllAvailable()
+      assert(got.isEmpty, s"nothing to confirm in the all-novel batch: $got")
+      val resident1 = spark.read.parquet(corpusDir)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(resident1 === Set(1L, 3L), s"novel docs must be folded in: $resident1")
+      // batch 2: dup of batch 1's doc 1 — the corpus was EMPTY when doc 1
+      // arrived, so only the fold-back makes this verifiable
+      input.addData(
+        Doc(4L, ts("2024-01-01 10:10:00"), base),
+        Doc(5L, ts("2024-01-01 10:11:00"), nearDup))
+      q.processAllAvailable()
+      assert(got.contains((1L, 4L)), s"cross-batch exact dup must verify: $got")
+      assert(got.contains((1L, 5L)), s"cross-batch near-dup must verify: $got")
+      val resident2 = spark.read.parquet(corpusDir)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(resident2 === Set(1L, 3L),
+        s"confirmed dups must NOT be admitted to the corpus: $resident2")
+    } finally q.stop()
+  }
+
   test("stream banding agrees with the batch LSH band keys") {
     import spark.implicits._
     // the stream's (band, bkey) construction must equal the batch
