@@ -486,7 +486,52 @@ object CorpusOps {
       |FROM cum JOIN tot USING (source)
       |GROUP BY source""".stripMargin
 
+  // --- q_chunk_overlap: sliding-window document chunking -----------------
+  // Context-window preparation: split each document into token chunks of
+  // W=32 with stride S=24 (8-token overlap), the standard long-document
+  // treatment before tokenization/packing. Chunk count is closed-form in
+  // INTEGER arithmetic — nc = 1 + ceil((n-W)/S) via div — so both engines
+  // agree exactly; the last chunk is the only short one. Pure per-row
+  // explode: no shuffle at all, embarrassingly parallel at any corpus
+  // size (output volume ≈ n/S tokens per doc ≈ 1.33× input).
+  private val ChunkW = 32
+  private val ChunkS = 24
+
+  private def qChunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("w"))
+      .filter(size(col("w")) > 0)
+      .withColumn("n", size(col("w")).cast(LongType))
+      .withColumn("nc", when(col("n") <= ChunkW, lit(1L))
+        .otherwise(expr(s"(n - $ChunkW + $ChunkS - 1) div $ChunkS") + 1L))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0L), col("nc") - 1L)).as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * ChunkS)
+      .withColumn("ck",
+        slice(col("w"), (col("start_tok") + 1L).cast("int"), lit(ChunkW)))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("ck")).cast(LongType).as("n_tok"),
+        array_join(col("ck"), " ").as("chunk_text"))
+
+  private val qChunkOverlapSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       |c AS (
+       |  SELECT doc_id, w, len(w) AS n,
+       |    CASE WHEN len(w) <= $ChunkW THEN 1
+       |         ELSE (len(w) - $ChunkW + $ChunkS - 1) // $ChunkS + 1 END AS nc
+       |  FROM t WHERE len(w) > 0),
+       |x AS (
+       |  SELECT doc_id, w, i AS chunk_idx, i * $ChunkS AS start_tok
+       |  FROM c, UNNEST(range(0, nc)) AS r(i))
+       |SELECT doc_id, chunk_idx, start_tok,
+       |  len(list_slice(w, start_tok + 1, start_tok + $ChunkW)) AS n_tok,
+       |  array_to_string(list_slice(w, start_tok + 1, start_tok + $ChunkW), ' ')
+       |    AS chunk_text
+       |FROM x""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_chunk_overlap", qChunkOverlap, Some(qChunkOverlapSql)),
     QueryDef("q_length_quantiles", qLengthQuantiles, Some(qLengthQuantilesSql)),
     QueryDef("q_pack_sequences", qPackSequences, Some(qPackSequencesSql)),
     QueryDef("q_bpe_merge", qBpeMerge, Some(qBpeMergeSql)),

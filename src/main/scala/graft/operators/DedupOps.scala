@@ -91,8 +91,10 @@ object DedupOps {
     *
     * Returns (members = (doc_id, tkey),
     *          counts = capped shingle count per text (texts with ≥1),
-    *          simTexts = (t1, t2, jaccard ≥ 0.5) over distinct texts). */
-  private def ngramTextPairs(
+    *          pairStats = (t1, t2, inter, n1, n2) over distinct texts —
+    *          UNFILTERED set-overlap stats, so jaccard AND containment
+    *          consumers derive their own thresholds). */
+  private def ngramTextPairStats(
       spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val t = table(spark, dir, "documents")
       .select(col("doc_id"), xxhash64(col("text")).as("tkey"), col("text"))
@@ -120,9 +122,19 @@ object DedupOps {
           " p -> p.t1 < p.t2)")).as("p"))
       .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
       .agg(count(lit(1)).as("inter"))
-    val simTexts = textPairs
+    val pairStats = textPairs
       .join(counts.withColumnRenamed("tkey", "t1").withColumnRenamed("n", "n1"), "t1")
       .join(counts.withColumnRenamed("tkey", "t2").withColumnRenamed("n", "n2"), "t2")
+      .select(col("t1"), col("t2"), col("inter"), col("n1"), col("n2"))
+    (members, counts, pairStats)
+  }
+
+  /** The jaccard-thresholded view of [[ngramTextPairStats]] — the shape
+    * q_dedup_ngram_jaccard / q_dedup_clusters consume. */
+  private def ngramTextPairs(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val (members, counts, pairStats) = ngramTextPairStats(spark, dir)
+    val simTexts = pairStats
       .select(col("t1"), col("t2"),
         (col("inter").cast(DoubleType)
           / (col("n1") + col("n2") - col("inter")).cast(DoubleType)).as("jaccard"))
@@ -340,6 +352,97 @@ object DedupOps {
        |SELECT id AS doc_id, MIN(r) AS cluster_id,
        |  CAST(CASE WHEN id = MIN(r) THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
        |FROM reach GROUP BY id""".stripMargin
+
+  // --- q_containment: partial-duplication via shingle containment --------
+  // Jaccard misses the doc-inside-a-doc case: a 30-token page embedded in
+  // a 300-token page shares ALL its shingles yet scores jaccard ≈ 0.1.
+  // Containment — inter / min(n1, n2), the smaller side's coverage —
+  // catches it; this is the boilerplate/quote/wrapper detector a curation
+  // pipeline runs NEXT TO jaccard dedup. Same per-distinct-text pair
+  // machinery (cost ∝ candidate pairs, df-capped), different threshold
+  // algebra; intra-text pairs are exact 1.0 by the identical-set argument.
+  private val MinContainment = 0.8
+
+  private def qContainment(spark: SparkSession, dir: String): DataFrame = {
+    val (members, counts, pairStats) = ngramTextPairStats(spark, dir)
+    val simTexts = pairStats
+      .select(col("t1"), col("t2"),
+        (col("inter").cast(DoubleType)
+          / least(col("n1"), col("n2")).cast(DoubleType)).as("containment"))
+      .filter(col("containment") >= MinContainment)
+    val cross = simTexts
+      .join(members.withColumnRenamed("tkey", "t1").withColumnRenamed("doc_id", "da"), "t1")
+      .join(members.withColumnRenamed("tkey", "t2").withColumnRenamed("doc_id", "db"), "t2")
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"), col("containment"))
+    val m2 = members.join(counts.select(col("tkey")), "tkey")
+    val intra = m2.alias("a")
+      .join(m2.alias("b"),
+        col("a.tkey") === col("b.tkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        lit(1.0).as("containment"))
+    cross.unionByName(intra)
+  }
+
+  private val qContainmentSql =
+    s"""WITH $ngramPairCtes
+       |SELECT d1, d2,
+       |  inter::DOUBLE / least(c1.n, c2.n)::DOUBLE AS containment
+       |FROM pairs
+       |JOIN counts c1 ON c1.doc_id = d1
+       |JOIN counts c2 ON c2.doc_id = d2
+       |WHERE inter::DOUBLE / least(c1.n, c2.n)::DOUBLE >= $MinContainment""".stripMargin
+
+  // --- q_dedup_canonical: cluster → canonical representative -------------
+  // What a pipeline DOES with near-dup clusters: keep exactly one
+  // representative per cluster and map every other member to it. The
+  // pick is deterministic quality-greedy — longest content (n_chars,
+  // engine-neutral) then smallest doc_id — and singletons are their own
+  // canonical, so the output is a total doc_id → canonical_id map ready
+  // to anti-join the corpus against. Scale shape: one window over
+  // cluster keys (partition size = cluster size, bounded), the cluster
+  // labels themselves from the text-level CC above.
+  private def qDedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = qDedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val labeled = table(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val canon = labeled.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("canonical_id"))
+    labeled.join(canon, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+        when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L).as("is_canonical"))
+  }
+
+  private val qDedupCanonicalSql =
+    s"""WITH RECURSIVE $ngramPairCtes,
+       |jp AS ($ngramJaccardSelect),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM jp
+       |          UNION ALL SELECT d2, d1 FROM jp),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+       |clus AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |lab AS (
+       |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+       |  FROM documents d LEFT JOIN clus c USING (doc_id)),
+       |canon AS (
+       |  SELECT cluster_id, doc_id AS canonical_id FROM (
+       |    SELECT cluster_id, doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |                         ORDER BY n_chars DESC, doc_id) AS rn
+       |    FROM lab) t
+       |  WHERE rn = 1)
+       |SELECT lab.doc_id, lab.cluster_id, canon.canonical_id,
+       |  CAST(CASE WHEN lab.doc_id = canon.canonical_id THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_canonical
+       |FROM lab JOIN canon USING (cluster_id)""".stripMargin
 
   // --- q_dedup_minhash: MinHash signatures + LSH banding -----------------
   // 32 permutations approximated by seeded xxhash64; 8 bands × 4 rows.
@@ -722,5 +825,7 @@ object DedupOps {
     QueryDef("q_dedup_embedding", qEmbeddingDedup, Some(qEmbeddingDedupSql)),
     QueryDef("q_dedup_minhash_verified", qMinhashVerified, None, headline = true),
     QueryDef("q_dedup_clusters", qDedupClusters, Some(qDedupClustersSql)),
+    QueryDef("q_dedup_canonical", qDedupCanonical, Some(qDedupCanonicalSql)),
+    QueryDef("q_containment", qContainment, Some(qContainmentSql)),
     QueryDef("q_dedup_incremental", qDedupIncremental, Some(qDedupIncrementalSql)))
 }
