@@ -444,6 +444,56 @@ object DedupOps {
        |    AS is_canonical
        |FROM lab JOIN canon USING (cluster_id)""".stripMargin
 
+  // --- q_block_dedup: block-level (paragraph) duplication metric ---------
+  // The C4/CCNet-style sub-document dedup signal: tile each document into
+  // non-overlapping 16-token blocks and score the fraction of its blocks
+  // that occur in MORE THAN ONE document — boilerplate headers, repeated
+  // paragraphs and templated spans light up long before whole-document
+  // jaccard does. Per-distinct-text as everywhere in this family: block
+  // sets are a function of the text, block document-frequency is the
+  // copy-weighted df over distinct texts (distinct-block-per-doc ≡
+  // distinct-block-per-text × n_copies), so the work scales with content,
+  // not copies. Shuffle shape: one agg keyed by block, one by tkey.
+  private val BlockTok = 16
+
+  private def qBlockDedup(spark: SparkSession, dir: String): DataFrame = {
+    val t = table(spark, dir, "documents")
+      .select(col("doc_id"), xxhash64(col("text")).as("tkey"), col("text"))
+    val members = t.select(col("doc_id"), col("tkey"))
+    val groups = t.groupBy(col("tkey"))
+      .agg(count(lit(1)).as("n_copies"), first(col("text")).as("text"))
+    val blocks = groups
+      .select(col("tkey"), col("n_copies"), split(trim(col("text")), " ").as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("tkey"), col("n_copies"), explode(array_distinct(expr(
+        s"transform(sequence(0, (size(w) + ${BlockTok - 1}) div $BlockTok - 1), " +
+          s"i -> array_join(slice(w, i*$BlockTok + 1, $BlockTok), ' '))"))).as("block"))
+    val bdf = blocks.groupBy(col("block")).agg(sum(col("n_copies")).as("bdf"))
+    val per = blocks.join(bdf, "block").groupBy(col("tkey"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("bdf") >= 2, 1L).otherwise(0L)).as("n_dup_blocks"))
+    members.join(per, "tkey")
+      .select(col("doc_id"), col("n_blocks"), col("n_dup_blocks"),
+        (col("n_dup_blocks").cast(DoubleType)
+          / col("n_blocks").cast(DoubleType)).as("dup_frac"))
+  }
+
+  private val qBlockDedupSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       |b0 AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_slice(w, i*$BlockTok + 1, i*$BlockTok + $BlockTok), ' ') AS block
+       |  FROM t, UNNEST(range(0, (len(w) + ${BlockTok - 1}) // $BlockTok)) AS r(i)
+       |  WHERE len(w) > 0),
+       |b AS (SELECT DISTINCT doc_id, block FROM b0),
+       |df AS (SELECT block, COUNT(*) AS bdf FROM b GROUP BY 1)
+       |SELECT doc_id, COUNT(*) AS n_blocks,
+       |  CAST(SUM(CASE WHEN bdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks,
+       |  SUM(CASE WHEN bdf >= 2 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE AS dup_frac
+       |FROM b JOIN df USING (block)
+       |GROUP BY doc_id""".stripMargin
+
   // --- q_dedup_minhash: MinHash signatures + LSH banding -----------------
   // 32 permutations approximated by seeded xxhash64; 8 bands × 4 rows.
   // Candidate pairs = docs sharing a band bucket; est. similarity =
@@ -826,6 +876,7 @@ object DedupOps {
     QueryDef("q_dedup_minhash_verified", qMinhashVerified, None, headline = true),
     QueryDef("q_dedup_clusters", qDedupClusters, Some(qDedupClustersSql)),
     QueryDef("q_dedup_canonical", qDedupCanonical, Some(qDedupCanonicalSql)),
+    QueryDef("q_block_dedup", qBlockDedup, Some(qBlockDedupSql)),
     QueryDef("q_containment", qContainment, Some(qContainmentSql)),
     QueryDef("q_dedup_incremental", qDedupIncremental, Some(qDedupIncrementalSql)))
 }
