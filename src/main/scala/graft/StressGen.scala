@@ -65,10 +65,16 @@ object StressGen {
     }
 
     // single FILE per table (not a directory) — the driver's testdata
-    // layout, and what the DuckDB oracle's read_parquet expects
+    // layout, and what the DuckDB oracle's read_parquet expects. Small
+    // row groups (4 MB) keep the single file SPLITTABLE: parquet scans
+    // parallelize at row-group granularity, and a coalesce(1) with the
+    // default 128 MB block size would serialize every downstream scan
+    // into one task (measured: q_parse_timestamp 10× slower at sf2).
     def write(df: DataFrame, name: String): Unit = {
       val tmp = s"$out/.$name.tmp"
-      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+      df.coalesce(1).write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", 4L * 1024 * 1024)
+        .parquet(tmp)
       val conf = spark.sparkContext.hadoopConfiguration
       val tmpPath = new org.apache.hadoop.fs.Path(tmp)
       val fs = tmpPath.getFileSystem(conf)

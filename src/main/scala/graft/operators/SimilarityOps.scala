@@ -155,7 +155,11 @@ object SimilarityOps {
   // double-summation order diverges). Query → nearest centroid by cosine
   // → search only that cell. The 100-TB shape: centroids are a tiny
   // broadcast table; the corpus is probed per-cell, never cross-joined.
-  private def qIvf(spark: SparkSession, dir: String): DataFrame = {
+  // `nprobe`: how many nearest cells each query searches — the standard
+  // IVF recall knob (cells are disjoint, so probing 2 cells is a union
+  // scan with no dedup needed; cost grows linearly in nprobe while the
+  // centroid assignment stays a tiny broadcast).
+  private def qIvf(spark: SparkSession, dir: String, nprobe: Int = 1): DataFrame = {
     val e = withNorm(table(spark, dir, "embeddings"))
     // (label, pos, val) — pos is 0-based here and 1-based in the oracle;
     // both sides only use it for ordering, so alignment is consistent.
@@ -178,7 +182,7 @@ object SimilarityOps {
       .orderBy((dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm"))).desc, col("label"))
     val assigned = q.crossJoin(broadcast(cent))
       .withColumn("cr", row_number().over(wAssign))
-      .filter(col("cr") === 1)
+      .filter(col("cr") <= nprobe)
       .select(col("query_id"), col("qv"), col("qnorm"), col("label"))
     // probe only the assigned cell
     val scored = e.join(broadcast(assigned), Seq("label"))
@@ -190,7 +194,7 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(wTop).cast("long")).filter(col("rank") <= K)
   }
 
-  private val qIvfSql =
+  private def qIvfSql(nprobe: Int = 1): String =
     s"""WITH e AS (
        |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
        |    sqrt(list_reduce(list_prepend(0.0, [x*x FOR x IN embedding::DOUBLE[]]), (a,x) -> a+x)) AS norm
@@ -219,7 +223,7 @@ object SimilarityOps {
        |        list_reduce(list_prepend(0.0, [q.qv[i]*c.cv[i] FOR i IN range(1, 65)]), (a,x) -> a+x)
        |          / (q.qnorm * c.cnorm) DESC, c.label) AS cr
        |    FROM q, centn c) t
-       |  WHERE cr = 1),
+       |  WHERE cr <= $nprobe),
        |scored AS (
        |  SELECT a.query_id, e.vec_id AS neighbor_id,
        |    list_reduce(list_prepend(0.0, [a.qv[i]*e.v[i] FOR i IN range(1, 65)]), (acc,x) -> acc+x)
@@ -250,6 +254,46 @@ object SimilarityOps {
 
   private def qAnnRecall(spark: SparkSession, dir: String): DataFrame =
     recallOf(spark, dir, qLsh(spark, dir))
+
+  // --- q_diversity_sample: semantic-diversity subsampling ----------------
+  // The SemDeDup-shaped curation move: embedding space is partitioned
+  // into sign-orthant buckets (axis signs of the first 12 components —
+  // deterministic, oracle-mirrored, the same construction family as
+  // q_dedup_embedding's banding) and each bucket elects ONE
+  // representative; keeping only representatives caps semantic
+  // redundancy without any pairwise computation. Scale shape: one
+  // map-side-combined agg keyed by bucket + an output-sized join —
+  // linear at any corpus size, and the bucket key is pure per-row
+  // arithmetic inside codegen.
+  private val DiversityBits = 12
+
+  private def qDiversitySample(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+    val key = (0 until DiversityBits).map(i =>
+      when(element_at(col("v"), i + 1) > 0.0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val b = e.select(col("vec_id"), key.as("bucket"))
+    val stats = b.groupBy(col("bucket"))
+      .agg(min(col("vec_id")).as("rep"), count(lit(1)).as("bucket_n"))
+    b.join(stats, "bucket")
+      .select(col("vec_id"), col("bucket"), col("bucket_n"),
+        when(col("vec_id") === col("rep"), 1L).otherwise(0L).as("is_rep"))
+  }
+
+  private val qDiversitySampleSql = {
+    val key = (0 until DiversityBits).map(i =>
+      s"(CASE WHEN v[${i + 1}] > 0.0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+       |b AS (SELECT vec_id, CAST($key AS BIGINT) AS bucket FROM e),
+       |s AS (SELECT bucket, MIN(vec_id) AS rep, COUNT(*) AS bucket_n
+       |      FROM b GROUP BY 1)
+       |SELECT vec_id, bucket, bucket_n,
+       |  CAST(CASE WHEN vec_id = rep THEN 1 ELSE 0 END AS BIGINT) AS is_rep
+       |FROM b JOIN s USING (bucket)""".stripMargin
+  }
 
   // --- q_quantize: int8 symmetric quantization + reconstruction error ----
   // What an ANN deployment ships to the index: per-vector symmetric int8
@@ -436,8 +480,10 @@ object SimilarityOps {
     QueryDef("q_gram_int8", qGramInt8, Some(qGramInt8Sql)),
     QueryDef("q_ann_cosine_topk", qBruteTopK, Some(qBruteTopKSql), headline = true),
     QueryDef("q_ann_lsh", qLsh, None),
-    QueryDef("q_ann_ivf", qIvf, Some(qIvfSql), headline = true),
+    QueryDef("q_ann_ivf", qIvf(_, _), Some(qIvfSql()), headline = true),
+    QueryDef("q_ann_ivf2", qIvf(_, _, nprobe = 2), Some(qIvfSql(nprobe = 2))),
     QueryDef("q_ann_recall", qAnnRecall, None),
+    QueryDef("q_diversity_sample", qDiversitySample, Some(qDiversitySampleSql)),
     QueryDef("q_quantize", qQuantize, Some(qQuantizeSql)),
     QueryDef("q_kmedians_step", qKMediansStep, Some(qKMediansStepSql)))
 }
