@@ -254,6 +254,39 @@ object DocStream {
       }
   }
 
+  /** Windowed trending terms: token counts per tumbling event-time window
+    * (watermark-bounded state, map-side pre-aggregated), ranked to a
+    * per-window top-k as each window CLOSES (Append mode emits a window
+    * only once its watermark passes, so the rank in foreachBatch is
+    * final — ranking inside the stream itself would need an unsupported
+    * streaming sort). The 100 TB contract: state is (window × distinct
+    * token), the explode never shuffles raw text — tokens are the
+    * shuffle key — and k bounds the per-window output. */
+  def trendingTermsStream(
+      docs: DataFrame,
+      window: String = "1 hour",
+      watermark: String = "1 hour",
+      k: Int = 5)(emit: DataFrame => Unit): StreamingQuery = {
+    import org.apache.spark.sql.functions.{window => windowFn}
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"), explode(split(trim(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(windowFn(col("ts"), window), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("term"), col("n"))
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("window_start"))
+          .orderBy(col("n").desc, col("term"))
+        emit(batch.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k))
+        ()
+      }
+      .start()
+  }
+
   /** Self-maintaining streaming dedup: like [[verifiedNearDups]], but the
     * resident corpus is a parquet table the stream OWNS. Each micro-batch:
     *

@@ -161,6 +161,29 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("trendingTermsStream emits a final top-k per window on close") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Doc]
+    val got = scala.collection.mutable.Buffer.empty[(String, Long, Int)]
+    val q = DocStream.trendingTermsStream(input.toDF(), "1 hour", "1 hour", 2) {
+      df => got ++= df.collect().map(r => (r.getString(1), r.getLong(2), r.getInt(3)))
+    }
+    try {
+      // window [10:00, 11:00): alpha ×3, beta ×2, gamma ×1
+      input.addData(
+        Doc(1L, ts("2024-01-01 10:05:00"), "alpha alpha beta"),
+        Doc(2L, ts("2024-01-01 10:40:00"), "alpha beta gamma"))
+      q.processAllAvailable()
+      assert(got.isEmpty, s"window must not emit before its watermark passes: $got")
+      // event at 12:30 → watermark 11:30 ≥ window end → the window closes
+      input.addData(Doc(3L, ts("2024-01-01 12:30:00"), "late tokens here"))
+      q.processAllAvailable()
+      assert(got.toSet === Set(("alpha", 3L, 1), ("beta", 2L, 2)),
+        s"expected final top-2 of the closed window, got $got")
+    } finally q.stop()
+  }
+
   test("stream banding agrees with the batch LSH band keys") {
     import spark.implicits._
     // the stream's (band, bkey) construction must equal the batch
