@@ -537,7 +537,71 @@ object TextOps {
        |WHERE u < weight * $SampleRate""".stripMargin
   }
 
+  // --- q_dup_by_source: per-source duplication report --------------------
+  // The curation dashboard number: how much of each source is exact-dup
+  // content (docs whose text occurs more than once corpus-wide). One
+  // text-keyed agg for copy counts + one source-keyed rollup; the join
+  // back to docs is narrow (tkey, is_dup). The 100 TB shape is the exact
+  // dedup pass itself — this is its per-source attribution.
+  private def qDupBySource(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+      .select(col("source"), xxhash64(col("text")).as("tkey"))
+    val copies = d.groupBy(col("tkey")).agg(count(lit(1)).as("n_copies"))
+    d.join(copies, "tkey")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_copies") >= 2, 1L).otherwise(0L)).as("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        (col("n_dup_docs").cast(DoubleType)
+          / col("n_docs").cast(DoubleType)).as("dup_frac"))
+  }
+
+  private val qDupBySourceSql =
+    """WITH copies AS (
+      |  SELECT text, COUNT(*) AS n_copies FROM documents GROUP BY text),
+      |j AS (
+      |  SELECT d.source, c.n_copies FROM documents d JOIN copies c USING (text))
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+      |  SUM(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE
+      |    AS dup_frac
+      |FROM j GROUP BY source""".stripMargin
+
+  // --- q_mixture_rebalance: per-source sampling rates for a uniform mix --
+  // Mixture balancing the way a training-data pipeline plans it: given a
+  // uniform target share per source, compute each source's token count,
+  // the integer per-source token budget (T div k), and the keep-rate
+  // min(1, budget/tokens) a downstream deterministic sampler would apply.
+  // Everything except the final single division stays in BIGINT.
+  // Complements q_token_budget (quality-ranked cutoff inside one budget)
+  // and q_stratified_sample (fixed per-stratum rate).
+  private def qMixtureRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val toks = table(spark, dir, "documents")
+      .select(col("source"),
+        size(split(trim(col("text")), " ")).cast(LongType).as("n_tok"))
+    val perSource = toks.groupBy(col("source")).agg(sum(col("n_tok")).as("tokens"))
+    val totals = perSource.agg(
+      sum(col("tokens")).as("total"), count(lit(1)).as("k"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("tokens"),
+        expr("total div k").as("target_tokens"))
+      .select(col("source"), col("tokens"), col("target_tokens"),
+        least(lit(1.0), col("target_tokens").cast(DoubleType)
+          / col("tokens").cast(DoubleType)).as("keep_rate"))
+  }
+
+  private val qMixtureRebalanceSql =
+    """WITH toks AS (
+      |  SELECT source, len(string_split(trim(text), ' ')) AS n_tok FROM documents),
+      |per AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tokens FROM toks GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total, COUNT(*) AS k FROM per)
+      |SELECT source, tokens, total // k AS target_tokens,
+      |  least(1.0, (total // k)::DOUBLE / tokens::DOUBLE) AS keep_rate
+      |FROM per, tot""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_dup_by_source", qDupBySource, Some(qDupBySourceSql)),
+    QueryDef("q_mixture_rebalance", qMixtureRebalance, Some(qMixtureRebalanceSql)),
     QueryDef("q_weighted_sample", qWeightedSample, Some(qWeightedSampleSql)),
     QueryDef("q_token_budget", qTokenBudget, Some(qTokenBudgetSql)),
     QueryDef("q_repetition", qRepetition, Some(qRepetitionSql)),
