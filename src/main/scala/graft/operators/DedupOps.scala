@@ -444,6 +444,31 @@ object DedupOps {
        |    AS is_canonical
        |FROM lab JOIN canon USING (cluster_id)""".stripMargin
 
+  // --- q_prefix_dedup: truncation-duplicate detection --------------------
+  // The cheap proxy for exact-substring dedup: a recrawl/repost that
+  // truncated, appended a footer to, or re-chunked a document shares its
+  // PREFIX even when tails diverge and whole-text equality misses it.
+  // Group on the first 64 characters: keeper = min doc id, n_variants =
+  // distinct full texts under the prefix (1 ⇒ plain exact-dup group).
+  // One hash-shuffle of (prefix64 → min, counts) — the same linear shape
+  // as exact dedup; emitted only for groups with >1 doc.
+  private def qPrefixDedup(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 64).as("p"),
+        xxhash64(col("text")).as("tkey"))
+      .groupBy(col("p"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_docs"),
+        countDistinct(col("tkey")).as("n_variants"))
+      .filter(col("n_docs") >= 2)
+      .select(col("keeper_id"), col("n_docs"), col("n_variants"))
+
+  private val qPrefixDedupSql =
+    """SELECT min(doc_id) AS keeper_id, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT text) AS n_variants
+      |FROM documents
+      |GROUP BY substring(text, 1, 64)
+      |HAVING COUNT(*) >= 2""".stripMargin
+
   // --- q_block_dedup: block-level (paragraph) duplication metric ---------
   // The C4/CCNet-style sub-document dedup signal: tile each document into
   // non-overlapping 16-token blocks and score the fraction of its blocks
@@ -877,6 +902,7 @@ object DedupOps {
     QueryDef("q_dedup_clusters", qDedupClusters, Some(qDedupClustersSql)),
     QueryDef("q_dedup_canonical", qDedupCanonical, Some(qDedupCanonicalSql)),
     QueryDef("q_block_dedup", qBlockDedup, Some(qBlockDedupSql)),
+    QueryDef("q_prefix_dedup", qPrefixDedup, Some(qPrefixDedupSql)),
     QueryDef("q_containment", qContainment, Some(qContainmentSql)),
     QueryDef("q_dedup_incremental", qDedupIncremental, Some(qDedupIncrementalSql)))
 }
