@@ -159,6 +159,10 @@ object SimilarityOps {
   // IVF recall knob (cells are disjoint, so probing 2 cells is a union
   // scan with no dedup needed; cost grows linearly in nprobe while the
   // centroid assignment stays a tiny broadcast).
+  /** Recall-harness alias for the parameterized IVF. */
+  private[graft] def ivfTopK(spark: SparkSession, dir: String, nprobe: Int): DataFrame =
+    qIvf(spark, dir, nprobe)
+
   private def qIvf(spark: SparkSession, dir: String, nprobe: Int = 1): DataFrame = {
     val e = withNorm(table(spark, dir, "embeddings"))
     // (label, pos, val) — pos is 0-based here and 1-based in the oracle;
