@@ -527,12 +527,34 @@ object DedupOps {
   private val NumPerms = 32
   private val BandSize = 4
 
+  /** Oversized-band-bucket guard for the NATIVE LSH propose paths (the
+    * production lanes — the oracle-checked portable twins keep their
+    * uncapped contract): a degenerate bucket with D members proposes
+    * D(D-1)/2 pairs, and on a boilerplate-heavy corpus one hot bucket
+    * is the whole job's straggler. Buckets above the cap are dropped
+    * BEFORE the self-join — the multi-table OR over bands means a true
+    * near-dup pair lost to one capped band can still surface via its
+    * other bands, the same exactness-for-boundedness trade as the
+    * stop-shingle cap (and a bucket this hot is signature-collision
+    * boilerplate, not content). Never binds at test SFs: the largest
+    * observed bucket is ~50 members; the extra cost is one narrow
+    * count agg over (band, bkey). */
+  private[operators] val MaxBandBucket = 1000
+
+  private def capBandBuckets(bands: DataFrame): DataFrame = {
+    val ok = bands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= MaxBandBucket)
+      .select(col("band"), col("bkey"))
+    bands.join(ok, Seq("band", "bkey"))
+  }
+
   private def qMinhash(spark: SparkSession, dir: String): DataFrame = {
     val sigs = signatures(spark, dir).cache()
-    val bands = sigs.select(col("doc_id"), col("sig"),
+    val bands = capBandBuckets(sigs.select(col("doc_id"), col("sig"),
       explode(expr(s"transform(sequence(0, ${NumPerms / BandSize - 1}), " +
         s"b -> named_struct('band', b, 'key', xxhash64(slice(sig, b*$BandSize + 1, $BandSize))))")).as("bk"))
-      .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("bkey"))
+      .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("bkey")))
     // dedupe candidates on the narrow id pair, then rejoin signatures —
     // hash-distinct over the 32-wide sig arrays is pure overhead
     val cand = bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
@@ -599,10 +621,10 @@ object DedupOps {
         expr("transform(shs0, s -> xxhash64(s))").as("shs"),
         size(col("shs0")).cast(LongType).as("n"))
       .cache() // referenced three times (bands + both verify sides)
-    val bands = base.select(col("tkey"),
+    val bands = capBandBuckets(base.select(col("tkey"),
       explode(expr(s"transform(sequence(0, ${NumPerms / BandSize - 1}), " +
         s"b -> named_struct('band', b, 'key', xxhash64(slice(sig, b*$BandSize + 1, $BandSize))))")).as("bk"))
-      .select(col("tkey"), col("bk.band").as("band"), col("bk.key").as("bkey"))
+      .select(col("tkey"), col("bk.band").as("band"), col("bk.key").as("bkey")))
     val cand = bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
       .filter(col("a.tkey") < col("b.tkey"))
       .select(col("a.tkey").as("t1"), col("b.tkey").as("t2"))
@@ -643,22 +665,6 @@ object DedupOps {
       .select(col("doc_id"),
         graft.functions.MinHash.signature(col("text")).as("sig"))
       .filter(col("sig").isNotNull)
-
-  /** Banded MinHash candidate pairs (shared by q_dedup_minhash and the
-    * two-stage verified variant). The signature table is cached: the band
-    * self-join otherwise recomputes the whole hashing pipeline once per
-    * side (it is tiny — |docs| × 32 longs). */
-  private def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = signatures(spark, dir).cache()
-    val bands = sigs.select(col("doc_id"),
-      explode(expr(s"transform(sequence(0, ${NumPerms / BandSize - 1}), " +
-        s"b -> named_struct('band', b, 'key', xxhash64(slice(sig, b*$BandSize + 1, $BandSize))))")).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("bkey"))
-    bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-  }
 
   // --- q_dedup_minhash_portable / q_dedup_simhash_portable ---------------
   // The SAME MinHash-banding / SimHash algorithms as the native queries,

@@ -52,6 +52,28 @@ class DedupOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("native LSH propose drops oversized band buckets, keeps sane ones") {
+    import org.apache.spark.sql.functions._
+    // 1001 identical docs blow past MaxBandBucket (their shared signature
+    // puts all of them in every band bucket) → the native LSH lane must
+    // propose NOTHING for them (they are exact-dedup's job); a 3-copy
+    // text stays under the cap and pairs normally
+    val dir = java.nio.file.Files.createTempDirectory("graft-cap").toString
+    val hot = (0L until 1001L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta"))
+    val sane = (2000L until 2003L).map(i =>
+      (i, "one two three four five six seven eight nine"))
+    (hot ++ sane).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val pairs = graft.QueryRegistry.byName("q_dedup_minhash")
+      .run(spark, dir)
+      .select(col("d1"), col("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((2000L, 2001L), (2000L, 2002L), (2001L, 2002L)),
+      s"hot bucket must be capped, sane bucket must pair: $pairs")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("two-stage verified dedup == all-pairs exact jaccard on the fixture") {
     import org.apache.spark.sql.functions._
     // ground truth: brute-force EXACT jaccard over string shingle sets,
