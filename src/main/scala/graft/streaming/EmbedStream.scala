@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Streaming embedding near-duplicate suppression — the vector-space twin
+  * of [[DocStream]]: embedded items (documents, images via their encoder)
+  * arrive continuously and semantic duplicates must be flagged AT INGEST.
+  *
+  * Propose: each vector claims/collides with sign-orthant band buckets
+  * (3 bands × 4 axis-sign bits over the first 12 components — the SAME
+  * deterministic construction family as the batch q_dedup_embedding
+  * banding and q_diversity_sample's orthant key, so stream and batch
+  * agree on bucket geometry). Bucket state is one keeper id per active
+  * bucket, evicted by event-time TTL. Verify: foreachBatch joins the
+  * proposed (keeper, vec) pairs to the resident corpus vectors and keeps
+  * exact cosine ≥ threshold — a false band collision never reaches the
+  * output, and state is never spent on full vectors (ids only).
+  */
+object EmbedStream {
+
+  final case class EmbDoc(vec_id: Long, ts: Timestamp, embedding: Seq[Float])
+
+  final case class EmbBandHit(band: Int, bkey: Long, vec_id: Long, ts: Timestamp)
+
+  final case class EmbCandidate(keeper_id: Long, vec_id: Long, band: Int)
+
+  final case class EmbBucketState(keeperId: Long, lastSeenMs: Long)
+
+  val BandBits = 4
+  val NumBands = 3
+
+  /** Sign-orthant band key of band `b`: bit j set iff component
+    * b*BandBits + j (1-based in the array) is strictly positive. */
+  private def bandKey(v: org.apache.spark.sql.Column, b: Int) =
+    (0 until BandBits).map { j =>
+      when(element_at(v, b * BandBits + j + 1).cast(DoubleType) > 0.0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH propose stage over the embedding stream: (keeper, vec) candidate
+    * pairs per band collision; earliest vector deterministically claims
+    * each bucket within a micro-batch. */
+  def nearDupCandidates(
+      spark: SparkSession,
+      vecs: DataFrame,
+      bucketTtlMs: Long = 60 * 60 * 1000L): Dataset[EmbCandidate] = {
+    import spark.implicits._
+    vecs
+      .select(col("vec_id"), col("ts"),
+        explode(array((0 until NumBands).map(b =>
+          struct(lit(b).as("band"),
+            bandKey(col("embedding"), b).as("bkey"))): _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"),
+        col("vec_id"), col("ts"))
+      .as[EmbBandHit]
+      .withWatermark("ts", "1 hour")
+      .groupByKey(h => (h.band, h.bkey))
+      .flatMapGroupsWithState[EmbBucketState, EmbCandidate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Int, Long), batch: Iterator[EmbBandHit], state: GroupState[EmbBucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = batch.toSeq.sortBy(h => (h.ts.getTime, h.vec_id))
+            val out = scala.collection.mutable.ListBuffer.empty[EmbCandidate]
+            var cur = state.getOption
+            for (h <- sorted) {
+              val tMs = h.ts.getTime
+              cur match {
+                case Some(s) =>
+                  if (h.vec_id != s.keeperId)
+                    out += EmbCandidate(s.keeperId, h.vec_id, key._1)
+                  cur = Some(s.copy(lastSeenMs = math.max(s.lastSeenMs, tMs)))
+                case None =>
+                  cur = Some(EmbBucketState(h.vec_id, tMs))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeenMs + bucketTtlMs)
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** Exact cosine verification of proposed pairs against the corpus —
+    * batch-callable (shared by the streaming wiring and standalone use).
+    * Cost ∝ |pairs|; the corpus is joined twice on narrow ids. */
+  def verifyCandidates(
+      corpus: DataFrame, pairs: DataFrame, threshold: Double = 0.99): DataFrame = {
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.VectorOps.dot(a, b)
+    val vecs = corpus.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val a = vecs.select(col("vec_id").as("keeper_id"),
+      col("v").as("va"), col("norm").as("na"))
+    val b = vecs.select(col("vec_id"), col("v").as("vb"), col("norm").as("nb"))
+    pairs.join(a, "keeper_id").join(b, "vec_id")
+      .select(col("keeper_id"), col("vec_id"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** End-to-end: propose via band-keeper state, exactly verify each
+    * micro-batch against the corpus, emit only confirmed semantic dups. */
+  def verifiedNearDups(
+      spark: SparkSession,
+      vecs: DataFrame,
+      corpus: DataFrame,
+      threshold: Double = 0.99)(emit: DataFrame => Unit): StreamingQuery =
+    nearDupCandidates(spark, vecs).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        emit(verifyCandidates(corpus,
+          batch.select(col("keeper_id"), col("vec_id")).distinct(), threshold))
+        ()
+      }
+      .start()
+}

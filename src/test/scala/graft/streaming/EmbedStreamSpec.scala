@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class EmbedStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  import EmbedStream._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // 16-dim vectors (>= NumBands*BandBits = 12 components used for keys).
+  // base2 is a tiny perturbation of base (same orthant, cosine ~1);
+  // far flips the signs the band keys read (different orthant, low cosine).
+  private val base = Seq.tabulate(16)(i => 1.0f + 0.01f * i)
+  private val base2 = base.map(x => x * 1.001f)
+  private val far = Seq.tabulate(16)(i => if (i % 2 == 0) -1.0f else 1.0f)
+
+  test("streaming propose pairs same-orthant vectors, not different-orthant") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EmbDoc]
+    val q = nearDupCandidates(spark, input.toDF()).toDF()
+      .writeStream.format("memory").queryName("embcands")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        EmbDoc(1L, ts("2024-01-01 10:00:00"), base),
+        EmbDoc(2L, ts("2024-01-01 10:01:00"), base2),
+        EmbDoc(3L, ts("2024-01-01 10:02:00"), far))
+      q.processAllAvailable()
+      // cross-batch: the bucket keeper survives into the next micro-batch
+      input.addData(EmbDoc(4L, ts("2024-01-01 10:20:00"), base))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT DISTINCT keeper_id, vec_id FROM embcands")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((1L, 2L)), s"same-orthant pair expected: $got")
+      assert(got.contains((1L, 4L)), s"cross-batch pair expected: $got")
+      assert(!got.exists { case (k, d) => k == 3L || d == 3L },
+        s"different-orthant vector must not pair: $got")
+    } finally q.stop()
+  }
+
+  test("verifiedNearDups: exact cosine gates the proposed pairs") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // corpus carries all vectors; mid shares base's orthant (so it IS
+    // proposed) but its cosine to base is well under the 0.99 threshold
+    val mid = Seq.tabulate(16)(i => if (i < 8) 5.0f else 0.1f)
+    val corpus = Seq(
+      (1L, base), (2L, base2), (3L, far), (5L, mid))
+      .toDF("vec_id", "embedding")
+    val input = MemoryStream[EmbDoc]
+    val got = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = verifiedNearDups(spark, input.toDF(), corpus, 0.99) { verified =>
+      got ++= verified.collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    try {
+      input.addData(
+        EmbDoc(1L, ts("2024-01-01 10:00:00"), base),
+        EmbDoc(2L, ts("2024-01-01 10:01:00"), base2),
+        EmbDoc(3L, ts("2024-01-01 10:02:00"), far),
+        EmbDoc(5L, ts("2024-01-01 10:03:00"), mid))
+      q.processAllAvailable()
+      assert(got.contains((1L, 2L)), s"near-identical vector must verify: $got")
+      assert(!got.exists { case (k, d) => d == 5L || k == 5L },
+        s"band collision with low cosine must be rejected by verify: $got")
+      assert(!got.exists { case (k, d) => k == 3L || d == 3L }, s"got $got")
+    } finally q.stop()
+  }
+
+  test("stream band keys equal the batch sign-orthant construction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the first NumBands*BandBits sign bits, sliced into bands, must match
+    // a direct batch computation over the same vectors
+    val df = Seq((1L, base), (3L, far)).toDF("vec_id", "embedding")
+    val streamKeys = (0 until NumBands).map { b =>
+      df.select(col("vec_id"), (0 until BandBits).map { j =>
+        when(element_at(col("embedding"), b * BandBits + j + 1)
+          .cast("double") > 0.0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _).as("k")).collect().map(r => (r.getLong(0), b) -> r.getLong(1))
+    }.flatten.toMap
+    // base: all 12 leading components positive → every band key = 15;
+    // far: components alternate -,+ → bits 1 and 3 set → key 10
+    (0 until NumBands).foreach { b =>
+      assert(streamKeys((1L, b)) === 15L)
+      assert(streamKeys((3L, b)) === 10L)
+    }
+  }
+}
