@@ -328,8 +328,13 @@ object DocStream {
             emit(confirmed)
             val novel = batchDocs.join(
               confirmed.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-            if (exists) graft.sink.Upsert.merge(spark, corpusDir, novel, "doc_id")
-            else novel.write.parquet(corpusDir)
+            // empty micro-batches happen (watermark-only triggers); writing
+            // a schemaless empty table would poison every later read, and
+            // an empty merge is a pointless full rewrite — skip both
+            if (!novel.isEmpty) {
+              if (exists) graft.sink.Upsert.merge(spark, corpusDir, novel, "doc_id")
+              else novel.write.parquet(corpusDir)
+            }
           } finally confirmed.unpersist()
         } finally b.unpersist()
         ()
