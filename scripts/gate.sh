@@ -19,3 +19,13 @@ python3 scripts/check_correctness.py /root/testdata/sf0.1 /tmp/gate_v01 | tail -
 echo "== bench sf0.1 =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"'
+
+# Optional stress lane: STRESS=1 ./scripts/gate.sh regenerates the 10x
+# derivation (graft.StressGen, splittable single-file layout) and runs
+# the bench against it — the PERF.md stress numbers reproduce from here.
+if [ "${STRESS:-0}" = "1" ]; then
+  echo "== stress sf1 (10x) =="
+  sbt -batch "runMain graft.StressGen /root/testdata/sf0.1 /tmp/sfstress/sf1 10" 2>&1 | grep stressgen
+  SPARK_GRAFT_SF_DIR=/tmp/sfstress/sf1 SPARK_GRAFT_CPUS=32 \
+    sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"'
+fi

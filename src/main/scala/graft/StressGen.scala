@@ -21,8 +21,6 @@ import org.apache.spark.sql.functions._
 object StressGen {
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: StressGen <srcDir> <outDir> <K>")
-    val Array(src, out, kStr) = args
-    val k = kStr.toInt
     val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -31,6 +29,12 @@ object StressGen {
     Tables.RequiredConf.foreach { case (key, v) => builder.config(key, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args(0), args(1), args(2).toInt)
+    finally spark.stop()
+  }
+
+  /** Session-agnostic body (spec-callable without owning the session). */
+  def run(spark: SparkSession, src: String, out: String, k: Int): Unit = {
 
     // key stride per table-key: a power of ten above the source max, so
     // offset keys are disjoint and still readable in failure output
@@ -102,6 +106,5 @@ object StressGen {
       Map("event_id" -> "event_id", "user_id" -> "user_id")), "events")
     write(scaled("documents", Map("doc_id" -> "doc_id")), "documents")
     write(scaled("embeddings", Map("vec_id" -> "vec_id")), "embeddings")
-    spark.stop()
   }
 }
