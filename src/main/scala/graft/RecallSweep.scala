@@ -39,6 +39,15 @@ object RecallSweep {
       val tag = if (probe) "+probe" else "      "
       println(f"[sweep] bands=$bands%2d bits=$bits%d$tag planes=${bands * bits}%3d  recall@5=$recall%.3f  time=$dt%.2fs")
     }
+    // portable axis-sign LSH (the oracle-checked ANN twin)
+    locally {
+      val t0 = System.nanoTime()
+      val recall = operators.SimilarityOps
+        .recallOf(spark, dir, operators.SimilarityOps.axisLshTopK(spark, dir))
+        .agg(avg(col("recall_at_k"))).head().getDouble(0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[sweep] axis-sign 4x4+probe (portable)  recall@5=$recall%.3f  time=$dt%.2fs")
+    }
     // IVF: the nprobe knob (cells = label partitions, median centroids)
     Seq(1, 2).foreach { np =>
       val t0 = System.nanoTime()

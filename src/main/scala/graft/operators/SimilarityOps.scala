@@ -149,6 +149,87 @@ object SimilarityOps {
   private def qLsh(spark: SparkSession, dir: String): DataFrame =
     lshTopK(spark, dir, LshBands, LshBandBits, multiprobe = true)
 
+  // --- q_ann_lsh_portable: oracle-checked ANN via axis-sign bands --------
+  // The portable-hash twin of q_ann_lsh (same move as the minhash/simhash
+  // portable variants): hyperplane signs are xxhash64-derived and thus
+  // engine-specific, but AXIS signs are pure comparisons both engines
+  // compute identically — 4 bands × 4 sign bits over the first 16
+  // components, 1-bit query-side multiprobe, exact cosine rescoring,
+  // same top-k/tie-break as brute force. Recall is below the random-
+  // hyperplane index (axes are not data-independent directions); the
+  // value is that the ENTIRE approximate-ANN algorithm — banding,
+  // probing, candidate dedup, rescoring — rides the rows+schema+hash
+  // gate. The native q_ann_lsh stays the production path.
+  private val AxisBands = 4
+  private val AxisBits = 4
+
+  private def axisBandKey(v: Column, b: Int): Column =
+    (0 until AxisBits).map { j =>
+      when(element_at(v, b * AxisBits + j + 1) > 0.0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Recall-harness alias. */
+  private[graft] def axisLshTopK(spark: SparkSession, dir: String): DataFrame =
+    qAnnLshPortable(spark, dir)
+
+  private def qAnnLshPortable(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(table(spark, dir, "embeddings")).cache()
+    val bands = e.select(col("vec_id"), explode(array((0 until AxisBands).map(b =>
+        struct(lit(b).as("band"), axisBandKey(col("v"), b).as("bkey"))): _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val qBands = bands.filter(col("vec_id") < NumQueries)
+      .withColumnRenamed("vec_id", "query_id")
+      .select(col("query_id"), col("band"),
+        explode(array((col("bkey") +: (0 until AxisBits).map(j =>
+          col("bkey").bitwiseXOR(lit(1L << j)))): _*)).as("bkey"))
+    val cand = bands.join(broadcast(qBands), Seq("band", "bkey"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val scored = cand
+      .join(e, "vec_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qnorm") * col("norm"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= K)
+  }
+
+  private val qAnnLshPortableSql = {
+    val keyExpr = (b: String) => (0 until AxisBits).map(j =>
+      s"(CASE WHEN v[$b*$AxisBits + ${j + 1}] > 0.0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_reduce(list_prepend(0.0, [x*x FOR x IN embedding::DOUBLE[]]), (a,x) -> a+x)) AS norm
+       |  FROM embeddings),
+       |bands AS (
+       |  SELECT vec_id, b.b AS band, CAST(${keyExpr("b.b")} AS BIGINT) AS bkey
+       |  FROM e, UNNEST(range(0, $AxisBands)) AS b(b)),
+       |qprobes AS (
+       |  SELECT vec_id AS query_id, band, p.p AS bkey
+       |  FROM bands, UNNEST([bkey, ${(0 until AxisBits).map(j => s"xor(bkey, ${1L << j})").mkString(", ")}]) AS p(p)
+       |  WHERE vec_id < $NumQueries),
+       |cand AS (
+       |  SELECT DISTINCT q.query_id, b.vec_id
+       |  FROM bands b JOIN qprobes q USING (band, bkey)
+       |  WHERE b.vec_id != q.query_id),
+       |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT c.query_id, e.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(0.0, [q.qv[i]*e.v[i] FOR i IN range(1, 65)]), (acc,x) -> acc+x)
+       |      / (q.qnorm * e.norm) AS cosine
+       |  FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= $K""".stripMargin
+  }
+
   // --- q_ann_ivf: IVF-style cell-probed ANN ------------------------------
   // Coarse quantizer: one centroid per label cell, component-wise exact
   // MEDIAN (rank-based — deterministic across engines, unlike a mean whose
@@ -484,6 +565,7 @@ object SimilarityOps {
     QueryDef("q_gram_int8", qGramInt8, Some(qGramInt8Sql)),
     QueryDef("q_ann_cosine_topk", qBruteTopK, Some(qBruteTopKSql), headline = true),
     QueryDef("q_ann_lsh", qLsh, None),
+    QueryDef("q_ann_lsh_portable", qAnnLshPortable, Some(qAnnLshPortableSql)),
     QueryDef("q_ann_ivf", qIvf(_, _), Some(qIvfSql()), headline = true),
     QueryDef("q_ann_ivf2", qIvf(_, _, nprobe = 2), Some(qIvfSql(nprobe = 2))),
     QueryDef("q_ann_recall", qAnnRecall, None),
