@@ -536,9 +536,12 @@ object DedupOps {
     * near-dup pair lost to one capped band can still surface via its
     * other bands, the same exactness-for-boundedness trade as the
     * stop-shingle cap (and a bucket this hot is signature-collision
-    * boilerplate, not content). Never binds at test SFs: the largest
-    * observed bucket is ~50 members; the extra cost is one narrow
-    * count agg over (band, bkey). */
+    * boilerplate, not content). The cap counts DISTINCT TEXTS per
+    * bucket — the quantity that drives the self-join fan-out after the
+    * distinct-text rework; identical copies collapse to one member and
+    * are reported through the intra expansion instead. Never binds at
+    * test SFs: the largest observed bucket is ~50 members; the extra
+    * cost is one narrow count agg over (band, bkey). */
   private[operators] val MaxBandBucket = 1000
 
   private def capBandBuckets(bands: DataFrame): DataFrame = {
@@ -549,25 +552,63 @@ object DedupOps {
     bands.join(ok, Seq("band", "bkey"))
   }
 
+  // Exact-dedup FIRST (round-4: the same distinct-text rework as the rest
+  // of the family — at the 100× stress decade the doc-level formulation
+  // was the suite's slowest query at 25.8 s, all of it re-hashing copies):
+  // signatures, banding and the band self-join run once per DISTINCT
+  // text; identical docs share the full signature, so intra-text doc
+  // pairs are est_jaccard exactly 1.0 by construction and are expanded
+  // (with the cross-text pairs) by output-sized joins at the end. The
+  // bucket cap now counts distinct TEXTS per bucket — the quantity that
+  // actually drives the self-join fan-out.
   private def qMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = signatures(spark, dir).cache()
-    val bands = capBandBuckets(sigs.select(col("doc_id"), col("sig"),
+    val t = table(spark, dir, "documents")
+      .select(col("doc_id"), xxhash64(col("text")).as("tkey"), col("text"))
+    val members = t.select(col("doc_id"), col("tkey"))
+    val sigs = t.groupBy(col("tkey")).agg(first(col("text")).as("text"))
+      .repartition(col("tkey"))
+      .select(col("tkey"), graft.functions.MinHash.signature(col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
+      .cache()
+    val bands = capBandBuckets(sigs.select(col("tkey"),
       explode(expr(s"transform(sequence(0, ${NumPerms / BandSize - 1}), " +
         s"b -> named_struct('band', b, 'key', xxhash64(slice(sig, b*$BandSize + 1, $BandSize))))")).as("bk"))
-      .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("bkey")))
-    // dedupe candidates on the narrow id pair, then rejoin signatures —
+      .select(col("tkey"), col("bk.band").as("band"), col("bk.key").as("bkey")))
+    // dedupe candidates on the narrow key pair, then rejoin signatures —
     // hash-distinct over the 32-wide sig arrays is pure overhead
     val cand = bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .filter(col("a.tkey") < col("b.tkey"))
+      .select(col("a.tkey").as("t1"), col("b.tkey").as("t2"))
       .distinct()
-    val s1 = sigs.select(col("doc_id").as("d1"), col("sig").as("sig1"))
-    val s2 = sigs.select(col("doc_id").as("d2"), col("sig").as("sig2"))
-    cand.join(s1, "d1").join(s2, "d2")
-      .select(col("d1"), col("d2"),
+    val s1 = sigs.select(col("tkey").as("t1"), col("sig").as("sig1"))
+    val s2 = sigs.select(col("tkey").as("t2"), col("sig").as("sig2"))
+    val simT = cand.join(s1, "t1").join(s2, "t2")
+      .select(col("t1"), col("t2"),
         (aggregate(zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0L), (acc, x) => acc + x).cast(DoubleType) / NumPerms).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
+    expandDocPairs(simT, members, sigs.select(col("tkey")), "est_jaccard")
+  }
+
+  /** Expand text-level scored pairs to doc-level: cross-text pairs via
+    * output-sized member joins (ordering normalized to d1 < d2), plus
+    * intra-text pairs at exactly 1.0 for texts with a defined signature
+    * (identical docs agree on every minhash/band by construction). */
+  private def expandDocPairs(
+      simT: DataFrame, members: DataFrame, validTexts: DataFrame,
+      scoreCol: String): DataFrame = {
+    val cross = simT
+      .join(members.withColumnRenamed("tkey", "t1").withColumnRenamed("doc_id", "da"), "t1")
+      .join(members.withColumnRenamed("tkey", "t2").withColumnRenamed("doc_id", "db"), "t2")
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"), col(scoreCol))
+    val m2 = members.join(validTexts, "tkey")
+    val intra = m2.alias("a")
+      .join(m2.alias("b"),
+        col("a.tkey") === col("b.tkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        lit(1.0).as(scoreCol))
+    cross.unionByName(intra)
   }
 
   // --- q_dedup_simhash: 64-bit SimHash signatures ------------------------
@@ -651,21 +692,6 @@ object DedupOps {
     cross.unionByName(intra)
   }
 
-  /** Per-doc 32-minhash signatures via the native single-pass expression
-    * (graft.functions.MinHash) — NO explode, no aggregation shuffle;
-    * bit-equal to the composed min(xxhash64) aggregation
-    * (NativeVsComposedSpec). The narrow repartition BEFORE the hashing
-    * spreads the CPU-heavy signature computation across the cluster
-    * (parquet layout may pack small inputs into few splits) and gives the
-    * band self-join a shared exchange to reuse. */
-  private def signatures(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents")
-      .select(col("doc_id"), col("text"))
-      .repartition(col("doc_id"))
-      .select(col("doc_id"),
-        graft.functions.MinHash.signature(col("text")).as("sig"))
-      .filter(col("sig").isNotNull)
-
   // --- q_dedup_minhash_portable / q_dedup_simhash_portable ---------------
   // The SAME MinHash-banding / SimHash algorithms as the native queries,
   // but over a PORTABLE seeded hash family both engines compute
@@ -702,32 +728,40 @@ object DedupOps {
   private def qMinhashPortable(spark: SparkSession, dir: String): DataFrame = {
     // single-pass codegen'd signature (shingling + code-point fold + K
     // affine minima in one document walk — the composed HOF formulation
-    // interprets one lambda step per CHARACTER and was 5× slower at sf1).
-    // repartition before the CPU-heavy hashing for the same reason as
-    // `signatures` (spread small parquet splits across the cluster).
-    val sigs = table(spark, dir, "documents")
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), graft.functions.PolyMinHash.signature(col("text")).as("sig"))
+    // interprets one lambda step per CHARACTER and was 5× slower at sf1),
+    // computed once per DISTINCT text (round-4: 23.7 s → expansion-bound
+    // at the 100× stress decade; the doc-level oracle is untouched
+    // because identical docs agree on every minimum, so the doc-level
+    // output is exactly the expansion of the text-level one — intra
+    // pairs match all K minima, est 1.0). NO bucket cap on this lane:
+    // the uncapped contract is what the SQL oracle computes.
+    val t = table(spark, dir, "documents")
+      .select(col("doc_id"), xxhash64(col("text")).as("tkey"), col("text"))
+    val members = t.select(col("doc_id"), col("tkey"))
+    val sigs = t.groupBy(col("tkey")).agg(first(col("text")).as("text"))
+      .repartition(col("tkey"))
+      .select(col("tkey"), graft.functions.PolyMinHash.signature(col("text")).as("sig"))
       .filter(col("sig").isNotNull)
       .cache()
     // band key: portable fold of the band's signature slice (NOT xxhash64)
-    val bands = sigs.select(col("doc_id"),
+    val bands = sigs.select(col("tkey"),
       explode(expr(
         s"transform(sequence(0, ${PortBands - 1}), b -> named_struct('band', b, " +
           s"'bkey', aggregate(slice(sig, b*$PortBandSize + 1, $PortBandSize), " +
           s"CAST(0 AS BIGINT), (acc, x) -> (acc*31 + x) % $PortP)))")).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .select(col("tkey"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     val cand = bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .filter(col("a.tkey") < col("b.tkey"))
+      .select(col("a.tkey").as("t1"), col("b.tkey").as("t2"))
       .distinct()
-    val s1 = sigs.select(col("doc_id").as("d1"), col("sig").as("sig1"))
-    val s2 = sigs.select(col("doc_id").as("d2"), col("sig").as("sig2"))
-    cand.join(s1, "d1").join(s2, "d2")
-      .select(col("d1"), col("d2"),
+    val s1 = sigs.select(col("tkey").as("t1"), col("sig").as("sig1"))
+    val s2 = sigs.select(col("tkey").as("t2"), col("sig").as("sig2"))
+    val simT = cand.join(s1, "t1").join(s2, "t2")
+      .select(col("t1"), col("t2"),
         (aggregate(zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1L).otherwise(0L)),
           lit(0L), (acc, x) => acc + x).cast(DoubleType) / PortK).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
+    expandDocPairs(simT, members, sigs.select(col("tkey")), "est_jaccard")
   }
 
   private val qMinhashPortableSql: String = {

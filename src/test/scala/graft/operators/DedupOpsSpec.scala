@@ -54,15 +54,21 @@ class DedupOpsSpec extends AnyFunSuite {
 
   test("native LSH propose drops oversized band buckets, keeps sane ones") {
     import org.apache.spark.sql.functions._
-    // 1001 identical docs blow past MaxBandBucket (their shared signature
-    // puts all of them in every band bucket) → the native LSH lane must
-    // propose NOTHING for them (they are exact-dedup's job); a 3-copy
-    // text stays under the cap and pairs normally
-    val dir = java.nio.file.Files.createTempDirectory("graft-cap").toString
-    val hot = (0L until 1001L).map(i =>
-      (i, "alpha beta gamma delta epsilon zeta eta theta"))
+    // 1001 DISTINCT texts with identical shingle SETS (cyclic rotations
+    // of one token cycle share every 3-gram) hash to identical MinHash
+    // signatures, putting 1001 distinct texts in every band bucket —
+    // past MaxBandBucket, so the native LSH lane proposes NOTHING for
+    // the family (a bucket this degenerate is boilerplate, not signal);
+    // a 3-copy text stays under the cap and pairs as exact 1.0s
+    val n = 1001
+    val cycle = Array.tabulate(n)(i => s"t$i")
+    val hot = (0 until n).map { i =>
+      val toks = (0 until n + 2).map(j => cycle((i + j) % n))
+      (i.toLong, toks.mkString(" "))
+    }
     val sane = (2000L until 2003L).map(i =>
       (i, "one two three four five six seven eight nine"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-cap").toString
     (hot ++ sane).toDF("doc_id", "text")
       .write.parquet(s"$dir/documents.parquet")
     val pairs = graft.QueryRegistry.byName("q_dedup_minhash")
@@ -70,7 +76,7 @@ class DedupOpsSpec extends AnyFunSuite {
       .select(col("d1"), col("d2"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((2000L, 2001L), (2000L, 2002L), (2001L, 2002L)),
-      s"hot bucket must be capped, sane bucket must pair: $pairs")
+      s"hot bucket must be capped, sane copies must pair: $pairs")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
