@@ -803,11 +803,17 @@ object DedupOps {
   private val PortSimBits = 16
 
   private def qSimhashPortable(spark: SparkSession, dir: String): DataFrame = {
-    val d = table(spark, dir, "documents")
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+    // per DISTINCT text (round-4): the interpreted per-character fold is
+    // the cost, and it is a pure function of the text — compute it once
+    // per distinct text and join the 8-byte result back to documents
+    // (the per-doc oracle is untouched: same value for every copy)
+    val t = table(spark, dir, "documents")
+      .select(col("doc_id"), xxhash64(col("text")).as("tkey"), col("text"))
+    val d = t.groupBy(col("tkey")).agg(first(col("text")).as("text"))
+      .repartition(col("tkey"))
+      .select(col("tkey"), split(trim(col("text")), " ").as("w"))
       // project the hash array ONCE — each of the 16 bit-folds reads it
-      .select(col("doc_id"), size(col("w")).cast(LongType).as("n"),
+      .select(col("tkey"), size(col("w")).cast(LongType).as("n"),
         transform(col("w"), t => polyHash(t)).as("hs"))
     val simhash = (0 until PortSimBits).map { j =>
       val ones = aggregate(
@@ -815,7 +821,9 @@ object DedupOps {
         lit(0L), (acc, x) => acc + x)
       when(ones * 2 > col("n"), lit(1L << j).cast(LongType)).otherwise(0L)
     }.reduce(_ + _)
-    d.select(col("doc_id"), simhash.as("simhash"))
+    t.select(col("doc_id"), col("tkey"))
+      .join(d.select(col("tkey"), simhash.as("simhash")), "tkey")
+      .select(col("doc_id"), col("simhash"))
   }
 
   private val qSimhashPortableSql: String = {
