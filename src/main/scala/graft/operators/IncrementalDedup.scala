@@ -2,8 +2,9 @@ package graft.operators
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.hadoop.fs.Path
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -12,8 +13,10 @@ import org.apache.spark.sql.types.DoubleType
   * q_dedup_incremental (DedupOps.scala) already avoids old×old pairs, but
   * every run still re-shingles the resident corpus to rebuild the inverted
   * index — at 100 TB that scan dwarfs the batch. The real incremental-ingest
-  * shape amortizes it: the corpus index is built ONCE (and maintained by
-  * appends), and a batch run does only batch-proportional compute plus
+  * shape amortizes it: the corpus index is built ONCE ([[buildIndex]]),
+  * maintained by [[appendToIndex]] (fold a verified batch in without a
+  * corpus rescan — spec-pinned exactly equal to a full rebuild over the
+  * union), and a batch run does only batch-proportional compute plus
   * narrow index scans:
   *
   *   1. batch text work (shingling, copy counts) — batch-sized;
@@ -99,6 +102,99 @@ object IncrementalDedup {
   private val MembersSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("tkey", org.apache.spark.sql.types.LongType)))
+
+  /** Fold a (verified) batch into the index at `indexDir`, so that
+    * afterwards the index is EXACTLY `buildIndex(resident ∪ batch)` —
+    * without ever touching resident text. All work is batch-proportional
+    * plus two narrow index scans:
+    *
+    *  - shingle_df: outer-merge the batch's copy-weighted df deltas
+    *    (batch only ADDS df);
+    *  - text_shingles: append shingle rows for batch texts NOT already
+    *    resident (a resident text's rows are already there, identical by
+    *    construction — same text ⇒ same shingle set);
+    *  - texts: n_copies adds; n0 re-corrects exactly the texts containing
+    *    a shingle the batch pushed over the cap (a broadcast-joined,
+    *    batch-proportional set — the same correction `run` computes
+    *    transiently, here made durable), while batch-new texts count their
+    *    shingles against the MERGED df;
+    *  - members: append the batch (doc_id, tkey) rows.
+    *
+    * The four tables are rewritten to a temp dir first (reads of the old
+    * index complete before anything moves), then swapped in with the
+    * two-rename pattern of [[graft.sink.Upsert]] — readers never observe a
+    * half-appended index. Appending a batch twice double-counts copies
+    * (same as rebuilding over a doubled corpus would); idempotent re-runs
+    * dedupe at the doc_id level before calling this, matching the
+    * reference's skip-already-loaded semantics (main.py:153-168).
+    */
+  def appendToIndex(spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+    val corpusSh = spark.read.schema(ShSchema).parquet(s"$indexDir/text_shingles.parquet")
+    val corpusTexts = spark.read.schema(TextsSchema).parquet(s"$indexDir/texts.parquet")
+    val corpusDf = spark.read.schema(DfSchema).parquet(s"$indexDir/shingle_df.parquet")
+    val members = spark.read.schema(MembersSchema).parquet(s"$indexDir/members.parquet")
+
+    val (bshAll, btexts) = textShingles(batch)
+    // batch texts that are NOT already resident: only these add shingle rows
+    val newTkeys = btexts.select("tkey")
+      .join(corpusTexts.select("tkey"), Seq("tkey"), "left_anti")
+    val newSh = bshAll.join(newTkeys, "tkey")
+
+    // copy-weighted df delta per batch shingle (ALL batch texts contribute —
+    // resident ones add copies, hence df, too)
+    val bdf = bshAll.join(btexts, "tkey")
+      .groupBy(col("sh")).agg(sum(col("n_copies")).as("bdf"))
+    val mergedDf = corpusDf.join(bdf, Seq("sh"), "full_outer")
+      .select(col("sh"),
+        (coalesce(col("cdf"), lit(0L)) + coalesce(col("bdf"), lit(0L))).as("cdf"))
+
+    // shingles the batch pushed over the cap — batch-proportional by
+    // construction (a subset of the batch's own shingles)
+    val newlyOver = corpusDf.join(bdf, "sh")
+      .filter(col("cdf") <= MaxShingleDf && col("cdf") + col("bdf") > MaxShingleDf)
+      .select("sh")
+    // resident-text n0 drop: one narrow scan of the shingle index against
+    // the broadcast newly-over set
+    val drops = corpusSh.join(broadcast(newlyOver), "sh")
+      .groupBy(col("tkey")).agg(count(lit(1)).as("drop"))
+    // batch-new texts count their shingles under the merged (final) df
+    val newN0 = newSh
+      .join(mergedDf.filter(col("cdf") <= MaxShingleDf).select("sh"), "sh")
+      .groupBy(col("tkey")).agg(count(lit(1)).as("bn0"))
+
+    val mergedTexts = corpusTexts
+      .join(btexts.withColumnRenamed("n_copies", "b_copies"), Seq("tkey"), "full_outer")
+      .join(drops, Seq("tkey"), "left")
+      .join(newN0, Seq("tkey"), "left")
+      .select(col("tkey"),
+        (coalesce(col("n_copies"), lit(0L)) + coalesce(col("b_copies"), lit(0L)))
+          .as("n_copies"),
+        coalesce(col("n0") - coalesce(col("drop"), lit(0L)), col("bn0"), lit(0L)).as("n0"))
+
+    val mergedMembers = members.unionByName(
+      batch.select(col("doc_id"), xxhash64(col("text")).as("tkey")))
+
+    // materialize to tmp FIRST (the plans above read the live index), then
+    // atomically swap the whole index directory
+    val live = new Path(indexDir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(live.getParent, live.getName + ".append-tmp")
+    val bak = new Path(live.getParent, live.getName + ".append-bak")
+    fs.delete(tmp, true)
+    corpusSh.unionByName(newSh)
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/text_shingles.parquet")
+    mergedDf.write.mode(SaveMode.Overwrite).parquet(s"$tmp/shingle_df.parquet")
+    mergedTexts.write.mode(SaveMode.Overwrite).parquet(s"$tmp/texts.parquet")
+    mergedMembers.write.mode(SaveMode.Overwrite).parquet(s"$tmp/members.parquet")
+    fs.delete(bak, true)
+    if (!fs.rename(live, bak))
+      throw new java.io.IOException(s"index append swap failed: $live -> $bak")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(bak, live)
+      throw new java.io.IOException(s"index append swap failed: $tmp -> $live")
+    }
+    fs.delete(bak, true)
+  }
 
   /** Dedup `batch` against the index at `indexDir`. Returns
     * (old_id, new_id, jaccard) pairs with jaccard ≥ 0.5, where old docs are
