@@ -38,18 +38,21 @@ object MultimodalOps {
 
   // ================= STUB: media decode =================
   /** Deterministic fake per-batch "decoder": one call per batch of ≤
-    * BatchSize rows (the model-inference shape). Features are a rolling
-    * byte hash folded into FeatureDim floats — stable across runs, cheap,
-    * and obviously not a real decoder. Replace with the real
-    * image/audio/frame decode; the call contract (batch in → equal-length
-    * feature rows out) is what the pipeline depends on.
+    * BatchSize rows (the model-inference shape). Feature r is the INTEGER
+    * sum of the byte values at positions ≡ r (mod FeatureDim) — order-free
+    * and exact in a Float up to 2^24 (a per-residue sum of 255-max bytes
+    * would need a >500 KB payload to overflow; documents are KBs), so the
+    * digest query below is SQL-expressible and rides the oracle gate.
+    * Stable across runs, cheap, and obviously not a real decoder. Replace
+    * with the real image/audio/frame decode; the call contract (batch in →
+    * equal-length feature rows out) is what the pipeline depends on.
     */
   def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]] =
     payloads.map { bytes =>
       val f = new Array[Float](FeatureDim)
       var i = 0
       while (i < bytes.length) {
-        f(i % FeatureDim) += (bytes(i) & 0xFF) / 255.0f
+        f(i % FeatureDim) += (bytes(i) & 0xFF)
         i += 1
       }
       f
@@ -121,19 +124,37 @@ object MultimodalOps {
       |FROM documents""".stripMargin
 
   // --- q_multimodal_features: stub decode through the batched pipeline ---
-  // No SQL oracle (the fake features are Spark-side); rows-only check. The
-  // registered query projects scalar digests of the feature array (dim +
-  // rounded checksum) rather than the raw array<float> — the gate's
-  // comparator needs hashable/sortable cells, and the digests still pin the
-  // decoder's output. `extractFeatures` itself keeps returning the array
-  // for pipeline use.
+  // Oracle-checked since the decoder's per-residue byte sums are integers:
+  // the registered query projects scalar digests (dim, total byte sum, and
+  // residue-0 sum) rather than the raw array<float> — the gate's comparator
+  // needs hashable/sortable cells, and the digests exactly pin the batched
+  // decode output. The DuckDB mirror exploits the corpus being ASCII
+  // (octet_length == length, gate-checked by n_bytes), so ord(substring)
+  // indexes the same bytes the Spark side decodes from the binary payload.
   private def qFeatures(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(mediaTable(spark, dir)).select(
       col("doc_id"),
       col("meta.n_bytes").as("n_bytes"),
       size(col("features")).cast(LongType).as("feature_dim"),
-      round(expr("aggregate(features, CAST(0.0 AS DOUBLE), (acc, f) -> acc + f)"), 4)
-        .as("feature_checksum"))
+      expr("aggregate(features, CAST(0 AS BIGINT), (acc, f) -> acc + CAST(f AS BIGINT))")
+        .as("feature_checksum"),
+      element_at(col("features"), 1).cast(LongType).as("f0"))
+
+  private val qFeaturesSql =
+    s"""WITH b AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+       |         ord(substring(text, CAST(i + 1 AS INT), 1)) AS v
+       |  FROM documents, UNNEST(range(0, length(text))) r(i)),
+       |s AS (
+       |  SELECT doc_id, CAST(SUM(v) AS BIGINT) AS feature_checksum,
+       |         CAST(SUM(CASE WHEN i % $FeatureDim = 0 THEN v ELSE 0 END) AS BIGINT) AS f0
+       |  FROM b GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  octet_length(encode(d.text)) AS n_bytes,
+       |  CAST($FeatureDim AS BIGINT) AS feature_dim,
+       |  COALESCE(s.feature_checksum, 0) AS feature_checksum,
+       |  COALESCE(s.f0, 0) AS f0
+       |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin
 
   // --- q_frame_sample: frame extraction plumbing, oracle-checked ---------
   // Every-2nd 64-byte frame per payload; counting frames and surviving
@@ -163,6 +184,6 @@ object MultimodalOps {
 
   def queries: Seq[QueryDef] = Seq(
     QueryDef("q_multimodal_meta", qMeta, Some(qMetaSql)),
-    QueryDef("q_multimodal_features", qFeatures, None),
+    QueryDef("q_multimodal_features", qFeatures, Some(qFeaturesSql)),
     QueryDef("q_frame_sample", qFrameSample, Some(qFrameSampleSql)))
 }

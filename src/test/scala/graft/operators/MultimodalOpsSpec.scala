@@ -40,4 +40,13 @@ class MultimodalOpsSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(r => r.getSeq[Float](r.fieldIndex("features")))
     assert(f.toSeq === again.toSeq)
   }
+
+  test("stub features are exact per-residue byte sums (the oracle contract)") {
+    val f = MultimodalOps.extractFeatures(media)
+      .orderBy("doc_id").collect().map(r => r.getSeq[Float](r.fieldIndex("features")))
+    // "abcdefghij": residue 0 ← 'a'(97) + 'i'(105) = 202; residue 1 ← 'b'+'j' = 204
+    assert(f(0)(0) === 202f && f(0)(1) === 204f)
+    // "0123": bytes 48..51 land one per residue 0..3, rest zero
+    assert(f(1).toSeq === Seq(48f, 49f, 50f, 51f, 0f, 0f, 0f, 0f))
+  }
 }
