@@ -49,13 +49,23 @@ object RecallSweep {
       println(f"[sweep] axis-sign 4x4+probe (portable)  recall@5=$recall%.3f  time=$dt%.2fs")
     }
     // IVF: the nprobe knob (cells = label partitions, median centroids)
-    Seq(1, 2).foreach { np =>
+    Seq(1, 2, 4).foreach { np =>
       val t0 = System.nanoTime()
       val recall = operators.SimilarityOps
         .recallOf(spark, dir, operators.SimilarityOps.ivfTopK(spark, dir, np))
         .agg(avg(col("recall_at_k"))).head().getDouble(0)
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[sweep] ivf nprobe=$np  recall@5=$recall%.3f  time=$dt%.2fs")
+    }
+    // learned IVF: same probing over k-medians-trained cells
+    Seq(1, 2, 4).foreach { np =>
+      val t0 = System.nanoTime()
+      val recall = operators.SimilarityOps
+        .recallOf(spark, dir, operators.SimilarityOps.ivfLearnedTopK(spark, dir, np))
+        .agg(avg(col("recall_at_k"))).head().getDouble(0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      println(f"[sweep] ivf-learned nprobe=$np  recall@5=$recall%.3f  time=$dt%.2fs")
     }
     spark.stop()
   }

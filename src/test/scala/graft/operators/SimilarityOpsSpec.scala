@@ -24,6 +24,21 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(probed > 0.8, s"8x4+probe should recover strong recall, got $probed")
   }
 
+  test("learned-centroid IVF beats label cells and clears recall@5 ≥ 0.8 at nprobe=4") {
+    // the round-4 verdict bar: learned coarse quantization must lift IVF
+    // recall to ≥ 0.8 at nprobe ≤ 4 (label cells manage 0.56 at the same
+    // scan fraction). Run at sf0.01 — the sweep harness's SF.
+    val d = "/root/testdata/sf0.01"
+    def meanRecall(df: org.apache.spark.sql.DataFrame): Double =
+      SimilarityOps.recallOf(spark, d, df)
+        .agg(avg(col("recall_at_k"))).head().getDouble(0)
+    val learned = meanRecall(SimilarityOps.ivfLearnedTopK(spark, d, nprobe = 4))
+    val labelCells = meanRecall(SimilarityOps.ivfTopK(spark, d, nprobe = 4))
+    assert(learned >= 0.8, s"learned IVF recall@5 at nprobe=4 was $learned")
+    assert(learned > labelCells,
+      s"learned cells ($learned) must beat data-given label cells ($labelCells)")
+  }
+
   test("multiprobe output is structurally a top-k per query") {
     val out = SimilarityOps.lshTopK(spark, dir, 8, 4, multiprobe = true)
       .select(col("query_id"), col("neighbor_id"), col("rank")).collect()
