@@ -32,7 +32,8 @@ object QueryRegistry {
       operators.SimilarityOps.queries ++
       operators.EventOps.queries ++
       operators.MultimodalOps.queries ++
-      operators.ProfileOps.queries
+      operators.ProfileOps.queries ++
+      ingest.TypeInference.queries
 
   lazy val byName: Map[String, QueryDef] = {
     val qs = all

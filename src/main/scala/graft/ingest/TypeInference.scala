@@ -1,8 +1,9 @@
 package graft.ingest
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{DateType, StringType}
 
 /** Distributed type inference for schema-on-read all-text tables — the
   * automated successor to the reference's hand-written typed-projection
@@ -78,4 +79,80 @@ object TypeInference {
     }
     df.select(projected.toIndexedSeq: _*)
   }
+
+  // --- q_type_census: the inference census, oracle-checked ---------------
+  // Round-4 verdict item 5: schema inference was spec-only; this puts the
+  // one-pass castability census itself on the rows+schema+hash gate. The
+  // fixture stringifies `orders` (the pgfutter all-text shape) plus two
+  // derived columns so every candidate type is POSITIVELY exercised:
+  // day-truncated o_orderdate (→ DATE: round-trips, unlike the timestamp
+  // strings the round-trip guard exists to reject) and an even-orderkey
+  // flag (→ BOOLEAN). The DuckDB mirror uses TRY_CAST with two explicit
+  // divergence guards, each probed empirically:
+  //  - string→BIGINT: Spark accepts only integral literals while DuckDB
+  //    also parses '123.0'/'1e3' → the oracle excludes '.'/'e' forms;
+  //  - string→TIMESTAMP: Spark parses bare 4-6 digit numbers as a YEAR
+  //    when ≤ 294247 (its max timestamp year: '1234'→1234-01-01, '123'
+  //    and 7-digit forms rejected) while DuckDB rejects year-only text →
+  //    the oracle ORs that grammar in (non-negative forms — this value
+  //    domain has no signed numerics).
+  // (DuckDB's BOOLEAN also rejects y/n/yes/no that Spark accepts —
+  // absent from this value domain, so not guarded; a corpus carrying
+  // those would need the same treatment.)
+  private def qTypeCensus(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.table(spark, dir, "orders")
+    val stringified = o.select(
+      o.columns.map(c => col(c).cast(StringType).as(c)) :+
+        col("o_orderdate").cast(DateType).cast(StringType).as("o_orderdate_day") :+
+        (col("o_orderkey") % 2 === 0).cast(StringType).as("o_even"): _*)
+    val inferences = infer(stringified)
+    import spark.implicits._
+    inferences.map { i =>
+      (i.column, i.inferred, i.nonEmpty, i.castable("BIGINT"), i.castable("DOUBLE"),
+        i.castable("DATE"), i.castable("TIMESTAMP"), i.castable("BOOLEAN"))
+    }.toDF("col_name", "inferred", "n_nonempty", "n_bigint", "n_double",
+      "n_date", "n_timestamp", "n_boolean")
+  }
+
+  private val qTypeCensusSql = {
+    val baseCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val longRows = (baseCols.map(c => s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS v FROM orders") :+
+      "SELECT 'o_orderdate_day' AS col_name, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS v FROM orders" :+
+      "SELECT 'o_even' AS col_name, CAST(o_orderkey % 2 = 0 AS VARCHAR) AS v FROM orders")
+      .mkString("\n  UNION ALL ")
+    s"""WITH u AS (
+       |  $longRows),
+       |c AS (
+       |  SELECT col_name,
+       |    COUNT(CASE WHEN v IS NOT NULL AND length(v) > 0 THEN 1 END) AS n_nonempty,
+       |    COUNT(CASE WHEN v IS NOT NULL AND length(v) > 0
+       |      AND TRY_CAST(v AS BIGINT) IS NOT NULL
+       |      AND NOT contains(v, '.') AND NOT contains(lower(v), 'e') THEN 1 END) AS n_bigint,
+       |    COUNT(CASE WHEN v IS NOT NULL AND length(v) > 0
+       |      AND TRY_CAST(v AS DOUBLE) IS NOT NULL THEN 1 END) AS n_double,
+       |    COUNT(CASE WHEN v IS NOT NULL AND length(v) > 0
+       |      AND CAST(TRY_CAST(v AS DATE) AS VARCHAR) = trim(v) THEN 1 END) AS n_date,
+       |    COUNT(CASE WHEN v IS NOT NULL AND length(v) > 0
+       |      AND (TRY_CAST(v AS TIMESTAMP) IS NOT NULL
+       |        OR (regexp_matches(trim(v), '^[+]?[0-9]{4,6}$$')
+       |          AND CAST(regexp_replace(trim(v), '[+]', '') AS BIGINT) <= 294247))
+       |      THEN 1 END) AS n_timestamp,
+       |    COUNT(CASE WHEN v IS NOT NULL AND length(v) > 0
+       |      AND TRY_CAST(v AS BOOLEAN) IS NOT NULL THEN 1 END) AS n_boolean
+       |  FROM u GROUP BY col_name)
+       |SELECT col_name,
+       |  CASE WHEN n_nonempty = 0 THEN 'STRING'
+       |       WHEN n_bigint = n_nonempty THEN 'BIGINT'
+       |       WHEN n_double = n_nonempty THEN 'DOUBLE'
+       |       WHEN n_date = n_nonempty THEN 'DATE'
+       |       WHEN n_timestamp = n_nonempty THEN 'TIMESTAMP'
+       |       WHEN n_boolean = n_nonempty THEN 'BOOLEAN'
+       |       ELSE 'STRING' END AS inferred,
+       |  n_nonempty, n_bigint, n_double, n_date, n_timestamp, n_boolean
+       |FROM c""".stripMargin
+  }
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_type_census", qTypeCensus, Some(qTypeCensusSql)))
 }

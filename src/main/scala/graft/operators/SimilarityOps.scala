@@ -340,6 +340,66 @@ object SimilarityOps {
   private def qAnnRecall(spark: SparkSession, dir: String): DataFrame =
     recallOf(spark, dir, qLsh(spark, dir))
 
+  // --- q_ann_recall_portable: the recall MEASUREMENT, oracle-checked -----
+  // q_ann_recall is rows-only because native LSH candidates are
+  // xxhash64-derived; the portable axis-sign twin's candidate set is fully
+  // SQL-expressible, so here the recall@k computation itself (left join of
+  // approximate top-k against brute-force truth, per-query hit fraction)
+  // runs in BOTH engines and rides the hash gate — certifying the harness
+  // every ANN tuning decision in PERF.md is based on.
+  private def qAnnRecallPortable(spark: SparkSession, dir: String): DataFrame =
+    recallOf(spark, dir, qAnnLshPortable(spark, dir))
+
+  private val qAnnRecallPortableSql = {
+    val keyExpr = (b: String) => (0 until AxisBits).map(j =>
+      s"(CASE WHEN v[$b*$AxisBits + ${j + 1}] > 0.0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_reduce(list_prepend(0.0, [x*x FOR x IN embedding::DOUBLE[]]), (a,x) -> a+x)) AS norm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM e WHERE vec_id < $NumQueries),
+       |bf_scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(0.0, [q.qv[i]*e.v[i] FOR i IN range(1, 65)]), (acc,x) -> acc+x)
+       |      / (q.qnorm * e.norm) AS cosine
+       |  FROM e JOIN q ON e.vec_id != q.query_id),
+       |bf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |    FROM bf_scored) t
+       |  WHERE rank <= $K),
+       |bands AS (
+       |  SELECT vec_id, b.b AS band, CAST(${keyExpr("b.b")} AS BIGINT) AS bkey
+       |  FROM e, UNNEST(range(0, $AxisBands)) AS b(b)),
+       |qprobes AS (
+       |  SELECT vec_id AS query_id, band, p.p AS bkey
+       |  FROM bands, UNNEST([bkey, ${(0 until AxisBits).map(j => s"xor(bkey, ${1L << j})").mkString(", ")}]) AS p(p)
+       |  WHERE vec_id < $NumQueries),
+       |cand AS (
+       |  SELECT DISTINCT q.query_id, b.vec_id
+       |  FROM bands b JOIN qprobes q USING (band, bkey)
+       |  WHERE b.vec_id != q.query_id),
+       |a_scored AS (
+       |  SELECT c.query_id, e.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(0.0, [q.qv[i]*e.v[i] FOR i IN range(1, 65)]), (acc,x) -> acc+x)
+       |      / (q.qnorm * e.norm) AS cosine
+       |  FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |    FROM a_scored) t
+       |  WHERE rank <= $K)
+       |SELECT bf.query_id,
+       |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*) AS recall_at_k
+       |FROM bf LEFT JOIN approx a
+       |  ON a.query_id = bf.query_id AND a.neighbor_id = bf.neighbor_id
+       |GROUP BY bf.query_id""".stripMargin
+  }
+
   // --- q_diversity_sample: semantic-diversity subsampling ----------------
   // The SemDeDup-shaped curation move: embedding space is partitioned
   // into sign-orthant buckets (axis signs of the first 12 components —
@@ -745,6 +805,7 @@ object SimilarityOps {
     QueryDef("q_ann_ivf_learned", ivfLearnedTopK(_, _, IvfNProbe), Some(qIvfLearnedSql)),
     QueryDef("q_ivf_learned_cells", qIvfLearnedCells, Some(qIvfLearnedCellsSql)),
     QueryDef("q_ann_recall", qAnnRecall, None),
+    QueryDef("q_ann_recall_portable", qAnnRecallPortable, Some(qAnnRecallPortableSql)),
     QueryDef("q_diversity_sample", qDiversitySample, Some(qDiversitySampleSql)),
     QueryDef("q_quantize", qQuantize, Some(qQuantizeSql)),
     QueryDef("q_kmedians_step", qKMediansStep, Some(qKMediansStepSql)))
