@@ -13,13 +13,14 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   *  - `reWriteBatchedInserts=true` turns executor batches into multi-row
   *    inserts — the closest JDBC gets to pgfutter's COPY path. A true
   *    CopyManager `foreachPartition` sink is the upgrade path if the
-  *    driver jar is present (it is not in this container, so the writer
-  *    stays on plain JDBC and is exercised in tests via options-building
-  *    only).
+  *    driver jar is present.
   *
-  * No Postgres server or JDBC driver exists in this environment, so
-  * `write` is untested end-to-end here by construction; everything up to
-  * the driver handoff is unit-tested.
+  * Transport preference in [[write]]: CopyManager COPY (driver jar on the
+  * classpath) > psql-subprocess COPY ([[Psql]] — the reference's own
+  * transport, exec.py:117-131) > batched JDBC INSERTs. This container
+  * ships no driver jar but does ship psql, so the live-server spec
+  * (`graft.sink.LivePgSpec`) exercises the middle lane end-to-end against
+  * a real PostgreSQL instance.
   */
 object PostgresSink {
 
@@ -72,6 +73,9 @@ object PostgresSink {
       numWriters: Int = 8): Unit =
     if (CopyWriter.copyAvailable)
       CopyWriter.write(df, table, opts, overwrite = mode == SaveMode.Overwrite, numWriters)
+    else if (Psql.available)
+      CopyWriter.write(df, table, opts, overwrite = mode == SaveMode.Overwrite, numWriters,
+        mkTarget = Some(() => Psql.copyTarget(opts)), exec = Some(Psql.exec(opts)))
     else
       df.coalesce(numWriters).write.mode(mode).jdbc(jdbcUrl(opts), table, writerProperties(opts))
 
