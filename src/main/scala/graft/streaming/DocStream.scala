@@ -59,10 +59,16 @@ object DocStream {
     * callable standalone: joins each (keeper_id, doc_id) pair to both
     * documents' hashed shingle sets and keeps pairs whose EXACT jaccard
     * clears the threshold (same 64-bit set-intersect contract as
-    * DedupOps.qMinhashVerified). Cost ∝ |pairs| × set size. */
+    * DedupOps.qMinhashVerified). Cost ∝ |pairs| × set size: the corpus is
+    * semi-joined down to the documents the pairs actually reference BEFORE
+    * any shingling, so a huge resident table costs a hash semi-join, never
+    * a full re-shingle per micro-batch. */
   def verifyCandidates(
       corpus: DataFrame, pairs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val referencedIds = pairs.select(col("keeper_id").as("doc_id"))
+      .unionByName(pairs.select(col("doc_id"))).distinct()
     val sets = corpus
+      .join(referencedIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
@@ -205,13 +211,25 @@ object DocStream {
     * document (no collisions anywhere) reaches the fold-back sink. Cost
     * note vs the lean lane: text rides the (band, bkey) shuffle, i.e.
     * NumBands copies per doc per micro-batch; the lean twin moves ids
-    * only and is the right lane when the caller owns corpus maintenance. */
+    * only and is the right lane when the caller owns corpus maintenance.
+    *
+    * Documents too short for a MinHash signature (<3 tokens) cannot
+    * collide with anything, so they bypass the state machine as a single
+    * synthetic claim on band -1 — trivially novel, but still delivered to
+    * the fold-back sink instead of silently vanishing from a lane whose
+    * contract is owning the corpus table. */
   def nearDupEvents(
       spark: SparkSession,
       docs: DataFrame,
       bucketTtlMs: Long = 60 * 60 * 1000L): Dataset[BandEvent] = {
     import spark.implicits._
-    docs
+    val shortDocClaims = docs
+      .withColumn("sig", graft.functions.MinHash.signature(col("text")))
+      .filter(col("sig").isNull)
+      .select(col("doc_id").as("keeper_id"), col("doc_id"),
+        lit(-1).as("band"), col("text"))
+      .as[BandEvent]
+    val banded = docs
       .withColumn("sig", graft.functions.MinHash.signature(col("text")))
       .filter(col("sig").isNotNull)
       .select(col("doc_id"), col("ts"), col("text"),
@@ -252,6 +270,7 @@ object DocStream {
             out.iterator
           }
       }
+    banded.union(shortDocClaims)
   }
 
   /** Windowed trending terms: token counts per tumbling event-time window
@@ -291,17 +310,28 @@ object DocStream {
     * resident corpus is a parquet table the stream OWNS. Each micro-batch:
     *
     *  1. proposed pairs are exactly verified — the keeper side's shingles
-    *     come from the resident table (or the same batch, for
-    *     intra-batch keepers), the new side's from the event itself;
-    *  2. confirmed near-duplicates go to `emit` and are NOT admitted;
+    *     come from the resident table, the suppressed side table (below),
+    *     or the same batch (intra-batch keepers); the new side's from the
+    *     event itself;
+    *  2. confirmed near-duplicates go to `emit` and are NOT admitted to
+    *     the corpus — but their texts ARE recorded in a `_suppressed`
+    *     sibling table, because a suppressed document can still be the
+    *     KEEPER of band buckets it claimed in its own batch: a later
+    *     colliding document proposes a pair whose keeper resolves to
+    *     neither the corpus nor that batch, and without the side table the
+    *     verify join would silently drop it and admit the new duplicate as
+    *     novel. The side table grows with the confirmed-dup volume, not
+    *     the corpus; an emitted keeper_id may therefore reference a
+    *     suppressed (non-resident) document — the chain back to a resident
+    *     canonical is transitive through earlier emissions;
     *  3. everything else (novel claims, false band collisions) is folded
     *     into the resident table via [[graft.sink.Upsert]]'s atomic merge.
     *
     * This closes the loop the static-corpus lane leaves open: a document
     * that was NOVEL in batch N is resident by batch N+1, so its later
     * duplicates are caught without any external corpus refresh. Restart
-    * safety: the merge is idempotent on doc_id (re-upserting the same
-    * docs after a foreachBatch replay converges to the same table). */
+    * safety: both merges are idempotent on doc_id (re-upserting the same
+    * docs after a foreachBatch replay converges to the same tables). */
   def selfMaintainingNearDups(
       spark: SparkSession,
       docs: DataFrame,
@@ -310,34 +340,59 @@ object DocStream {
     nearDupEvents(spark, docs).toDF()
       .writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = batch.persist()
-        try {
-          val batchDocs = b.select(col("doc_id"), col("text")).distinct()
-          val fs = new org.apache.hadoop.fs.Path(corpusDir)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val exists = fs.exists(new org.apache.hadoop.fs.Path(corpusDir))
-          val resident =
-            if (exists) spark.read.parquet(corpusDir).select(col("doc_id"), col("text"))
-            else spark.emptyDataFrame
-              .select(lit(0L).as("doc_id"), lit("").as("text")).limit(0)
-          val pairs = b.filter(col("keeper_id") =!= col("doc_id"))
-            .select(col("keeper_id"), col("doc_id")).distinct()
-          val confirmed = verifyCandidates(
-            resident.unionByName(batchDocs).distinct(), pairs, threshold).persist()
-          try {
-            emit(confirmed)
-            val novel = batchDocs.join(
-              confirmed.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-            // empty micro-batches happen (watermark-only triggers); writing
-            // a schemaless empty table would poison every later read, and
-            // an empty merge is a pointless full rewrite — skip both
-            if (!novel.isEmpty) {
-              if (exists) graft.sink.Upsert.merge(spark, corpusDir, novel, "doc_id")
-              else novel.write.parquet(corpusDir)
-            }
-          } finally confirmed.unpersist()
-        } finally b.unpersist()
-        ()
+        processSelfMaintainingBatch(spark, corpusDir, batch, threshold, emit)
       }
       .start()
+
+  /** Where confirmed-but-suppressed documents' texts live, so their bucket
+    * keeperships stay resolvable (see [[selfMaintainingNearDups]] pt. 2). */
+  def suppressedDir(corpusDir: String): String =
+    corpusDir.stripSuffix("/") + "_suppressed"
+
+  /** One micro-batch of the self-maintaining lane — factored out of the
+    * foreachBatch closure so the cross-batch contracts (suppressed-keeper
+    * resolution, fold-back, idempotent replay) are directly testable. */
+  private[streaming] def processSelfMaintainingBatch(
+      spark: SparkSession,
+      corpusDir: String,
+      batch: DataFrame,
+      threshold: Double,
+      emit: DataFrame => Unit): Unit = {
+    val b = batch.persist()
+    try {
+      val batchDocs = b.select(col("doc_id"), col("text")).distinct()
+      def existing(dir: String): Option[DataFrame] = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) Some(spark.read.parquet(dir).select(col("doc_id"), col("text")))
+        else None
+      }
+      val resident = existing(corpusDir)
+      val suppressed = existing(suppressedDir(corpusDir))
+      val known = (Seq(batchDocs) ++ resident ++ suppressed)
+        .reduce(_ unionByName _).distinct()
+      val pairs = b.filter(col("keeper_id") =!= col("doc_id"))
+        .select(col("keeper_id"), col("doc_id")).distinct()
+      val confirmed = verifyCandidates(known, pairs, threshold).persist()
+      try {
+        emit(confirmed)
+        val confirmedIds = confirmed.select(col("doc_id")).distinct()
+        // empty micro-batches happen (watermark-only triggers); writing a
+        // schemaless empty table would poison every later read, and an
+        // empty merge is a pointless full rewrite — skip both
+        def fold(dir: String, docs: DataFrame, exists: Boolean): Unit =
+          if (!docs.isEmpty) {
+            if (exists) graft.sink.Upsert.merge(spark, dir, docs, "doc_id")
+            else docs.write.parquet(dir)
+          }
+        fold(suppressedDir(corpusDir),
+          batchDocs.join(confirmedIds, Seq("doc_id"), "left_semi"),
+          suppressed.isDefined)
+        fold(corpusDir,
+          batchDocs.join(confirmedIds, Seq("doc_id"), "left_anti"),
+          resident.isDefined)
+      } finally confirmed.unpersist()
+    } finally b.unpersist()
+    ()
+  }
 }

@@ -158,6 +158,60 @@ class DocStreamSpec extends AnyFunSuite {
         .collect().map(_.getAs[Long]("doc_id")).toSet
       assert(resident2 === Set(1L, 3L),
         s"confirmed dups must NOT be admitted to the corpus: $resident2")
+      // ...but their texts must land in the suppressed side table, so the
+      // band buckets they claimed stay resolvable in later batches
+      val supp = spark.read.parquet(DocStream.suppressedDir(corpusDir))
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(supp === Set(4L, 5L), s"confirmed dups must be recorded: $supp")
+    } finally q.stop()
+  }
+
+  test("a pair whose keeper is SUPPRESSED (not resident) still verifies") {
+    import spark.implicits._
+    // the cross-batch recall hole: doc 2 was confirmed as a dup in an
+    // earlier batch (suppressed, never resident) yet kept the band buckets
+    // it claimed; doc 3 now collides with one of them. Without the
+    // suppressed side table the verify join finds no text for keeper 2 and
+    // silently admits doc 3 as novel.
+    val nearDup = base.replace("theta", "iota")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-suppressed").resolve("corpus").toString
+    Seq((1L, base)).toDF("doc_id", "text").write.parquet(dir)
+    Seq((2L, nearDup)).toDF("doc_id", "text")
+      .write.parquet(DocStream.suppressedDir(dir))
+    val batch = Seq((2L, 3L, 0, nearDup))
+      .toDF("keeper_id", "doc_id", "band", "text")
+    val got = scala.collection.mutable.Set.empty[(Long, Long)]
+    DocStream.processSelfMaintainingBatch(spark, dir, batch, 0.5,
+      verified => got ++= verified.collect().map(r => (r.getLong(0), r.getLong(1))))
+    assert(got === Set((2L, 3L)),
+      s"suppressed keeper must resolve during verification: $got")
+    val resident = spark.read.parquet(dir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(resident === Set(1L), s"doc 3 must NOT be admitted: $resident")
+    val supp = spark.read.parquet(DocStream.suppressedDir(dir))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(supp === Set(2L, 3L), s"doc 3 must join the suppressed set: $supp")
+  }
+
+  test("short docs (<3 tokens, null signature) still reach the corpus") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-shortdoc").resolve("corpus").toString
+    val input = MemoryStream[Doc]
+    val q = DocStream.selfMaintainingNearDups(spark, input.toDF(), corpusDir, 0.5) {
+      _ => ()
+    }
+    try {
+      input.addData(
+        Doc(1L, ts("2024-01-01 10:00:00"), base),
+        Doc(9L, ts("2024-01-01 10:01:00"), "hi there")) // no signature
+      q.processAllAvailable()
+      val resident = spark.read.parquet(corpusDir)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(resident === Set(1L, 9L),
+        s"signature-null docs are trivially novel and must fold back: $resident")
     } finally q.stop()
   }
 
