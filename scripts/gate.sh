@@ -23,9 +23,20 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
 # Optional stress lane: STRESS=1 ./scripts/gate.sh regenerates the 10x
 # derivation (graft.StressGen, splittable single-file layout) and runs
 # the bench against it — the PERF.md stress numbers reproduce from here.
+# SALT=0.9 (any fraction in (0,1]) switches to the salted derivation:
+# that fraction of each replicated copy's documents gets a unique suffix,
+# reproducing the dup-free regime where dedup-first degenerates.
 if [ "${STRESS:-0}" = "1" ]; then
-  echo "== stress sf1 (10x) =="
-  sbt -batch "runMain graft.StressGen /root/testdata/sf0.1 /tmp/sfstress/sf1 10" 2>&1 | grep stressgen
-  SPARK_GRAFT_SF_DIR=/tmp/sfstress/sf1 SPARK_GRAFT_CPUS=32 \
-    sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"'
+  SALT="${SALT:-0}"
+  if [ "$SALT" != "0" ]; then
+    echo "== stress sf1 salted (10x, salt=$SALT) =="
+    sbt -batch "runMain graft.StressGen /root/testdata/sf0.1 /tmp/sfstress/sf1salt 10 $SALT" 2>&1 | grep stressgen
+    SPARK_GRAFT_SF_DIR=/tmp/sfstress/sf1salt SPARK_GRAFT_CPUS=32 \
+      sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"'
+  else
+    echo "== stress sf1 (10x) =="
+    sbt -batch "runMain graft.StressGen /root/testdata/sf0.1 /tmp/sfstress/sf1 10" 2>&1 | grep stressgen
+    SPARK_GRAFT_SF_DIR=/tmp/sfstress/sf1 SPARK_GRAFT_CPUS=32 \
+      sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"'
+  fi
 fi

@@ -112,17 +112,31 @@ object Bench {
       val valid = Seq(a, b).filter(_ >= 0)
       n -> (if (valid.isEmpty) -1.0 else valid.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // the one-line record must survive the driver's output-capture limit
+    // (BENCH_r04's tail was truncated mid-`spread` and lost the totals):
+    // times round to ms and the per-query [min,max] spread moves to a side
+    // file, keeping the line itself a few KB and self-contained
+    def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val spread = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
       val valid = Seq(a, b).filter(_ >= 0)
       val (lo, hi) = if (valid.isEmpty) (-1.0, -1.0) else (valid.min, valid.max)
-      "\"" + n + "\":[" + lo + "," + hi + "]"
+      "\"" + n + "\":[" + ms(lo) + "," + ms(hi) + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     def passTotal(p: Seq[(String, Double)]) = p.map(_._2).filter(_ >= 0).sum
     val t1 = passTotal(pass1); val t2 = passTotal(pass2)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pass_totals":[$t1,$t2],"sentinel":[$sentinelBefore,$sentinelAfter],"contended":$contended,"spread":$spread}""")
+    val spreadPath = java.nio.file.Paths.get("target/bench_spread.json")
+    try {
+      java.nio.file.Files.createDirectories(spreadPath.getParent)
+      java.nio.file.Files.write(spreadPath,
+        (spread + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] per-query spread written to $spreadPath")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] spread not written: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","pass_totals":[${ms(t1)},${ms(t2)}],"sentinel":[${ms(sentinelBefore)},${ms(sentinelAfter)}],"contended":$contended}""")
     spark.stop()
   }
 }

@@ -17,10 +17,21 @@ import org.apache.spark.sql.functions._
   * are copied VERBATIM: content duplication grows K×, which is precisely
   * the recrawl shape the dedup-first operators claim to be flat against
   * (per-distinct-text work constant in K, doc-level expansions ∝ output).
+  *
+  * The optional `saltFrac` knob (0..1, default 0) probes the OPPOSITE
+  * regime — the one where dedup-first degenerates because there is
+  * nothing to collapse: that fraction of each replicated copy's documents
+  * (copy 0 stays verbatim) gets a short unique suffix appended, making
+  * the full text distinct while the shingle profile stays near-duplicate.
+  * Selection is a pure function of doc_id (pmod of its hash), so salted
+  * derivations are exactly reproducible:
+  *
+  *   sbt "runMain graft.StressGen /root/testdata/sf0.1 /tmp/sfstress/sf1salt 10 0.9"
   */
 object StressGen {
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: StressGen <srcDir> <outDir> <K>")
+    require(args.length == 3 || args.length == 4,
+      "usage: StressGen <srcDir> <outDir> <K> [saltFrac]")
     val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -29,12 +40,15 @@ object StressGen {
     Tables.RequiredConf.foreach { case (key, v) => builder.config(key, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, args(0), args(1), args(2).toInt)
+    try run(spark, args(0), args(1), args(2).toInt,
+      if (args.length == 4) args(3).toDouble else 0.0)
     finally spark.stop()
   }
 
   /** Session-agnostic body (spec-callable without owning the session). */
-  def run(spark: SparkSession, src: String, out: String, k: Int): Unit = {
+  def run(spark: SparkSession, src: String, out: String, k: Int,
+      saltFrac: Double = 0.0): Unit = {
+    require(saltFrac >= 0.0 && saltFrac <= 1.0, "saltFrac must be in [0, 1]")
 
     // key stride per table-key: a power of ten above the source max, so
     // offset keys are disjoint and still readable in failure output
@@ -104,7 +118,21 @@ object StressGen {
       "l_partkey" -> "partkey", "l_suppkey" -> "suppkey")), "lineitem")
     write(scaled("events",
       Map("event_id" -> "event_id", "user_id" -> "user_id")), "events")
-    write(scaled("documents", Map("doc_id" -> "doc_id")), "documents")
+    // documents: replicate, then salt the requested fraction of each
+    // NON-ZERO copy — deterministic per doc (hash-pmod selection), unique
+    // per (copy, doc) so every salted text is globally distinct
+    val docs = {
+      val d = Tables.table(spark, src, "documents")
+      (0 until k).map { i =>
+        val shifted = d.withColumn("doc_id", col("doc_id") + lit(i.toLong * stride("doc_id")))
+        if (i == 0 || saltFrac == 0.0) shifted
+        else shifted.withColumn("text",
+          when(pmod(xxhash64(col("doc_id")), lit(1000000L)) < lit((saltFrac * 1e6).toLong),
+            concat(col("text"), lit(s" #salt$i-"), col("doc_id")))
+            .otherwise(col("text")))
+      }.reduce(_.unionByName(_))
+    }
+    write(docs, "documents")
     write(scaled("embeddings", Map("vec_id" -> "vec_id")), "embeddings")
   }
 }

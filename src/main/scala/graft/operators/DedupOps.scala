@@ -450,10 +450,17 @@ object DedupOps {
   // PREFIX even when tails diverge and whole-text equality misses it.
   // Group on the first 64 characters: keeper = min doc id, n_variants =
   // distinct full texts under the prefix (1 ⇒ plain exact-dup group).
+  // Only documents at least as long as the prefix participate: a shorter
+  // doc's "prefix" is its whole text, so a pile of distinct one-liners
+  // sharing an opening phrase would otherwise collapse into one group and
+  // be reported as truncation variants of a keeper they're unrelated to.
   // One hash-shuffle of (prefix64 → min, counts) — the same linear shape
-  // as exact dedup; emitted only for groups with >1 doc.
+  // as exact dedup; emitted only for groups with >1 doc. n_variants
+  // counts xxhash64(text) distincts (the repo's accepted 1e-15 collision
+  // contract) so full texts never ride the shuffle.
   private def qPrefixDedup(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
+      .filter(length(col("text")) >= 64)
       .select(col("doc_id"), substring(col("text"), 1, 64).as("p"),
         xxhash64(col("text")).as("tkey"))
       .groupBy(col("p"))
@@ -466,6 +473,7 @@ object DedupOps {
     """SELECT min(doc_id) AS keeper_id, COUNT(*) AS n_docs,
       |  COUNT(DISTINCT text) AS n_variants
       |FROM documents
+      |WHERE length(text) >= 64
       |GROUP BY substring(text, 1, 64)
       |HAVING COUNT(*) >= 2""".stripMargin
 

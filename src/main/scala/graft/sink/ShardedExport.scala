@@ -17,9 +17,13 @@ import org.apache.spark.sql.functions._
   * map-side combined down to `numShards` rows. Determinism contract: the
   * shard assignment is a pure function of the key (re-running the export
   * on the same data yields byte-identical manifests), and the content
-  * hash is a bitwise XOR of per-row 64-bit hashes (order-independent and
-  * overflow-free under ANSI arithmetic) — exactly what a resumable downstream loader
-  * verifies against.
+  * hash is order-independent AND multiplicity-sensitive: the low 64 bits
+  * of the SUM of per-row xxhash64 values (a bitwise-XOR digest is blind
+  * to even multiplicities — losing exactly two copies of a duplicated
+  * line keeps an XOR unchanged; a sum moves by 2·h). The manifest carries
+  * ALL `numShards` entries, including legitimately-empty shards
+  * (rows=0, content_hash=0) — a downstream loader can tell an empty
+  * shard from a missing one.
   */
 object ShardedExport {
 
@@ -55,12 +59,19 @@ object ShardedExport {
         .write.mode(SaveMode.Overwrite)
         .partitionBy("__shard")
         .text(s"$dir/data")
-      val infos = routed
+      // decimal(30,0) headroom: |xxhash64| < 1e19, so the sum stays exact
+      // up to ~1e11 rows per shard; the digest is its low 64 bits
+      val populated = routed
         .groupBy(col("__shard"))
-        .agg(count(lit(1)).as("rows"), expr("bit_xor(xxhash64(__line))").as("h"))
+        .agg(count(lit(1)).as("rows"),
+          expr("sum(cast(xxhash64(__line) as decimal(20,0)))").as("hsum"))
         .collect()
-        .map(r => ShardInfo(r.getLong(0).toInt, r.getLong(1), r.getLong(2)))
-        .toSeq
+        .map(r => r.getLong(0).toInt ->
+          ShardInfo(r.getLong(0).toInt, r.getLong(1),
+            BigInt(r.getDecimal(2).toBigInteger).longValue))
+        .toMap
+      val infos = (0 until numShards).map(s =>
+        populated.getOrElse(s, ShardInfo(s, 0L, 0L)))
       val manifest = Manifest(infos.map(_.rows).sum, infos)
       val p = new Path(s"$dir/manifest.json")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

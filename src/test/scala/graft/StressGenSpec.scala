@@ -41,4 +41,24 @@ class StressGenSpec extends AnyFunSuite {
     // doc ids stay unique after offsetting
     assert(docs.select(col("doc_id")).distinct().count() === docs.count())
   }
+
+  test("saltFrac=1 makes every replicated copy's text globally distinct") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stress-salt").toString
+    StressGen.run(spark, "/root/testdata/sf0.001", dir, 2, saltFrac = 1.0)
+    val src = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(docs.count() === 2 * src.count())
+    // copy 0 verbatim, copy 1 fully salted with a per-doc unique suffix
+    val salted = docs.filter(col("text").contains("#salt1-"))
+    assert(salted.count() === src.count(), "all of copy 1 must be salted")
+    val expectedDistinct =
+      src.select(col("text")).distinct().count() + src.count()
+    assert(docs.select(col("text")).distinct().count() === expectedDistinct,
+      "salted texts are unique; verbatim copy keeps the source's distincts")
+    // determinism: a re-run produces the identical salted table
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-stress-salt").toString
+    StressGen.run(spark, "/root/testdata/sf0.001", dir2, 2, saltFrac = 1.0)
+    val again = spark.read.parquet(s"$dir2/documents.parquet")
+    assert(docs.except(again).isEmpty && again.except(docs).isEmpty)
+  }
 }

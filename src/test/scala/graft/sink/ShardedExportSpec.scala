@@ -31,6 +31,32 @@ class ShardedExportSpec extends AnyFunSuite {
     assert(manifest.contains("\"total_rows\":100"))
   }
 
+  test("manifest lists EVERY requested shard, empty ones included") {
+    val dir = Files.createTempDirectory("graft-export").resolve("e").toString
+    // 10 rows into 64 shards: most shards receive nothing
+    val m = ShardedExport.export(spark, fixture.limit(10), dir, 64, "doc_id")
+    assert(m.shards.map(_.shard) === (0 until 64),
+      "manifest must carry all 64 shard entries in order")
+    assert(m.shards.map(_.rows).sum === 10L)
+    val empty = m.shards.filter(_.rows == 0L)
+    assert(empty.nonEmpty && empty.forall(_.contentHash == 0L),
+      "legitimately-empty shards must render rows=0, content_hash=0")
+    assert(m.render.contains("\"num_shards\":64"))
+  }
+
+  test("content hash is multiplicity-sensitive (an XOR digest is not)") {
+    val once = Seq((1L, "same body")).toDF("doc_id", "text")
+    val thrice = Seq((1L, "same body"), (1L, "same body"), (1L, "same body"))
+      .toDF("doc_id", "text")
+    val d1 = Files.createTempDirectory("graft-export").resolve("x1").toString
+    val d3 = Files.createTempDirectory("graft-export").resolve("x3").toString
+    val m1 = ShardedExport.export(spark, once, d1, 1, "doc_id")
+    val m3 = ShardedExport.export(spark, thrice, d3, 1, "doc_id")
+    // h vs h^h^h are equal under XOR; the summed digest must differ
+    assert(m1.shards.head.contentHash !== m3.shards.head.contentHash,
+      "3 copies of a line must not hash like 1 copy")
+  }
+
   test("export is deterministic: identical manifest on re-run") {
     val d1 = Files.createTempDirectory("graft-export").resolve("a").toString
     val d2 = Files.createTempDirectory("graft-export").resolve("b").toString
