@@ -14,11 +14,31 @@ import graft.pipeline.{Loader, LoaderConfig}
   *     [--exclude-regex RE] [--pre-load PATH...] [--post-load PATH...]
   *     [--log-level LEVEL] [--out-dir DIR]
   *
-  * The `--db-*` options of the reference select the Postgres sink; in this
-  * container (no PG server/driver) `--out-dir` writes parquet per table
-  * instead, exercising the identical pipeline shape.
+  * The `--db-*` options of the reference select the Postgres sink
+  * (CopyManager COPY with the driver jar, psql-subprocess COPY without —
+  * see graft.sink.PostgresSink; exercised against a live server in
+  * graft.sink.LivePgSpec); `--out-dir` writes parquet per table instead,
+  * the same pipeline shape with a columnar target.
   */
 object Main {
+
+  /** Sink + hook pass-through wiring — factored from [[main]] so the
+    * live-PG e2e drives the exact CLI construction. Precedence mirrors
+    * the reference: an explicit out-dir wins, else the PG sink, else
+    * temp-view-only (dry run). */
+  def wiring(
+      outDir: Option[String],
+      db: Option[graft.sink.PostgresSink.DbOptions])
+      : ((String, org.apache.spark.sql.DataFrame) => Unit, Option[String => Unit]) = {
+    val sink: (String, org.apache.spark.sql.DataFrame) => Unit =
+      if (outDir.isDefined) (name, df) =>
+        df.write.mode("overwrite").parquet(s"${outDir.get}/$name.parquet")
+      else db match {
+        case Some(d) => (name, df) => graft.sink.PostgresSink.write(df, s"import.$name", d)
+        case None    => (_, _) => ()
+      }
+    (sink, db.map(graft.sink.PostgresSink.executor))
+  }
 
   def parse(args: Seq[String]): (LoaderConfig, Option[String], String, Map[String, String]) = {
     var cfg = LoaderConfig(sources = Seq.empty)
@@ -87,16 +107,9 @@ object Main {
     try {
       val resolvedDb =
         if (dbOpts.nonEmpty) Some(graft.sink.PostgresSink.DbOptions.resolve(dbOpts)) else None
-      val sink: (String, org.apache.spark.sql.DataFrame) => Unit =
-        if (outDir.isDefined) (name, df) =>
-          df.write.mode("overwrite").parquet(s"${outDir.get}/$name.parquet")
-        else resolvedDb match {
-          case Some(db) => (name, df) => graft.sink.PostgresSink.write(df, s"import.$name", db)
-          case None     => (_, _) => ()
-        }
       // with a PG sink configured, pass-through hook statements and the
       // packaged functions.sql install run against it
-      val passThrough = resolvedDb.map(graft.sink.PostgresSink.statementExecutor)
+      val (sink, passThrough) = wiring(outDir, resolvedDb)
       val result = new Loader(spark, cfg, sink, passThrough).load()
       result.report.foreach { r =>
         println(r.render)

@@ -119,7 +119,13 @@ object SimilarityOps {
       spark: SparkSession, dir: String, nBands: Int, bits: Int,
       multiprobe: Boolean = false): DataFrame = {
     val planes = planesFor(nBands * bits)
-    val e = withNorm(table(spark, dir, "embeddings")).cache()
+    // shared between band build and exact rescore; MEMORY_AND_DISK made
+    // explicit: this is a bench-suite convenience for the bounded local
+    // corpus, NOT the 100 TB shape — there the (vec_id, band, bkey) index
+    // table is persisted once (IncrementalDedup-style) and rescoring
+    // re-reads only candidate vectors from the columnar store
+    val e = withNorm(table(spark, dir, "embeddings"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = e.select(col("vec_id"), explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"), bandKey(planes, col("v"), b, bits).as("bkey"))): _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
@@ -174,7 +180,9 @@ object SimilarityOps {
     qAnnLshPortable(spark, dir)
 
   private def qAnnLshPortable(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(table(spark, dir, "embeddings")).cache()
+    // same explicit-persist contract as lshTopK above
+    val e = withNorm(table(spark, dir, "embeddings"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = e.select(col("vec_id"), explode(array((0 until AxisBands).map(b =>
         struct(lit(b).as("band"), axisBandKey(col("v"), b).as("bkey"))): _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))

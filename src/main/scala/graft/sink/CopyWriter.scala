@@ -198,6 +198,10 @@ object CopyWriter {
     require(bad.isEmpty,
       s"COPY cannot faithfully encode non-atomic columns: ${bad.mkString(", ")}")
     val executor = exec.getOrElse(PostgresSink.statementExecutor(opts))
+    // pgfutter (the reference's COPY wrapper) creates its target schema
+    // implicitly — the `import.<table>` convention relies on it
+    val dot = table.indexOf('.')
+    if (dot > 0) executor(s"CREATE SCHEMA IF NOT EXISTS ${table.substring(0, dot)}")
     if (overwrite) executor(s"DROP TABLE IF EXISTS $table")
     executor(createTableDdl(table, df.schema))
     val url = PostgresSink.jdbcUrl(opts)

@@ -79,6 +79,13 @@ object PostgresSink {
     else
       df.coalesce(numWriters).write.mode(mode).jdbc(jdbcUrl(opts), table, writerProperties(opts))
 
+  /** Statement executor for whatever transport this environment has:
+    * JDBC when the driver jar is present, else the psql subprocess lane.
+    * This is what the CLI wires as the hook pass-through. */
+  def executor(opts: DbOptions): String => Unit =
+    if (CopyWriter.copyAvailable || !Psql.available) statementExecutor(opts)
+    else Psql.exec(opts)
+
   /** Driver-side statement executor for the hook runner's pass-through
     * lane (PG-only DDL, information_schema queries) and COPY DDL — one
     * short-lived connection per statement; hooks are rare and driver-side

@@ -102,6 +102,7 @@ class CopyWriterSpec extends AnyFunSuite {
       exec = Some(CopyCapture.statements.add(_)))
     import scala.jdk.CollectionConverters._
     assert(CopyCapture.statements.asScala.toSeq === Seq(
+      "CREATE SCHEMA IF NOT EXISTS import", // pgfutter-parity implicit schema
       "DROP TABLE IF EXISTS import.t",
       """CREATE TABLE IF NOT EXISTS import.t ("id" bigint, "name" text)"""))
     assert(CopyCapture.sqls.asScala.toSet === Set("COPY import.t FROM STDIN"))

@@ -164,6 +164,47 @@ class LivePgSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Psql.query(opts, "SELECT count(*) FROM hook_clone") === Seq("2"))
   }
 
+  live("reference workflow e2e: zip -> discover -> CSV -> live PG -> hooks -> reconcile") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    // the reference's whole reason to exist, on a real server: a source
+    // dir holding a zip of CSVs plus a bare CSV, loaded through the exact
+    // CLI wiring (psql COPY lane, import.* schema, functions.sql install,
+    // pass-through hooks, reconciliation)
+    val src = Files.createTempDirectory("graft-cli-e2e")
+    val zos = new ZipOutputStream(Files.newOutputStream(src.resolve("animals.zip")))
+    zos.putNextEntry(new ZipEntry("animals_1.csv"))
+    zos.write("name,origin,height\nGrizzly,\"North America\",220\nGiraffe,Africa,600\n".getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.close()
+    Files.write(src.resolve("animals_2.csv"),
+      "name,origin,height\nWallabie,Australia,180\n".getBytes("UTF-8"))
+    val hook = Files.createTempFile("post", ".sql")
+    Files.write(hook,
+      // pass-through lane (LIKE clone) against the live server
+      "CREATE TABLE import.animals_clone (LIKE import.animals_2 INCLUDING ALL);".getBytes("UTF-8"))
+
+    val (sink, passThrough) = graft.cli.Main.wiring(None, Some(opts))
+    val cfg = graft.pipeline.LoaderConfig(
+      sources = Seq(src), combineTables = true, postLoad = Seq(hook))
+    val result = new graft.pipeline.Loader(spark, cfg, sink, passThrough).load()
+
+    assert(result.tables.keySet === Set("animals_1", "animals_2"))
+    assert(Psql.query(opts, "SELECT count(*) FROM import.animals_1") === Seq("2"))
+    assert(Psql.query(opts, "SELECT count(*) FROM import.animals_2") === Seq("1"))
+    assert(Psql.query(opts, "SELECT count(*) FROM import.animals") === Seq("3"),
+      "combined table must land in PG too")
+    assert(Psql.query(opts,
+      "SELECT origin FROM import.animals_1 WHERE name = 'Grizzly'")
+      === Seq("North America"), "quoted CSV field must survive the COPY")
+    // packaged functions.sql was installed into the live sink by the Loader
+    assert(Psql.query(opts,
+      "SELECT strip(E'\\nab\"c\\n') IS NOT DISTINCT FROM 'abc'") === Seq("t"))
+    // the pass-through hook's clone exists server-side
+    assert(Psql.query(opts,
+      "SELECT count(*) FROM import.animals_clone") === Seq("0"))
+    assert(!result.report.exists(_.fatal), "reconciliation must not be fatal")
+  }
+
   live("mini-load reconciles: parquet row counts == live public.* counts") {
     val sf = "/root/testdata/sf0.001"
     assume(Files.isDirectory(Paths.get(sf)), "testdata missing")
