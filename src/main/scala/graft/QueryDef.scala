@@ -30,6 +30,7 @@ object QueryRegistry {
       operators.DedupOps.queries ++
       operators.IncrementalDedup.queries ++
       operators.SimilarityOps.queries ++
+      operators.AnnIndex.queries ++
       operators.EventOps.queries ++
       operators.MultimodalOps.queries ++
       operators.ProfileOps.queries ++

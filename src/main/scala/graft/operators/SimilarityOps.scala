@@ -21,15 +21,15 @@ import org.apache.spark.sql.types._
 object SimilarityOps {
   import Tables.table
 
-  private val K = 5
-  private val NumQueries = 20
+  private[operators] val K = 5
+  private[operators] val NumQueries = 20
 
   /** Native codegen'd dot product — bit-equal to the composed
     * aggregate(zip_with(...)) fold (NativeVsComposedSpec). */
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorOps.dot(a, b)
 
-  private def withNorm(df: DataFrame): DataFrame = {
+  private[operators] def withNorm(df: DataFrame): DataFrame = {
     val d = df.select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
     d.withColumn("norm", sqrt(dot(col("v"), col("v"))))
@@ -166,10 +166,10 @@ object SimilarityOps {
   // value is that the ENTIRE approximate-ANN algorithm — banding,
   // probing, candidate dedup, rescoring — rides the rows+schema+hash
   // gate. The native q_ann_lsh stays the production path.
-  private val AxisBands = 4
-  private val AxisBits = 4
+  private[operators] val AxisBands = 4
+  private[operators] val AxisBits = 4
 
-  private def axisBandKey(v: Column, b: Int): Column =
+  private[operators] def axisBandKey(v: Column, b: Int): Column =
     (0 until AxisBits).map { j =>
       when(element_at(v, b * AxisBits + j + 1) > 0.0, lit(1L << j))
         .otherwise(lit(0L))
@@ -206,7 +206,7 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= K)
   }
 
-  private val qAnnLshPortableSql = {
+  private[operators] val qAnnLshPortableSql = {
     val keyExpr = (b: String) => (0 until AxisBits).map(j =>
       s"(CASE WHEN v[$b*$AxisBits + ${j + 1}] > 0.0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
@@ -592,14 +592,21 @@ object SimilarityOps {
   private val IvfIters = 10
   private val IvfNProbe = 4
 
-  /** One argmin-L2 assignment pass against a broadcast centroid table. */
-  private def assignCells(e: DataFrame, cent: DataFrame): DataFrame = {
-    val wA = Window.partitionBy(col("vec_id"))
-      .orderBy(dist2(col("v"), col("cv")), col("cluster"))
-    e.select(col("vec_id"), col("v")).crossJoin(broadcast(cent))
-      .withColumn("ar", row_number().over(wA))
-      .filter(col("ar") === 1)
-      .select(col("vec_id"), col("v"), col("cluster"))
+  /** One argmin-L2 assignment pass, MAP-ONLY: the k centroids (k×64
+    * doubles — the whole model) are embedded as a literal array sorted by
+    * cluster id, and each vector computes its argmin inline;
+    * `array_position` returns the FIRST minimum, which on the sorted array
+    * IS the cluster-id tie-break of the window formulation. No crossJoin,
+    * no per-vector window shuffle — at 100 TB each Lloyd round's only
+    * exchange is the (cluster,component)-keyed median re-estimation;
+    * assignment rides the scan. dist2 is the same left fold the window
+    * version ordered by, so assignments are bit-identical. */
+  private def assignExpr(cents: Seq[(Long, Seq[Double])], v: Column): Column = {
+    val sorted = cents.sortBy(_._1)
+    val centArr = array(sorted.map { case (_, cv) => array(cv.map(lit): _*) }: _*)
+    val clusterArr = array(sorted.map(c => lit(c._1)): _*)
+    val dists = transform(centArr, cv => dist2(v, cv))
+    element_at(clusterArr, array_position(dists, array_min(dists)).cast("int"))
   }
 
   /** Trained centroids are memoized per (embeddings identity, iters) —
@@ -617,46 +624,56 @@ object SimilarityOps {
     else dir
   }
 
-  /** `iters` Lloyd k-medians rounds; returns (centroids, final cell
-    * assignment). Each round's centroid table is checkpointed (k rows) so
-    * the iterated plan never grows — the connectedComponents lineage
-    * discipline. */
-  private[graft] def learnedIvf(
+  /** `iters` Lloyd k-medians rounds; returns the trained centroid rows.
+    * Each round collects the k-row centroid table to the driver (k×64
+    * doubles) and re-assigns map-only against it as literals — every
+    * round's plan starts flat from the cached corpus, so no checkpointing
+    * is needed and the per-round cost is one corpus scan plus the median
+    * shuffle. */
+  private[graft] def learnedCentRows(
       spark: SparkSession, dir: String,
-      iters: Int = IvfIters): (DataFrame, DataFrame) = {
-    val centRows = ivfCentCache.getOrElseUpdate((embStamp(dir), iters), {
-      val reliable = spark.sparkContext.getCheckpointDir.isDefined
-      def chk(df: DataFrame): DataFrame =
-        if (reliable) df.checkpoint() else df.localCheckpoint()
+      iters: Int = IvfIters): Seq[(Long, Seq[Double])] =
+    ivfCentCache.getOrElseUpdate((embStamp(dir), iters), {
       val e = table(spark, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
         .cache()
       var assigned = e.select(col("vec_id"), col("v"), col("label").as("cluster"))
-      var cent: DataFrame = null
+      var rows: Seq[(Long, Seq[Double])] = Seq.empty
       var t = 0
       while (t < iters) {
-        cent = chk(centroids(assigned, "cluster"))
-        assigned = assignCells(e, cent)
+        rows = centroids(assigned, "cluster").collect().map(r =>
+          (r.get(0).asInstanceOf[Number].longValue, r.getSeq[Double](1))).toSeq
+        assigned = e.select(col("vec_id"), col("v"),
+          assignExpr(rows, col("v")).as("cluster"))
         t += 1
       }
-      val out = cent.collect().map(r =>
-        (r.get(0).asInstanceOf[Number].longValue, r.getSeq[Double](1))).toSeq
       e.unpersist()
-      out
+      rows
     })
+
+  /** (centroid table, final cell assignment) over the trained quantizer. */
+  private[graft] def learnedIvf(
+      spark: SparkSession, dir: String,
+      iters: Int = IvfIters): (DataFrame, DataFrame) = {
+    val rows = learnedCentRows(spark, dir, iters)
     import spark.implicits._
-    val cent = centRows.toDF("cluster", "cv")
+    val cent = rows.toDF("cluster", "cv")
     val e = table(spark, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-    (cent, assignCells(e, cent))
+    (cent, e.select(col("vec_id"), col("v"), assignExpr(rows, col("v")).as("cluster")))
   }
 
   private[graft] def ivfLearnedTopK(
       spark: SparkSession, dir: String, nprobe: Int = IvfNProbe): DataFrame = {
-    val (cent, cells) = learnedIvf(spark, dir)
+    val rows = learnedCentRows(spark, dir)
+    import spark.implicits._
+    val cent = rows.toDF("cluster", "cv")
+    // cell membership is computed inline on the same scan that carries the
+    // vectors — no assignment join, no second corpus pass
     val e = withNorm(table(spark, dir, "embeddings"))
+      .withColumn("cluster", assignExpr(rows, col("v")))
     val probes = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
       .crossJoin(broadcast(cent))
@@ -665,7 +682,6 @@ object SimilarityOps {
       .filter(col("cr") <= nprobe)
       .select(col("query_id"), col("qv"), col("qnorm"), col("cluster"))
     val scored = e
-      .join(cells.select(col("vec_id"), col("cluster")), "vec_id")
       .join(broadcast(probes), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

@@ -199,9 +199,18 @@ object CopyWriter {
       s"COPY cannot faithfully encode non-atomic columns: ${bad.mkString(", ")}")
     val executor = exec.getOrElse(PostgresSink.statementExecutor(opts))
     // pgfutter (the reference's COPY wrapper) creates its target schema
-    // implicitly — the `import.<table>` convention relies on it
+    // implicitly — the `import.<table>` convention relies on it.
+    // IF NOT EXISTS is not concurrency-safe in PostgreSQL: two parallel
+    // table loads (Loader's --max-parallel fan-out) can both pass the
+    // existence check and the loser dies on the pg_namespace unique index.
+    // That error is itself proof the schema exists, so swallow exactly it.
     val dot = table.indexOf('.')
-    if (dot > 0) executor(s"CREATE SCHEMA IF NOT EXISTS ${table.substring(0, dot)}")
+    if (dot > 0)
+      try executor(s"CREATE SCHEMA IF NOT EXISTS ${table.substring(0, dot)}")
+      catch {
+        case e: Exception if e.getMessage != null &&
+            e.getMessage.contains("pg_namespace") => ()
+      }
     if (overwrite) executor(s"DROP TABLE IF EXISTS $table")
     executor(createTableDdl(table, df.schema))
     val url = PostgresSink.jdbcUrl(opts)

@@ -113,6 +113,42 @@ class CopyWriterSpec extends AnyFunSuite {
     assert(CopyCapture.opened.get() === CopyCapture.closed.get())
     assert(CopyCapture.opened.get() > 0 && CopyCapture.opened.get() <= 2)
   }
+
+  test("losing a concurrent CREATE SCHEMA race is tolerated, other DDL errors are not") {
+    // PostgreSQL's IF NOT EXISTS check is not concurrency-safe: a parallel
+    // table load can create the schema between our check and create, and
+    // the server dies on the pg_namespace unique index. That exact failure
+    // must be swallowed (the schema exists); anything else must propagate.
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    CopyCapture.reset()
+    val df = Seq((1L, "a")).toDF("id", "name")
+    val raceError = "psql exited 3: ERROR:  duplicate key value violates " +
+      "unique constraint \"pg_namespace_nspname_index\" | " +
+      "DETAIL:  Key (nspname)=(import) already exists."
+    write(df, "import.t", PostgresSink.DbOptions(), numWriters = 1,
+      mkTarget = Some(() => CopyCapture.newTarget()),
+      exec = Some { sql =>
+        if (sql.startsWith("CREATE SCHEMA")) throw new RuntimeException(raceError)
+        CopyCapture.statements.add(sql); ()
+      })
+    // the write proceeded past the lost race: table DDL was still issued
+    import scala.jdk.CollectionConverters._
+    assert(CopyCapture.statements.asScala.toSeq === Seq(
+      "DROP TABLE IF EXISTS import.t",
+      """CREATE TABLE IF NOT EXISTS import.t ("id" bigint, "name" text)"""))
+    // a non-race failure on the same statement is NOT swallowed
+    val boom = intercept[RuntimeException] {
+      write(df, "import.t", PostgresSink.DbOptions(), numWriters = 1,
+        mkTarget = Some(() => CopyCapture.newTarget()),
+        exec = Some { sql =>
+          if (sql.startsWith("CREATE SCHEMA"))
+            throw new RuntimeException("psql exited 2: could not connect to server")
+          ()
+        })
+    }
+    assert(boom.getMessage.contains("could not connect"))
+  }
 }
 
 /** Static capture sink for the executor-side fake CopyTargets (local-mode
