@@ -600,7 +600,13 @@ object SimilarityOps {
     * no per-vector window shuffle — at 100 TB each Lloyd round's only
     * exchange is the (cluster,component)-keyed median re-estimation;
     * assignment rides the scan. dist2 is the same left fold the window
-    * version ordered by, so assignments are bit-identical. */
+    * version ordered by, so assignments are bit-identical.
+    *
+    * Scale bound: the literal array is k×64 doubles inside one generated
+    * expression — fine to a few hundred cells (k=10 here, label-cell
+    * count). A coarse quantizer with many thousands of cells would switch
+    * to a broadcast-table join for assignment; the training loop and
+    * oracle are unchanged by that swap. */
   private def assignExpr(cents: Seq[(Long, Seq[Double])], v: Column): Column = {
     val sorted = cents.sortBy(_._1)
     val centArr = array(sorted.map { case (_, cv) => array(cv.map(lit): _*) }: _*)
@@ -634,10 +640,14 @@ object SimilarityOps {
       spark: SparkSession, dir: String,
       iters: Int = IvfIters): Seq[(Long, Seq[Double])] =
     ivfCentCache.getOrElseUpdate((embStamp(dir), iters), {
+      // explicit MEMORY_AND_DISK (the lshTopK contract): a bounded-corpus
+      // training convenience — at 100 TB the ten rounds re-scan the
+      // columnar store instead (the loop is already shaped for that: each
+      // round reads e exactly once, nothing else is iterated)
       val e = table(spark, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-        .cache()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var assigned = e.select(col("vec_id"), col("v"), col("label").as("cluster"))
       var rows: Seq[(Long, Seq[Double])] = Seq.empty
       var t = 0
