@@ -29,6 +29,7 @@ object QueryRegistry {
       operators.CorpusOps.queries ++
       operators.DedupOps.queries ++
       operators.IncrementalDedup.queries ++
+      operators.ClusterIndex.queries ++
       operators.SimilarityOps.queries ++
       operators.AnnIndex.queries ++
       operators.EventOps.queries ++

@@ -340,7 +340,7 @@ object DedupOps {
         when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L).as("is_keeper"))
   }
 
-  private val qDedupClustersSql =
+  private[operators] val qDedupClustersSql =
     s"""WITH RECURSIVE $ngramPairCtes,
        |jp AS ($ngramJaccardSelect),
        |edges AS (SELECT d1 AS src, d2 AS dst FROM jp
@@ -419,7 +419,7 @@ object DedupOps {
         when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L).as("is_canonical"))
   }
 
-  private val qDedupCanonicalSql =
+  private[operators] val qDedupCanonicalSql =
     s"""WITH RECURSIVE $ngramPairCtes,
        |jp AS ($ngramJaccardSelect),
        |edges AS (SELECT d1 AS src, d2 AS dst FROM jp

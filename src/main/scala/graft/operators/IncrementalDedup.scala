@@ -89,19 +89,29 @@ object IncrementalDedup {
 
   // explicit index schemas: schema inference on spark.read.parquet costs a
   // footer-reading job per table per run — four wasted jobs on a hot path
-  private val ShSchema = org.apache.spark.sql.types.StructType(Seq(
+  private[operators] val ShSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("tkey", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("sh", org.apache.spark.sql.types.LongType)))
-  private val TextsSchema = org.apache.spark.sql.types.StructType(Seq(
+  private[operators] val TextsSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("tkey", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("n_copies", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("n0", org.apache.spark.sql.types.LongType)))
-  private val DfSchema = org.apache.spark.sql.types.StructType(Seq(
+  private[operators] val DfSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("sh", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("cdf", org.apache.spark.sql.types.LongType)))
-  private val MembersSchema = org.apache.spark.sql.types.StructType(Seq(
+  private[operators] val MembersSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("tkey", org.apache.spark.sql.types.LongType)))
+
+  /** The four merged index tables for `indexDir`'s contents ∪ `batch`, as
+    * lazy plans over the LIVE index, plus the two batch-proportional text
+    * sets every maintenance consumer needs: batch texts not already
+    * resident, and resident texts whose capped shingle count changed
+    * because the batch pushed one of their shingles over the df cap
+    * ([[ClusterIndex]] re-derives exactly these texts' edges). */
+  private[operators] final case class MergedBatch(
+      sh: DataFrame, df: DataFrame, texts: DataFrame, members: DataFrame,
+      newTkeys: DataFrame, droppedTkeys: DataFrame)
 
   /** Fold a (verified) batch into the index at `indexDir`, so that
     * afterwards the index is EXACTLY `buildIndex(resident ∪ batch)` —
@@ -129,6 +139,33 @@ object IncrementalDedup {
     * reference's skip-already-loaded semantics (main.py:153-168).
     */
   def appendToIndex(spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+    val m = mergeBatch(spark, indexDir, batch)
+    // materialize to tmp FIRST (the plans above read the live index), then
+    // atomically swap the whole index directory
+    val live = new Path(indexDir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(live.getParent, live.getName + ".append-tmp")
+    val bak = new Path(live.getParent, live.getName + ".append-bak")
+    fs.delete(tmp, true)
+    m.sh.write.mode(SaveMode.Overwrite).parquet(s"$tmp/text_shingles.parquet")
+    m.df.write.mode(SaveMode.Overwrite).parquet(s"$tmp/shingle_df.parquet")
+    m.texts.write.mode(SaveMode.Overwrite).parquet(s"$tmp/texts.parquet")
+    m.members.write.mode(SaveMode.Overwrite).parquet(s"$tmp/members.parquet")
+    fs.delete(bak, true)
+    if (!fs.rename(live, bak))
+      throw new java.io.IOException(s"index append swap failed: $live -> $bak")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(bak, live)
+      throw new java.io.IOException(s"index append swap failed: $tmp -> $live")
+    }
+    fs.delete(bak, true)
+  }
+
+  /** The merge computation behind [[appendToIndex]], exposed so other
+    * index maintainers ([[ClusterIndex]]) can extend the same exact merge
+    * with their own derived tables and swap once atomically. */
+  private[operators] def mergeBatch(
+      spark: SparkSession, indexDir: String, batch: DataFrame): MergedBatch = {
     val corpusSh = spark.read.schema(ShSchema).parquet(s"$indexDir/text_shingles.parquet")
     val corpusTexts = spark.read.schema(TextsSchema).parquet(s"$indexDir/texts.parquet")
     val corpusDf = spark.read.schema(DfSchema).parquet(s"$indexDir/shingle_df.parquet")
@@ -174,26 +211,8 @@ object IncrementalDedup {
     val mergedMembers = members.unionByName(
       batch.select(col("doc_id"), xxhash64(col("text")).as("tkey")))
 
-    // materialize to tmp FIRST (the plans above read the live index), then
-    // atomically swap the whole index directory
-    val live = new Path(indexDir)
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(live.getParent, live.getName + ".append-tmp")
-    val bak = new Path(live.getParent, live.getName + ".append-bak")
-    fs.delete(tmp, true)
-    corpusSh.unionByName(newSh)
-      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/text_shingles.parquet")
-    mergedDf.write.mode(SaveMode.Overwrite).parquet(s"$tmp/shingle_df.parquet")
-    mergedTexts.write.mode(SaveMode.Overwrite).parquet(s"$tmp/texts.parquet")
-    mergedMembers.write.mode(SaveMode.Overwrite).parquet(s"$tmp/members.parquet")
-    fs.delete(bak, true)
-    if (!fs.rename(live, bak))
-      throw new java.io.IOException(s"index append swap failed: $live -> $bak")
-    if (!fs.rename(tmp, live)) {
-      fs.rename(bak, live)
-      throw new java.io.IOException(s"index append swap failed: $tmp -> $live")
-    }
-    fs.delete(bak, true)
+    MergedBatch(corpusSh.unionByName(newSh), mergedDf, mergedTexts, mergedMembers,
+      newTkeys, drops.select("tkey"))
   }
 
   /** Dedup `batch` against the index at `indexDir`. Returns
