@@ -395,4 +395,53 @@ object DocStream {
     } finally b.unpersist()
     ()
   }
+
+  /** Streaming maintenance of the persisted near-dup CLUSTER index
+    * ([[graft.operators.ClusterIndex]]): every micro-batch of arriving
+    * documents is folded in with `appendToIndex`, so cluster membership,
+    * keeper choice, and canonical mapping served from the index are
+    * always current — clusters merge and split mid-stream as df-cap
+    * crossings demand, with per-trigger cost proportional to the batch
+    * (plus affected components), never the corpus.
+    *
+    * Replay safety: foreachBatch re-delivers a batch after failure, and
+    * the append is additive (a double append would double-count copies,
+    * exactly as a doubled corpus would) — so each batch is first
+    * anti-joined against the index's resident doc_ids, making replays
+    * no-ops. This is the streaming twin of the reference loader's
+    * skip-already-loaded idempotent re-run semantics (main.py:153-168).
+    */
+  def clusterMaintenanceStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      indexDir: String): StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processClusterBatch(spark, indexDir, batch)
+      }
+      .start()
+
+  /** One micro-batch of [[clusterMaintenanceStream]] — factored out so the
+    * cross-batch contracts (batch-build parity, replay idempotence) are
+    * directly testable. */
+  private[streaming] def processClusterBatch(
+      spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+    val docs = batch.select(col("doc_id"), col("text")).distinct()
+    val labels = new org.apache.hadoop.fs.Path(s"$indexDir/labels.parquet")
+    val fs = labels.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(labels)) {
+      // empty micro-batches happen (watermark-only triggers): building an
+      // empty index would freeze an all-empty schema — wait for content
+      if (!docs.isEmpty) graft.operators.ClusterIndex.buildIndex(docs, indexDir)
+    } else {
+      val resident = spark.read.parquet(s"$indexDir/members.parquet")
+        .select(col("doc_id"))
+      val fresh = docs.join(resident, Seq("doc_id"), "left_anti").persist()
+      try {
+        if (!fresh.isEmpty)
+          graft.operators.ClusterIndex.appendToIndex(spark, indexDir, fresh)
+      } finally fresh.unpersist()
+    }
+    ()
+  }
 }

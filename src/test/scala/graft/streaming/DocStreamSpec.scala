@@ -258,4 +258,52 @@ class DocStreamSpec extends AnyFunSuite {
       assert(fromExpr(id) === manual, s"band keys diverge for doc $id")
     }
   }
+
+  test("clusterMaintenanceStream: streamed index == batch build; replays are no-ops") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // the ClusterIndexSpec split fixture, fed as a stream: batch 2 must
+    // CREATE the A-B edge against resident A, batch 3's cap crossing must
+    // SPLIT the component — mid-stream merge and split both exercised
+    val A = "a b c d e"; val B = "a b c d f"
+    val dir = java.nio.file.Files.createTempDirectory("graft-clidx-stream")
+      .toString + "/idx"
+    val input = MemoryStream[Doc]
+    val q = clusterMaintenanceStream(spark, input.toDF(), dir)
+    val t0 = ts("2024-01-01 10:00:00")
+    try {
+      input.addData(Doc(1L, t0, A), Doc(2L, t0, A))
+      q.processAllAvailable()
+      input.addData(Doc(3L, t0, B), Doc(4L, t0, B))
+      q.processAllAvailable()
+      // resident docs in a later batch must not double-count (replay shape)
+      input.addData((1000L until 1049L).map(i => Doc(i, t0, "a b c")) :+ Doc(1L, t0, A): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamedClusters = graft.operators.ClusterIndex
+      .clustersFromIndex(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamedClusters ===
+      Set((1L, 1L, 1L), (2L, 1L, 0L), (3L, 3L, 1L), (4L, 3L, 0L)))
+
+    // parity: the streamed index equals one batch build over everything
+    val all = spark.createDataFrame(
+      Seq(1L -> A, 2L -> A, 3L -> B, 4L -> B) ++
+        (1000L until 1049L).map(_ -> "a b c")).toDF("doc_id", "text")
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-clidx-stream-reb")
+      .toString + "/idx"
+    graft.operators.ClusterIndex.buildIndex(all, rebuilt)
+    def rowsOf(d: String, t: String): Map[Seq[Any], Long] =
+      spark.read.parquet(s"$d/$t.parquet").collect()
+        .map(_.toSeq).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val tables = Seq("text_shingles", "shingle_df", "texts", "members",
+      "edges", "labels", "doc_meta")
+    for (t <- tables) assert(rowsOf(dir, t) === rowsOf(rebuilt, t), s"table $t diverged")
+
+    // replay idempotence: re-delivering a whole processed batch is a no-op
+    DocStream.processClusterBatch(spark, dir,
+      Seq(3L -> B, 4L -> B).toDF("doc_id", "text"))
+    for (t <- tables) assert(rowsOf(dir, t) === rowsOf(rebuilt, t), s"replay changed $t")
+  }
 }
