@@ -43,29 +43,6 @@ object TypeInference {
   def infer(df: DataFrame): Seq[ColumnInference] = {
     val cols = df.schema.fields.filter(_.dataType == StringType).map(_.name).toSeq
     if (cols.isEmpty) return Nil
-    def castsTo(c: String, t: String): Column = t match {
-      // lossy-truncation guard: a value is a DATE only if it round-trips
-      case "DATE" => expr(s"cast(try_cast(`$c` AS DATE) AS STRING) = trim(`$c`)")
-      // Spark 4's TRY cast to integral types rejects invalid strings by
-      // THROW-AND-CATCH — one exception per non-integral value, which on a
-      // mostly-non-numeric column is ~4× the cost of the whole census
-      // (measured sf0.1: 6.3 s -> 1.7 s). The translate() prefilter is
-      // exception-free and passes exactly the all-digit/sign/ASCII-space
-      // forms; try_cast still decides sign placement and overflow behind
-      // it, so the accepted set is unchanged (exotic non-ASCII whitespace
-      // that Spark's trimAll would eat is the one divergence — absent from
-      // any CSV value domain this operator targets).
-      case "BIGINT" =>
-        expr(s"translate(`$c`, '0123456789+- \\t\\n\\r', '') = ''") &&
-          expr(s"try_cast(`$c` AS BIGINT)").isNotNull
-      // same throw-per-invalid-value cost (5.3 s -> 1.4 s); Spark's
-      // accepted boolean literal set (StringUtils.{true,false}Strings,
-      // trimAll + lowercase) is small and stable enough to state directly
-      case "BOOLEAN" =>
-        lower(trim(col(c))).isin(
-          "true", "t", "yes", "y", "1", "false", "f", "no", "n", "0")
-      case _ => expr(s"try_cast(`$c` AS $t)").isNotNull
-    }
     val aggs: Seq[Column] = cols.flatMap { c =>
       count(when(nonEmpty(col(c)), 1)).as(s"${c}__n") +:
         Candidates.map { t =>
@@ -81,6 +58,80 @@ object TypeInference {
         else Candidates.find(t => casts(t) == n).getOrElse("STRING")
       ColumnInference(c, inferred, n, casts)
     }
+  }
+
+  /** Spec hook: the per-type castability predicate `infer` aggregates. */
+  private[ingest] def castsToForTest(c: String, t: String): Column = castsTo(c, t)
+
+  private def castsTo(c: String, t: String): Column = t match {
+      // lossy-truncation guard: a value is a DATE only if it round-trips.
+      // Spark 4's ANSI stringToDateAnsi also rejects by THROW (TryEval
+      // catches) — one exception per non-date value. Only a canonical
+      // 'yyyy-mm-dd'-shaped string (optionally signed, 4-7 digit year —
+      // wide-year casts print a '+' prefix) can possibly round-trip, so
+      // the compiled-once rlike is an exact superset of the survivors and
+      // everything else short-circuits without reaching the cast.
+      case "DATE" =>
+        trim(col(c), " \t\n\r").rlike("^[+-]?[0-9]{4,7}-[0-9]{1,2}-[0-9]{1,2}$") &&
+          expr(s"cast(try_cast(`$c` AS DATE) AS STRING) = trim(`$c`)")
+      // Spark 4's TRY cast to integral types rejects invalid strings by
+      // THROW-AND-CATCH — one exception per non-integral value, which on a
+      // mostly-non-numeric column is ~4× the cost of the whole census
+      // (measured sf0.1: 6.3 s -> 1.7 s). The translate() prefilter is
+      // exception-free and passes exactly the all-digit/sign/ASCII-space
+      // forms; try_cast still decides sign placement and overflow behind
+      // it, so the accepted set is unchanged (exotic non-ASCII whitespace
+      // that Spark's trimAll would eat is the one divergence — absent from
+      // any CSV value domain this operator targets).
+      // the grammar rlike catches char-class survivors with INTERIOR
+      // sign chars — date strings '1995-02-03' pass translate and were
+      // still paying a throw each (2 such columns in the census fixture)
+      case "BIGINT" =>
+        expr(s"translate(`$c`, '0123456789+- \\t\\n\\r', '') = ''") &&
+          trim(col(c), " \t\n\r").rlike("^[+-]?[0-9]+$") &&
+          expr(s"try_cast(`$c` AS BIGINT)").isNotNull
+      // same throw-per-invalid-value cost, and the census's WORST: most
+      // fixture columns are non-double text, so every row of every such
+      // column pays a JVM exception (the q_type_census sf1 stress outlier).
+      // Stage 1 is the exception-free translate() char-class test; stage 2
+      // a compiled-once rlike for the double-literal grammar (sign, digits,
+      // optional fraction/exponent, optional f/d suffix Java's parser
+      // takes) so char-class survivors like 'F' or '1995-02-03' are
+      // rejected without a throw; Spark's special literals (inf/infinity/
+      // nan, signed, any case) are OR'd in. try_cast still decides behind
+      // the filter. Stated divergence: Java hex-float forms ('0x1p3'),
+      // which the raw cast accepts, are filtered — matching DuckDB and
+      // every CSV value domain this operator targets (spec-pinned).
+      case "DOUBLE" =>
+        // NB: SQL trim() strips only spaces while the cast's trimAll eats
+        // all whitespace, so trim exactly the four chars translate admits
+        (expr(s"translate(`$c`, '0123456789+-. eEdDfF\\t\\n\\r', '') = ''") &&
+          trim(col(c), " \t\n\r")
+            .rlike("^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?[dDfF]?$") ||
+          lower(trim(col(c), " \t\n\r")).isin(
+            "inf", "+inf", "-inf", "infinity", "+infinity", "-infinity", "nan")) &&
+          expr(s"try_cast(`$c` AS DOUBLE)").isNotNull
+      // same throw-per-invalid-value cost (5.3 s -> 1.4 s); Spark's
+      // accepted boolean literal set (StringUtils.{true,false}Strings,
+      // trimAll + lowercase) is small and stable enough to state directly
+      case "BOOLEAN" =>
+        lower(trim(col(c))).isin(
+          "true", "t", "yes", "y", "1", "false", "f", "no", "n", "0")
+      // the census's sf1 whale (10.8 s of a 16.3 s infer): ANSI
+      // stringToTimestampAnsi throws per invalid value too. Spark's
+      // accepted grammar is (a) a bare 4-6 digit year ≤ 294247 — the
+      // numeric cap is checked exception-free on the regex-guarded value
+      // (all-digit ≤6 chars can't overflow BIGINT) so 6-digit keys above
+      // the cap don't pay a throw — or (b) a year-month[-day[ time]]
+      // form; time-part garbage behind a valid date prefix still throws,
+      // the accepted rarity for a superset filter. try_cast decides.
+      case "TIMESTAMP" =>
+        val t4 = trim(col(c), " \t\n\r")
+        (t4.rlike("^[+-]?[0-9]{4,6}$") &&
+          expr(s"try_cast(trim(BOTH ' \\t\\n\\r' FROM `$c`) AS BIGINT) <= 294247") ||
+          t4.rlike("^[+-]?[0-9]{4,6}-[0-9]{1,2}(-[0-9]{1,2}([ T].*)?)?$")) &&
+          expr(s"try_cast(`$c` AS TIMESTAMP)").isNotNull
+      case _ => expr(s"try_cast(`$c` AS $t)").isNotNull
   }
 
   /** Apply inferences as one projection: promoted columns cast (empty

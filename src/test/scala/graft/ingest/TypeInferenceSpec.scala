@@ -53,4 +53,52 @@ class TypeInferenceSpec extends AnyFunSuite {
     assert(inf.head.inferred === "BIGINT")
     assert(inf.head.nonEmpty === 2L)
   }
+
+  test("exception-free DOUBLE guard accepts exactly what the raw cast accepts") {
+    // adversarial char-class survivors ('F', dates, 'e', '+-1') plus every
+    // grammar corner Java's parser takes: suffixes, bare fractions,
+    // exponents, special literals in assorted case, padded whitespace
+    val tricky = Seq(
+      "1", "-7", "1.5", ".5", "5.", "1e3", "1E-3", "+2.5e+10", "1.5f", "2d",
+      "F", "D", "e", ".", "+", "-", "+-1", "1e", "e3", "1.2.3",
+      "1995-02-03", "2024-01-01 10:00:00", "1-URGENT", "true",
+      "NaN", "nan", "Infinity", "-Infinity", "+inf", "-INF", " 42 ", "\t-1.5\n")
+    import org.apache.spark.sql.functions.{count, expr, when}
+    val df = tricky.toDF("c")
+    val Seq(guarded, raw) = df.agg(
+      count(when(expr("c IS NOT NULL AND length(c) > 0") &&
+        TypeInference.castsToForTest("c", "DOUBLE"), 1)),
+      count(when(expr("try_cast(c AS DOUBLE) IS NOT NULL"), 1))
+    ).head().toSeq.map(_.asInstanceOf[Long])
+    assert(guarded === raw)
+    // the one documented divergence: Java hex-float forms are filtered
+    val hex = Seq("0x1p3").toDF("c")
+    assert(hex.filter(TypeInference.castsToForTest("c", "DOUBLE")).count() === 0L)
+    assert(hex.filter(expr("try_cast(c AS DOUBLE) IS NOT NULL")).count() === 1L)
+  }
+
+  test("exception-free DATE/TIMESTAMP/BIGINT guards match the raw predicates") {
+    // year caps ('294247'/'294248'), digit-width edges ('123'/'1234567'),
+    // non-canonical dates, time parts, zone suffixes, signs, garbage
+    val tricky = Seq(
+      "1234", "123", "1234567", "294247", "294248", "999999", "-1234", "+1995",
+      "0000", "1995-02-03", "1995-2-3", "1995-02", "1995-13-01", "12345-01-01",
+      "1995-02-03 10:00:00", "1995-02-03T10:00:00.123", "2024-01-01 10:00:00 UTC",
+      "2024-01-01 99:00:00", "garbage", "1234.56", " 2024-01-01 ", "1-URGENT",
+      "true", "F", "")
+    import org.apache.spark.sql.functions.{count, expr, when}
+    val df = tricky.toDF("c")
+    val nonEmpty = expr("c IS NOT NULL AND length(c) > 0")
+    val raw = Map(
+      "BIGINT" -> expr("try_cast(c AS BIGINT) IS NOT NULL"),
+      "DATE" -> expr("cast(try_cast(c AS DATE) AS STRING) = trim(c)"),
+      "TIMESTAMP" -> expr("try_cast(c AS TIMESTAMP) IS NOT NULL"))
+    for ((t, rawPred) <- raw) {
+      val Seq(guarded, unguarded) = df.agg(
+        count(when(nonEmpty && TypeInference.castsToForTest("c", t), 1)),
+        count(when(nonEmpty && rawPred, 1))
+      ).head().toSeq.map(_.asInstanceOf[Long])
+      assert(guarded === unguarded, s"guard for $t diverges from raw predicate")
+    }
+  }
 }
