@@ -73,6 +73,56 @@ class EmbedStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed ANN index maintenance equals a one-shot batch build") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 9 vectors: ids 0-6 near-parallel (same orthant, distinct cosines),
+    // 7-8 in other orthants — queries are all ids (< NumQueries = 20)
+    def vec(i: Long): Seq[Float] =
+      if (i == 7L) Seq.tabulate(16)(j => if (j % 2 == 0) -1.0f else 1.0f)
+      else if (i == 8L) Seq.tabulate(16)(j => if (j < 8) -2.0f else 0.5f)
+      else Seq.tabulate(16)(j => (1.0f + 0.01f * j) * (1.0f + 0.003f * (i * j % 5)))
+    def doc(i: Long) = EmbDoc(i, ts(f"2024-01-01 10:${i}%02d:00"), vec(i))
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-annstream").toString + "/idx"
+    val input = MemoryStream[EmbDoc]
+    val q = annIndexMaintenanceStream(spark, input.toDF(), streamDir)
+    try {
+      input.addData(doc(0), doc(1), doc(2))
+      q.processAllAvailable()
+      input.addData(doc(3), doc(4), doc(2)) // 2 re-delivered — must be skipped
+      q.processAllAvailable()
+      input.addData(doc(5), doc(6), doc(7), doc(8))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batchDir = java.nio.file.Files.createTempDirectory("graft-annbatch").toString + "/idx"
+    val all = (0L to 8L).map(i => (i, 0L, vec(i))).toDF("vec_id", "label", "embedding")
+    graft.operators.AnnIndex.buildIndex(spark, all, batchDir)
+
+    def rows(dir: String): Set[(Long, Long, Long)] =
+      graft.operators.AnnIndex.topKIndexed(spark, dir).collect()
+        .map(r => (r.getLong(r.fieldIndex("query_id")),
+          r.getLong(r.fieldIndex("neighbor_id")), r.getLong(r.fieldIndex("rank")))).toSet
+    assert(rows(streamDir) === rows(batchDir))
+    assert(rows(streamDir).nonEmpty)
+    // the re-delivered vector was anti-joined away: one row per vec_id
+    val ids = spark.read.parquet(s"$streamDir/vectors.parquet")
+      .groupBy(col("vec_id")).count().collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(ids.toMap.values.toSet === Set(1L))
+    assert(ids.map(_._1).toSet === (0L to 8L).toSet)
+
+    // replaying an already-applied batch is a no-op (no new epoch)
+    def epochs = new java.io.File(s"$streamDir/bands.parquet").listFiles()
+      .map(_.getName).filter(_.startsWith("epoch=")).toSet
+    val before = epochs
+    val replay = Seq(doc(3), doc(4)).map(d => (d.vec_id, d.ts, d.embedding))
+      .toDF("vec_id", "ts", "embedding")
+    EmbedStream.processAnnIndexBatch(spark, streamDir, replay)
+    assert(epochs === before)
+  }
+
   test("stream band keys equal the batch sign-orthant construction") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
