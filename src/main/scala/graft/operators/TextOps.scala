@@ -599,7 +599,152 @@ object TextOps {
       |  least(1.0, (total // k)::DOUBLE / tokens::DOUBLE) AS keep_rate
       |FROM per, tot""".stripMargin
 
+  // --- q_redact: PII detection + redaction -------------------------------
+  // The scrubbing pass every training-data pipeline runs before anything
+  // else: find emails / phone numbers / IPv4s, count them, and rewrite the
+  // text with typed placeholders. Pure per-row regex work — no shuffle, a
+  // single scan, whole-stage codegen — the 100 TB shape. Patterns stay in
+  // the RE2 ∩ java.util.regex common subset (character classes, bounded
+  // repetition, \b; no lookaround/backrefs) so Spark and the DuckDB oracle
+  // match byte-for-byte; replacement order is fixed (email → phone → IP)
+  // and each stage replaces ALL occurrences (DuckDB needs the 'g' flag —
+  // its regexp_replace is first-match by default, Spark's is global).
+  //
+  // The synthetic corpus carries no natural PII, so — like the census's
+  // derived columns — deterministic PII is appended to a doc_id-keyed
+  // subset first; the operator's value is the redaction machinery, and
+  // the fixture makes every pattern + the no-PII case POSITIVELY
+  // exercised at every SF.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  private val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  private def qRedact(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    val pii = concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id").cast(StringType),
+          lit("@example.com asap")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" call 555-"),
+          lpad((col("doc_id") * 7 % 1000).cast(StringType), 3, "0"), lit("-"),
+          lpad((col("doc_id") * 13 % 10000).cast(StringType), 4, "0")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" from 10.0."), (col("doc_id") % 256).cast(StringType),
+          lit("."), (col("doc_id") * 3 % 256).cast(StringType)))
+        .otherwise(lit("")))
+    d.select(col("doc_id"), pii.as("t"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).cast(LongType)
+          .as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0))).cast(LongType)
+          .as("n_phones"),
+        size(regexp_extract_all(col("t"), lit(Ipv4Re), lit(0))).cast(LongType)
+          .as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("t"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          Ipv4Re, "<IP>").as("redacted"))
+  }
+
+  private val qRedactSql = {
+    // single-quoted SQL literals: backslashes pass through verbatim
+    val (email, phone, ip) = (EmailRe, PhoneRe, Ipv4Re)
+    s"""WITH pii AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 3 = 0
+       |         THEN ' contact user' || doc_id || '@example.com asap' ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 0
+       |         THEN ' call 555-' || lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0')
+       |           || '-' || lpad(CAST(doc_id * 13 % 10000 AS VARCHAR), 4, '0') ELSE '' END
+       |    || CASE WHEN doc_id % 11 = 0
+       |         THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+       |           || '.' || CAST(doc_id * 3 % 256 AS VARCHAR) ELSE '' END AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(t, '$email')) AS n_emails,
+       |  len(regexp_extract_all(t, '$phone')) AS n_phones,
+       |  len(regexp_extract_all(t, '$ip')) AS n_ips,
+       |  regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace(t, '$email', '<EMAIL>', 'g'),
+       |      '$phone', '<PHONE>', 'g'),
+       |    '$ip', '<IP>', 'g') AS redacted
+       |FROM pii""".stripMargin
+  }
+
+  // --- q_lm_bigram: bigram-LM corpus-fit scoring (CCNet-shaped) ----------
+  // The LM-quality-filter shape: train n-gram statistics ON the corpus
+  // (one wordcount-shaped agg over bigrams, one over their prefixes), then
+  // score every document by how well the model predicts it. To stay on
+  // the hash gate the score is kept rank-equivalent and integer-exact:
+  // per-doc Σc(w1,w2) and Σc(w1) are BIGINTs and fit_score is their ONE
+  // double division (the tf·N/df move from q_tfidf — a float Σlog p would
+  // differ between libm implementations; swapping log-probs in off-gate
+  // is a per-row transform). n_hapax (bigrams seen once corpus-wide) is
+  // the rare-sequence signal CCNet uses perplexity for. Dedup-first: all
+  // per-text work runs once per DISTINCT text (counts copy-weighted, ≡
+  // counting over every doc), docs expand by one output-sized join.
+  // Documents with <2 tokens have no bigrams and are excluded (inner
+  // join) in both engines.
+  private def qLmBigram(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), xxhash64(col("text")).as("tkey"), col("text"))
+    val members = docs.select(col("doc_id"), col("tkey"))
+    val w = split(trim(col("text")), " ")
+    val pairs = transform(
+      slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+      (x, i) => struct(
+        concat_ws(" ", x, element_at(w, i + 2)).as("b"), x.as("w1")))
+    val groups = docs.groupBy(col("tkey"))
+      .agg(count(lit(1)).as("n_copies"), first(col("text")).as("text"))
+      .select(col("tkey"), col("n_copies"), explode(pairs).as("p"))
+      .select(col("tkey"), col("n_copies"),
+        col("p.b").as("b"), col("p.w1").as("w1"))
+      .cache()
+    // copy-weighted model counts == counting over every doc incl. copies
+    val cnt2 = groups.groupBy(col("b")).agg(sum(col("n_copies")).as("c12"))
+    val cnt1 = groups.groupBy(col("w1")).agg(sum(col("n_copies")).as("c1"))
+    val perText = groups
+      .join(cnt2, "b").join(cnt1, "w1")
+      .groupBy(col("tkey"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("c12")).as("sum_c12"),
+        sum(col("c1")).as("sum_c1"),
+        sum(when(col("c12") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    members.join(perText, "tkey")
+      .select(col("doc_id"), col("n_bigrams"), col("sum_c12"), col("sum_c1"),
+        (col("sum_c12").cast(DoubleType) / col("sum_c1").cast(DoubleType))
+          .as("fit_score"),
+        col("n_hapax"))
+  }
+
+  private val qLmBigramSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       |bg AS (
+       |  SELECT doc_id, w[g] || ' ' || w[g + 1] AS b, w[g] AS w1
+       |  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS i(g)),
+       |cnt2 AS (SELECT b, count(*) AS c12 FROM bg GROUP BY b),
+       |cnt1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1)
+       |SELECT doc_id,
+       |  count(*) AS n_bigrams,
+       |  sum(c12) AS sum_c12,
+       |  sum(c1) AS sum_c1,
+       |  sum(c12)::DOUBLE / sum(c1) AS fit_score,
+       |  sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS n_hapax
+       |FROM bg JOIN cnt2 USING (b) JOIN cnt1 USING (w1)
+       |GROUP BY doc_id""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_redact", qRedact, Some(qRedactSql)),
+    QueryDef("q_lm_bigram", qLmBigram, Some(qLmBigramSql)),
     QueryDef("q_dup_by_source", qDupBySource, Some(qDupBySourceSql)),
     QueryDef("q_mixture_rebalance", qMixtureRebalance, Some(qMixtureRebalanceSql)),
     QueryDef("q_weighted_sample", qWeightedSample, Some(qWeightedSampleSql)),
