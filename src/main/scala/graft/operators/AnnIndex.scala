@@ -85,6 +85,44 @@ object AnnIndex {
     writeEpoch(spark, indexDir, next, batch)
   }
 
+  /** Compact every published epoch into a single `epoch=0` — the
+    * lifecycle counterpart of [[appendToIndex]]: streaming maintenance
+    * accumulates one epoch directory per micro-batch, and a long-running
+    * index pays ever-growing listing/open cost per query. Compaction
+    * rewrites each table's union as ONE staged epoch and republishes:
+    *  1. write the union to a dot-prefixed staging dir (invisible);
+    *  2. hide the old epochs by renaming them dot-prefixed;
+    *  3. rename the staging dir to `epoch=0`;
+    *  4. delete the hidden olds.
+    * Query output is identical before and after (band/vector rows are a
+    * set; the epoch column never reaches query semantics). Crash windows,
+    * honestly stated for a manifest-less directory layout: before (2) a
+    * crash leaves only invisible staging (the existing crashed-append
+    * contract); between (2) and (3) readers see a subset of epochs
+    * (degraded recall, no corruption) and re-running `compact` completes
+    * the publish; single-writer like append, and a quiescent window is
+    * required only for exactly-complete results during the swap itself. */
+  def compact(spark: SparkSession, indexDir: String): Unit = {
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (tab <- Seq("bands.parquet", "vectors.parquet")) {
+      val dir = new Path(root, tab)
+      val live = fs.listStatus(dir).map(_.getPath)
+        .filter(_.getName.startsWith("epoch="))
+      val staging = new Path(dir, ".compact.tmp")
+      fs.delete(staging, true)
+      // one consolidated write — partition count is Spark's choice, the
+      // win is one directory and full-size files instead of per-batch dirs
+      spark.read.parquet(live.map(_.toString): _*)
+        .write.mode("overwrite").parquet(staging.toString)
+      val hidden = live.map(p => p -> new Path(dir, s".old-${p.getName}"))
+      hidden.foreach { case (from, to) => fs.delete(to, true); fs.rename(from, to) }
+      if (!fs.rename(staging, new Path(dir, "epoch=0")))
+        throw new java.io.IOException(s"ANN index compaction publish failed: $tab")
+      hidden.foreach { case (_, to) => fs.delete(to, true) }
+    }
+  }
+
   /** Top-k per query over the persisted index. Queries are index members
     * (`vec_id < NumQueries`, the suite's fixed probe set); their band keys
     * and 1-bit multiprobe expansion are computed map-only from the rescore

@@ -135,6 +135,98 @@ object CorpusOps {
        |  FROM p GROUP BY 1, 2) s
        |WHERE rank <= $MergeTopK""".stripMargin
 
+  // --- q_bpe_train: iterated BPE vocabulary training ---------------------
+  // q_bpe_merge is ONE training step; this is the LOOP — the actual BPE
+  // training algorithm, run to a fixed merge budget: per iteration, count
+  // adjacent pairs corpus-wide, take the argmax (ties broken
+  // lexicographically), apply the merge, repeat on the merged corpus.
+  // Output is the training artifact: the ordered merge table.
+  //
+  // The merge is applied as a WORD-BOUNDARY regex replace on the text
+  // itself — global regexp_replace is left-to-right non-overlapping, which
+  // IS BPE's greedy merge order ('a a a' + merge (a,a) → [a_a, a]) — and
+  // the '\b'-delimited pattern is exact because candidate pairs are
+  // restricted to \w-only tokens (a WHERE in both engines; merged tokens
+  // join with '_', staying \w). RE2 and java.util.regex agree on all of
+  // this, so the DuckDB oracle runs the IDENTICAL training loop as 4
+  // chained CTE stages — the whole algorithm is hash-gated, like the
+  // k-medians loop it copies its driver shape from.
+  //
+  // Scale shape per iteration: one wordcount-shaped pair agg per DISTINCT
+  // text with copy-weighted counts (≡ counting every doc), a 1-row argmax
+  // collected to the driver (the k-row k-medians model move), and a
+  // map-only rewrite. Corpus passes = merge budget, independent of data;
+  // 100× replicated data re-pairs the same distinct texts.
+  private val BpeTrainSteps = 4
+  private val WordToken = "^[A-Za-z0-9_]+$"
+
+  private def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    // each iteration's argmax is an ACTION, so the working corpus is
+    // persisted per rewrite (what any real BPE trainer materializes) —
+    // without it, iteration k replays the dedup + k rewrites from the
+    // scan (measured 10.4 → 2.4 s at sf0.1). The \w-token restriction
+    // filters on the GROUP KEY, so it commutes to after the pair agg —
+    // two regex evals per distinct pair (≤ vocab²), not per occurrence.
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var cur = table(spark, dir, "documents")
+      .groupBy(col("text")).agg(count(lit(1)).as("n_copies"))
+      .select(col("n_copies"), col("text").as("t"))
+      .persist()
+    persisted += cur
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    try {
+      for (step <- 1 to BpeTrainSteps) {
+        val w = split(trim(col("t")), " ")
+        val best = cur
+          .filter(size(w) >= 2)
+          .select(col("n_copies"), explode(transform(sequence(lit(1), size(w) - 1),
+            i => struct(element_at(w, i).as("l"), element_at(w, i + 1).as("r")))).as("p"))
+          .select(col("n_copies"), col("p.l").as("l"), col("p.r").as("r"))
+          .groupBy(col("l"), col("r")).agg(sum(col("n_copies")).as("cnt"))
+          .filter(col("l").rlike(WordToken) && col("r").rlike(WordToken))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1).collect()(0)
+        val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((step.toLong, a, b, cnt))
+        if (step < BpeTrainSteps) {
+          cur = cur.select(col("n_copies"),
+            regexp_replace(col("t"), s"\\b$a $b\\b", s"${a}_$b").as("t"))
+            .persist()
+          persisted += cur
+        }
+      }
+    } finally persisted.foreach(_.unpersist())
+    import spark.implicits._
+    merges.toSeq.toDF("merge_step", "pair_left", "pair_right", "cnt")
+  }
+
+  private val qBpeTrainSql = {
+    def stage(k: Int): String = {
+      val prev = s"t${k - 1}"
+      s"""p$k AS (
+         |  SELECT w[i] AS l, w[i+1] AS r
+         |  FROM (SELECT string_split(trim(t), ' ') AS w FROM $prev) x$k,
+         |       UNNEST(range(1, len(w))) AS r$k(i)
+         |  WHERE len(w) >= 2),
+         |m$k AS (
+         |  SELECT l, r, COUNT(*) AS c FROM p$k
+         |  WHERE regexp_matches(l, '$WordToken') AND regexp_matches(r, '$WordToken')
+         |  GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1),
+         |t$k AS (
+         |  SELECT regexp_replace(t,
+         |    '\\b' || (SELECT l FROM m$k) || ' ' || (SELECT r FROM m$k) || '\\b',
+         |    (SELECT l FROM m$k) || '_' || (SELECT r FROM m$k), 'g') AS t
+         |  FROM $prev)""".stripMargin
+    }
+    val stages = (1 to BpeTrainSteps).map(stage).mkString(",\n")
+    val out = (1 to BpeTrainSteps)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS merge_step, l AS pair_left, r AS pair_right, c AS cnt FROM m$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH t0 AS (SELECT text AS t FROM documents),
+       |$stages
+       |$out""".stripMargin
+  }
+
   // --- q_keyword_search: fixed-point inverted-index retrieval ------------
   // Top-k documents for a term query, scored by Σ_t tf·N·1e6 div df — the
   // tf·N/df family q_tfidf proved rank-equivalent to tf-idf, kept in BIGINT
@@ -535,6 +627,7 @@ object CorpusOps {
     QueryDef("q_length_quantiles", qLengthQuantiles, Some(qLengthQuantilesSql)),
     QueryDef("q_pack_sequences", qPackSequences, Some(qPackSequencesSql)),
     QueryDef("q_bpe_merge", qBpeMerge, Some(qBpeMergeSql)),
+    QueryDef("q_bpe_train", qBpeTrain, Some(qBpeTrainSql)),
     QueryDef("q_keyword_search", qKeywordSearch, Some(qKeywordSearchSql)),
     QueryDef("q_doc_rarity", qDocRarity, Some(qDocRaritySql)),
     QueryDef("q_source_similarity", qSourceSimilarity, Some(qSourceSimilaritySql)),

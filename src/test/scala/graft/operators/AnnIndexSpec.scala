@@ -60,6 +60,33 @@ class AnnIndexSpec extends AnyFunSuite {
       s"unexpected non-index scans: ${scans.filterNot(_.contains(indexDir))}")
   }
 
+  test("compact folds every epoch into one with identical query output") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val indexDir = Files.createTempDirectory("graft-ann-compact").toString + "/idx"
+    AnnIndex.buildIndex(spark, emb.filter(col("vec_id") % 3 === 0), indexDir)
+    AnnIndex.appendToIndex(spark, indexDir, emb.filter(col("vec_id") % 3 === 1))
+    AnnIndex.appendToIndex(spark, indexDir, emb.filter(col("vec_id") % 3 === 2))
+    val before = rows(AnnIndex.topKIndexed(spark, indexDir))
+    def dirs(tab: String) = new java.io.File(s"$indexDir/$tab").listFiles()
+      .map(_.getName).toSet
+    assert(dirs("bands.parquet").count(_.startsWith("epoch=")) === 3)
+
+    AnnIndex.compact(spark, indexDir)
+    assert(rows(AnnIndex.topKIndexed(spark, indexDir)) === before)
+    for (tab <- Seq("bands.parquet", "vectors.parquet")) {
+      assert(dirs(tab).filter(_.startsWith("epoch=")) === Set("epoch=0"))
+      assert(!dirs(tab).exists(_.startsWith(".old-")), s"hidden olds left in $tab")
+      assert(!dirs(tab).contains(".compact.tmp"))
+    }
+    // idempotent: compacting a compacted index changes nothing
+    AnnIndex.compact(spark, indexDir)
+    assert(rows(AnnIndex.topKIndexed(spark, indexDir)) === before)
+    // and appends keep working after a compaction (next epoch = 1)
+    AnnIndex.appendToIndex(spark, indexDir,
+      emb.filter(col("vec_id") % 3 === 0).withColumn("vec_id", col("vec_id") + 100000))
+    assert(dirs("bands.parquet").filter(_.startsWith("epoch=")) === Set("epoch=0", "epoch=1"))
+  }
+
   test("crashed append staging dir is invisible to readers") {
     val emb = Tables.table(spark, sfDir, "embeddings")
     val indexDir = Files.createTempDirectory("graft-ann-crash").toString + "/idx"

@@ -181,6 +181,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("q_bpe_train: iterated merges are greedy, ordered, and consume merged pairs") {
+    import spark.implicits._
+    // "a b" dominates (5 weighted: 2 copies of doc A carry 2 each, doc B 1);
+    // after merge 1 rewrites it to a_b, "a_b c" (3) must win step 2 —
+    // i.e. training must re-count over the MERGED corpus, and the greedy
+    // left-to-right rewrite must not re-use a consumed token
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bpetrain").toString
+    Seq(
+      (1L, "a b c a b c x"),
+      (2L, "a b c a b c x"),
+      (3L, "a b y a a"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val m = QueryRegistry.byName("q_bpe_train").run(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    // (a,b): 2×2 from doc A + 1 from doc B = 5
+    assert(m(0) === ((1L, "a", "b", 5L)))
+    // re-counted over the MERGED corpus: "a_b c" twice per A copy = 4
+    assert(m(1) === ((2L, "a_b", "c", 4L)))
+    // A is now "a_b_c a_b_c x": (a_b_c,a_b_c)=2 ties (a_b_c,x)=2 and the
+    // lexicographic tie-break picks the former; greedy left-to-right then
+    // merges the pair ONCE (consumed tokens are not reused)
+    assert(m(2) === ((3L, "a_b_c", "a_b_c", 2L)))
+    assert(m(3) === ((4L, "a_b_c_a_b_c", "x", 2L)))
+  }
+
   test("q_winsorize: clamp fractions respect the percentile ranks") {
     val w = run("q_winsorize").cache()
     val n = w.agg(sum(col("n_docs"))).head().getLong(0)
