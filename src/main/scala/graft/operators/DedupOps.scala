@@ -527,6 +527,66 @@ object DedupOps {
        |FROM b JOIN df USING (block)
        |GROUP BY doc_id""".stripMargin
 
+  // --- q_block_rewrite: block-level dedup REMOVAL ------------------------
+  // The rewrite counterpart of q_block_dedup's metric — the MassiveText /
+  // "Deduplicating Training Data" step that actually edits the corpus:
+  // every occurrence of a 16-token block except its globally FIRST
+  // occurrence (lexicographic min of (doc_id, pos)) is dropped, and each
+  // document is rebuilt from its kept blocks in position order. Identical
+  // documents therefore collapse to the lowest doc_id's copy and repeated
+  // boilerplate paragraphs survive exactly once corpus-wide — a stronger
+  // guarantee than per-pair dedup, from one block-keyed aggregation.
+  //
+  // Scale shape: one explode (doc × blocks/doc), one map-side-combined
+  // min aggregation per block key, one join back. The argmin is
+  // deliberately groupBy+join rather than a per-block window: a hot
+  // boilerplate block would make the window partition a straggler, while
+  // the min() combines on the map side (the oracle uses the window form —
+  // same keep set, DuckDB's scale is not the contract). Doc-level on
+  // purpose: the keep rule depends on doc IDENTITY (min doc_id), so
+  // dedup-first grouping does not apply.
+  private def qBlockRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val blocks = table(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(w) + ${BlockTok - 1}) div $BlockTok - 1), " +
+          s"i -> array_join(slice(w, i*$BlockTok + 1, $BlockTok), ' '))"))
+        .as(Seq("pos", "block")))
+    val first = blocks.groupBy(col("block"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    blocks.join(first, "block")
+      .withColumn("keep",
+        col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+            when(col("keep"), struct(col("pos"), col("block"))))),
+          s => s.getField("block")), " ").as("rebuilt_text"))
+  }
+
+  private val qBlockRewriteSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       |b AS (
+       |  SELECT doc_id, i AS pos,
+       |    array_to_string(list_slice(w, i*$BlockTok + 1, i*$BlockTok + $BlockTok), ' ') AS block
+       |  FROM t, UNNEST(range(0, (len(w) + ${BlockTok - 1}) // $BlockTok)) AS r(i)
+       |  WHERE len(w) > 0),
+       |k AS (
+       |  SELECT doc_id, pos, block,
+       |    ROW_NUMBER() OVER (PARTITION BY block ORDER BY doc_id, pos) = 1 AS keep
+       |  FROM b)
+       |SELECT doc_id,
+       |  COUNT(*) AS n_blocks,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  COALESCE(string_agg(CASE WHEN keep THEN block END, ' ' ORDER BY pos), '')
+       |    AS rebuilt_text
+       |FROM k
+       |GROUP BY doc_id""".stripMargin
+
   // --- q_dedup_minhash: MinHash signatures + LSH banding -----------------
   // 32 permutations approximated by seeded xxhash64; 8 bands × 4 rows.
   // Candidate pairs = docs sharing a band bucket; est. similarity =
@@ -958,6 +1018,7 @@ object DedupOps {
     QueryDef("q_dedup_clusters", qDedupClusters, Some(qDedupClustersSql)),
     QueryDef("q_dedup_canonical", qDedupCanonical, Some(qDedupCanonicalSql)),
     QueryDef("q_block_dedup", qBlockDedup, Some(qBlockDedupSql)),
+    QueryDef("q_block_rewrite", qBlockRewrite, Some(qBlockRewriteSql)),
     QueryDef("q_prefix_dedup", qPrefixDedup, Some(qPrefixDedupSql)),
     QueryDef("q_containment", qContainment, Some(qContainmentSql)),
     QueryDef("q_dedup_incremental", qDedupIncremental, Some(qDedupIncrementalSql)))

@@ -109,4 +109,24 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(verified === exact,
       s"missing=${(exact -- verified).take(5)} extra=${(verified -- exact).take(5)}")
   }
+
+  test("q_block_rewrite keeps only each block's first occurrence, rebuilds in order") {
+    import org.apache.spark.sql.functions._
+    val P = (1 to 16).map(i => s"p$i").mkString(" ") // one full 16-token block
+    val tmp = java.nio.file.Files.createTempDirectory("graft-blockrw").toString
+    Seq(
+      (1L, s"$P u1 u2"),     // blocks: [P, "u1 u2"] — both first occurrences
+      (2L, s"$P $P u3"),     // both P copies lose to (1,0); "u3" unique
+      (3L, s"$P u1 u2"))     // exact copy of doc 1 — every block dropped
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.QueryRegistry.byName("q_block_rewrite").run(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) === ((2L, 2L, s"$P u1 u2")))
+    assert(got(2L) === ((3L, 1L, "u3")))
+    assert(got(3L) === ((2L, 0L, "")))
+  }
 }
