@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Bigram-LM scoring over a PERSISTED model — the production twin of the
+  * inline `q_lm_bigram` (which retrains the model on every query): at
+  * 100 TB the n-gram statistics are trained ONCE, maintained by appends
+  * as the corpus grows, and scoring reads the model tables — never
+  * re-aggregates the training corpus. Third member of the persisted-index
+  * family ([[IncrementalDedup]] shingles, [[ClusterIndex]], [[AnnIndex]]
+  * bands), and the simplest: counts are ADDITIVE, so an append is exact
+  * by arithmetic — no cap corrections, no merge/split.
+  *
+  * Layout under `modelDir` (epoch-partitioned, single-writer, the
+  * [[AnnIndex]] conventions: dot-prefixed staging, one rename per table
+  * per publish):
+  *  - `pairs.parquet/epoch=K`: (l, r, cnt) — copy-weighted bigram counts
+  *    of the epoch's documents; prefix counts are derived at read time by
+  *    summing over r (vocabulary-bounded, broadcast-sized after the agg)
+  *  - `docs.parquet/epoch=K`:  (doc_id) — membership ledger, giving
+  *    replay-safe streaming maintenance its anti-join target
+  *
+  * Readers sum counts ACROSS epochs, so `append ≡ rebuild` holds exactly
+  * (integer addition reassociates; nothing else in the model is
+  * order-sensitive) — spec-pinned, plus tamper-invariance: garbling the
+  * corpus after the build does not change served scores, proving the
+  * model is read from the index, not retrained.
+  */
+object LmIndex {
+
+  private def pairCounts(docs: DataFrame): DataFrame = {
+    val w = col("w")
+    docs.groupBy(col("text")).agg(count(lit(1)).as("n_copies"))
+      .select(col("n_copies"), split(trim(col("text")), " ").as("w"))
+      .select(col("n_copies"), explode(transform(
+        slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+        (x, i) => struct(x.as("l"), element_at(w, i + 2).as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("n_copies")).as("cnt"))
+  }
+
+  private def writeEpoch(
+      spark: SparkSession, modelDir: String, epoch: Int, docs: DataFrame): Unit = {
+    val root = new Path(modelDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for ((tab, df) <- Seq(
+        "pairs.parquet" -> pairCounts(docs),
+        "docs.parquet" -> docs.select(col("doc_id")).distinct())) {
+      val live = new Path(root, s"$tab/epoch=$epoch")
+      val tmp = new Path(root, s"$tab/.epoch-$epoch.tmp")
+      fs.delete(tmp, true)
+      df.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(live, true)
+      if (!fs.rename(tmp, live))
+        throw new java.io.IOException(s"LM model epoch publish failed: $tmp -> $live")
+    }
+  }
+
+  /** Train (overwrite) the model as epoch 0. */
+  def buildModel(spark: SparkSession, docs: DataFrame, modelDir: String): Unit = {
+    val root = new Path(modelDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    writeEpoch(spark, modelDir, 0, docs)
+  }
+
+  /** Fold a batch of new documents into the model: O(batch) work — the
+    * batch's own counts land as a fresh epoch, published by one rename
+    * per table; readers sum across epochs, so the result is EXACTLY the
+    * rebuild (addition is the whole merge). Caller dedupes batches
+    * against `residentDocIds` (the streaming lane anti-joins). */
+  def appendToModel(spark: SparkSession, modelDir: String, batch: DataFrame): Unit = {
+    val pairs = new Path(modelDir, "pairs.parquet")
+    val fs = pairs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = fs.listStatus(pairs).map(_.getPath.getName)
+      .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toInt).max + 1
+    writeEpoch(spark, modelDir, next, batch)
+  }
+
+  /** Doc_ids already folded into the model (the streaming anti-join
+    * target). */
+  def residentDocIds(spark: SparkSession, modelDir: String): DataFrame =
+    spark.read.parquet(s"$modelDir/docs.parquet").select(col("doc_id")).distinct()
+
+  /** Score documents against the persisted model: the q_lm_bigram output
+    * (n_bigrams, Σc12, Σc1, fit_score, n_hapax) with model counts summed
+    * across epochs — the corpus is scanned only to produce the scored
+    * docs' own bigrams, never to train. */
+  def scoreDocs(spark: SparkSession, docs: DataFrame, modelDir: String): DataFrame = {
+    val model = spark.read.parquet(s"$modelDir/pairs.parquet")
+      .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("c12"))
+    val cnt1 = model.groupBy(col("l")).agg(sum(col("c12")).as("c1"))
+    val d = docs.select(col("doc_id"), xxhash64(col("text")).as("tkey"), col("text"))
+    val members = d.select(col("doc_id"), col("tkey"))
+    val w = split(trim(col("text")), " ")
+    // slice-based pairs: in-bounds by construction, no <2-token special case
+    val perText = d.groupBy(col("tkey")).agg(first(col("text")).as("text"))
+      .select(col("tkey"), explode(transform(
+        slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+        (x, i) => struct(x.as("l"), element_at(w, i + 2).as("r")))).as("p"))
+      .select(col("tkey"), col("p.l").as("l"), col("p.r").as("r"))
+      .join(model, Seq("l", "r"))
+      .join(cnt1, Seq("l"))
+      .groupBy(col("tkey"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("c12")).as("sum_c12"),
+        sum(col("c1")).as("sum_c1"),
+        sum(when(col("c12") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    members.join(perText, "tkey")
+      .select(col("doc_id"), col("n_bigrams"), col("sum_c12"), col("sum_c1"),
+        (col("sum_c12").cast(DoubleType) / col("sum_c1").cast(DoubleType))
+          .as("fit_score"),
+        col("n_hapax"))
+  }
+
+  // --- q_lm_bigram_indexed: the persisted-model lane on the oracle gate --
+  // Model built lazily on first use, keyed by the documents parquet's
+  // identity — repeat runs (the production cadence) pay only scoring.
+  // Trained on and scoring the same corpus, so it rides q_lm_bigram's
+  // oracle unchanged: every model count equals the inline aggregation.
+  private def modelDirFor(dir: String): String = {
+    val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    val stamp =
+      if (java.nio.file.Files.exists(src))
+        s"${java.nio.file.Files.size(src)}-${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+      else "missing"
+    val key = Integer.toHexString(s"$dir|$stamp|lm-v1".hashCode)
+    s"${System.getProperty("java.io.tmpdir")}/graft-lm-model-$key"
+  }
+
+  private def qLmIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val modelDir = modelDirFor(dir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$modelDir/pairs.parquet")))
+      buildModel(spark, Tables.table(spark, dir, "documents"), modelDir)
+    scoreDocs(spark, Tables.table(spark, dir, "documents"), modelDir)
+  }
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_lm_bigram_indexed", qLmIndexed, Some(TextOps.qLmBigramOracle)))
+}

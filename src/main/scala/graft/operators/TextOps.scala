@@ -725,6 +725,10 @@ object TextOps {
         col("n_hapax"))
   }
 
+  /** Shared with the persisted-model lane ([[LmIndex]]), which trains on
+    * and scores the same corpus and so rides this oracle unchanged. */
+  private[operators] def qLmBigramOracle: String = qLmBigramSql
+
   private val qLmBigramSql =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),

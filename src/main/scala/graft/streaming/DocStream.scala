@@ -444,4 +444,42 @@ object DocStream {
     }
     ()
   }
+
+  /** Streaming maintenance of the persisted bigram-LM model
+    * ([[graft.operators.LmIndex]]): every micro-batch of arriving
+    * documents folds its copy-weighted pair counts in as a fresh epoch —
+    * counts are additive, so the streamed model is EXACTLY the one-shot
+    * build by arithmetic, and per-trigger cost is O(batch). Fourth
+    * stream-maintained index beside the dedup shingle, cluster, and ANN
+    * band lanes; replay safety is the same anti-join against the model's
+    * resident doc ledger, making re-delivered batches no-ops. */
+  def lmModelMaintenanceStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      modelDir: String): StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processLmModelBatch(spark, modelDir, batch)
+      }
+      .start()
+
+  /** One micro-batch of [[lmModelMaintenanceStream]] — factored out so
+    * the cross-batch contracts are directly testable. */
+  private[graft] def processLmModelBatch(
+      spark: SparkSession, modelDir: String, batch: DataFrame): Unit = {
+    val docs = batch.select(col("doc_id"), col("text")).distinct()
+    val pairs = new org.apache.hadoop.fs.Path(s"$modelDir/pairs.parquet")
+    val fs = pairs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(pairs)) {
+      if (!docs.isEmpty) graft.operators.LmIndex.buildModel(spark, docs, modelDir)
+    } else {
+      val resident = graft.operators.LmIndex.residentDocIds(spark, modelDir)
+      val fresh = docs.join(resident, Seq("doc_id"), "left_anti").persist()
+      try {
+        if (!fresh.isEmpty)
+          graft.operators.LmIndex.appendToModel(spark, modelDir, fresh)
+      } finally fresh.unpersist()
+    }
+    ()
+  }
 }
