@@ -538,13 +538,17 @@ object DedupOps {
   // guarantee than per-pair dedup, from one block-keyed aggregation.
   //
   // Scale shape: one explode (doc × blocks/doc), one map-side-combined
-  // min aggregation per block key, one join back. The argmin is
-  // deliberately groupBy+join rather than a per-block window: a hot
-  // boilerplate block would make the window partition a straggler, while
-  // the min() combines on the map side (the oracle uses the window form —
-  // same keep set, DuckDB's scale is not the contract). Doc-level on
-  // purpose: the keep rule depends on doc IDENTITY (min doc_id), so
-  // dedup-first grouping does not apply.
+  // min aggregation per block key, one join back — and the aggregation
+  // and join both carry xxhash64(block) (8 bytes), not the ~16-token
+  // block text, so the corpus-sized shuffle moves (bkey, doc_id, pos)
+  // rows only (the repo-wide 1e-15 collision contract; the text stays
+  // with the doc-side rows for the rebuild). The argmin is deliberately
+  // groupBy+join rather than a per-block window: a hot boilerplate
+  // block would make the window partition a straggler, while the min()
+  // combines on the map side (the oracle uses the window form over
+  // block text — same keep set, DuckDB's scale is not the contract).
+  // Doc-level on purpose: the keep rule depends on doc IDENTITY (min
+  // doc_id), so dedup-first grouping does not apply.
   private def qBlockRewrite(spark: SparkSession, dir: String): DataFrame = {
     val blocks = table(spark, dir, "documents")
       .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
@@ -553,9 +557,11 @@ object DedupOps {
         s"transform(sequence(0, (size(w) + ${BlockTok - 1}) div $BlockTok - 1), " +
           s"i -> array_join(slice(w, i*$BlockTok + 1, $BlockTok), ' '))"))
         .as(Seq("pos", "block")))
-    val first = blocks.groupBy(col("block"))
+      .withColumn("bkey", xxhash64(col("block")))
+    val first = blocks.select(col("bkey"), col("doc_id"), col("pos"))
+      .groupBy(col("bkey"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
-    blocks.join(first, "block")
+    blocks.join(first, "bkey")
       .withColumn("keep",
         col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos"))
       .groupBy(col("doc_id"))
