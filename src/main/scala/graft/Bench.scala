@@ -112,12 +112,21 @@ object Bench {
       val valid = Seq(a, b).filter(_ >= 0)
       n -> (if (valid.isEmpty) -1.0 else valid.min)
     }
-    // the one-line record must survive the driver's output-capture limit
-    // (BENCH_r04's tail was truncated mid-`spread` and lost the totals):
-    // times round to ms and the per-query [min,max] spread moves to a side
-    // file, keeping the line itself a few KB and self-contained
-    def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // the one-line record must survive the driver's output-capture limit:
+    // r04 truncated mid-`spread`, and r05 — with spread already in a side
+    // file — STILL truncated (`parsed: null`, first ~13 per-query entries
+    // lost), so a 99-query inline map simply doesn't fit. The line now
+    // carries only totals + pass totals + sentinel + contended + the top-5
+    // slowest queries (the ones a reader triages first); the FULL per-query
+    // map and the [min,max] spread both live in side files.
+    // Locale.ROOT formatting: the default-locale f"" interpolator writes
+    // comma decimal separators under e.g. de_DE, producing invalid JSON.
+    def ms(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    val top5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val spread = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
       val valid = Seq(a, b).filter(_ >= 0)
@@ -125,18 +134,23 @@ object Bench {
       "\"" + n + "\":[" + ms(lo) + "," + ms(hi) + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val failed = results.count(_._2 < 0)
     def passTotal(p: Seq[(String, Double)]) = p.map(_._2).filter(_ >= 0).sum
     val t1 = passTotal(pass1); val t2 = passTotal(pass2)
-    val spreadPath = java.nio.file.Paths.get("target/bench_spread.json")
-    try {
-      java.nio.file.Files.createDirectories(spreadPath.getParent)
-      java.nio.file.Files.write(spreadPath,
-        (spread + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      System.err.println(s"[bench] per-query spread written to $spreadPath")
-    } catch { case e: Exception =>
-      System.err.println(s"[bench] spread not written: ${e.getMessage}")
+    def sideFile(name: String, body: String): Unit = {
+      val p = java.nio.file.Paths.get(s"target/$name")
+      try {
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p,
+          (body + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        System.err.println(s"[bench] $name written to $p")
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] $name not written: ${e.getMessage}")
+      }
     }
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","pass_totals":[${ms(t1)},${ms(t2)}],"sentinel":[${ms(sentinelBefore)},${ms(sentinelAfter)}],"contended":$contended}""")
+    sideFile("bench_queries.json", qs)
+    sideFile("bench_spread.json", spread)
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$failed,"pass_totals":[${ms(t1)},${ms(t2)}],"sentinel":[${ms(sentinelBefore)},${ms(sentinelAfter)}],"contended":$contended,"top5_slowest":$top5,"queries_file":"target/bench_queries.json"}""")
     spark.stop()
   }
 }

@@ -114,8 +114,11 @@ object TypeInference {
       // same throw-per-invalid-value cost (5.3 s -> 1.4 s); Spark's
       // accepted boolean literal set (StringUtils.{true,false}Strings,
       // trimAll + lowercase) is small and stable enough to state directly
+      // NB: the cast's trimAll eats ALL whitespace ('true\t', '1\n'), so
+      // trim the same four chars the sibling branches do — plain trim()
+      // strips spaces only and would demote tab/newline-padded booleans
       case "BOOLEAN" =>
-        lower(trim(col(c))).isin(
+        lower(trim(col(c), " \t\n\r")).isin(
           "true", "t", "yes", "y", "1", "false", "f", "no", "n", "0")
       // the census's sf1 whale (10.8 s of a 16.3 s infer): ANSI
       // stringToTimestampAnsi throws per invalid value too. Spark's

@@ -27,10 +27,14 @@ import org.apache.spark.sql.functions._
   * `.tmp` staging name) and a SINGLE directory rename publishes them —
   * readers either see the whole epoch or none of it, and a crashed append
   * leaves only an invisible staging dir that the next append overwrites.
-  * Appending the same batch twice duplicates its band rows (candidate
-  * dedup makes the QUERY result identical, but index size and epoch count
-  * grow) — idempotent re-runs dedupe at the vec_id level before calling,
-  * exactly the IncrementalDedup.appendToIndex contract.
+  * Appending the same batch twice duplicates its band AND vector rows;
+  * query output stays identical because [[topKIndexed]] dedups both the
+  * candidate set and the rescored (query, neighbor) pairs — but index
+  * size and epoch count grow, so idempotent re-runs still dedupe at the
+  * vec_id level before calling, exactly the IncrementalDedup
+  * .appendToIndex contract. (The rescore dedup is also what makes the
+  * compaction publish window — old epochs and the consolidated epoch
+  * briefly coexisting — invisible to queries.)
   *
   * Geometry is the portable axis-sign banding of `q_ann_lsh_portable`
   * (same bands, bits, 1-bit query-side multiprobe, exact cosine rescore,
@@ -85,23 +89,27 @@ object AnnIndex {
     writeEpoch(spark, indexDir, next, batch)
   }
 
-  /** Compact every published epoch into a single `epoch=0` — the
-    * lifecycle counterpart of [[appendToIndex]]: streaming maintenance
-    * accumulates one epoch directory per micro-batch, and a long-running
-    * index pays ever-growing listing/open cost per query. Compaction
-    * rewrites each table's union as ONE staged epoch and republishes:
-    *  1. write the union to a dot-prefixed staging dir (invisible);
-    *  2. hide the old epochs by renaming them dot-prefixed;
-    *  3. rename the staging dir to `epoch=0`;
-    *  4. delete the hidden olds.
-    * Query output is identical before and after (band/vector rows are a
-    * set; the epoch column never reaches query semantics). Crash windows,
-    * honestly stated for a manifest-less directory layout: before (2) a
-    * crash leaves only invisible staging (the existing crashed-append
-    * contract); between (2) and (3) readers see a subset of epochs
-    * (degraded recall, no corruption) and re-running `compact` completes
-    * the publish; single-writer like append, and a quiescent window is
-    * required only for exactly-complete results during the swap itself. */
+  /** Compact every published epoch into ONE fresh epoch — the lifecycle
+    * counterpart of [[appendToIndex]]: streaming maintenance accumulates
+    * one epoch directory per micro-batch, and a long-running index pays
+    * ever-growing listing/open cost per query. Publish-before-delete:
+    *  1. write the DEDUPLICATED union of all live epochs to a dot-prefixed
+    *     staging dir (invisible);
+    *  2. rename staging to a FRESH `epoch=max+1` (single atomic publish);
+    *  3. delete the old epochs.
+    * At no point is consolidated data the only copy while old epochs are
+    * hidden — the previous scheme (hide olds, then publish) lost the
+    * hidden `.old-epoch=*` data if a crash landed between hide and
+    * publish and compact was re-run (the re-run deleted `.compact.tmp`,
+    * the only consolidated copy, and rebuilt from the visible subset).
+    * Crash windows now: before (2) only invisible staging exists and a
+    * re-run starts clean; between (2) and (3) readers see old epochs AND
+    * the consolidated epoch — duplicate rows, which [[topKIndexed]]'s
+    * rescore dedup makes invisible to query output — and a re-run
+    * converges because the union is deduplicated before writing. Query
+    * output is identical before, during, and after (band/vector rows are
+    * a set; the epoch column never reaches query semantics).
+    * Single-writer like append; readers never need a quiescent window. */
   def compact(spark: SparkSession, indexDir: String): Unit = {
     val root = new Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -109,17 +117,20 @@ object AnnIndex {
       val dir = new Path(root, tab)
       val live = fs.listStatus(dir).map(_.getPath)
         .filter(_.getName.startsWith("epoch="))
+      val next = live.map(_.getName.stripPrefix("epoch=").toInt).max + 1
       val staging = new Path(dir, ".compact.tmp")
       fs.delete(staging, true)
       // one consolidated write — partition count is Spark's choice, the
-      // win is one directory and full-size files instead of per-batch dirs
+      // win is one directory and full-size files instead of per-batch
+      // dirs. dropDuplicates: epochs are a row set; dedup here both
+      // absorbs double-appended batches and makes a crash-rerun (which
+      // unions olds + the already-published consolidated epoch) converge.
       spark.read.parquet(live.map(_.toString): _*)
+        .dropDuplicates()
         .write.mode("overwrite").parquet(staging.toString)
-      val hidden = live.map(p => p -> new Path(dir, s".old-${p.getName}"))
-      hidden.foreach { case (from, to) => fs.delete(to, true); fs.rename(from, to) }
-      if (!fs.rename(staging, new Path(dir, "epoch=0")))
+      if (!fs.rename(staging, new Path(dir, s"epoch=$next")))
         throw new java.io.IOException(s"ANN index compaction publish failed: $tab")
-      hidden.foreach { case (_, to) => fs.delete(to, true) }
+      live.foreach(p => fs.delete(p, true))
     }
   }
 
@@ -150,6 +161,13 @@ object AnnIndex {
       .join(broadcast(q), "query_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dotp / (col("qnorm") * col("norm"))).as("cosine"))
+      // duplicate vector/query rows (double-appended batch, or the
+      // compaction window where old epochs and the consolidated epoch
+      // coexist) would otherwise emit the same neighbor at two ranks and
+      // displace the true Kth. Dup rows are value-identical (same vec_id
+      // → same v/norm), so keeping any one is exact; dedup is over the
+      // candidate-sized set, not the corpus-sized rescore store.
+      .dropDuplicates("query_id", "neighbor_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -162,12 +180,7 @@ object AnnIndex {
   // query phase. Output is row-identical to q_ann_lsh_portable (same
   // geometry, same rescore, same tie-breaks), so it shares that oracle.
   private def indexDirFor(dir: String): String = {
-    val src = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
-    val stamp =
-      if (java.nio.file.Files.exists(src))
-        s"${java.nio.file.Files.size(src)}-${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
-      else "missing"
-    val key = Integer.toHexString(s"$dir|$stamp|v1".hashCode)
+    val key = IndexStamp.dirKey(IndexStamp.identity(dir, "embeddings.parquet", "v1"))
     s"${System.getProperty("java.io.tmpdir")}/graft-ann-index-$key"
   }
 

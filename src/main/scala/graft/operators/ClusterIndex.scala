@@ -293,11 +293,7 @@ object ClusterIndex {
   // oracle-checked output, not just specs. Repeat runs (bench pass 2) pay
   // only the index-read query.
   private def indexDirFor(dir: String): String = {
-    val src = Paths.get(s"$dir/documents.parquet")
-    val stamp =
-      if (Files.exists(src)) s"${Files.size(src)}-${Files.getLastModifiedTime(src).toMillis}"
-      else "missing"
-    val key = Integer.toHexString(s"$dir|$stamp|cluster-v1".hashCode)
+    val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "cluster-v1"))
     s"${System.getProperty("java.io.tmpdir")}/graft-cluster-index-$key"
   }
 

@@ -335,13 +335,9 @@ object IncrementalDedup {
   // identity (path + size + mtime), so repeat runs — the real production
   // cadence, and bench pass 2 — pay only the batch-sized run phase.
   private def indexDirFor(dir: String): String = {
-    val src = Paths.get(s"$dir/documents.parquet")
-    val stamp =
-      if (Files.exists(src)) s"${Files.size(src)}-${Files.getLastModifiedTime(src).toMillis}"
-      else "missing"
     // v3: index format version — bump when the index schema changes so a
     // stale on-disk index is never picked up
-    val key = Integer.toHexString(s"$dir|$stamp|v3".hashCode)
+    val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "v3"))
     s"${System.getProperty("java.io.tmpdir")}/graft-corpus-index-$key"
   }
 

@@ -124,12 +124,7 @@ object LmIndex {
   // Trained on and scoring the same corpus, so it rides q_lm_bigram's
   // oracle unchanged: every model count equals the inline aggregation.
   private def modelDirFor(dir: String): String = {
-    val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
-    val stamp =
-      if (java.nio.file.Files.exists(src))
-        s"${java.nio.file.Files.size(src)}-${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
-      else "missing"
-    val key = Integer.toHexString(s"$dir|$stamp|lm-v1".hashCode)
+    val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "lm-v1"))
     s"${System.getProperty("java.io.tmpdir")}/graft-lm-model-$key"
   }
 

@@ -739,10 +739,10 @@ object TextOps {
        |cnt1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1)
        |SELECT doc_id,
        |  count(*) AS n_bigrams,
-       |  sum(c12) AS sum_c12,
-       |  sum(c1) AS sum_c1,
+       |  CAST(sum(c12) AS BIGINT) AS sum_c12,
+       |  CAST(sum(c1) AS BIGINT) AS sum_c1,
        |  sum(c12)::DOUBLE / sum(c1) AS fit_score,
-       |  sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS n_hapax
+       |  CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
        |FROM bg JOIN cnt2 USING (b) JOIN cnt1 USING (w1)
        |GROUP BY doc_id""".stripMargin
 

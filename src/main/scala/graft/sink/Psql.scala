@@ -81,18 +81,40 @@ object Psql {
       extra: Seq[String],
       script: java.io.Reader): String = {
     val p = newProcess(opts, extra)
+    // stderr drains on its own thread FROM THE START: a child emitting
+    // enough stderr (server NOTICEs during a large COPY) to fill the pipe
+    // buffer while we are still writing stdin blocks psql — and therefore
+    // us — in a mutual-pipe deadlock if stderr is only read afterwards.
+    val stderrRef = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val stderrThread = new Thread(() =>
+      stderrRef.set(try drain(p.getErrorStream) catch { case _: Exception => "" }))
+    stderrThread.setDaemon(true)
+    stderrThread.start()
+    def capturedStderr: String = {
+      stderrThread.join(10000)
+      stderrRef.get()
+    }
     val out = new java.io.OutputStreamWriter(p.getOutputStream, StandardCharsets.UTF_8)
     try {
-      val buf = new Array[Char](64 * 1024)
-      var n = script.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = script.read(buf) }
-    } finally out.close()
+      try {
+        val buf = new Array[Char](64 * 1024)
+        var n = script.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = script.read(buf) }
+      } finally out.close()
+    } catch {
+      // a broken pipe mid-write means psql died — the interesting
+      // diagnostics are on ITS stderr, not in the IOException
+      case e: java.io.IOException =>
+        p.waitFor()
+        throw new RuntimeException(
+          s"psql stdin write failed (${e.getMessage}): " +
+            capturedStderr.linesIterator.take(5).mkString(" | "), e)
+    }
     val stdout = drain(p.getInputStream)
-    val stderr = drain(p.getErrorStream)
     val code = p.waitFor()
     if (code != 0)
       throw new RuntimeException(
-        s"psql exited $code: ${stderr.linesIterator.take(5).mkString(" | ")}")
+        s"psql exited $code: ${capturedStderr.linesIterator.take(5).mkString(" | ")}")
     stdout
   }
 

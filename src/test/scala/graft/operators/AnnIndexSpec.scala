@@ -73,18 +73,70 @@ class AnnIndexSpec extends AnyFunSuite {
 
     AnnIndex.compact(spark, indexDir)
     assert(rows(AnnIndex.topKIndexed(spark, indexDir)) === before)
+    // publish-before-delete: the consolidated copy lands as a FRESH epoch
+    // (max+1 = 3 here), never by hiding the olds first
     for (tab <- Seq("bands.parquet", "vectors.parquet")) {
-      assert(dirs(tab).filter(_.startsWith("epoch=")) === Set("epoch=0"))
+      assert(dirs(tab).filter(_.startsWith("epoch=")) === Set("epoch=3"))
       assert(!dirs(tab).exists(_.startsWith(".old-")), s"hidden olds left in $tab")
       assert(!dirs(tab).contains(".compact.tmp"))
     }
     // idempotent: compacting a compacted index changes nothing
     AnnIndex.compact(spark, indexDir)
     assert(rows(AnnIndex.topKIndexed(spark, indexDir)) === before)
-    // and appends keep working after a compaction (next epoch = 1)
+    // and appends keep working after a compaction (next epoch = max+1)
     AnnIndex.appendToIndex(spark, indexDir,
       emb.filter(col("vec_id") % 3 === 0).withColumn("vec_id", col("vec_id") + 100000))
-    assert(dirs("bands.parquet").filter(_.startsWith("epoch=")) === Set("epoch=0", "epoch=1"))
+    assert(dirs("bands.parquet").filter(_.startsWith("epoch=")).size === 2)
+  }
+
+  test("compact publish window and crash-rerun lose no data") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val indexDir = Files.createTempDirectory("graft-ann-cwin").toString + "/idx"
+    AnnIndex.buildIndex(spark, emb.filter(col("vec_id") % 2 === 0), indexDir)
+    AnnIndex.appendToIndex(spark, indexDir, emb.filter(col("vec_id") % 2 === 1))
+    val before = rows(AnnIndex.topKIndexed(spark, indexDir))
+
+    // simulate a crash BETWEEN publish and old-epoch deletion: run a real
+    // compact, then restore copies of the old epochs beside the
+    // consolidated one — exactly the on-disk state of that window
+    val backup = Files.createTempDirectory("graft-ann-cwin-bak").toString
+    for (tab <- Seq("bands.parquet", "vectors.parquet")) {
+      val src = new java.io.File(s"$indexDir/$tab")
+      val dst = new java.io.File(s"$backup/$tab")
+      org.apache.commons.io.FileUtils.copyDirectory(src, dst)
+    }
+    AnnIndex.compact(spark, indexDir)
+    for (tab <- Seq("bands.parquet", "vectors.parquet");
+         ep <- new java.io.File(s"$backup/$tab").listFiles()
+           if ep.getName.startsWith("epoch="))
+      org.apache.commons.io.FileUtils.copyDirectory(
+        ep, new java.io.File(s"$indexDir/$tab/${ep.getName}"))
+
+    // mid-window reads see old + consolidated epochs (duplicate rows) —
+    // the rescore dedup keeps query output identical
+    assert(rows(AnnIndex.topKIndexed(spark, indexDir)) === before)
+    // re-running compact from the crashed state converges losslessly
+    AnnIndex.compact(spark, indexDir)
+    assert(rows(AnnIndex.topKIndexed(spark, indexDir)) === before)
+    val eps = new java.io.File(s"$indexDir/bands.parquet").listFiles()
+      .map(_.getName).filter(_.startsWith("epoch="))
+    assert(eps.length === 1)
+  }
+
+  test("double-appending a batch leaves query output identical") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val indexDir = Files.createTempDirectory("graft-ann-dup").toString + "/idx"
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    AnnIndex.buildIndex(spark, emb.filter(col("vec_id") % 2 === 0), indexDir)
+    AnnIndex.appendToIndex(spark, indexDir, batch)
+    val before = rows(AnnIndex.topKIndexed(spark, indexDir))
+    // the same batch delivered twice (at-least-once upstream): band AND
+    // vector rows duplicate, but the rescore dedup keeps the ranking exact
+    AnnIndex.appendToIndex(spark, indexDir, batch)
+    assert(rows(AnnIndex.topKIndexed(spark, indexDir)) === before)
+    // and compaction absorbs the duplicates (row set, deduplicated)
+    AnnIndex.compact(spark, indexDir)
+    assert(rows(AnnIndex.topKIndexed(spark, indexDir)) === before)
   }
 
   test("crashed append staging dir is invisible to readers") {
