@@ -32,6 +32,7 @@ object QueryRegistry {
       operators.ClusterIndex.queries ++
       operators.SimilarityOps.queries ++
       operators.AnnIndex.queries ++
+      operators.IvfIndex.queries ++
       operators.LmIndex.queries ++
       operators.EventOps.queries ++
       operators.MultimodalOps.queries ++

@@ -517,7 +517,7 @@ object SimilarityOps {
   }
 
   /** Squared L2 distance: left fold over component diffs. */
-  private def dist2(a: Column, b: Column): Column =
+  private[operators] def dist2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
 
   private def qKMediansStep(spark: SparkSession, dir: String): DataFrame = {
@@ -589,8 +589,8 @@ object SimilarityOps {
   // so centroid learning, final cell assignment, query probing, and
   // rescoring all ride the rows+schema+hash gate. RecallSweep at sf0.01:
   // recall@5 0.82 at nprobe=4 vs 0.12/0.31 for label cells.
-  private val IvfIters = 10
-  private val IvfNProbe = 4
+  private[operators] val IvfIters = 10
+  private[operators] val IvfNProbe = 4
 
   /** One argmin-L2 assignment pass, MAP-ONLY: the k centroids (k×64
     * doubles — the whole model) are embedded as a literal array sorted by
@@ -607,7 +607,7 @@ object SimilarityOps {
     * count). A coarse quantizer with many thousands of cells would switch
     * to a broadcast-table join for assignment; the training loop and
     * oracle are unchanged by that swap. */
-  private def assignExpr(cents: Seq[(Long, Seq[Double])], v: Column): Column = {
+  private[operators] def assignExpr(cents: Seq[(Long, Seq[Double])], v: Column): Column = {
     val sorted = cents.sortBy(_._1)
     val centArr = array(sorted.map { case (_, cv) => array(cv.map(lit): _*) }: _*)
     val clusterArr = array(sorted.map(c => lit(c._1)): _*)
@@ -743,6 +743,10 @@ object SimilarityOps {
        |a0 AS (SELECT vec_id, v, label AS cluster FROM e),
        |$steps""".stripMargin
   }
+
+  /** Exposed to [[IvfIndex]]: the persisted-index lane is row-identical to
+    * the inline learned lane and rides this oracle unchanged. */
+  private[operators] def qIvfLearnedOracle: String = qIvfLearnedSql
 
   private def qIvfLearnedSql: String = {
     val d2qc = s"list_reduce(list_prepend(0.0, [(q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]) FOR i IN range(1, 65)]), (acc,d) -> acc+d)"

@@ -130,8 +130,9 @@ object EmbedStream {
     * the index see new vectors as soon as their batch commits. Band rows
     * are purely additive, so each append is O(batch) — one staged epoch
     * directory per table published by a single rename, never an index
-    * rewrite. Completes the set: all three persisted indexes (dedup
-    * shingles, near-dup clusters, ANN bands) are stream-maintainable.
+    * rewrite. With [[ivfIndexMaintenanceStream]] and the doc-side lanes,
+    * every persisted index family (dedup shingles, near-dup clusters, ANN
+    * bands, IVF cells, LM counts) is stream-maintainable.
     *
     * Replay safety: foreachBatch re-delivers a batch after a failure, and
     * a double append duplicates band rows (query output would survive —
@@ -173,6 +174,48 @@ object EmbedStream {
           graft.operators.AnnIndex.appendToIndex(spark, indexDir, fresh)
       } finally fresh.unpersist()
     }
+    ()
+  }
+
+  /** Streaming maintenance of the persisted IVF index
+    * ([[graft.operators.IvfIndex]]) — the fourth index family's stream
+    * lane. The index must already be BUILT (training the coarse quantizer
+    * is a batch decision, not a per-trigger one); each micro-batch is
+    * assigned map-only against the FROZEN centroids and appended as one
+    * O(batch) epoch. Every append also records its assignment tightness,
+    * so [[graft.operators.IvfIndex.driftReport]] watches the stream decay
+    * the quantizer and flags the retrain (= rebuild) when appended data
+    * has drifted past the build-time baseline.
+    *
+    * Replay safety: same anti-join-resident-vec_ids contract as
+    * [[annIndexMaintenanceStream]] — re-delivered batches are no-ops. */
+  def ivfIndexMaintenanceStream(
+      spark: SparkSession,
+      vecs: DataFrame,
+      indexDir: String): StreamingQuery =
+    vecs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processIvfIndexBatch(spark, indexDir, batch)
+      }
+      .start()
+
+  /** One micro-batch of [[ivfIndexMaintenanceStream]] — factored out so
+    * batch-build parity and replay idempotence are directly testable. */
+  private[streaming] def processIvfIndexBatch(
+      spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+    val cells = new org.apache.hadoop.fs.Path(s"$indexDir/cells.parquet")
+    val fs = cells.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(cells))
+      throw new IllegalStateException(
+        s"IVF maintenance requires a built index at $indexDir — train with " +
+          "IvfIndex.buildIndex/buildFromCorpus first")
+    val vecs = batch.select(col("vec_id"), col("embedding")).dropDuplicates("vec_id")
+    val resident = spark.read.parquet(cells.toString).select(col("vec_id"))
+    val fresh = vecs.join(resident, Seq("vec_id"), "left_anti").persist()
+    try {
+      if (!fresh.isEmpty)
+        graft.operators.IvfIndex.appendToIndex(spark, indexDir, fresh)
+    } finally fresh.unpersist()
     ()
   }
 }

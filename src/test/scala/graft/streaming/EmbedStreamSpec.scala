@@ -123,6 +123,60 @@ class EmbedStreamSpec extends AnyFunSuite {
     assert(epochs === before)
   }
 
+  test("streamed IVF index maintenance equals a one-shot batch build") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    def vec(i: Long): Seq[Float] =
+      if (i == 7L) Seq.tabulate(16)(j => if (j % 2 == 0) -1.0f else 1.0f)
+      else if (i == 8L) Seq.tabulate(16)(j => if (j < 8) -2.0f else 0.5f)
+      else Seq.tabulate(16)(j => (1.0f + 0.01f * j) * (1.0f + 0.003f * (i * j % 5)))
+    def doc(i: Long) = EmbDoc(i, ts(f"2024-01-01 10:${i}%02d:00"), vec(i))
+    // frozen 2-cell quantizer: training is a batch decision, the stream
+    // only appends against it
+    val cents: Seq[(Long, Seq[Double])] = Seq(
+      0L -> Seq.tabulate(16)(j => 1.0 + 0.01 * j),
+      1L -> Seq.tabulate(16)(j => if (j % 2 == 0) -1.0 else 1.0))
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ivfstream").toString + "/idx"
+    graft.operators.IvfIndex.buildIndex(spark, streamDir, cents,
+      Seq(0L, 1L, 2L).map(i => (i, vec(i))).toDF("vec_id", "embedding"))
+    val input = MemoryStream[EmbDoc]
+    val q = ivfIndexMaintenanceStream(spark, input.toDF(), streamDir)
+    try {
+      input.addData(doc(3), doc(4), doc(2)) // 2 re-delivered — must be skipped
+      q.processAllAvailable()
+      input.addData(doc(5), doc(6), doc(7), doc(8))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batchDir = java.nio.file.Files.createTempDirectory("graft-ivfbatch").toString + "/idx"
+    graft.operators.IvfIndex.buildIndex(spark, batchDir, cents,
+      (0L to 8L).map(i => (i, vec(i))).toDF("vec_id", "embedding"))
+
+    def rows(dir: String): Set[(Long, Long, Long)] =
+      graft.operators.IvfIndex.topKIndexed(spark, dir).collect()
+        .map(r => (r.getLong(r.fieldIndex("query_id")),
+          r.getLong(r.fieldIndex("neighbor_id")), r.getLong(r.fieldIndex("rank")))).toSet
+    assert(rows(streamDir) === rows(batchDir))
+    assert(rows(streamDir).nonEmpty)
+    // re-delivered vector anti-joined away: one cells row per vec_id
+    val ids = spark.read.parquet(s"$streamDir/cells.parquet")
+      .groupBy(org.apache.spark.sql.functions.col("vec_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(ids.toMap.values.toSet === Set(1L))
+    assert(ids.map(_._1).toSet === (0L to 8L).toSet)
+    // replaying an applied batch is a no-op (no new epoch)
+    def epochs = new java.io.File(s"$streamDir/cells.parquet").listFiles()
+      .map(_.getName).filter(_.startsWith("epoch=")).toSet
+    val before = epochs
+    EmbedStream.processIvfIndexBatch(spark, streamDir,
+      Seq(3L, 4L).map(i => (i, vec(i))).toDF("vec_id", "embedding"))
+    assert(epochs === before)
+    // drift bookkeeping rode the stream: appended epochs recorded stats
+    val drift = graft.operators.IvfIndex.driftReport(spark, streamDir)
+    assert(drift.appendedRows === 6L)
+  }
+
   test("stream band keys equal the batch sign-orthant construction") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
