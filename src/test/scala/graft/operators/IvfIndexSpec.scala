@@ -120,6 +120,18 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(drifted.retrain,
       s"shifted append not flagged: $drifted")
     assert(drifted.appendedMean > drifted.baselineMean)
+
+    // retrain = rebuild on the grown corpus: fresh centroids see the
+    // drifted region, the baseline resets, and the flag clears
+    val grown = emb.unionByName(
+      emb.filter(col("vec_id") % 7 === 1)
+        .withColumn("vec_id", col("vec_id") + 200000)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(25.0f))))
+    IvfIndex.buildIndex(spark, indexDir, cents, grown)
+    val after = IvfIndex.driftReport(spark, indexDir)
+    assert(!after.retrain)
+    assert(after.appendedRows === 0L)
   }
 
   test("double-append and compaction leave query output identical") {
