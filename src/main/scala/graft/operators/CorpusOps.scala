@@ -161,6 +161,14 @@ object CorpusOps {
   private val WordToken = "^[A-Za-z0-9_]+$"
 
   private def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeTrainMerges(spark, dir).toDF("merge_step", "pair_left", "pair_right", "cnt")
+  }
+
+  /** The training loop itself, shared by q_bpe_train (which outputs the
+    * merge table) and q_bpe_encode (which applies it). */
+  private def bpeTrainMerges(
+      spark: SparkSession, dir: String): Seq[(Long, String, String, Long)] = {
     // each iteration's argmax is an ACTION, so the working corpus is
     // persisted per rewrite (what any real BPE trainer materializes) —
     // without it, iteration k replays the dedup + k rewrites from the
@@ -196,35 +204,80 @@ object CorpusOps {
         }
       }
     } finally persisted.foreach(_.unpersist())
-    import spark.implicits._
-    merges.toSeq.toDF("merge_step", "pair_left", "pair_right", "cnt")
+    merges.toSeq
+  }
+
+  /** One oracle training stage: pair-count argmax m$k over the working
+    * corpus t${k-1}, then the rewritten corpus t$k. Shared by the train
+    * and encode oracles. */
+  private def bpeStageSql(k: Int): String = {
+    val prev = s"t${k - 1}"
+    s"""p$k AS (
+       |  SELECT w[i] AS l, w[i+1] AS r
+       |  FROM (SELECT string_split(trim(t), ' ') AS w FROM $prev) x$k,
+       |       UNNEST(range(1, len(w))) AS r$k(i)
+       |  WHERE len(w) >= 2),
+       |m$k AS (
+       |  SELECT l, r, COUNT(*) AS c FROM p$k
+       |  WHERE regexp_matches(l, '$WordToken') AND regexp_matches(r, '$WordToken')
+       |  GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1),
+       |t$k AS (
+       |  SELECT regexp_replace(t,
+       |    '\\b' || (SELECT l FROM m$k) || ' ' || (SELECT r FROM m$k) || '\\b',
+       |    (SELECT l FROM m$k) || '_' || (SELECT r FROM m$k), 'g') AS t
+       |  FROM $prev)""".stripMargin
   }
 
   private val qBpeTrainSql = {
-    def stage(k: Int): String = {
-      val prev = s"t${k - 1}"
-      s"""p$k AS (
-         |  SELECT w[i] AS l, w[i+1] AS r
-         |  FROM (SELECT string_split(trim(t), ' ') AS w FROM $prev) x$k,
-         |       UNNEST(range(1, len(w))) AS r$k(i)
-         |  WHERE len(w) >= 2),
-         |m$k AS (
-         |  SELECT l, r, COUNT(*) AS c FROM p$k
-         |  WHERE regexp_matches(l, '$WordToken') AND regexp_matches(r, '$WordToken')
-         |  GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1),
-         |t$k AS (
-         |  SELECT regexp_replace(t,
-         |    '\\b' || (SELECT l FROM m$k) || ' ' || (SELECT r FROM m$k) || '\\b',
-         |    (SELECT l FROM m$k) || '_' || (SELECT r FROM m$k), 'g') AS t
-         |  FROM $prev)""".stripMargin
-    }
-    val stages = (1 to BpeTrainSteps).map(stage).mkString(",\n")
+    val stages = (1 to BpeTrainSteps).map(bpeStageSql).mkString(",\n")
     val out = (1 to BpeTrainSteps)
       .map(k => s"SELECT CAST($k AS BIGINT) AS merge_step, l AS pair_left, r AS pair_right, c AS cnt FROM m$k")
       .mkString("\nUNION ALL ")
     s"""WITH t0 AS (SELECT text AS t FROM documents),
        |$stages
        |$out""".stripMargin
+  }
+
+  // --- q_bpe_encode: apply the trained merge table to the corpus ---------
+  // The other half of the tokenizer lifecycle: q_bpe_train learns the
+  // ordered merge list; this query ENCODES every document with it —
+  // merges applied in learned order, each as the same word-boundary
+  // global regex rewrite used in training (left-to-right non-overlapping
+  // ≡ BPE's greedy encode order) — and reports per-doc token counts
+  // before/after, i.e. the compression the learned vocabulary buys.
+  // Scale shape: training cost as q_bpe_train (passes = merge budget,
+  // independent of data scale), then ONE map-only rewrite pass over the
+  // documents — merges ride the driver the same way the k-medians
+  // centroids do (a bounded model artifact, not data). The DuckDB oracle
+  // chains the identical training stages and applies the same nested
+  // rewrite, so training AND application are hash-gated together.
+  private def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTrainMerges(spark, dir)
+    val enc = merges.foldLeft(col("text")) { case (c, (_, a, b, _)) =>
+      regexp_replace(c, s"\\b$a $b\\b", s"${a}_$b")
+    }
+    table(spark, dir, "documents").select(
+      col("doc_id"),
+      size(split(trim(col("text")), " ")).cast(LongType).as("n_tokens_raw"),
+      size(split(trim(enc), " ")).cast(LongType).as("n_tokens_bpe"),
+      (size(split(trim(col("text")), " ")) - size(split(trim(enc), " ")))
+        .cast(LongType).as("n_merged"))
+  }
+
+  private val qBpeEncodeSql = {
+    val stages = (1 to BpeTrainSteps).map(bpeStageSql).mkString(",\n")
+    val enc = (1 to BpeTrainSteps).foldLeft("text") { (c, k) =>
+      s"""regexp_replace($c,
+         |  '\\b' || (SELECT l FROM m$k) || ' ' || (SELECT r FROM m$k) || '\\b',
+         |  (SELECT l FROM m$k) || '_' || (SELECT r FROM m$k), 'g')""".stripMargin
+    }
+    s"""WITH t0 AS (SELECT text AS t FROM documents),
+       |$stages
+       |SELECT doc_id,
+       |  len(string_split(trim(text), ' ')) AS n_tokens_raw,
+       |  len(string_split(trim($enc), ' ')) AS n_tokens_bpe,
+       |  len(string_split(trim(text), ' ')) - len(string_split(trim($enc), ' ')) AS n_merged
+       |FROM documents""".stripMargin
   }
 
   // --- q_keyword_search: fixed-point inverted-index retrieval ------------
@@ -628,6 +681,7 @@ object CorpusOps {
     QueryDef("q_pack_sequences", qPackSequences, Some(qPackSequencesSql)),
     QueryDef("q_bpe_merge", qBpeMerge, Some(qBpeMergeSql)),
     QueryDef("q_bpe_train", qBpeTrain, Some(qBpeTrainSql)),
+    QueryDef("q_bpe_encode", qBpeEncode, Some(qBpeEncodeSql)),
     QueryDef("q_keyword_search", qKeywordSearch, Some(qKeywordSearchSql)),
     QueryDef("q_doc_rarity", qDocRarity, Some(qDocRaritySql)),
     QueryDef("q_source_similarity", qSourceSimilarity, Some(qSourceSimilaritySql)),

@@ -316,6 +316,160 @@ object TextOps {
       |  COALESCE(s.n_shared, 0)::DOUBLE / t.n_shingles AS contamination
       |FROM totals t LEFT JOIN shared s ON t.doc_id = s.doc_id""".stripMargin
 
+  // --- q_contamination_bloom: decontamination via a broadcast Bloom filter
+  // Same output (and SAME oracle) as q_contamination, restructured for the
+  // 100-TB direction. At production scale the TRAIN side is the huge one
+  // and the TEST (eval) shingle vocabulary is bounded, so the right shape
+  // is: build a Bloom filter over the DISTINCT TEST shingles (fixed-size
+  // bit array, broadcastable), probe every distinct TRAIN shingle against
+  // it MAP-ONLY, and only probable-shared survivors reach the exact
+  // intersection — the train-side shuffle join on raw shingle strings is
+  // replaced by a broadcast-hash probe plus a join whose input is ∝ the
+  // truly-shared set (+ the m/n-controlled false-positive trickle).
+  // Bloom filters have no false negatives, and the exact semi-join against
+  // the test vocabulary removes false positives, so the output is
+  // bit-identical to the exact query by construction — which is why this
+  // lane can ride q_contamination's oracle on the full hash gate.
+  //
+  // The filter is a plain DataFrame of ≤ m/64 (word_idx, word) rows —
+  // bit positions from two independent xxhash64 draws, OR-folded per
+  // 64-bit word by a map-side-combined bit_or agg — broadcast into the
+  // probe joins; everything stays inside whole-stage codegen (no UDF, no
+  // driver-side bit array). m is sized ~16 bits/element here (FP ~2⁻¹⁰ at
+  // the gate SFs); production sizing scales m with the eval vocabulary,
+  // not the corpus.
+  private val BloomBits = 1L << 18
+
+  private def qContaminationBloom(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(100L))
+    val t = table(spark, dir, "documents")
+      .select(col("doc_id"), xxhash64(col("text")).as("tkey"), col("text"))
+    val members = t.select(col("doc_id"), col("tkey"), bucket.as("bucket"))
+    val tsh = t.groupBy(col("tkey")).agg(first(col("text")).as("text"))
+      .select(col("tkey"), split(trim(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("tkey"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("w")) - 2),
+          i => concat_ws(" ", element_at(col("w"), i),
+            element_at(col("w"), i + 1), element_at(col("w"), i + 2))))).as("shingle"))
+      .cache()
+    val testKeys = members.filter(col("bucket") >= 90).select(col("tkey")).distinct()
+    val trainKeys = members.filter(col("bucket") < 80).select(col("tkey")).distinct()
+    val testSh = tsh.join(testKeys, "tkey").select(col("shingle")).distinct()
+    // two bit positions per element (k=2); seed the second draw by hashing
+    // the shingle together with a constant column
+    def p1(c: Column) = pmod(xxhash64(c), lit(BloomBits))
+    def p2(c: Column) = pmod(xxhash64(c, lit(2L)), lit(BloomBits))
+    val words = testSh
+      .select(explode(array(p1(col("shingle")), p2(col("shingle")))).as("p"))
+      .select(shiftright(col("p"), 6).as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("bit"))
+      .groupBy(col("word_idx")).agg(expr("bit_or(bit)").as("word"))
+    // map-only probe of the distinct train vocabulary: an absent word_idx
+    // means no bit set, so the inner broadcast join doubles as the filter
+    val b1 = words.select(col("word_idx").as("w1"), col("word").as("wd1"))
+    val b2 = words.select(col("word_idx").as("w2"), col("word").as("wd2"))
+    val survivors = tsh.join(trainKeys, "tkey").select(col("shingle")).distinct()
+      .select(col("shingle"), p1(col("shingle")).as("p1"), p2(col("shingle")).as("p2"))
+      .join(broadcast(b1), shiftright(col("p1"), 6) === col("w1"))
+      .filter(expr("(wd1 & shiftleft(CAST(1 AS BIGINT), CAST(p1 % 64 AS INT))) != 0"))
+      .join(broadcast(b2), shiftright(col("p2"), 6) === col("w2"))
+      .filter(expr("(wd2 & shiftleft(CAST(1 AS BIGINT), CAST(p2 % 64 AS INT))) != 0"))
+      .select(col("shingle"))
+    // exact verify: false positives die here; false negatives don't exist
+    val shared = testSh.join(survivors, Seq("shingle"), "left_semi")
+    val totalsT = tsh.groupBy(col("tkey")).agg(count(lit(1)).as("n_shingles"))
+    val sharedT = tsh.join(shared, "shingle")
+      .groupBy(col("tkey")).agg(count(lit(1)).as("n_shared"))
+    members.filter(col("bucket") >= 90)
+      .join(totalsT, "tkey")
+      .join(sharedT, Seq("tkey"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)).cast(DoubleType)
+          / col("n_shingles").cast(DoubleType)).as("contamination"))
+  }
+
+  // --- q_dsir_vote: DSIR-shaped data selection via hashed-feature voting -
+  // Importance-resampling selection in the shape of DSIR (Xie et al. 2023,
+  // "Data Selection for Language Models via Importance Resampling"):
+  // featurize documents as HASHED unigram buckets (fixed feature space,
+  // independent of vocabulary growth), estimate a target distribution
+  // (here: the 'en' slice) and the raw corpus distribution over those
+  // buckets, and score every document by how target-like its features
+  // are. DSIR's Σ log(p_target(f)/p_raw(f)) is replaced by the
+  // rank-shaped integer vote Σ sign(c_t[f]·N_r − c_r[f]·N_t) — the same
+  // cross-multiplication move the lm-bigram family uses to stay off
+  // float summation, so the whole selection signal is integer-exact and
+  // rides the full hash gate. Scale shape: one wordcount-shaped agg to
+  // bucket stats (bounded by DsirBuckets), the per-word bucket hash
+  // computed once per DISTINCT word, votes broadcast back to the token
+  // table; the only corpus-sized shuffle is the token wordcount itself.
+  // Overflow bound: c·N ≤ (corpus tokens)² — 5e8 tokens at sf10 keeps
+  // products < 2.5e17, inside BIGINT for both engines.
+  private val DsirBuckets = 512L
+  private val DsirTargetLang = "en"
+
+  /** Portable per-string hash: left fold (acc*31 + ascii(c)) mod P — the
+    * PolyMinHash base family, computed compositionally (per DISTINCT word
+    * only, so the interpreted HOF cost is vocabulary-bounded). */
+  private def polyWordHash(s: Column): Column =
+    aggregate(
+      transform(split(s, ""), c => ascii(c).cast(LongType)),
+      lit(0L),
+      (acc, c) => (acc * 31 + c) % graft.functions.PolyMinHash.P)
+
+  private def qDsirVote(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    val tok = d.select(col("doc_id"), col("lang"),
+      explode(split(trim(col("text")), " ")).as("word"))
+    val wb = tok.select(col("word")).distinct()
+      .select(col("word"), pmod(polyWordHash(col("word")), lit(DsirBuckets)).as("b"))
+    val bs = tok.join(wb, "word")
+      .groupBy(col("b"))
+      .agg(
+        sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("c_t"),
+        count(lit(1)).as("c_r"))
+    val tot = bs.agg(sum(col("c_t")).as("n_t"), sum(col("c_r")).as("n_r"))
+    val votes = bs.crossJoin(broadcast(tot))
+      .select(col("b"),
+        when(col("c_t") * col("n_r") > col("c_r") * col("n_t"), 1L)
+          .when(col("c_t") * col("n_r") < col("c_r") * col("n_t"), -1L)
+          .otherwise(0L).as("vote"))
+    tok.join(broadcast(wb), "word").join(broadcast(votes), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("vote")).as("dsir_vote"))
+  }
+
+  private val qDsirVoteSql = {
+    val ph = s"list_reduce(list_prepend(0::BIGINT, [ascii(substring(word, i, 1))::BIGINT FOR i IN range(1, length(word)+1)]), (acc, c) -> (acc*31 + c) % ${graft.functions.PolyMinHash.P})"
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, w[i] AS word
+       |  FROM (SELECT doc_id, lang, string_split(trim(text), ' ') AS w
+       |        FROM documents) t,
+       |       UNNEST(range(1, len(w) + 1)) AS r(i)),
+       |wb AS (
+       |  SELECT word, $ph % $DsirBuckets AS b
+       |  FROM (SELECT DISTINCT word FROM tok) dw),
+       |bs AS (
+       |  SELECT b,
+       |    CAST(SUM(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+       |    CAST(COUNT(*) AS BIGINT) AS c_r
+       |  FROM tok JOIN wb USING (word) GROUP BY b),
+       |tot AS (
+       |  SELECT CAST(SUM(c_t) AS BIGINT) AS n_t, CAST(SUM(c_r) AS BIGINT) AS n_r
+       |  FROM bs),
+       |votes AS (
+       |  SELECT b, CASE WHEN c_t * n_r > c_r * n_t THEN 1
+       |                 WHEN c_t * n_r < c_r * n_t THEN -1
+       |                 ELSE 0 END AS vote
+       |  FROM bs, tot)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(vote) AS BIGINT) AS dsir_vote
+       |FROM tok JOIN wb USING (word) JOIN votes USING (b)
+       |GROUP BY doc_id""".stripMargin
+  }
+
   // --- q_repetition: Gopher-style repetition quality filters -------------
   // The repetition signals real curation pipelines gate on (Rae et al.
   // 2021 §A1.1): most-frequent-token fraction and duplicate n-gram
@@ -757,6 +911,8 @@ object TextOps {
     QueryDef("q_stratified_sample", qStratifiedSample, Some(qStratifiedSampleSql)),
     QueryDef("q_tfidf", qTfIdf, Some(qTfIdfSql)),
     QueryDef("q_contamination", qContamination, Some(qContaminationSql)),
+    QueryDef("q_contamination_bloom", qContaminationBloom, Some(qContaminationSql)),
+    QueryDef("q_dsir_vote", qDsirVote, Some(qDsirVoteSql)),
     QueryDef("q_bpe_tokens", qBpeTokens, Some(qBpeTokensSql)),
     QueryDef("q_curation", qCuration, Some(qCurationSql)),
     QueryDef("q_top_terms", qTopTerms, Some(qTopTermsSql)),
