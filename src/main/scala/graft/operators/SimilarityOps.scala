@@ -776,6 +776,226 @@ object SimilarityOps {
        |SELECT CAST(cluster AS BIGINT) AS cluster, COUNT(*) AS n_assigned
        |FROM a$IvfIters GROUP BY 1""".stripMargin
 
+  // --- q_ann_pq: product-quantization ANN (ADC propose + exact rescore) --
+  // The memory-compression half of a production ANN stack (IVF-PQ minus
+  // the IVF routing, which q_ann_ivf_learned/IvfIndex already provide and
+  // compose with trivially): vectors are L2-NORMALIZED (so PQ's squared-L2
+  // ordering ≡ cosine ordering: d² = 2 − 2cosθ), split into PqM subspaces,
+  // and each subspace gets a PqK-centroid codebook trained by the SAME
+  // fixed-budget Lloyd k-medians the IVF quantizer uses (exact
+  // component-wise medians, argmin-L2 assignment, cluster-id tie-break,
+  // init = vec_id mod PqK) — so the whole training loop unrolls into the
+  // DuckDB oracle and codebook learning, encoding, ADC scoring, and
+  // rescoring ALL ride the rows+schema+hash gate.
+  //
+  // Query path is asymmetric-distance computation: each query precomputes
+  // a PqM×PqK distance table to the codebook (driver-literal centroids →
+  // plain array columns), and every corpus vector is scored by PqM array
+  // lookups + PqM−1 adds over its PqM codes — at 100 TB the propose scan
+  // moves PqM small ints per vector instead of 64 doubles (64× less
+  // memory traffic; with a persisted code store à la AnnIndex the raw
+  // vectors aren't read at all until rescore). Exact cosine rescore on
+  // the top-PqR proposals uses the sibling lanes' formula verbatim.
+  // Determinism: every distance is a per-row left fold; the ADC sum is a
+  // fixed-parenthesization PqM-term add; ranks tie-break on id.
+  private val PqM = 8
+  private val PqSub = 8
+  private val PqK = 32
+  private val PqIters = 3
+  private val PqR = 150
+
+  /** (vec_id, v, norm, nv): raw doubles + L2-normalized copy (zero-norm
+    * guard mirrors q_quantize's). */
+  private def pqNormalized(spark: SparkSession, dir: String): DataFrame =
+    withNorm(table(spark, dir, "embeddings"))
+      .withColumn("nv", transform(col("v"),
+        x => when(col("norm") > 0.0, x / col("norm")).otherwise(0.0)))
+
+  /** (vec_id, m, sv): the PqM normalized subvectors per vector. */
+  private def pqSubvectors(spark: SparkSession, dir: String): DataFrame =
+    pqNormalized(spark, dir)
+      .select(col("vec_id"), posexplode(array(
+        (0 until PqM).map(m => slice(col("nv"), m * PqSub + 1, PqSub)): _*))
+        .as(Seq("m", "sv")))
+
+  /** Exact component-wise median centroids keyed by (m, cluster) —
+    * the [[centroids]] construction with the subspace in the key. */
+  private def pqCentroids(assigned: DataFrame): Seq[((Int, Long), Seq[Double])] = {
+    val comps = assigned.select(col("m"), col("cluster"),
+      posexplode(col("sv")).as(Seq("pos", "val")))
+    val w = Window.partitionBy(col("m"), col("cluster"), col("pos")).orderBy(col("val"))
+    comps
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("m"), col("cluster"), col("pos"))))
+      .filter(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("(n + 2) div 2"))
+      .groupBy(col("m"), col("cluster"), col("pos"))
+      .agg((sum(col("val")) / count(lit(1))).as("c"))
+      .groupBy(col("m"), col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cv"))
+      .collect()
+      .map(r => ((r.getInt(0), r.get(1).asInstanceOf[Number].longValue),
+        r.getSeq[Double](2)))
+      .toSeq
+  }
+
+  /** Map-only argmin code for subspace `mm` against the literal codebook —
+    * first-minimum on the cluster-id-sorted array ≡ the oracle window's
+    * (distance, cluster) tie-break. */
+  private def pqCodeFor(
+      cb: Seq[((Int, Long), Seq[Double])], mm: Int, sv: Column): Column = {
+    val cs = cb.filter(_._1._1 == mm).sortBy(_._1._2)
+    val centArr = array(cs.map { case (_, cv) => array(cv.map(lit): _*) }: _*)
+    val clusterArr = array(cs.map(c => lit(c._1._2)): _*)
+    val dists = transform(centArr, cv => dist2(sv, cv))
+    element_at(clusterArr, array_position(dists, array_min(dists)).cast("int"))
+  }
+
+  /** Trained PQ codebook, memoized per corpus identity (PqM×PqK×PqSub
+    * doubles — the whole model; the learnedCentRows discipline). */
+  private val pqCbCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[((Int, Long), Seq[Double])]]
+
+  private def pqCodebook(spark: SparkSession, dir: String): Seq[((Int, Long), Seq[Double])] =
+    pqCbCache.getOrElseUpdate(embStamp(dir), {
+      val sub = pqSubvectors(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def assignAll(cb: Seq[((Int, Long), Seq[Double])]): Column =
+        (0 until PqM).foldLeft(lit(-1L)) { (acc, mm) =>
+          when(col("m") === mm, pqCodeFor(cb, mm, col("sv"))).otherwise(acc)
+        }
+      var assigned = sub.withColumn("cluster", pmod(col("vec_id"), lit(PqK.toLong)))
+      var rows: Seq[((Int, Long), Seq[Double])] = Seq.empty
+      var t = 0
+      while (t < PqIters) {
+        rows = pqCentroids(assigned)
+        assigned = sub.withColumn("cluster", assignAll(rows))
+        t += 1
+      }
+      sub.unpersist()
+      rows
+    })
+
+  private[graft] def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val cb = pqCodebook(spark, dir)
+    val en = pqNormalized(spark, dir)
+    def sv(mm: Int) = slice(col("nv"), mm * PqSub + 1, PqSub)
+    // codes ride the corpus scan (a persisted deployment would store them)
+    val codes = en.select(col("vec_id") +:
+      (0 until PqM).map(mm => pqCodeFor(cb, mm, sv(mm)).as(s"c$mm")): _*)
+    // per-query ADC tables: position j+1 holds the distance to centroid j
+    // (absent centroids — clusters emptied during training — keep a
+    // placeholder no code can reference)
+    def dtFor(mm: Int): Column = array((0L until PqK.toLong).map { j =>
+      cb.find(c => c._1._1 == mm && c._1._2 == j)
+        .map { case (_, cv) => dist2(sv(mm), array(cv.map(lit): _*)) }
+        .getOrElse(lit(0.0))
+    }: _*)
+    val qs = en.filter(col("vec_id") < NumQueries)
+      .select(Seq(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm")) ++
+        (0 until PqM).map(mm => dtFor(mm).as(s"dt$mm")): _*)
+    val adc = (0 until PqM).map(mm =>
+      element_at(col(s"dt$mm"), (col(s"c$mm") + 1).cast("int"))).reduce(_ + _)
+    val cand = codes.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("qv"), col("qnorm"),
+        adc.as("approx"))
+    val wp = Window.partitionBy(col("query_id")).orderBy(col("approx"), col("vec_id"))
+    val prop = cand.withColumn("pr", row_number().over(wp)).filter(col("pr") <= PqR)
+      .select(col("query_id"), col("vec_id"), col("qv"), col("qnorm"))
+    val scored = prop.join(en.select(col("vec_id"), col("v"), col("norm")), "vec_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qnorm") * col("norm"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= K)
+  }
+
+  // SQL mirror: subvectors via index arithmetic (no list-slice dialect
+  // dependence), the training loop unrolled as c1/a1..cT/aT, codes pivoted
+  // to one row per vector, ADC as four (m, j=code) joins against the
+  // query's distance-table rows with a fixed-parenthesization sum.
+  private def pqD2(a: String, b: String, dims: Int): String =
+    s"list_reduce(list_prepend(0.0, [($a[i]-$b[i])*($a[i]-$b[i]) FOR i IN range(1, ${dims + 1})]), (acc,d) -> acc+d)"
+
+  private def pqMediansSql(src: String): String =
+    s"""SELECT m, cluster, list(c ORDER BY pos) AS cv FROM (
+       |  SELECT m, cluster, pos, SUM(val) / COUNT(*) AS c FROM (
+       |    SELECT m, cluster, pos, val,
+       |      ROW_NUMBER() OVER (PARTITION BY m, cluster, pos ORDER BY val) AS rn,
+       |      COUNT(*) OVER (PARTITION BY m, cluster, pos) AS n
+       |    FROM (SELECT m, cluster, i AS pos, sv[i] AS val
+       |          FROM $src, UNNEST(range(1, ${PqSub + 1})) AS r(i)) c0) t
+       |  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+       |  GROUP BY m, cluster, pos) mm
+       |GROUP BY m, cluster""".stripMargin
+
+  private def pqAssignSql(ctab: String): String =
+    s"""SELECT vec_id, m, sv, cluster FROM (
+       |  SELECT a.vec_id, a.m, a.sv, c.cluster,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id, a.m
+       |      ORDER BY ${pqD2("a.sv", "c.cv", PqSub)}, c.cluster) AS ar
+       |  FROM sub a JOIN $ctab c ON a.m = c.m) t
+       |WHERE ar = 1""".stripMargin
+
+  private def qAnnPqSql: String = {
+    val steps = (1 to PqIters).map { t =>
+      s"""c$t AS (${pqMediansSql(if (t == 1) "a0" else s"a${t - 1}")}),
+         |a$t AS (${pqAssignSql(s"c$t")})""".stripMargin
+    }.mkString(",\n")
+    val codeCols = (0 until PqM)
+      .map(mm => s"MAX(CASE WHEN m = $mm THEN cluster END) AS code$mm")
+      .mkString(", ")
+    val dtJoins = (0 until PqM).map(mm =>
+      s"JOIN qdt dt$mm ON dt$mm.query_id = dt0.query_id AND dt$mm.m = $mm AND dt$mm.j = x.code$mm")
+      .mkString("\n  ")
+    val adcSum = (1 until PqM).foldLeft("dt0.d")((acc, mm) => s"($acc + dt$mm.d)")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_reduce(list_prepend(0.0, [x*x FOR x IN embedding::DOUBLE[]]), (a,x) -> a+x)) AS norm
+       |  FROM embeddings),
+       |en AS (
+       |  SELECT vec_id, v, norm,
+       |    [CASE WHEN norm > 0.0 THEN x / norm ELSE 0.0 END FOR x IN v] AS nv
+       |  FROM e),
+       |sub AS (
+       |  SELECT vec_id, m, list(val ORDER BY pos) AS sv FROM (
+       |    SELECT vec_id, (i-1) // $PqSub AS m, ((i-1) % $PqSub) + 1 AS pos, nv[i] AS val
+       |    FROM en, UNNEST(range(1, ${PqM * PqSub + 1})) AS r(i)) s0
+       |  GROUP BY vec_id, m),
+       |a0 AS (SELECT vec_id, m, sv, vec_id % $PqK AS cluster FROM sub),
+       |$steps,
+       |codes AS (SELECT vec_id, $codeCols FROM a$PqIters GROUP BY vec_id),
+       |qdt AS (
+       |  SELECT q.vec_id AS query_id, c.m, c.cluster AS j,
+       |    ${pqD2("q.sv", "c.cv", PqSub)} AS d
+       |  FROM sub q JOIN c$PqIters c ON q.m = c.m
+       |  WHERE q.vec_id < $NumQueries),
+       |cand AS (
+       |  SELECT dt0.query_id, x.vec_id, $adcSum AS approx
+       |  FROM codes x
+       |  $dtJoins
+       |  WHERE x.vec_id != dt0.query_id),
+       |prop AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx, vec_id) AS pr
+       |    FROM cand) t
+       |  WHERE pr <= $PqR),
+       |scored AS (
+       |  SELECT p.query_id, x.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(0.0, [q.v[i]*x.v[i] FOR i IN range(1, 65)]), (acc,z) -> acc+z)
+       |      / (q.norm * x.norm) AS cosine
+       |  FROM prop p JOIN e x ON x.vec_id = p.vec_id JOIN e q ON q.vec_id = p.query_id)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= $K""".stripMargin
+  }
+
   // --- q_gram_int8: integer-exact Gram matrix over quantized embeddings --
   // Σ q·qᵀ over the int8-quantized corpus (same symmetric scheme as
   // q_quantize) — the covariance/PCA/whitening precursor, exactly
@@ -841,6 +1061,7 @@ object SimilarityOps {
     QueryDef("q_ann_ivf", qIvf(_, _), Some(qIvfSql()), headline = true),
     QueryDef("q_ann_ivf2", qIvf(_, _, nprobe = 2), Some(qIvfSql(nprobe = 2))),
     QueryDef("q_ann_ivf_learned", ivfLearnedTopK(_, _, IvfNProbe), Some(qIvfLearnedSql)),
+    QueryDef("q_ann_pq", qAnnPq, Some(qAnnPqSql)),
     QueryDef("q_ivf_learned_cells", qIvfLearnedCells, Some(qIvfLearnedCellsSql)),
     QueryDef("q_ann_recall", qAnnRecall, None),
     QueryDef("q_ann_recall_portable", qAnnRecallPortable, Some(qAnnRecallPortableSql)),

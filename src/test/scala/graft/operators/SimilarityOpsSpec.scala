@@ -39,6 +39,24 @@ class SimilarityOpsSpec extends AnyFunSuite {
       s"learned cells ($learned) must beat data-given label cells ($labelCells)")
   }
 
+  test("PQ ADC propose + exact rescore clears recall@5 ≥ 0.9 and is a dense top-k") {
+    // 8×8-dim subspaces, 32 codes each, rescore budget 150: the ADC propose
+    // stage only has to land the true top-5 inside its top-150 — the exact
+    // cosine rescore then ranks them identically to brute force, so
+    // recall is the sole quality axis (ordering errors are impossible
+    // among surviving candidates).
+    val out = SimilarityOps.qAnnPq(spark, dir)
+    val r = SimilarityOps.recallOf(spark, dir, out)
+      .agg(avg(col("recall_at_k"))).head().getDouble(0)
+    assert(r >= 0.9, s"PQ recall@5 with rescore=150 was $r")
+    val rows = out.select(col("query_id"), col("neighbor_id"), col("rank")).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getLong(2)).sorted.toSeq
+      assert(ranks === (1L to ranks.length).toSeq, s"ranks must be dense for query $q")
+      assert(!rs.exists(_.getLong(1) == q), s"query $q must not be its own neighbor")
+    }
+  }
+
   test("multiprobe output is structurally a top-k per query") {
     val out = SimilarityOps.lshTopK(spark, dir, 8, 4, multiprobe = true)
       .select(col("query_id"), col("neighbor_id"), col("rank")).collect()
