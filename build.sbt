@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures `sbt "runMain graft.Bench"` output and parses the
+// benchmark's ONE JSON line. Two sbt default behaviors have broken that
+// parse every round so far: forked-run stdout is re-logged with an
+// "[info] " prefix (not valid JSON), and sbt appends a "[success] Total
+// time" line AFTER the record (so the JSON is never the last line).
+// Raw pass-through stdout + no success banner make the bench JSON the
+// final, unprefixed line of the whole invocation.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

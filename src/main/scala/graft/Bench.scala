@@ -150,7 +150,10 @@ object Bench {
     }
     sideFile("bench_queries.json", qs)
     sideFile("bench_spread.json", spread)
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$failed,"pass_totals":[${ms(t1)},${ms(t2)}],"sentinel":[${ms(sentinelBefore)},${ms(sentinelAfter)}],"contended":$contended,"top5_slowest":$top5,"queries_file":"target/bench_queries.json"}""")
+    // stop BEFORE printing the record: the JSON line must be the last
+    // output of the whole invocation even under a combined stdout+stderr
+    // capture, so nothing Spark logs during shutdown may follow it
     spark.stop()
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$failed,"pass_totals":[${ms(t1)},${ms(t2)}],"sentinel":[${ms(sentinelBefore)},${ms(sentinelAfter)}],"contended":$contended,"top5_slowest":$top5,"queries_file":"target/bench_queries.json"}""")
   }
 }
