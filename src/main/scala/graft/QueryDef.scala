@@ -28,6 +28,9 @@ object QueryRegistry {
       operators.TextOps.queries ++
       operators.CorpusOps.queries ++
       operators.DedupOps.queries ++
+      operators.SpanDedup.queries ++
+      operators.SpanIndex.queries ++
+      operators.ClassifyOps.queries ++
       operators.IncrementalDedup.queries ++
       operators.ClusterIndex.queries ++
       operators.SimilarityOps.queries ++

@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Supervised bag-of-words document classification — the quality/domain
+  * classifier slot of a curation stack (the role fastText linear
+  * classifiers play in CCNet/RefinedWeb-style pipelines): train per-class
+  * token statistics on a deterministic holdout split, score every held-out
+  * document against every class, and emit prediction + correctness so the
+  * classifier's accuracy is itself part of the gated output.
+  *
+  * The model is a Laplace-smoothed class-frequency linear scorer: token
+  * weight for class c is (count(w,c)+1)/(N_c+V), kept in 1e9 fixed-point
+  * BIGINT via integer division — the keyword-search/DSIR move that keeps
+  * the whole train+predict loop off float summation, so training AND
+  * inference ride the rows+schema+hash gate. (Naive Bayes' log-probability
+  * sum would put a libm ln() in every term — the exact cross-engine
+  * divergence the repo's integer discipline exists to avoid.)
+  *
+  * Scale shape: training is two wordcount-shaped aggs (token×class counts
+  * and class totals — both vocabulary-bounded model artifacts, never
+  * corpus-sized); inference joins the test token table to the vocab×k
+  * score grid on `word` (wordcount-shaped shuffle; the grid is
+  * vocabulary-bounded so AQE may broadcast it, but the plan is correct
+  * either way); the per-document argmax is a window PARTITIONED by doc_id.
+  * Nothing funnels to a single reducer; unseen-vocabulary tokens get the
+  * per-class smoothing floor via the k-row broadcast default table.
+  *
+  * Overflow bound: (c+1)·1e9 needs c < 9.2e9 — holds to ~10 TB of tokens
+  * per class; beyond that the scale constant drops a digit.
+  */
+object ClassifyOps {
+  import Tables.table
+
+  private def toks: Column = split(trim(col("text")), " ")
+
+  /** 1e9 fixed-point scale for the smoothed class frequencies. */
+  private val Scale = 1000000000L
+
+  /** doc_id mod 5 == 0 → held-out test set (deterministic split, same
+    * arithmetic in both engines). */
+  private val TestMod = 5L
+
+  private[operators] def qClassifyFreq(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    val train = d.filter(col("doc_id") % TestMod =!= 0L)
+    val test = d.filter(col("doc_id") % TestMod === 0L)
+
+    val trainTok = train.select(col("lang"), explode(toks).as("word"))
+    val counts = trainTok.groupBy(col("word"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    val langTotals = trainTok.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_l"))
+    val vocabN = trainTok.select(col("word")).distinct()
+      .agg(count(lit(1)).as("v"))
+
+    // vocab × class score grid with Laplace smoothing (absent counts → 0)
+    val grid = counts.select(col("word")).distinct()
+      .crossJoin(broadcast(langTotals))
+      .join(counts, Seq("word", "lang"), "left")
+      .crossJoin(broadcast(vocabN))
+      .select(col("word"), col("lang"),
+        expr(s"((coalesce(c, 0) + 1) * ${Scale}L) div (n_l + v)").as("s"))
+    // smoothing floor for tokens outside the training vocabulary
+    val dflt = langTotals.crossJoin(broadcast(vocabN))
+      .select(col("lang"), expr(s"${Scale}L div (n_l + v)").as("s0"))
+
+    val testTok = test.select(col("doc_id"), explode(toks).as("word"))
+    // every in-vocab token contributes one row per class, so n_rows is the
+    // per-class in-vocab token count (identical across classes)
+    val hits = testTok.join(grid, "word")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("s")).as("sum_s"), count(lit(1)).as("n_rows"))
+
+    val base = test.select(col("doc_id"), col("lang").as("true_lang"),
+      size(toks).cast(LongType).as("n_toks"))
+    val scored = base.crossJoin(broadcast(dflt))
+      .join(hits, Seq("doc_id", "lang"), "left")
+      .select(col("doc_id"), col("true_lang"), col("lang"),
+        (coalesce(col("sum_s"), lit(0L))
+          + (col("n_toks") - coalesce(col("n_rows"), lit(0L))) * col("s0"))
+          .as("total"))
+    val wRank = Window.partitionBy(col("doc_id"))
+      .orderBy(col("total").desc, col("lang"))
+    scored.withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("true_lang"),
+        col("lang").as("pred_lang"), col("total").as("score"),
+        when(col("lang") === col("true_lang"), 1L).otherwise(0L).as("is_correct"))
+  }
+
+  private val qClassifyFreqSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS word
+       |  FROM documents),
+       |train AS (SELECT * FROM tok WHERE doc_id % $TestMod <> 0),
+       |cnt AS (SELECT word, lang, CAST(COUNT(*) AS BIGINT) AS c
+       |        FROM train GROUP BY 1, 2),
+       |lt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l FROM train GROUP BY 1),
+       |vn AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v FROM train),
+       |grid AS (
+       |  SELECT w.word, l.lang, ((COALESCE(c.c, 0) + 1) * $Scale) // (l.n_l + vn.v) AS s
+       |  FROM (SELECT DISTINCT word FROM train) w
+       |  CROSS JOIN lt l CROSS JOIN vn
+       |  LEFT JOIN cnt c ON c.word = w.word AND c.lang = l.lang),
+       |dflt AS (SELECT lang, $Scale // (n_l + v) AS s0 FROM lt CROSS JOIN vn),
+       |ttok AS (SELECT doc_id, word FROM tok WHERE doc_id % $TestMod = 0),
+       |hits AS (
+       |  SELECT t.doc_id, g.lang, CAST(SUM(g.s) AS BIGINT) AS sum_s,
+       |    CAST(COUNT(*) AS BIGINT) AS n_rows
+       |  FROM ttok t JOIN grid g USING (word) GROUP BY 1, 2),
+       |base AS (
+       |  SELECT doc_id, lang AS true_lang,
+       |    len(string_split(trim(text), ' '))::BIGINT AS n_toks
+       |  FROM documents WHERE doc_id % $TestMod = 0),
+       |sc AS (
+       |  SELECT b.doc_id, b.true_lang, f.lang,
+       |    COALESCE(h.sum_s, 0) + (b.n_toks - COALESCE(h.n_rows, 0)) * f.s0 AS total
+       |  FROM base b CROSS JOIN dflt f
+       |  LEFT JOIN hits h ON h.doc_id = b.doc_id AND h.lang = f.lang)
+       |SELECT doc_id, true_lang, lang AS pred_lang, CAST(total AS BIGINT) AS score,
+       |  CASE WHEN lang = true_lang THEN 1::BIGINT ELSE 0::BIGINT END AS is_correct
+       |FROM (SELECT *, ROW_NUMBER() OVER (
+       |        PARTITION BY doc_id ORDER BY total DESC, lang) AS rn
+       |      FROM sc) x
+       |WHERE rn = 1""".stripMargin
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_classify_freq", qClassifyFreq, Some(qClassifyFreqSql),
+      headline = true))
+}

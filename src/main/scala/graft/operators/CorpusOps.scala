@@ -166,8 +166,20 @@ object CorpusOps {
   }
 
   /** The training loop itself, shared by q_bpe_train (which outputs the
-    * merge table) and q_bpe_encode (which applies it). */
+    * merge table) and q_bpe_encode (which applies it). The merge table is
+    * a bounded model artifact (BpeTrainSteps rows), memoized per corpus
+    * identity like the k-medians/PQ codebooks — encode after train costs
+    * one rewrite pass, not a second training run. */
+  private val bpeMergeCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, String, String, Long)]]
+
   private def bpeTrainMerges(
+      spark: SparkSession, dir: String): Seq[(Long, String, String, Long)] =
+    bpeMergeCache.getOrElseUpdate(
+      IndexStamp.identity(dir, "documents.parquet", s"bpe-merges-v1-$BpeTrainSteps"),
+      bpeTrainMergesUncached(spark, dir))
+
+  private def bpeTrainMergesUncached(
       spark: SparkSession, dir: String): Seq[(Long, String, String, Long)] = {
     // each iteration's argmax is an ACTION, so the working corpus is
     // persisted per rewrite (what any real BPE trainer materializes) —

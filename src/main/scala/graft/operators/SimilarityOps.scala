@@ -893,17 +893,23 @@ object SimilarityOps {
         .getOrElse(lit(0.0))
     }: _*)
     val qs = en.filter(col("vec_id") < NumQueries)
-      .select(Seq(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("norm").as("qnorm")) ++
+      .select(Seq(col("vec_id").as("query_id")) ++
         (0 until PqM).map(mm => dtFor(mm).as(s"dt$mm")): _*)
     val adc = (0 until PqM).map(mm =>
       element_at(col(s"dt$mm"), (col(s"c$mm") + 1).cast("int"))).reduce(_ + _)
+    // the propose window shuffles only (query_id, vec_id, approx) — the
+    // query vector re-joins AFTER the top-PqR cut (queries×PqR rows), not
+    // on every candidate (measured 6.6 → see PERF.md; the block-rewrite
+    // "carry keys, not payloads" move)
     val cand = codes.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("qv"), col("qnorm"),
-        adc.as("approx"))
+      .select(col("query_id"), col("vec_id"), adc.as("approx"))
     val wp = Window.partitionBy(col("query_id")).orderBy(col("approx"), col("vec_id"))
+    val qvs = en.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
     val prop = cand.withColumn("pr", row_number().over(wp)).filter(col("pr") <= PqR)
+      .join(broadcast(qvs), "query_id")
       .select(col("query_id"), col("vec_id"), col("qv"), col("qnorm"))
     val scored = prop.join(en.select(col("vec_id"), col("v"), col("norm")), "vec_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Duplicate-substring detection over a PERSISTED gram-count index — the
+  * production twin of the inline `q_substring_dedup` (which re-counts
+  * every corpus window on every query): at 100 TB the W-token window
+  * statistics are built ONCE, maintained by O(batch) appends as the
+  * corpus grows, and scoring re-enumerates only the scored documents'
+  * own windows — never re-aggregates the corpus. Fifth member of the
+  * persisted-index family ([[IncrementalDedup]] shingles, [[ClusterIndex]],
+  * [[AnnIndex]] bands, [[LmIndex]] bigram counts), and like the LM model
+  * its payload is ADDITIVE — readers sum counts across epochs BEFORE the
+  * ≥2 duplicate filter, so a window whose occurrences straddle two
+  * batches is still flagged, and `append ≡ rebuild` holds by arithmetic.
+  *
+  * Layout under `indexDir` ([[LmIndex]]/[[AnnIndex]] conventions:
+  * epoch-partitioned, single-writer, dot-prefixed staging, one rename per
+  * table per publish — a crashed writer leaves only an invisible tmp):
+  *  - `grams.parquet/epoch=K`: (gh1, gh2, cnt) — copy-weighted window
+  *    counts of the epoch's documents (16-byte double-poly gram identity)
+  *  - `docs.parquet/epoch=K`:  (doc_id) — membership ledger, the
+  *    streaming lane's replay-safe anti-join target
+  */
+object SpanIndex {
+
+  private def writeEpoch(
+      spark: SparkSession, indexDir: String, epoch: Int, docs: DataFrame): Unit = {
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for ((tab, df) <- Seq(
+        "grams.parquet" -> SpanDedup.gramCounts(docs),
+        "docs.parquet" -> docs.select(col("doc_id")).distinct())) {
+      val live = new Path(root, s"$tab/epoch=$epoch")
+      val tmp = new Path(root, s"$tab/.epoch-$epoch.tmp")
+      fs.delete(tmp, true)
+      df.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(live, true)
+      if (!fs.rename(tmp, live))
+        throw new java.io.IOException(s"span index epoch publish failed: $tmp -> $live")
+    }
+  }
+
+  /** Build (overwrite) the index as epoch 0. */
+  def buildIndex(spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    writeEpoch(spark, indexDir, 0, docs)
+  }
+
+  /** Fold a batch of new documents into the index: O(batch) work — the
+    * batch's own window counts land as a fresh epoch, published by one
+    * rename per table. Readers sum across epochs before the duplicate
+    * filter, so the result is EXACTLY the rebuild (addition is the whole
+    * merge). Caller dedupes batches against [[residentDocIds]]. */
+  def appendToIndex(spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+    val grams = new Path(indexDir, "grams.parquet")
+    val fs = grams.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = fs.listStatus(grams).map(_.getPath.getName)
+      .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toInt).max + 1
+    writeEpoch(spark, indexDir, next, batch)
+  }
+
+  /** Doc_ids already folded into the index (the streaming anti-join
+    * target). */
+  def residentDocIds(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/docs.parquet").select(col("doc_id")).distinct()
+
+  /** The duplicated-gram set served by the index: counts summed across
+    * ALL epochs, then filtered — never per-epoch. */
+  def dupGrams(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/grams.parquet")
+      .groupBy(col("gh1"), col("gh2")).agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("gh1"), col("gh2"))
+
+  /** Span-stat the given documents against the persisted index: the
+    * q_substring_dedup output shape, with the corpus-wide count shuffle
+    * replaced by an index read. */
+  def scoreDocs(spark: SparkSession, docs: DataFrame, indexDir: String): DataFrame =
+    SpanDedup.spansAgainst(docs, dupGrams(spark, indexDir))
+
+  // --- q_substring_dedup_indexed: the persisted lane on the oracle gate --
+  // Index built lazily on first use, keyed by the documents parquet's
+  // identity — repeat runs (the production cadence) pay only scoring.
+  // Built from and scoring the same corpus, so it rides
+  // q_substring_dedup's oracle unchanged.
+  private def indexDirFor(dir: String): String = {
+    val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "span-v1"))
+    s"${System.getProperty("java.io.tmpdir")}/graft-span-index-$key"
+  }
+
+  private def qSpanIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val indexDir = indexDirFor(dir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$indexDir/grams.parquet")))
+      buildIndex(spark, Tables.table(spark, dir, "documents"), indexDir)
+    scoreDocs(spark, Tables.table(spark, dir, "documents"), indexDir)
+  }
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_substring_dedup_indexed", qSpanIndexed, Some(SpanDedup.oracleSql)))
+}

@@ -482,4 +482,42 @@ object DocStream {
     }
     ()
   }
+
+  /** Streaming maintenance of the persisted span-dedup gram-count index
+    * ([[graft.operators.SpanIndex]]): every micro-batch of arriving
+    * documents folds its copy-weighted W-token window counts in as a
+    * fresh epoch — counts are additive and readers sum across epochs
+    * before the ≥2 duplicate filter, so a duplicate whose occurrences
+    * straddle micro-batches is still caught and the streamed index is
+    * EXACTLY the one-shot build. Fifth stream-maintained index; replay
+    * safety is the standard anti-join against the resident doc ledger. */
+  def spanIndexMaintenanceStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      indexDir: String): StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processSpanIndexBatch(spark, indexDir, batch)
+      }
+      .start()
+
+  /** One micro-batch of [[spanIndexMaintenanceStream]] — factored out so
+    * the cross-batch contracts are directly testable. */
+  private[graft] def processSpanIndexBatch(
+      spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+    val docs = batch.select(col("doc_id"), col("text")).distinct()
+    val grams = new org.apache.hadoop.fs.Path(s"$indexDir/grams.parquet")
+    val fs = grams.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(grams)) {
+      if (!docs.isEmpty) graft.operators.SpanIndex.buildIndex(spark, docs, indexDir)
+    } else {
+      val resident = graft.operators.SpanIndex.residentDocIds(spark, indexDir)
+      val fresh = docs.join(resident, Seq("doc_id"), "left_anti").persist()
+      try {
+        if (!fresh.isEmpty)
+          graft.operators.SpanIndex.appendToIndex(spark, indexDir, fresh)
+      } finally fresh.unpersist()
+    }
+    ()
+  }
 }
