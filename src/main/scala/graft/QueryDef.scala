@@ -31,6 +31,7 @@ object QueryRegistry {
       operators.SpanDedup.queries ++
       operators.SpanIndex.queries ++
       operators.ClassifyOps.queries ++
+      operators.ClassifyIndex.queries ++
       operators.IncrementalDedup.queries ++
       operators.ClusterIndex.queries ++
       operators.SimilarityOps.queries ++

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bag-of-words classification over a PERSISTED model — the production
+  * twin of the inline `q_classify_freq` (which re-trains on every query):
+  * at 100 TB the token×class counts are trained ONCE, maintained by
+  * O(batch) appends as labeled data arrives, and inference reads the
+  * model — never re-aggregates the training corpus. Sixth member of the
+  * persisted-index family, and like the LM/span families its state is a
+  * single ADDITIVE counts table: class totals and the vocabulary size
+  * (the smoothing denominators) derive from it at read time, so
+  * `append ≡ rebuild` holds by arithmetic with no cap corrections.
+  *
+  * Layout under `modelDir` ([[LmIndex]] conventions: epoch-partitioned,
+  * single-writer, dot-prefixed staging, one rename per table):
+  *  - `counts.parquet/epoch=K`: (word, lang, c) — train-split token
+  *    counts of the epoch's documents
+  *  - `docs.parquet/epoch=K`:  (doc_id) — membership ledger (ALL docs of
+  *    the batch, so replayed batches are no-ops even if they carried only
+  *    holdout docs)
+  */
+object ClassifyIndex {
+
+  private def writeEpoch(
+      spark: SparkSession, modelDir: String, epoch: Int, docs: DataFrame): Unit = {
+    val root = new Path(modelDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for ((tab, df) <- Seq(
+        "counts.parquet" -> ClassifyOps.trainCounts(docs),
+        "docs.parquet" -> docs.select(col("doc_id")).distinct())) {
+      val live = new Path(root, s"$tab/epoch=$epoch")
+      val tmp = new Path(root, s"$tab/.epoch-$epoch.tmp")
+      fs.delete(tmp, true)
+      df.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(live, true)
+      if (!fs.rename(tmp, live))
+        throw new java.io.IOException(s"classifier model publish failed: $tmp -> $live")
+    }
+  }
+
+  /** Train (overwrite) the model as epoch 0. */
+  def buildModel(spark: SparkSession, docs: DataFrame, modelDir: String): Unit = {
+    val root = new Path(modelDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    writeEpoch(spark, modelDir, 0, docs)
+  }
+
+  /** Fold a batch of labeled documents into the model: O(batch) work;
+    * readers sum counts across epochs, so the result is EXACTLY the
+    * rebuild. Caller dedupes batches against [[residentDocIds]]. */
+  def appendToModel(spark: SparkSession, modelDir: String, batch: DataFrame): Unit = {
+    val counts = new Path(modelDir, "counts.parquet")
+    val fs = counts.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = fs.listStatus(counts).map(_.getPath.getName)
+      .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toInt).max + 1
+    writeEpoch(spark, modelDir, next, batch)
+  }
+
+  /** Doc_ids already folded into the model. */
+  def residentDocIds(spark: SparkSession, modelDir: String): DataFrame =
+    spark.read.parquet(s"$modelDir/docs.parquet").select(col("doc_id")).distinct()
+
+  /** The served counts table: summed across ALL epochs — every smoothing
+    * denominator downstream derives from this one aggregate. */
+  def modelCounts(spark: SparkSession, modelDir: String): DataFrame =
+    spark.read.parquet(s"$modelDir/counts.parquet")
+      .groupBy(col("word"), col("lang")).agg(sum(col("c")).as("c"))
+
+  /** Classify the holdout split of `docs` against the persisted model:
+    * the q_classify_freq output shape, training corpus never re-read. */
+  def scoreDocs(spark: SparkSession, docs: DataFrame, modelDir: String): DataFrame =
+    ClassifyOps.scoreAgainst(docs, modelCounts(spark, modelDir))
+
+  // --- q_classify_freq_indexed: the persisted lane on the oracle gate ---
+  private def modelDirFor(dir: String): String = {
+    val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "clf-v1"))
+    s"${System.getProperty("java.io.tmpdir")}/graft-clf-model-$key"
+  }
+
+  private def qClassifyIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val modelDir = modelDirFor(dir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$modelDir/counts.parquet")))
+      buildModel(spark, Tables.table(spark, dir, "documents"), modelDir)
+    scoreDocs(spark, Tables.table(spark, dir, "documents"), modelDir)
+  }
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_classify_freq_indexed", qClassifyIndexed, Some(ClassifyOps.oracleSql)))
+}

@@ -45,17 +45,22 @@ object ClassifyOps {
     * arithmetic in both engines). */
   private val TestMod = 5L
 
-  private[operators] def qClassifyFreq(spark: SparkSession, dir: String): DataFrame = {
-    val d = table(spark, dir, "documents")
-    val train = d.filter(col("doc_id") % TestMod =!= 0L)
-    val test = d.filter(col("doc_id") % TestMod === 0L)
-
-    val trainTok = train.select(col("lang"), explode(toks).as("word"))
-    val counts = trainTok.groupBy(col("word"), col("lang"))
+  /** Token×class counts over the deterministic train split — the WHOLE
+    * model state (class totals and vocabulary size derive from it), and
+    * ADDITIVE, so [[ClassifyIndex]] can persist it epoch-partitioned. */
+  private[operators] def trainCounts(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % TestMod =!= 0L)
+      .select(col("lang"), explode(toks).as("word"))
+      .groupBy(col("word"), col("lang"))
       .agg(count(lit(1)).as("c"))
-    val langTotals = trainTok.groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_l"))
-    val vocabN = trainTok.select(col("word")).distinct()
+
+  /** Score the holdout split of `docs` against a trained counts table:
+    * smoothing denominators derive from the counts, inference is the
+    * token⨝grid join + doc-partitioned argmax window. */
+  private[operators] def scoreAgainst(docs: DataFrame, counts: DataFrame): DataFrame = {
+    val test = docs.filter(col("doc_id") % TestMod === 0L)
+    val langTotals = counts.groupBy(col("lang")).agg(sum(col("c")).as("n_l"))
+    val vocabN = counts.select(col("word")).distinct()
       .agg(count(lit(1)).as("v"))
 
     // vocab × class score grid with Laplace smoothing (absent counts → 0)
@@ -93,7 +98,12 @@ object ClassifyOps {
         when(col("lang") === col("true_lang"), 1L).otherwise(0L).as("is_correct"))
   }
 
-  private val qClassifyFreqSql =
+  private[operators] def qClassifyFreq(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    scoreAgainst(d, trainCounts(d))
+  }
+
+  private[operators] val oracleSql: String =
     s"""WITH tok AS (
        |  SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS word
        |  FROM documents),
@@ -130,6 +140,6 @@ object ClassifyOps {
        |WHERE rn = 1""".stripMargin
 
   def queries: Seq[QueryDef] = Seq(
-    QueryDef("q_classify_freq", qClassifyFreq, Some(qClassifyFreqSql),
+    QueryDef("q_classify_freq", qClassifyFreq, Some(oracleSql),
       headline = true))
 }
