@@ -47,16 +47,25 @@ object ClassifyOps {
 
   /** Token×class counts over the deterministic train split — the WHOLE
     * model state (class totals and vocabulary size derive from it), and
-    * ADDITIVE, so [[ClassifyIndex]] can persist it epoch-partitioned. */
+    * ADDITIVE, so [[ClassifyIndex]] can persist it epoch-partitioned.
+    * Dedup-first (the DedupOps/LmIndex discipline): tokens are exploded
+    * once per DISTINCT (text, lang) with the number of train-split copies
+    * as the weight — a 100×-replicated corpus re-counts the same distinct
+    * texts, it does not re-tokenize 100× the rows. */
   private[operators] def trainCounts(docs: DataFrame): DataFrame =
     docs.filter(col("doc_id") % TestMod =!= 0L)
-      .select(col("lang"), explode(toks).as("word"))
+      .groupBy(col("text"), col("lang")).agg(count(lit(1)).as("n_copies"))
+      .select(col("n_copies"), col("lang"), explode(toks).as("word"))
       .groupBy(col("word"), col("lang"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("n_copies")).as("c"))
 
   /** Score the holdout split of `docs` against a trained counts table:
     * smoothing denominators derive from the counts, inference is the
-    * token⨝grid join + doc-partitioned argmax window. */
+    * token⨝grid join + a text-partitioned argmax window. The prediction
+    * is a pure function of the text, so it is computed once per DISTINCT
+    * text and attributed back to doc_ids by an internal hash join —
+    * exact copies (the dominant redundancy at corpus scale) cost one
+    * membership row, not a re-scored token stream. */
   private[operators] def scoreAgainst(docs: DataFrame, counts: DataFrame): DataFrame = {
     val test = docs.filter(col("doc_id") % TestMod === 0L)
     val langTotals = counts.groupBy(col("lang")).agg(sum(col("c")).as("n_l"))
@@ -74,28 +83,35 @@ object ClassifyOps {
     val dflt = langTotals.crossJoin(broadcast(vocabN))
       .select(col("lang"), expr(s"${Scale}L div (n_l + v)").as("s0"))
 
-    val testTok = test.select(col("doc_id"), explode(toks).as("word"))
+    // one row per test doc; scoring below touches distinct texts only
+    val members = test.select(col("doc_id"), col("lang").as("true_lang"),
+      xxhash64(col("text")).as("tkey"))
+    val texts = test.groupBy(xxhash64(col("text")).as("tkey"))
+      .agg(first(col("text")).as("text"))
+      .select(col("tkey"), toks.as("w"))
+      .select(col("tkey"), col("w"), size(col("w")).cast(LongType).as("n_toks"))
+    val testTok = texts.select(col("tkey"), explode(col("w")).as("word"))
     // every in-vocab token contributes one row per class, so n_rows is the
     // per-class in-vocab token count (identical across classes)
     val hits = testTok.join(grid, "word")
-      .groupBy(col("doc_id"), col("lang"))
+      .groupBy(col("tkey"), col("lang"))
       .agg(sum(col("s")).as("sum_s"), count(lit(1)).as("n_rows"))
 
-    val base = test.select(col("doc_id"), col("lang").as("true_lang"),
-      size(toks).cast(LongType).as("n_toks"))
-    val scored = base.crossJoin(broadcast(dflt))
-      .join(hits, Seq("doc_id", "lang"), "left")
-      .select(col("doc_id"), col("true_lang"), col("lang"),
+    val scored = texts.select(col("tkey"), col("n_toks"))
+      .crossJoin(broadcast(dflt))
+      .join(hits, Seq("tkey", "lang"), "left")
+      .select(col("tkey"), col("lang"),
         (coalesce(col("sum_s"), lit(0L))
           + (col("n_toks") - coalesce(col("n_rows"), lit(0L))) * col("s0"))
           .as("total"))
-    val wRank = Window.partitionBy(col("doc_id"))
+    val wRank = Window.partitionBy(col("tkey"))
       .orderBy(col("total").desc, col("lang"))
-    scored.withColumn("rn", row_number().over(wRank))
+    val perText = scored.withColumn("rn", row_number().over(wRank))
       .filter(col("rn") === 1)
-      .select(col("doc_id"), col("true_lang"),
-        col("lang").as("pred_lang"), col("total").as("score"),
-        when(col("lang") === col("true_lang"), 1L).otherwise(0L).as("is_correct"))
+      .select(col("tkey"), col("lang").as("pred_lang"), col("total").as("score"))
+    members.join(perText, "tkey")
+      .select(col("doc_id"), col("true_lang"), col("pred_lang"), col("score"),
+        when(col("pred_lang") === col("true_lang"), 1L).otherwise(0L).as("is_correct"))
   }
 
   private[operators] def qClassifyFreq(spark: SparkSession, dir: String): DataFrame = {
@@ -139,7 +155,34 @@ object ClassifyOps {
        |      FROM sc) x
        |WHERE rn = 1""".stripMargin
 
+  // --- q_classify_eval: the classifier's evaluation report ---------------
+  // What a curation pipeline actually publishes about its classifier:
+  // the holdout confusion matrix (true × predicted counts) with per-cell
+  // share-of-true in fixed-point permille. Rides the prediction lane, so
+  // the whole train→predict→evaluate loop is hash-gated; output is
+  // class²-bounded (a report, not data), aggregated map-side.
+  private def qClassifyEval(spark: SparkSession, dir: String): DataFrame = {
+    val preds = qClassifyFreq(spark, dir)
+    val perTrue = preds.groupBy(col("true_lang"))
+      .agg(count(lit(1)).as("n_true"))
+    preds.groupBy(col("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .join(perTrue, "true_lang")
+      .select(col("true_lang"), col("pred_lang"), col("n"),
+        expr("(n * 1000) div n_true").as("share_permille"))
+  }
+
+  private val qClassifyEvalSql =
+    s"""WITH preds AS ($oracleSql),
+       |pt AS (SELECT true_lang, CAST(COUNT(*) AS BIGINT) AS n_true
+       |       FROM preds GROUP BY 1)
+       |SELECT p.true_lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n,
+       |  (COUNT(*) * 1000) // pt.n_true AS share_permille
+       |FROM preds p JOIN pt ON pt.true_lang = p.true_lang
+       |GROUP BY 1, 2, pt.n_true""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef("q_classify_freq", qClassifyFreq, Some(oracleSql),
-      headline = true))
+      headline = true),
+    QueryDef("q_classify_eval", qClassifyEval, Some(qClassifyEvalSql)))
 }

@@ -80,5 +80,16 @@ class SpanClassifySpec extends AnyFunSuite {
     assert(got(5L) === (("en", "en", 714285713L, 1L)))
     assert(got(10L) === (("fr", "fr", 571428570L, 1L)))
     assert(got(15L) === (("fr", "en", 142857142L, 0L)))
+
+    // the evaluation report over the same holdout: n_true(en)=1, n_true(fr)=2
+    val eval = QueryRegistry.byName("q_classify_eval").run(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("share_permille")))
+      .toMap
+    assert(eval === Map(
+      ("en", "en") -> ((1L, 1000L)),
+      ("fr", "fr") -> ((1L, 500L)),
+      ("fr", "en") -> ((1L, 500L))))
   }
 }
