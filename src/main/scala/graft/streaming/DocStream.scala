@@ -520,4 +520,43 @@ object DocStream {
     }
     ()
   }
+
+  /** Streaming maintenance of the persisted classifier model
+    * ([[graft.operators.ClassifyIndex]]): every micro-batch of arriving
+    * LABELED documents folds its train-split token counts in as a fresh
+    * epoch — the model is one additive counts table whose smoothing
+    * denominators derive from the summed counts at read time, so the
+    * streamed model is EXACTLY the one-shot build, even when a batch
+    * introduces a brand-new class. Sixth stream-maintained index family;
+    * replay safety is the standard resident-ledger anti-join (the ledger
+    * records holdout docs too, so replays of prediction-only batches are
+    * also no-ops). */
+  def classifierModelMaintenanceStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      modelDir: String): StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processClassifierModelBatch(spark, modelDir, batch)
+      }
+      .start()
+
+  /** One micro-batch of [[classifierModelMaintenanceStream]]. */
+  private[graft] def processClassifierModelBatch(
+      spark: SparkSession, modelDir: String, batch: DataFrame): Unit = {
+    val docs = batch.select(col("doc_id"), col("lang"), col("text")).distinct()
+    val counts = new org.apache.hadoop.fs.Path(s"$modelDir/counts.parquet")
+    val fs = counts.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(counts)) {
+      if (!docs.isEmpty) graft.operators.ClassifyIndex.buildModel(spark, docs, modelDir)
+    } else {
+      val resident = graft.operators.ClassifyIndex.residentDocIds(spark, modelDir)
+      val fresh = docs.join(resident, Seq("doc_id"), "left_anti").persist()
+      try {
+        if (!fresh.isEmpty)
+          graft.operators.ClassifyIndex.appendToModel(spark, modelDir, fresh)
+      } finally fresh.unpersist()
+    }
+    ()
+  }
 }

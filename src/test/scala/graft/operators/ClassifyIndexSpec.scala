@@ -71,6 +71,40 @@ class ClassifyIndexSpec extends AnyFunSuite {
     assert(epochs === Set("epoch=0", "epoch=1"))
   }
 
+  test("streamed model maintenance equals a one-shot build; replays are no-ops") {
+    implicit val sql = spark.sqlContext
+    val all = initial ++ appended
+    val modelDir = tmpDir("graft-clf-stream") + "/m"
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.DocStream.classifierModelMaintenanceStream(
+      spark, input.toDF().toDF("doc_id", "lang", "text"), modelDir)
+    try {
+      input.addData(initial(0), initial(1))
+      q.processAllAvailable()
+      input.addData(initial(2), initial(0)) // doc 1 re-delivered — skipped
+      q.processAllAvailable()
+      input.addData(initial(3))
+      q.processAllAvailable()
+      input.addData(appended: _*) // brand-new class arrives mid-stream
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batchDir = tmpDir("graft-clf-batchb") + "/m"
+    ClassifyIndex.buildModel(spark, docsDf(all), batchDir)
+    val full = docsDf(all)
+    assert(collectPreds(ClassifyIndex.scoreDocs(spark, full, modelDir)) ===
+      collectPreds(ClassifyIndex.scoreDocs(spark, full, batchDir)))
+
+    // replaying an applied batch adds no epoch
+    def epochs = new java.io.File(s"$modelDir/counts.parquet").listFiles()
+      .map(_.getName).filter(_.startsWith("epoch=")).toSet
+    val before = epochs
+    graft.streaming.DocStream.processClassifierModelBatch(
+      spark, modelDir, docsDf(Seq(initial(2))))
+    assert(epochs === before)
+  }
+
   test("q_classify_freq_indexed ≡ inline q_classify_freq on a parquet corpus") {
     val dir = tmpDir("graft-clf-parity")
     docsDf(initial ++ appended)
