@@ -36,6 +36,7 @@ object QueryRegistry {
       operators.ClusterIndex.queries ++
       operators.SimilarityOps.queries ++
       operators.AnnIndex.queries ++
+      operators.PqIndex.queries ++
       operators.IvfIndex.queries ++
       operators.LmIndex.queries ++
       operators.EventOps.queries ++

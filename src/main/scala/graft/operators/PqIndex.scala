@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product-quantization ANN over a PERSISTED code store — the production
+  * twin of the inline `q_ann_pq` (which re-encodes the corpus on every
+  * query): the codebook is trained ONCE and frozen on disk, every vector's
+  * PqM byte-sized codes are stored cell-free in epoch dirs, and the ADC
+  * propose scan reads ONLY the code store — PqM small ints per vector
+  * instead of 64 doubles, the 64× memory-traffic cut that is PQ's whole
+  * point, now realized end to end. Raw vectors are read just for the
+  * top-PqR exact rescore. Seventh member of the persisted-index family.
+  *
+  * Like [[IvfIndex]], appends assign codes MAP-ONLY against the frozen
+  * codebook, so `append ≡ rebuild-with-the-same-codebook` exactly (spec:
+  * a rebuild that re-trains on grown data is a DIFFERENT model — the
+  * comparison freezes the quantizer, the honest production semantics).
+  * Layout under `indexDir` (family conventions: dot-prefixed staging, one
+  * rename per table per publish):
+  *  - `codebook.parquet`:       (m, cluster, cv) — the frozen quantizer
+  *  - `codes.parquet/epoch=K`:  (vec_id, c0..c{PqM-1})
+  *  - `vecs.parquet/epoch=K`:   (vec_id, v, norm) — rescore payload
+  *  - `ids.parquet/epoch=K`:    (vec_id) — replay-safe membership ledger
+  */
+object PqIndex {
+  import SimilarityOps._
+
+  private def writeTable(
+      spark: SparkSession, root: Path, tab: String, sub: String, df: DataFrame): Unit = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(root, s"$tab/$sub")
+    val tmp = new Path(root, s"$tab/.${sub.replace('/', '-')}.tmp")
+    fs.delete(tmp, true)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(live, true)
+    if (!fs.rename(tmp, live))
+      throw new java.io.IOException(s"pq index publish failed: $tmp -> $live")
+  }
+
+  private def writeEpoch(
+      spark: SparkSession, indexDir: String, epoch: Int, en: DataFrame,
+      cb: Seq[((Int, Long), Seq[Double])]): Unit = {
+    val root = new Path(indexDir)
+    writeTable(spark, root, "codes.parquet", s"epoch=$epoch", pqCodesOf(en, cb))
+    writeTable(spark, root, "vecs.parquet", s"epoch=$epoch",
+      en.select(col("vec_id"), col("v"), col("norm")))
+    writeTable(spark, root, "ids.parquet", s"epoch=$epoch",
+      en.select(col("vec_id")).distinct())
+  }
+
+  /** Train (overwrite) the index: codebook learned on `raw` unless a
+    * frozen one is supplied (the append≡rebuild spec's reference path). */
+  def buildIndex(
+      spark: SparkSession, raw: DataFrame, indexDir: String,
+      codebook: Option[Seq[((Int, Long), Seq[Double])]] = None): Unit = {
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val en = pqNormalize(raw)
+    val cb = codebook.getOrElse(pqTrainCodebook(en))
+    import spark.implicits._
+    writeTable(spark, root, "codebook.parquet", "data",
+      cb.map { case ((m, c), cv) => (m, c, cv) }.toDF("m", "cluster", "cv"))
+    writeEpoch(spark, indexDir, 0, en, cb)
+  }
+
+  /** The frozen quantizer, read back as the driver-side model artifact
+    * (PqM×PqK×PqSub doubles — the k-medians-centroid move). */
+  def readCodebook(spark: SparkSession, indexDir: String): Seq[((Int, Long), Seq[Double])] =
+    spark.read.parquet(s"$indexDir/codebook.parquet/data")
+      .collect()
+      .map { r: Row =>
+        ((r.getInt(0), r.getLong(1)), r.getSeq[Double](2))
+      }
+      .toSeq.sortBy(_._1)
+
+  /** Fold a batch of new vectors in: map-only code assignment against the
+    * FROZEN codebook, one fresh epoch per table. Caller dedupes batches
+    * against [[residentVecIds]]. */
+  def appendToIndex(spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+    val codes = new Path(indexDir, "codes.parquet")
+    val fs = codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = fs.listStatus(codes).map(_.getPath.getName)
+      .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toInt).max + 1
+    writeEpoch(spark, indexDir, next, pqNormalize(batch), readCodebook(spark, indexDir))
+  }
+
+  /** Vec_ids already folded into the index. */
+  def residentVecIds(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/ids.parquet").select(col("vec_id")).distinct()
+
+  /** ADC top-k from the persisted store: the propose scan reads ONLY
+    * `codes.parquet`; raw vectors are read for the rescore join and the
+    * bounded query set. Re-delivered epochs are absorbed by a distinct on
+    * the 8-code row (identical by frozen-codebook determinism). */
+  def topKIndexed(spark: SparkSession, queries: DataFrame, indexDir: String): DataFrame = {
+    val cb = readCodebook(spark, indexDir)
+    val codes = spark.read.parquet(s"$indexDir/codes.parquet")
+      .drop("epoch").distinct()
+    val rescore = spark.read.parquet(s"$indexDir/vecs.parquet")
+      .select(col("vec_id"), col("v"), col("norm")).distinct()
+    pqTopKFromCodes(codes, pqNormalize(queries), rescore, cb)
+  }
+
+  // --- q_ann_pq_indexed: the persisted lane on the oracle gate -----------
+  // Built lazily from the corpus, queried with the corpus's own first
+  // NumQueries vectors — row-identical to q_ann_pq (same trainer, same
+  // shared scoring pipeline), so it rides the unrolled-training oracle.
+  private def indexDirFor(dir: String): String = {
+    val key = IndexStamp.dirKey(IndexStamp.identity(dir, "embeddings.parquet", "pq-v1"))
+    s"${System.getProperty("java.io.tmpdir")}/graft-pq-index-$key"
+  }
+
+  private def qAnnPqIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val indexDir = indexDirFor(dir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$indexDir/codes.parquet")))
+      buildIndex(spark, Tables.table(spark, dir, "embeddings"), indexDir)
+    topKIndexed(spark,
+      Tables.table(spark, dir, "embeddings").filter(col("vec_id") < NumQueries),
+      indexDir)
+  }
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_ann_pq_indexed", qAnnPqIndexed, Some(SimilarityOps.qAnnPqOracle)))
+}

@@ -26,7 +26,7 @@ object SimilarityOps {
 
   /** Native codegen'd dot product — bit-equal to the composed
     * aggregate(zip_with(...)) fold (NativeVsComposedSpec). */
-  private def dot(a: Column, b: Column): Column =
+  private[operators] def dot(a: Column, b: Column): Column =
     graft.functions.VectorOps.dot(a, b)
 
   private[operators] def withNorm(df: DataFrame): DataFrame = {
@@ -798,25 +798,30 @@ object SimilarityOps {
   // the top-PqR proposals uses the sibling lanes' formula verbatim.
   // Determinism: every distance is a per-row left fold; the ADC sum is a
   // fixed-parenthesization PqM-term add; ranks tie-break on id.
-  private val PqM = 8
-  private val PqSub = 8
-  private val PqK = 32
+  private[operators] val PqM = 8
+  private[operators] val PqSub = 8
+  private[operators] val PqK = 32
   private val PqIters = 3
-  private val PqR = 150
+  private[operators] val PqR = 150
 
   /** (vec_id, v, norm, nv): raw doubles + L2-normalized copy (zero-norm
     * guard mirrors q_quantize's). */
-  private def pqNormalized(spark: SparkSession, dir: String): DataFrame =
-    withNorm(table(spark, dir, "embeddings"))
+  private[operators] def pqNormalize(raw: DataFrame): DataFrame =
+    withNorm(raw)
       .withColumn("nv", transform(col("v"),
         x => when(col("norm") > 0.0, x / col("norm")).otherwise(0.0)))
 
+  private[operators] def pqNormalized(spark: SparkSession, dir: String): DataFrame =
+    pqNormalize(table(spark, dir, "embeddings"))
+
   /** (vec_id, m, sv): the PqM normalized subvectors per vector. */
+  private[operators] def pqSubvectorsOf(en: DataFrame): DataFrame =
+    en.select(col("vec_id"), posexplode(array(
+      (0 until PqM).map(m => slice(col("nv"), m * PqSub + 1, PqSub)): _*))
+      .as(Seq("m", "sv")))
+
   private def pqSubvectors(spark: SparkSession, dir: String): DataFrame =
-    pqNormalized(spark, dir)
-      .select(col("vec_id"), posexplode(array(
-        (0 until PqM).map(m => slice(col("nv"), m * PqSub + 1, PqSub)): _*))
-        .as(Seq("m", "sv")))
+    pqSubvectorsOf(pqNormalized(spark, dir))
 
   /** Exact component-wise median centroids keyed by (m, cluster) —
     * the [[centroids]] construction with the subspace in the key. */
@@ -843,7 +848,7 @@ object SimilarityOps {
   /** Map-only argmin code for subspace `mm` against the literal codebook —
     * first-minimum on the cluster-id-sorted array ≡ the oracle window's
     * (distance, cluster) tie-break. */
-  private def pqCodeFor(
+  private[operators] def pqCodeFor(
       cb: Seq[((Int, Long), Seq[Double])], mm: Int, sv: Column): Column = {
     val cs = cb.filter(_._1._1 == mm).sortBy(_._1._2)
     val centArr = array(cs.map { case (_, cv) => array(cv.map(lit): _*) }: _*)
@@ -857,33 +862,48 @@ object SimilarityOps {
   private val pqCbCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[((Int, Long), Seq[Double])]]
 
-  private def pqCodebook(spark: SparkSession, dir: String): Seq[((Int, Long), Seq[Double])] =
-    pqCbCache.getOrElseUpdate(embStamp(dir), {
-      val sub = pqSubvectors(spark, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      def assignAll(cb: Seq[((Int, Long), Seq[Double])]): Column =
-        (0 until PqM).foldLeft(lit(-1L)) { (acc, mm) =>
-          when(col("m") === mm, pqCodeFor(cb, mm, col("sv"))).otherwise(acc)
-        }
-      var assigned = sub.withColumn("cluster", pmod(col("vec_id"), lit(PqK.toLong)))
-      var rows: Seq[((Int, Long), Seq[Double])] = Seq.empty
-      var t = 0
-      while (t < PqIters) {
-        rows = pqCentroids(assigned)
-        assigned = sub.withColumn("cluster", assignAll(rows))
-        t += 1
+  /** The fixed-budget Lloyd training loop over a normalized vector set —
+    * shared by the inline lane's memoized codebook and [[PqIndex]]'s
+    * persisted build (same input ⇒ same codebook, deterministically). */
+  private[operators] def pqTrainCodebook(en: DataFrame): Seq[((Int, Long), Seq[Double])] = {
+    val sub = pqSubvectorsOf(en)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def assignAll(cb: Seq[((Int, Long), Seq[Double])]): Column =
+      (0 until PqM).foldLeft(lit(-1L)) { (acc, mm) =>
+        when(col("m") === mm, pqCodeFor(cb, mm, col("sv"))).otherwise(acc)
       }
-      sub.unpersist()
-      rows
-    })
+    var assigned = sub.withColumn("cluster", pmod(col("vec_id"), lit(PqK.toLong)))
+    var rows: Seq[((Int, Long), Seq[Double])] = Seq.empty
+    var t = 0
+    while (t < PqIters) {
+      rows = pqCentroids(assigned)
+      assigned = sub.withColumn("cluster", assignAll(rows))
+      t += 1
+    }
+    sub.unpersist()
+    rows
+  }
 
-  private[graft] def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
-    val cb = pqCodebook(spark, dir)
-    val en = pqNormalized(spark, dir)
+  private[operators] def pqCodebook(spark: SparkSession, dir: String): Seq[((Int, Long), Seq[Double])] =
+    pqCbCache.getOrElseUpdate(embStamp(dir), pqTrainCodebook(pqNormalized(spark, dir)))
+
+  /** Per-vector PQ codes against a literal codebook. */
+  private[operators] def pqCodesOf(
+      en: DataFrame, cb: Seq[((Int, Long), Seq[Double])]): DataFrame = {
     def sv(mm: Int) = slice(col("nv"), mm * PqSub + 1, PqSub)
-    // codes ride the corpus scan (a persisted deployment would store them)
-    val codes = en.select(col("vec_id") +:
+    en.select(col("vec_id") +:
       (0 until PqM).map(mm => pqCodeFor(cb, mm, sv(mm)).as(s"c$mm")): _*)
+  }
+
+  /** The ADC propose + exact-rescore pipeline, parameterized by where the
+    * codes and rescore vectors come from (inline recompute vs [[PqIndex]]
+    * parquet reads) — shared so both lanes are the same algorithm by
+    * construction.
+    * `queries`: (vec_id, v, norm, nv); `rescore`: (vec_id, v, norm). */
+  private[operators] def pqTopKFromCodes(
+      codes: DataFrame, queries: DataFrame, rescore: DataFrame,
+      cb: Seq[((Int, Long), Seq[Double])]): DataFrame = {
+    def sv(mm: Int) = slice(col("nv"), mm * PqSub + 1, PqSub)
     // per-query ADC tables: position j+1 holds the distance to centroid j
     // (absent centroids — clusters emptied during training — keep a
     // placeholder no code can reference)
@@ -892,7 +912,7 @@ object SimilarityOps {
         .map { case (_, cv) => dist2(sv(mm), array(cv.map(lit): _*)) }
         .getOrElse(lit(0.0))
     }: _*)
-    val qs = en.filter(col("vec_id") < NumQueries)
+    val qs = queries
       .select(Seq(col("vec_id").as("query_id")) ++
         (0 until PqM).map(mm => dtFor(mm).as(s"dt$mm")): _*)
     val adc = (0 until PqM).map(mm =>
@@ -905,18 +925,25 @@ object SimilarityOps {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), adc.as("approx"))
     val wp = Window.partitionBy(col("query_id")).orderBy(col("approx"), col("vec_id"))
-    val qvs = en.filter(col("vec_id") < NumQueries)
+    val qvs = queries
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qnorm"))
     val prop = cand.withColumn("pr", row_number().over(wp)).filter(col("pr") <= PqR)
       .join(broadcast(qvs), "query_id")
       .select(col("query_id"), col("vec_id"), col("qv"), col("qnorm"))
-    val scored = prop.join(en.select(col("vec_id"), col("v"), col("norm")), "vec_id")
+    val scored = prop.join(rescore.select(col("vec_id"), col("v"), col("norm")), "vec_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("qv"), col("v")) / (col("qnorm") * col("norm"))).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= K)
+  }
+
+  private[graft] def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val cb = pqCodebook(spark, dir)
+    val en = pqNormalized(spark, dir)
+    // codes ride the corpus scan (PqIndex stores them instead)
+    pqTopKFromCodes(pqCodesOf(en, cb), en.filter(col("vec_id") < NumQueries), en, cb)
   }
 
   // SQL mirror: subvectors via index arithmetic (no list-slice dialect
@@ -946,7 +973,7 @@ object SimilarityOps {
        |  FROM sub a JOIN $ctab c ON a.m = c.m) t
        |WHERE ar = 1""".stripMargin
 
-  private def qAnnPqSql: String = {
+  private[operators] def qAnnPqOracle: String = {
     val steps = (1 to PqIters).map { t =>
       s"""c$t AS (${pqMediansSql(if (t == 1) "a0" else s"a${t - 1}")}),
          |a$t AS (${pqAssignSql(s"c$t")})""".stripMargin
@@ -1067,7 +1094,7 @@ object SimilarityOps {
     QueryDef("q_ann_ivf", qIvf(_, _), Some(qIvfSql()), headline = true),
     QueryDef("q_ann_ivf2", qIvf(_, _, nprobe = 2), Some(qIvfSql(nprobe = 2))),
     QueryDef("q_ann_ivf_learned", ivfLearnedTopK(_, _, IvfNProbe), Some(qIvfLearnedSql)),
-    QueryDef("q_ann_pq", qAnnPq, Some(qAnnPqSql)),
+    QueryDef("q_ann_pq", qAnnPq, Some(qAnnPqOracle)),
     QueryDef("q_ivf_learned_cells", qIvfLearnedCells, Some(qIvfLearnedCellsSql)),
     QueryDef("q_ann_recall", qAnnRecall, None),
     QueryDef("q_ann_recall_portable", qAnnRecallPortable, Some(qAnnRecallPortableSql)),

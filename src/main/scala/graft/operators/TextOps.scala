@@ -421,24 +421,36 @@ object TextOps {
 
   private def qDsirVote(spark: SparkSession, dir: String): DataFrame = {
     val d = table(spark, dir, "documents")
-    val tok = d.select(col("doc_id"), col("lang"),
-      explode(split(trim(col("text")), " ")).as("word"))
-    val wb = tok.select(col("word")).distinct()
+    // dedup-first (the classifier-family discipline): bucket statistics
+    // explode once per DISTINCT (text, lang) with copy weights, and the
+    // per-document score — a pure function of the text — is computed once
+    // per DISTINCT text and attributed to doc_ids by an internal hash
+    // join; 100×-replicated corpora re-weight the same distinct texts
+    val tl = d.groupBy(col("text"), col("lang")).agg(count(lit(1)).as("n_copies"))
+      .select(col("n_copies"), col("lang"),
+        explode(split(trim(col("text")), " ")).as("word"))
+    val wb = tl.select(col("word")).distinct()
       .select(col("word"), pmod(polyWordHash(col("word")), lit(DsirBuckets)).as("b"))
-    val bs = tok.join(wb, "word")
+    val bs = tl.join(wb, "word")
       .groupBy(col("b"))
       .agg(
-        sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("c_t"),
-        count(lit(1)).as("c_r"))
+        sum(when(col("lang") === DsirTargetLang, col("n_copies")).otherwise(0L)).as("c_t"),
+        sum(col("n_copies")).as("c_r"))
     val tot = bs.agg(sum(col("c_t")).as("n_t"), sum(col("c_r")).as("n_r"))
     val votes = bs.crossJoin(broadcast(tot))
       .select(col("b"),
         when(col("c_t") * col("n_r") > col("c_r") * col("n_t"), 1L)
           .when(col("c_t") * col("n_r") < col("c_r") * col("n_t"), -1L)
           .otherwise(0L).as("vote"))
-    tok.join(broadcast(wb), "word").join(broadcast(votes), "b")
-      .groupBy(col("doc_id"))
+    val perText = d.select(col("text")).distinct()
+      .select(xxhash64(col("text")).as("tkey"),
+        explode(split(trim(col("text")), " ")).as("word"))
+      .join(broadcast(wb), "word").join(broadcast(votes), "b")
+      .groupBy(col("tkey"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("vote")).as("dsir_vote"))
+    d.select(col("doc_id"), xxhash64(col("text")).as("tkey"))
+      .join(perText, "tkey")
+      .select(col("doc_id"), col("n_tokens"), col("dsir_vote"))
   }
 
   private val qDsirVoteSql = {

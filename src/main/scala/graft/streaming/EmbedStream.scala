@@ -218,4 +218,41 @@ object EmbedStream {
     } finally fresh.unpersist()
     ()
   }
+
+  /** Streaming maintenance of the persisted PQ code store
+    * ([[graft.operators.PqIndex]]): micro-batches of arriving vectors are
+    * code-assigned MAP-ONLY against the frozen on-disk codebook and
+    * appended as O(batch) epochs; replays are no-ops via the resident
+    * vec_id ledger. Requires a trained index (the quantizer is a model —
+    * the IVF-lane contract). Seventh stream-maintained index family. */
+  def pqIndexMaintenanceStream(
+      spark: SparkSession,
+      vecs: DataFrame,
+      indexDir: String): StreamingQuery =
+    vecs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processPqIndexBatch(spark, indexDir, batch)
+      }
+      .start()
+
+  /** One micro-batch of [[pqIndexMaintenanceStream]]. */
+  private[graft] def processPqIndexBatch(
+      spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+    val codes = new org.apache.hadoop.fs.Path(s"$indexDir/codes.parquet")
+    val fs = codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(codes))
+      throw new IllegalStateException(
+        s"PQ maintenance requires a built index at $indexDir — train with " +
+          "PqIndex.buildIndex first")
+    val vecs = batch.select(col("vec_id"), col("embedding"))
+      .dropDuplicates("vec_id")
+      .withColumn("label", lit(0L))
+    val resident = graft.operators.PqIndex.residentVecIds(spark, indexDir)
+    val fresh = vecs.join(resident, Seq("vec_id"), "left_anti").persist()
+    try {
+      if (!fresh.isEmpty)
+        graft.operators.PqIndex.appendToIndex(spark, indexDir, fresh)
+    } finally fresh.unpersist()
+    ()
+  }
 }
