@@ -65,6 +65,14 @@ object ClassifyIndex {
   def residentDocIds(spark: SparkSession, modelDir: String): DataFrame =
     spark.read.parquet(s"$modelDir/docs.parquet").select(col("doc_id")).distinct()
 
+  /** Fold all epochs into one: counts sum, ledger dedups — exactly the
+    * merge every read already performs ([[EpochCompact]] swap safety). */
+  def compact(spark: SparkSession, modelDir: String): Unit = {
+    EpochCompact.compactTable(spark, s"$modelDir/counts.parquet",
+      _.groupBy(col("word"), col("lang")).agg(sum(col("c")).as("c")))
+    EpochCompact.compactTable(spark, s"$modelDir/docs.parquet", _.distinct())
+  }
+
   /** The served counts table: summed across ALL epochs — every smoothing
     * denominator downstream derives from this one aggregate. */
   def modelCounts(spark: SparkSession, modelDir: String): DataFrame =

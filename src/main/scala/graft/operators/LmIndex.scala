@@ -86,6 +86,14 @@ object LmIndex {
   def residentDocIds(spark: SparkSession, modelDir: String): DataFrame =
     spark.read.parquet(s"$modelDir/docs.parquet").select(col("doc_id")).distinct()
 
+  /** Fold all epochs into one: counts sum, ledger dedups — exactly the
+    * merge every read already performs ([[EpochCompact]] swap safety). */
+  def compact(spark: SparkSession, modelDir: String): Unit = {
+    EpochCompact.compactTable(spark, s"$modelDir/pairs.parquet",
+      _.groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("cnt")))
+    EpochCompact.compactTable(spark, s"$modelDir/docs.parquet", _.distinct())
+  }
+
   /** Score documents against the persisted model: the q_lm_bigram output
     * (n_bigrams, Σc12, Σc1, fit_score, n_hapax) with model counts summed
     * across epochs — the corpus is scanned only to produce the scored

@@ -92,6 +92,15 @@ object PqIndex {
   def residentVecIds(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/ids.parquet").select(col("vec_id")).distinct()
 
+  /** Fold all epochs into one: code/vector rows dedup (identical by
+    * frozen-codebook determinism) — exactly the merge every read already
+    * performs ([[EpochCompact]] swap safety). */
+  def compact(spark: SparkSession, indexDir: String): Unit = {
+    EpochCompact.compactTable(spark, s"$indexDir/codes.parquet", _.distinct())
+    EpochCompact.compactTable(spark, s"$indexDir/vecs.parquet", _.distinct())
+    EpochCompact.compactTable(spark, s"$indexDir/ids.parquet", _.distinct())
+  }
+
   /** ADC top-k from the persisted store: the propose scan reads ONLY
     * `codes.parquet`; raw vectors are read for the rescore join and the
     * bounded query set. Re-delivered epochs are absorbed by a distinct on

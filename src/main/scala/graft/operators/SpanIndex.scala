@@ -70,6 +70,14 @@ object SpanIndex {
   def residentDocIds(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/docs.parquet").select(col("doc_id")).distinct()
 
+  /** Fold all epochs into one: counts sum, ledger dedups — exactly the
+    * merge every read already performs ([[EpochCompact]] swap safety). */
+  def compact(spark: SparkSession, indexDir: String): Unit = {
+    EpochCompact.compactTable(spark, s"$indexDir/grams.parquet",
+      _.groupBy(col("gh1"), col("gh2")).agg(sum(col("cnt")).as("cnt")))
+    EpochCompact.compactTable(spark, s"$indexDir/docs.parquet", _.distinct())
+  }
+
   /** The duplicated-gram set served by the index: counts summed across
     * ALL epochs, then filtered — never per-epoch. */
   def dupGrams(spark: SparkSession, indexDir: String): DataFrame =
