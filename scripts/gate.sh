@@ -26,17 +26,20 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
 # SALT=0.9 (any fraction in (0,1]) switches to the salted derivation:
 # that fraction of each replicated copy's documents gets a unique suffix,
 # reproducing the dup-free regime where dedup-first degenerates.
+# FACTOR (default 10 → "sf1") picks the replication: FACTOR=100 STRESS=1
+# reproduces the PERF.md sf10 rows.
 if [ "${STRESS:-0}" = "1" ]; then
   SALT="${SALT:-0}"
+  FACTOR="${FACTOR:-10}"
   if [ "$SALT" != "0" ]; then
-    echo "== stress sf1 salted (10x, salt=$SALT) =="
-    sbt -batch "runMain graft.StressGen /root/testdata/sf0.1 /tmp/sfstress/sf1salt 10 $SALT" 2>&1 | grep stressgen
-    SPARK_GRAFT_SF_DIR=/tmp/sfstress/sf1salt SPARK_GRAFT_CPUS=32 \
+    echo "== stress ${FACTOR}x salted (salt=$SALT) =="
+    sbt -batch "runMain graft.StressGen /root/testdata/sf0.1 /tmp/sfstress/f${FACTOR}salt $FACTOR $SALT" 2>&1 | grep stressgen
+    SPARK_GRAFT_SF_DIR=/tmp/sfstress/f${FACTOR}salt SPARK_GRAFT_CPUS=32 \
       sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"'
   else
-    echo "== stress sf1 (10x) =="
-    sbt -batch "runMain graft.StressGen /root/testdata/sf0.1 /tmp/sfstress/sf1 10" 2>&1 | grep stressgen
-    SPARK_GRAFT_SF_DIR=/tmp/sfstress/sf1 SPARK_GRAFT_CPUS=32 \
+    echo "== stress ${FACTOR}x =="
+    sbt -batch "runMain graft.StressGen /root/testdata/sf0.1 /tmp/sfstress/f${FACTOR} $FACTOR" 2>&1 | grep stressgen
+    SPARK_GRAFT_SF_DIR=/tmp/sfstress/f${FACTOR} SPARK_GRAFT_CPUS=32 \
       sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"'
   fi
 fi
