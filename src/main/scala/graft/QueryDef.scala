@@ -29,6 +29,9 @@ object QueryRegistry {
       operators.CorpusOps.queries ++
       operators.DedupOps.queries ++
       operators.SpanDedup.queries ++
+      operators.WinnowOps.queries ++
+      operators.QuantileSketch.queries ++
+      operators.RangeJoinOps.queries ++
       operators.SpanIndex.queries ++
       operators.ClassifyOps.queries ++
       operators.ClassifyIndex.queries ++
