@@ -30,6 +30,7 @@ object QueryRegistry {
       operators.DedupOps.queries ++
       operators.SpanDedup.queries ++
       operators.WinnowOps.queries ++
+      operators.WinnowIndex.queries ++
       operators.QuantileSketch.queries ++
       operators.RangeJoinOps.queries ++
       operators.SpanIndex.queries ++

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MOSS-style match detection over a PERSISTED winnowed-fingerprint store
+  * — the production twin of the inline `q_winnow_matches` (which
+  * re-selects every text's fingerprints per query): at 100 TB the
+  * fingerprint sets are selected ONCE per text, maintained by O(batch)
+  * appends, and the match report is a join over the stored 8-byte hashes.
+  * Eighth member of the persisted-index family.
+  *
+  * State is effectively additive under the family's read-merge rules:
+  *  - fingerprint rows (tid, rep, nfp, gh) dedupe by (tid, gh) — a text
+  *    re-arriving in a later epoch contributes the identical set;
+  *  - the text representative `rep` MIN-merges across epochs (the same
+  *    text can first appear under different doc_ids in different
+  *    batches; min is associative/commutative, so append ≡ rebuild);
+  *  - the df-cap is applied at READ time on the merged posting set —
+  *    NEVER persisted — so a fingerprint crossing the cap because of a
+  *    later epoch's texts is suppressed exactly as a rebuild would
+  *    (the SpanIndex ≥2-filter-at-read argument).
+  *
+  * Layout under `indexDir` (family conventions: epoch-partitioned,
+  * dot-prefixed staging, one rename per table per publish):
+  *  - `fps.parquet/epoch=K`:  (tid, rep, nfp, gh) — the epoch's distinct
+  *    texts' selected fingerprints
+  *  - `docs.parquet/epoch=K`: (doc_id) — replay-safe membership ledger
+  */
+object WinnowIndex {
+
+  private def writeEpoch(
+      spark: SparkSession, indexDir: String, epoch: Int, docs: DataFrame): Unit = {
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for ((tab, df) <- Seq(
+        "fps.parquet" -> WinnowOps.fpRows(docs),
+        "docs.parquet" -> docs.select(col("doc_id")).distinct())) {
+      val live = new Path(root, s"$tab/epoch=$epoch")
+      val tmp = new Path(root, s"$tab/.epoch-$epoch.tmp")
+      fs.delete(tmp, true)
+      df.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(live, true)
+      if (!fs.rename(tmp, live))
+        throw new java.io.IOException(s"winnow index epoch publish failed: $tmp -> $live")
+    }
+  }
+
+  /** Build (overwrite) the index as epoch 0. */
+  def buildIndex(spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    writeEpoch(spark, indexDir, 0, docs)
+  }
+
+  /** Fold a batch of new documents in: the batch's texts winnow in
+    * isolation (O(batch) — selection is a pure per-text function, so no
+    * resident text is touched) and land as a fresh epoch. Caller dedupes
+    * batches against [[residentDocIds]]. */
+  def appendToIndex(spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+    val fps = new Path(indexDir, "fps.parquet")
+    val fs = fps.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = fs.listStatus(fps).map(_.getPath.getName)
+      .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toInt).max + 1
+    writeEpoch(spark, indexDir, next, batch)
+  }
+
+  /** Doc_ids already folded in (the streaming anti-join target). */
+  def residentDocIds(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/docs.parquet").select(col("doc_id")).distinct()
+
+  /** Fold all epochs into one — exactly the merge every read performs
+    * ([[EpochCompact]] swap safety). */
+  def compact(spark: SparkSession, indexDir: String): Unit = {
+    EpochCompact.compactTable(spark, s"$indexDir/fps.parquet", mergeFps)
+    EpochCompact.compactTable(spark, s"$indexDir/docs.parquet", _.distinct())
+  }
+
+  /** The family's read-merge: dedupe (tid, gh), MIN-merge rep, nfp is a
+    * function of the text so min is a no-op tie-break. */
+  private def mergeFps(raw: DataFrame): DataFrame =
+    raw.groupBy(col("tid"), col("gh"))
+      .agg(min(col("rep")).as("rep"), min(col("nfp")).as("nfp"))
+      .select(col("tid"), col("rep"), col("nfp"), col("gh"))
+
+  /** Merged fingerprint rows served by the index. */
+  def fpRowsFromIndex(spark: SparkSession, indexDir: String): DataFrame =
+    mergeFps(spark.read.parquet(s"$indexDir/fps.parquet"))
+
+  /** The match report, computed from index files only — same scoring
+    * pipeline as the inline lane ([[WinnowOps.matchesFrom]]), so the two
+    * are the same algorithm by construction. */
+  def matchesFromIndex(spark: SparkSession, indexDir: String): DataFrame =
+    WinnowOps.matchesFrom(
+      fpRowsFromIndex(spark, indexDir).drop("tid"))
+
+  // --- q_winnow_matches_indexed: the persisted lane on the oracle gate --
+  private def indexDirFor(dir: String): String = {
+    val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "winnow-v1"))
+    s"${System.getProperty("java.io.tmpdir")}/graft-winnow-index-$key"
+  }
+
+  private def qWinnowMatchesIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val indexDir = indexDirFor(dir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$indexDir/fps.parquet")))
+      buildIndex(spark, Tables.table(spark, dir, "documents"), indexDir)
+    matchesFromIndex(spark, indexDir)
+  }
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_winnow_matches_indexed", qWinnowMatchesIndexed,
+      Some(WinnowOps.qWinnowMatchesSql)))
+}

@@ -65,7 +65,7 @@ object WinnowOps {
     * Columns: tid, rep (min doc_id — the portable text identity the
     * match lane reports), m (gram count), ghs, sel (selected positions,
     * ascending-distinct). Texts shorter than Wg tokens are absent. */
-  private def winnowed(docs: DataFrame): DataFrame = {
+  private[operators] def winnowed(docs: DataFrame): DataFrame = {
     val w = split(trim(col("text")), " ")
     val withGh = docs
       .groupBy(col("text")).agg(min(col("doc_id")).as("rep"))
@@ -111,16 +111,24 @@ object WinnowOps {
         coalesce(col("pos_digest"), lit(0L)).as("pos_digest"))
   }
 
-  /** q_winnow_matches: MOSS-style match report — text pairs sharing
-    * ≥ MinShared selected fingerprints, overlap estimated from the
-    * sampled sets only (never a full-text comparison). */
-  private def qWinnowMatches(spark: SparkSession, dir: String): DataFrame = {
-    val fps = winnowed(table(spark, dir, "documents"))
-      .select(col("rep"),
+  /** Per-text fingerprint rows (tid, rep, nfp, gh) — one row per
+    * (distinct text, distinct selected gram hash). The inline match lane
+    * consumes this directly; [[WinnowIndex]] persists exactly these rows
+    * per epoch (rep min-merged, rows deduplicated at read). */
+  private[operators] def fpRows(docs: DataFrame): DataFrame =
+    winnowed(docs)
+      .select(col("tid"), col("rep"),
         array_distinct(transform(col("sel"),
           p => element_at(col("ghs"), p.cast(IntegerType)))).as("fps"))
-      .select(col("rep"), size(col("fps")).cast(LongType).as("nfp"),
+      .select(col("tid"), col("rep"),
+        size(col("fps")).cast(LongType).as("nfp"),
         explode(col("fps")).as("gh"))
+
+  /** MOSS-style match report from fingerprint rows: df-cap hot grams,
+    * pair texts sharing ≥ MinShared fingerprints. Shared by the inline
+    * and persisted-index lanes so both are the same algorithm by
+    * construction. */
+  private[operators] def matchesFrom(fps: DataFrame): DataFrame = {
     val dfok = fps.groupBy(col("gh")).agg(count(lit(1)).as("n_texts"))
       .filter(col("n_texts") <= DfCap)
       .select(col("gh"))
@@ -136,6 +144,12 @@ object WinnowOps {
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         expr("(n_shared * 1000) div least(na, nb)").as("overlap_permille"))
   }
+
+  /** q_winnow_matches: MOSS-style match report — text pairs sharing
+    * ≥ MinShared selected fingerprints, overlap estimated from the
+    * sampled sets only (never a full-text comparison). */
+  private def qWinnowMatches(spark: SparkSession, dir: String): DataFrame =
+    matchesFrom(fpRows(table(spark, dir, "documents")))
 
   // ---- oracles: naive formulations in DuckDB list comprehensions -------
 
@@ -175,7 +189,7 @@ object WinnowOps {
        |  COALESCE(a.pos_digest, 0)::BIGINT AS pos_digest
        |FROM (SELECT doc_id FROM documents) b LEFT JOIN a USING (doc_id)""".stripMargin
 
-  private val qWinnowMatchesSql =
+  private[operators] val qWinnowMatchesSql =
     s"""WITH d AS (SELECT MIN(doc_id) AS rep, string_split(trim(text), ' ') AS w
        |           FROM documents GROUP BY text),
        |${winnowSql("rep")},

@@ -483,6 +483,44 @@ object DocStream {
     ()
   }
 
+  /** Streaming maintenance of the persisted winnowed-fingerprint store
+    * ([[graft.operators.WinnowIndex]]): every micro-batch winnows its own
+    * distinct texts in isolation (selection is a pure per-text function —
+    * no resident text is touched) and lands as a fresh epoch; the df-cap
+    * and the text-representative MIN-merge happen at read time, so the
+    * streamed index serves the EXACT one-shot match report even when a
+    * fingerprint crosses the cap, or a text recurs, across micro-batches.
+    * Replay safety is the standard resident-ledger anti-join. */
+  def winnowIndexMaintenanceStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      indexDir: String): StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processWinnowIndexBatch(spark, indexDir, batch)
+      }
+      .start()
+
+  /** One micro-batch of [[winnowIndexMaintenanceStream]] — factored out
+    * so the cross-batch contracts are directly testable. */
+  private[graft] def processWinnowIndexBatch(
+      spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+    val docs = batch.select(col("doc_id"), col("text")).distinct()
+    val fps = new org.apache.hadoop.fs.Path(s"$indexDir/fps.parquet")
+    val fs = fps.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(fps)) {
+      if (!docs.isEmpty) graft.operators.WinnowIndex.buildIndex(spark, docs, indexDir)
+    } else {
+      val resident = graft.operators.WinnowIndex.residentDocIds(spark, indexDir)
+      val fresh = docs.join(resident, Seq("doc_id"), "left_anti").persist()
+      try {
+        if (!fresh.isEmpty)
+          graft.operators.WinnowIndex.appendToIndex(spark, indexDir, fresh)
+      } finally fresh.unpersist()
+    }
+    ()
+  }
+
   /** Streaming maintenance of the persisted span-dedup gram-count index
     * ([[graft.operators.SpanIndex]]): every micro-batch of arriving
     * documents folds its copy-weighted W-token window counts in as a

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{QueryRegistry, SparkTestSession}
+
+/** The persisted-index discipline for the winnowed-fingerprint family:
+  * append ≡ rebuild (including a match pair straddling the build/append
+  * boundary, a fingerprint crossing the READ-time df-cap because of
+  * appended texts, and a recurring text whose representative MIN-merges
+  * across epochs), crashed-staging invisibility, streamed ≡ one-shot,
+  * compaction identity, and indexed ≡ inline equality. */
+class WinnowIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docsDf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def collectMatches(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("n_shared"), r.getAs[Long]("overlap_permille")))
+      .toSet
+
+  // 50 texts share a 15-token prefix run — each pair of them matches.
+  // Appending 3 more such texts pushes the common fingerprints' df to 53,
+  // over the cap of 50: the whole clique must VANISH at read time.
+  private val common =
+    (1 to 15).map(i => s"cm$i").mkString(" ")
+  private val cliqueInitial: Seq[(Long, String)] =
+    (10L to 59L).map(i => i -> s"$common uq${i}a uq${i}b")
+  private val cliqueAppend: Seq[(Long, String)] =
+    (60L to 62L).map(i => i -> s"$common uq${i}a uq${i}b")
+
+  // an independent pair on a DIFFERENT run — survives the cap crossing
+  private val survRun = (1 to 20).map(i => s"sv$i").mkString(" ")
+  private val survivors: Seq[(Long, String)] = Seq(
+    200L -> s"$survRun pa pb", 201L -> s"$survRun qa qb")
+
+  // a pair whose two texts straddle the build/append boundary
+  private val stRun = (1 to 20).map(i => s"st$i").mkString(" ")
+  private val straddleOld = 300L -> s"$stRun xa xb"
+  private val straddleNew = 301L -> s"$stRun ya yb"
+
+  // the same text under two doc_ids, one per epoch: rep must MIN-merge
+  private val repRun = (1 to 20).map(i => s"rp$i").mkString(" ")
+  private val repText = s"$repRun za zb"
+  private val repOld = 400L -> repText
+  private val repPartner = 500L -> s"$repRun wa wb"
+  private val repNew = 5L -> repText
+
+  private val initial = cliqueInitial ++ survivors ++ Seq(straddleOld, repOld, repPartner)
+  private val appended = cliqueAppend ++ Seq(straddleNew, repNew)
+
+  test("append ≡ rebuild: straddle pair, df-cap crossing, rep min-merge") {
+    val full = docsDf(initial ++ appended)
+    val rebuilt = tmpDir("graft-winnow-rebuild")
+    val grown = tmpDir("graft-winnow-grown")
+    WinnowIndex.buildIndex(spark, full, rebuilt)
+    WinnowIndex.buildIndex(spark, docsDf(initial), grown)
+
+    // BEFORE the append: the 50-text clique is under the cap and reported
+    val before = collectMatches(WinnowIndex.matchesFromIndex(spark, grown))
+    assert(before.exists(m => m._1 === 10L && m._2 === 11L), "clique pair pre-append")
+    assert(before.exists(m => m._1 === 200L && m._2 === 201L))
+    assert(before.exists(m => m._1 === 400L && m._2 === 500L))
+    assert(!before.exists(m => m._2 === 301L), "straddle partner not yet present")
+
+    WinnowIndex.appendToIndex(spark, grown, docsDf(appended))
+    val a = collectMatches(WinnowIndex.matchesFromIndex(spark, rebuilt))
+    val b = collectMatches(WinnowIndex.matchesFromIndex(spark, grown))
+    assert(a === b)
+
+    // df-cap crossed at read time: every clique pair is gone
+    assert(!b.exists(m => m._1 >= 10L && m._1 <= 62L && m._2 <= 62L),
+      "capped clique must vanish")
+    // the independent pair survives (cap is per-fingerprint)
+    assert(b.exists(m => m._1 === 200L && m._2 === 201L))
+    // the straddling pair is found only via the epoch merge
+    assert(b.exists(m => m._1 === 300L && m._2 === 301L))
+    // the recurring text's representative MIN-merged to the newer, lower id
+    assert(b.exists(m => m._1 === 5L && m._2 === 500L))
+    assert(!b.exists(m => m._1 === 400L || m._2 === 400L),
+      "old representative replaced by min-merge")
+  }
+
+  test("membership ledger accumulates across epochs") {
+    val dir = tmpDir("graft-winnow-ledger")
+    WinnowIndex.buildIndex(spark, docsDf(Seq(straddleOld, repOld)), dir)
+    WinnowIndex.appendToIndex(spark, dir, docsDf(Seq(straddleNew)))
+    val ids = WinnowIndex.residentDocIds(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(ids === Set(300L, 301L, 400L))
+  }
+
+  test("crashed staging dirs are invisible to readers") {
+    val dir = tmpDir("graft-winnow-crash")
+    WinnowIndex.buildIndex(spark, docsDf(survivors ++ Seq(straddleOld, straddleNew)), dir)
+    val before = collectMatches(WinnowIndex.matchesFromIndex(spark, dir))
+    val junk = new java.io.File(s"$dir/fps.parquet/.epoch-99.tmp")
+    assert(junk.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(junk.toString, "part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    val after = collectMatches(WinnowIndex.matchesFromIndex(spark, dir))
+    assert(after === before)
+  }
+
+  test("streamed maintenance equals a one-shot build; replays are no-ops") {
+    implicit val sql = spark.sqlContext
+    val all = survivors ++ Seq(straddleOld, repOld, repPartner, straddleNew, repNew)
+    val indexDir = tmpDir("graft-winnow-stream") + "/i"
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStream.winnowIndexMaintenanceStream(
+      spark, input.toDF().toDF("doc_id", "text"), indexDir)
+    try {
+      input.addData(survivors(0), straddleOld, repOld)
+      q.processAllAvailable()
+      input.addData(survivors(1), repPartner, survivors(0)) // re-delivery skipped
+      q.processAllAvailable()
+      input.addData(straddleNew, repNew)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batchDir = tmpDir("graft-winnow-batch") + "/i"
+    WinnowIndex.buildIndex(spark, docsDf(all), batchDir)
+    assert(collectMatches(WinnowIndex.matchesFromIndex(spark, indexDir)) ===
+      collectMatches(WinnowIndex.matchesFromIndex(spark, batchDir)))
+
+    def epochs = new java.io.File(s"$indexDir/fps.parquet").listFiles()
+      .map(_.getName).filter(_.startsWith("epoch=")).toSet
+    val before = epochs
+    graft.streaming.DocStream.processWinnowIndexBatch(
+      spark, indexDir, docsDf(Seq(survivors(1))))
+    assert(epochs === before)
+  }
+
+  test("compaction preserves reads and collapses to one epoch") {
+    val dir = tmpDir("graft-winnow-compact")
+    WinnowIndex.buildIndex(spark, docsDf(Seq(straddleOld, repOld, repPartner)), dir)
+    WinnowIndex.appendToIndex(spark, dir, docsDf(Seq(straddleNew)))
+    WinnowIndex.appendToIndex(spark, dir, docsDf(Seq(repNew)))
+    val before = collectMatches(WinnowIndex.matchesFromIndex(spark, dir))
+    WinnowIndex.compact(spark, dir)
+    assert(collectMatches(WinnowIndex.matchesFromIndex(spark, dir)) === before)
+    val epochs = new java.io.File(s"$dir/fps.parquet").listFiles()
+      .map(_.getName).filter(_.startsWith("epoch=")).toSet
+    assert(epochs === Set("epoch=0"))
+    val ids = WinnowIndex.residentDocIds(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(ids === Set(300L, 301L, 400L, 500L, 5L))
+  }
+
+  test("q_winnow_matches_indexed ≡ inline q_winnow_matches on a parquet corpus") {
+    val dir = tmpDir("graft-winnow-parity")
+    docsDf(survivors ++ Seq(straddleOld, straddleNew, repOld, repPartner))
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val inline = collectMatches(QueryRegistry.byName("q_winnow_matches").run(spark, dir))
+    val indexed = collectMatches(
+      QueryRegistry.byName("q_winnow_matches_indexed").run(spark, dir))
+    assert(indexed === inline)
+    assert(inline.nonEmpty)
+  }
+}
