@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -61,47 +62,72 @@ object WinnowOps {
   private def gramFold(hs: Column, base: Int): Column =
     aggregate(hs, lit(0L), (acc, h) => (acc * base + h) % P)
 
-  /** Per DISTINCT text: gram-hash array + winnowed selection.
-    * Columns: tid, rep (min doc_id — the portable text identity the
-    * match lane reports), m (gram count), ghs, sel (selected positions,
-    * ascending-distinct). Texts shorter than Wg tokens are absent. */
-  private[operators] def winnowed(docs: DataFrame): DataFrame = {
+  /** Selected fingerprints per DISTINCT text as ROWS (tid, rep, m, pos,
+    * gh) — one row per winnow-selected gram position.
+    *
+    * Deliberately NOT the per-text array-comprehension formulation: there
+    * CollapseProject inlines the token-hash array's definition into the
+    * per-position lambda, so the WHOLE array is re-evaluated for every
+    * gram position — O(n²) per text (observed: a 6-query sf0.1 bench
+    * pass still running after 30 min, 2 AQE-coalesced tasks) — and the
+    * oracle's list comprehension is exactly the formulation the engine
+    * must NOT use. Instead the SpanDedup shape: explode one row per gram
+    * (the generator materializes the token-hash array once per text, so
+    * the per-row slice+fold is O(Wg)), then decide selection with
+    * prefix/suffix window MINIMA over (tid, pos) — `p` is the
+    * rightmost-min of the window ending at `p+d` iff gh(p) ≤ min of the
+    * window's prefix (earlier equal values lose to p) and gh(p) < min of
+    * its suffix (a later equal value would win instead). Everything is
+    * whole-stage codegen except one partitioned WindowExec; parallelism
+    * is hash(tid), never a handful of coalesced text partitions. */
+  private[operators] def selectedGrams(docs: DataFrame): DataFrame = {
     val w = split(trim(col("text")), " ")
-    val withGh = docs
+    val grams = docs
       .groupBy(col("text")).agg(min(col("doc_id")).as("rep"))
       .select(
         xxhash64(col("text")).as("tid"), col("rep"),
         transform(w, t => charFold(t, 31)).as("h1"),
         size(w).as("n_toks"))
       .filter(col("n_toks") >= Wg)
-      .withColumn("m", (col("n_toks") - (Wg - 1)).cast(LongType))
-      .withColumn("ghs",
-        transform(sequence(lit(1), col("n_toks") - (Wg - 1)),
-          j => gramFold(slice(col("h1"), j, lit(Wg)), 31)))
-      .drop("h1", "n_toks")
-    // rightmost-min selection per window of wl = min(WinW, m) grams
-    val wl = least(lit(WinW), col("m")).cast(IntegerType)
-    val nw = greatest(col("m") - (WinW - 1), lit(1L)).cast(IntegerType)
-    withGh.withColumn("sel",
-      array_distinct(transform(sequence(lit(1), nw), j => {
-        val sl = slice(col("ghs"), j, wl)
-        (j.cast(LongType) + wl.cast(LongType)
-          - array_position(reverse(sl), array_min(sl)))
-      })))
+      .select(col("tid"), col("rep"),
+        (col("n_toks") - (Wg - 1)).cast(LongType).as("m"),
+        explode(sequence(lit(1), col("n_toks") - (Wg - 1))).as("p"),
+        col("h1"))
+      .select(col("tid"), col("rep"), col("m"),
+        col("p").cast(LongType).as("pos"),
+        gramFold(slice(col("h1"), col("p"), lit(Wg)), 31).as("gh"))
+    val part = Window.partitionBy(col("tid")).orderBy(col("pos"))
+    val inf = Long.MaxValue
+    def pm(k: Int): Column =
+      coalesce(min(col("gh")).over(part.rowsBetween(-k, -1)), lit(inf))
+    def sm(k: Int): Column =
+      coalesce(min(col("gh")).over(part.rowsBetween(1, k)), lit(inf))
+    val withMins = grams
+      .withColumn("pm", array(lit(inf) +: (1 until WinW).map(pm): _*))
+      .withColumn("sm", array(lit(inf) +: (1 until WinW).map(sm): _*))
+    // window of wl = min(WinW, m) grams ending at pos + d
+    val wl = least(lit(WinW.toLong), col("m"))
+    val selected = (0 until WinW).map { d =>
+      (lit(d.toLong) < wl) &&
+        (col("pos") + lit(d.toLong) - wl >= 0) &&
+        (col("pos") + lit(d.toLong) <= col("m")) &&
+        (col("gh") <= element_at(col("pm"), (wl - lit(d.toLong)).cast(IntegerType))) &&
+        (col("gh") < element_at(col("sm"), lit(d + 1)))
+    }.reduce(_ || _)
+    withMins.filter(selected)
+      .select(col("tid"), col("rep"), col("m"), col("pos"), col("gh"))
   }
 
   /** q_winnow: per-document selection stats — the whole selection
     * algorithm gated through the fingerprint-set and position-set sums. */
   private def qWinnow(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val perText = winnowed(docs).select(
-      col("tid"),
-      col("m").as("n_grams"),
-      size(col("sel")).cast(LongType).as("n_fp"),
-      aggregate(
-        transform(col("sel"), p => element_at(col("ghs"), p.cast(IntegerType))),
-        lit(0L), (a, x) => a + x).as("fp_digest"),
-      aggregate(col("sel"), lit(0L), (a, x) => a + x).as("pos_digest"))
+    val perText = selectedGrams(docs)
+      .groupBy(col("tid"))
+      .agg(first(col("m")).as("n_grams"),
+        count(lit(1)).as("n_fp"),
+        sum(col("gh")).as("fp_digest"),
+        sum(col("pos")).as("pos_digest"))
     docs.select(col("doc_id"), xxhash64(col("text")).as("tid"))
       .join(perText, Seq("tid"), "left")
       .select(col("doc_id"),
@@ -115,14 +141,14 @@ object WinnowOps {
     * (distinct text, distinct selected gram hash). The inline match lane
     * consumes this directly; [[WinnowIndex]] persists exactly these rows
     * per epoch (rep min-merged, rows deduplicated at read). */
-  private[operators] def fpRows(docs: DataFrame): DataFrame =
-    winnowed(docs)
-      .select(col("tid"), col("rep"),
-        array_distinct(transform(col("sel"),
-          p => element_at(col("ghs"), p.cast(IntegerType)))).as("fps"))
-      .select(col("tid"), col("rep"),
-        size(col("fps")).cast(LongType).as("nfp"),
-        explode(col("fps")).as("gh"))
+  private[operators] def fpRows(docs: DataFrame): DataFrame = {
+    val distinctFps = selectedGrams(docs)
+      .select(col("tid"), col("rep"), col("gh")).distinct()
+    distinctFps
+      .withColumn("nfp",
+        count(lit(1)).over(Window.partitionBy(col("tid"))).cast(LongType))
+      .select(col("tid"), col("rep"), col("nfp"), col("gh"))
+  }
 
   /** MOSS-style match report from fingerprint rows: df-cap hot grams,
     * pair texts sharing ≥ MinShared fingerprints. Shared by the inline
