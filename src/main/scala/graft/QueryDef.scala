@@ -32,6 +32,7 @@ object QueryRegistry {
       operators.WinnowOps.queries ++
       operators.WinnowIndex.queries ++
       operators.QuantileSketch.queries ++
+      operators.SketchIndex.queries ++
       operators.RangeJoinOps.queries ++
       operators.SpanIndex.queries ++
       operators.ClassifyOps.queries ++

@@ -35,20 +35,32 @@ object QuantileSketch {
 
   /** Sample size per group: small enough that sf0.1's 250-doc sources
     * genuinely subsample, large enough for stable estimates. */
-  private val K = 64
+  private[operators] val K = 64
   private val P = graft.functions.PolyMinHash.P
 
   /** Portable uniform sampling hash of doc_id (MINSTD multiplier). */
   private def sampleHash(id: Column): Column =
     ((id % P) * 48271L + 11L) % P
 
-  private def qQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
-    val docs = table(spark, dir, "documents")
-      .select(col("source"), col("doc_id"), col("n_chars"))
-      .withColumn("h", sampleHash(col("doc_id")))
-    // bottom-k by (h, doc_id): WindowGroupLimit keeps k per task pre-shuffle
+  /** Per-source bottom-K of `rows` (source, doc_id, n_chars, h) by
+    * (h, doc_id) — the mergeable pruning step: bottom-K of a union is
+    * the bottom-K of the parts' bottom-Ks, which is what lets
+    * [[SketchIndex]] store only each epoch's pruned sample. Plans as
+    * WindowGroupLimit: each task keeps its local K minima pre-shuffle. */
+  private[operators] def bottomK(rows: DataFrame): DataFrame = {
     val wS = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
-    val sample = docs.withColumn("r", row_number().over(wS)).filter(col("r") <= K)
+    rows.withColumn("r", row_number().over(wS)).filter(col("r") <= K).drop("r")
+  }
+
+  /** (source, doc_id, n_chars, h) sampling rows of a documents table. */
+  private[operators] def sampleRows(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("h", sampleHash(col("doc_id")))
+
+  /** Quantile estimates from a bottom-K `sample` and exact per-source
+    * `counts` (source, n_docs) — shared by the inline and persisted-index
+    * lanes so both are the same arithmetic by construction. */
+  private[operators] def estimateFrom(sample: DataFrame, counts: DataFrame): DataFrame = {
     val m = sample.groupBy(col("source")).agg(count(lit(1)).as("m"))
     // value-rank within the ≤k sample; ceil-rank order statistic
     val wV = Window.partitionBy(col("source"))
@@ -57,16 +69,21 @@ object QuantileSketch {
     def est(p: Int): Column =
       min(when(col("rv") >= expr(s"(m * $p + 99) div 100"), col("n_chars")))
         .as(s"est_p$p")
-    val n = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     ranked.join(broadcast(m), Seq("source"))
       .groupBy(col("source"))
       .agg(first(col("m")).as("sample_m"), est(50), est(90), est(99))
-      .join(broadcast(n), Seq("source"))
+      .join(broadcast(counts), Seq("source"))
       .select(col("source"), col("n_docs"), col("sample_m"),
         col("est_p50"), col("est_p90"), col("est_p99"))
   }
 
-  private val qQuantileSketchSql =
+  private def qQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    estimateFrom(bottomK(sampleRows(docs)),
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs")))
+  }
+
+  private[operators] val qQuantileSketchSql =
     s"""WITH h AS (
        |  SELECT source, doc_id, n_chars,
        |    ((doc_id % $P) * 48271 + 11) % $P AS h

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Grouped quantile estimation over a PERSISTED bottom-k sample store —
+  * the production twin of the inline `q_quantile_sketch` (which re-scans
+  * the corpus per query): at 100 TB the per-source sample is built ONCE
+  * and maintained by O(batch) appends; a profile query then reads
+  * K·sources sample rows plus the additive count table — never the
+  * corpus. Ninth member of the persisted-index family, and the first
+  * whose payload is a PRUNING merge rather than a sum: bottom-K of a
+  * union equals the bottom-K of the parts' bottom-Ks (every true global
+  * minimum is a minimum of its own part), so each epoch stores only its
+  * batch's pruned sample and readers re-apply the same rank filter to
+  * the union — `append ≡ rebuild` by the merge lattice, the KMV/k-minima
+  * argument.
+  *
+  * Layout under `indexDir` (family conventions: epoch-partitioned,
+  * dot-prefixed staging, one rename per table per publish):
+  *  - `sample.parquet/epoch=N`: (source, doc_id, n_chars, h) — the
+  *    epoch batch's per-source bottom-K sampling rows
+  *  - `counts.parquet/epoch=N`: (source, n_docs) — additive exact counts
+  *  - `docs.parquet/epoch=N`:   (doc_id) — replay-safe membership ledger
+  */
+object SketchIndex {
+
+  private def writeEpoch(
+      spark: SparkSession, indexDir: String, epoch: Int, docs: DataFrame): Unit = {
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for ((tab, df) <- Seq(
+        "sample.parquet" -> QuantileSketch.bottomK(QuantileSketch.sampleRows(docs)),
+        "counts.parquet" -> docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs")),
+        "docs.parquet" -> docs.select(col("doc_id")).distinct())) {
+      val live = new Path(root, s"$tab/epoch=$epoch")
+      val tmp = new Path(root, s"$tab/.epoch-$epoch.tmp")
+      fs.delete(tmp, true)
+      df.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(live, true)
+      if (!fs.rename(tmp, live))
+        throw new java.io.IOException(s"sketch store epoch publish failed: $tmp -> $live")
+    }
+  }
+
+  /** Build (overwrite) the store as epoch 0. */
+  def buildIndex(spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    writeEpoch(spark, indexDir, 0, docs)
+  }
+
+  /** Fold a batch in: its own bottom-K sample + counts land as a fresh
+    * epoch — O(batch), no resident row touched. Caller dedupes batches
+    * against [[residentDocIds]]. */
+  def appendToIndex(spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+    val sample = new Path(indexDir, "sample.parquet")
+    val fs = sample.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = fs.listStatus(sample).map(_.getPath.getName)
+      .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toInt).max + 1
+    writeEpoch(spark, indexDir, next, batch)
+  }
+
+  /** Doc_ids already folded in (the streaming anti-join target). */
+  def residentDocIds(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/docs.parquet").select(col("doc_id")).distinct()
+
+  /** Fold all epochs into one — the sample's pruning merge (re-rank the
+    * union, keep K) is exactly what every read performs, so reads are
+    * identical before and after ([[EpochCompact]] swap safety). */
+  def compact(spark: SparkSession, indexDir: String): Unit = {
+    EpochCompact.compactTable(spark, s"$indexDir/sample.parquet",
+      QuantileSketch.bottomK)
+    EpochCompact.compactTable(spark, s"$indexDir/counts.parquet",
+      _.groupBy(col("source")).agg(sum(col("n_docs")).as("n_docs")))
+    EpochCompact.compactTable(spark, s"$indexDir/docs.parquet", _.distinct())
+  }
+
+  /** Quantile estimates from store files only: re-rank the merged
+    * samples, sum the counts, then the shared estimation arithmetic. */
+  def estimatesFromIndex(spark: SparkSession, indexDir: String): DataFrame =
+    QuantileSketch.estimateFrom(
+      QuantileSketch.bottomK(spark.read.parquet(s"$indexDir/sample.parquet")
+        .select(col("source"), col("doc_id"), col("n_chars"), col("h"))),
+      spark.read.parquet(s"$indexDir/counts.parquet")
+        .groupBy(col("source")).agg(sum(col("n_docs")).as("n_docs")))
+
+  // --- q_quantile_sketch_indexed: the persisted lane on the oracle gate --
+  private def indexDirFor(dir: String): String = {
+    val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "sketch-v1"))
+    s"${System.getProperty("java.io.tmpdir")}/graft-sketch-index-$key"
+  }
+
+  private def qQuantileSketchIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val indexDir = indexDirFor(dir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$indexDir/sample.parquet")))
+      buildIndex(spark, Tables.table(spark, dir, "documents"), indexDir)
+    estimatesFromIndex(spark, indexDir)
+  }
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_quantile_sketch_indexed", qQuantileSketchIndexed,
+      Some(QuantileSketch.qQuantileSketchSql)))
+}

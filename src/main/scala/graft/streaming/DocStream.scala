@@ -483,6 +483,43 @@ object DocStream {
     ()
   }
 
+  /** Streaming maintenance of the persisted quantile-sketch store
+    * ([[graft.operators.SketchIndex]]): every micro-batch lands its own
+    * per-source bottom-K sample + additive counts as a fresh epoch;
+    * readers re-rank the union, and bottom-K of a union is the bottom-K
+    * of the parts' bottom-Ks, so the streamed store serves EXACTLY the
+    * one-shot estimates. Replay safety is the standard resident-ledger
+    * anti-join. */
+  def sketchMaintenanceStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      indexDir: String): StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processSketchBatch(spark, indexDir, batch)
+      }
+      .start()
+
+  /** One micro-batch of [[sketchMaintenanceStream]] — factored out so
+    * the cross-batch contracts are directly testable. */
+  private[graft] def processSketchBatch(
+      spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+    val docs = batch.select(col("doc_id"), col("source"), col("n_chars")).distinct()
+    val sample = new org.apache.hadoop.fs.Path(s"$indexDir/sample.parquet")
+    val fs = sample.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(sample)) {
+      if (!docs.isEmpty) graft.operators.SketchIndex.buildIndex(spark, docs, indexDir)
+    } else {
+      val resident = graft.operators.SketchIndex.residentDocIds(spark, indexDir)
+      val fresh = docs.join(resident, Seq("doc_id"), "left_anti").persist()
+      try {
+        if (!fresh.isEmpty)
+          graft.operators.SketchIndex.appendToIndex(spark, indexDir, fresh)
+      } finally fresh.unpersist()
+    }
+    ()
+  }
+
   /** Streaming maintenance of the persisted winnowed-fingerprint store
     * ([[graft.operators.WinnowIndex]]): every micro-batch winnows its own
     * distinct texts in isolation (selection is a pure per-text function —
