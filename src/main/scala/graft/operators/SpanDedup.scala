@@ -46,36 +46,26 @@ object SpanDedup {
 
   private val P = graft.functions.PolyMinHash.P
 
-  /** Per-token char fold: left fold (acc*base + codepoint) mod P — the
-    * qDsirVote/PolyMinHash base family. */
-  private def charFold(t: Column, base: Int): Column =
-    aggregate(transform(split(t, ""), c => ascii(c).cast(LongType)),
-      lit(0L), (acc, c) => (acc * base + c) % P)
-
-  /** Window fold over precomputed token hashes. */
-  private def gramFold(hs: Column, base: Int): Column =
-    aggregate(hs, lit(0L), (acc, h) => (acc * base + h) % P)
-
   /** Every W-token window of `docs`, once per DISTINCT text with copy
-    * weights: (tid, n_copies, pos, gh1, gh2) — token-hash arrays computed
-    * per distinct text, text dropped straight after hashing so the gram
-    * identity shuffled downstream is 16 bytes. */
+    * weights: (tid, n_copies, pos, gh1, gh2) — window hashes computed
+    * per distinct text by the NATIVE single-pass expression
+    * ([[graft.functions.PolyGramHashes]], bit-parity spec-pinned against
+    * the composed HOF form the oracle replays), text dropped straight
+    * after hashing so the gram identity shuffled downstream is 16 bytes. */
   private[operators] def grams(docs: DataFrame): DataFrame = {
-    val w = split(trim(col("text")), " ")
+    import graft.functions.PolyGramHashes.gramHashes
     docs.groupBy(col("text")).agg(count(lit(1)).as("n_copies"))
       .select(
         xxhash64(col("text")).as("tid"),
         col("n_copies"),
-        transform(w, t => charFold(t, 31)).as("h1"),
-        transform(w, t => charFold(t, 131)).as("h2"),
-        size(w).as("n_toks"))
-      .filter(col("n_toks") >= W)
+        gramHashes(col("text"), W, 31, 31).as("g1"),
+        gramHashes(col("text"), W, 131, 37).as("g2"))
+      .filter(col("g1").isNotNull)
+      .select(col("tid"), col("n_copies"), posexplode(col("g1")), col("g2"))
       .select(col("tid"), col("n_copies"),
-        explode(sequence(lit(1), col("n_toks") - (W - 1))).as("pos"),
-        col("h1"), col("h2"))
-      .select(col("tid"), col("n_copies"), col("pos"),
-        gramFold(slice(col("h1"), col("pos"), lit(W)), 31).as("gh1"),
-        gramFold(slice(col("h2"), col("pos"), lit(W)), 37).as("gh2"))
+        (col("pos") + 1).as("pos"),
+        col("col").as("gh1"),
+        element_at(col("g2"), (col("pos") + 1).cast(IntegerType)).as("gh2"))
   }
 
   /** Corpus-wide occurrence weight per gram = Σ copies × in-text

@@ -55,13 +55,6 @@ object WinnowOps {
 
   private val P = graft.functions.PolyMinHash.P
 
-  private def charFold(t: Column, base: Int): Column =
-    aggregate(transform(split(t, ""), c => ascii(c).cast(LongType)),
-      lit(0L), (acc, c) => (acc * base + c) % P)
-
-  private def gramFold(hs: Column, base: Int): Column =
-    aggregate(hs, lit(0L), (acc, h) => (acc * base + h) % P)
-
   /** Selected fingerprints per DISTINCT text as ROWS (tid, rep, m, pos,
     * gh) — one row per winnow-selected gram position.
     *
@@ -81,21 +74,17 @@ object WinnowOps {
     * whole-stage codegen except one partitioned WindowExec; parallelism
     * is hash(tid), never a handful of coalesced text partitions. */
   private[operators] def selectedGrams(docs: DataFrame): DataFrame = {
-    val w = split(trim(col("text")), " ")
     val grams = docs
       .groupBy(col("text")).agg(min(col("doc_id")).as("rep"))
       .select(
         xxhash64(col("text")).as("tid"), col("rep"),
-        transform(w, t => charFold(t, 31)).as("h1"),
-        size(w).as("n_toks"))
-      .filter(col("n_toks") >= Wg)
+        graft.functions.PolyGramHashes.gramHashes(col("text"), Wg, 31, 31).as("g1"))
+      .filter(col("g1").isNotNull)
       .select(col("tid"), col("rep"),
-        (col("n_toks") - (Wg - 1)).cast(LongType).as("m"),
-        explode(sequence(lit(1), col("n_toks") - (Wg - 1))).as("p"),
-        col("h1"))
+        size(col("g1")).cast(LongType).as("m"), posexplode(col("g1")))
       .select(col("tid"), col("rep"), col("m"),
-        col("p").cast(LongType).as("pos"),
-        gramFold(slice(col("h1"), col("p"), lit(Wg)), 31).as("gh"))
+        (col("pos") + 1).cast(LongType).as("pos"),
+        col("col").as("gh"))
     val part = Window.partitionBy(col("tid")).orderBy(col("pos"))
     val inf = Long.MaxValue
     def pm(k: Int): Column =

@@ -322,4 +322,37 @@ class NativeVsComposedSpec extends AnyFunSuite {
       assert(r.get(1) === r.get(2), s"mismatch for input '${r.getString(0)}'")
     }
   }
+
+  test("poly gram hashes: native expression == composed HOF chain") {
+    import org.apache.spark.sql.types.LongType
+    val P = PolyMinHash.P
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog today",
+      "a b c d e f g h", // exactly 8 tokens → one gram
+      "a b c d e f g", // 7 tokens → null
+      "", // empty → null
+      "x  y z w q r s t u", // double space → empty token folds to 0
+      "  padded with leading and trailing spaces a b c  ",
+      "unicode tökens schön así 漢字 mixed in here too",
+      "t t t t t t t t t t") // identical tokens
+    for ((w, tb, gb) <- Seq((8, 31, 31), (8, 131, 37), (3, 31, 31))) {
+      def charFold(t: org.apache.spark.sql.Column, base: Int) =
+        aggregate(transform(split(t, ""), c => ascii(c).cast(LongType)),
+          lit(0L), (a, c) => (a * base + c) % P)
+      val toks = split(trim(col("s")), " ")
+      val h = transform(toks, t => charFold(t, tb))
+      val composed = when(size(toks) >= w,
+        transform(sequence(lit(1), size(toks) - (w - 1)),
+          j => aggregate(slice(h, j, lit(w)), lit(0L),
+            (a, x) => (a * gb + x) % P)))
+      val df = texts.toDF("s").select(
+        col("s"),
+        PolyGramHashes.gramHashes(col("s"), w, tb, gb).as("native"),
+        composed.as("composed"))
+      df.collect().foreach { r =>
+        assert(r.get(1) === r.get(2),
+          s"mismatch for input '${r.getString(0)}' (w=$w, tb=$tb, gb=$gb)")
+      }
+    }
+  }
 }
