@@ -43,6 +43,7 @@ object QueryRegistry {
       operators.AnnIndex.queries ++
       operators.PqIndex.queries ++
       operators.IvfIndex.queries ++
+      operators.IvfPq.queries ++
       operators.LmIndex.queries ++
       operators.EventOps.queries ++
       operators.MultimodalOps.queries ++

@@ -308,12 +308,54 @@ object IvfIndex {
     s"${System.getProperty("java.io.tmpdir")}/graft-ivf-index-$key"
   }
 
-  private def qAnnIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
+  /** Build-if-absent against the corpus at `dir`; returns the index dir.
+    * Shared with the composed IVF-PQ lane ([[IvfPq]]) so both read the
+    * SAME store a prior q_ann_ivf_indexed run built. */
+  private[operators] def ensureIndex(spark: SparkSession, dir: String): String = {
     val indexDir = indexDirFor(dir)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$indexDir/cells.parquet")))
       buildFromCorpus(spark, dir, indexDir)
-    topKIndexed(spark, indexDir)
+    indexDir
   }
+
+  /** The probe phase factored for composition: (probes(query_id, cluster),
+    * members(vec_id, cluster)) where members reads ONLY the probed cell
+    * directories — the [[topKIndexed]] partition-pruning contract, minus
+    * its exact-cosine scoring (the composed IVF-PQ lane scores members by
+    * ADC codes instead). */
+  private[operators] def probedMembers(
+      spark: SparkSession, indexDir: String,
+      nprobe: Int = IvfNProbe): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val cents = readCentroids(spark, indexDir)
+    val cellsDir = s"$indexDir/cells.parquet"
+    val qRows = spark.read.parquet(cellsDir)
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq.sortBy(_._1).distinct
+    val probes = qRows.flatMap { case (qid, qv) =>
+      probeCells(cents, qv, nprobe).map(c => (qid, c))
+    }
+    val probesDf = probes.toDF("query_id", "cluster")
+    val f = fs(spark, indexDir)
+    val probedCells = probes.map(_._2).distinct
+    val dirs = for {
+      e <- epochDirs(spark, indexDir)
+      c <- probedCells
+      p = s"$cellsDir/$e/cluster=$c"
+      if f.exists(new Path(p))
+    } yield p
+    val members =
+      if (dirs.isEmpty) spark.emptyDataset[(Long, Long)].toDF("vec_id", "cluster")
+      else spark.read.parquet(dirs: _*)
+        .select(col("vec_id"), col("cl").as("cluster")).distinct()
+    (probesDf, members)
+  }
+
+  private def qAnnIvfIndexed(spark: SparkSession, dir: String): DataFrame =
+    topKIndexed(spark, ensureIndex(spark, dir))
 
   def queries: Seq[QueryDef] = Seq(
     QueryDef("q_ann_ivf_indexed", qAnnIvfIndexed, Some(SimilarityOps.qIvfLearnedOracle)))

@@ -105,14 +105,9 @@ object PqIndex {
     * `codes.parquet`; raw vectors are read for the rescore join and the
     * bounded query set. Re-delivered epochs are absorbed by a distinct on
     * the 8-code row (identical by frozen-codebook determinism). */
-  def topKIndexed(spark: SparkSession, queries: DataFrame, indexDir: String): DataFrame = {
-    val cb = readCodebook(spark, indexDir)
-    val codes = spark.read.parquet(s"$indexDir/codes.parquet")
-      .drop("epoch").distinct()
-    val rescore = spark.read.parquet(s"$indexDir/vecs.parquet")
-      .select(col("vec_id"), col("v"), col("norm")).distinct()
-    pqTopKFromCodes(codes, pqNormalize(queries), rescore, cb)
-  }
+  def topKIndexed(spark: SparkSession, queries: DataFrame, indexDir: String): DataFrame =
+    pqTopKFromCodes(codesFromIndex(spark, indexDir), pqNormalize(queries),
+      rescoreFromIndex(spark, indexDir), readCodebook(spark, indexDir))
 
   // --- q_ann_pq_indexed: the persisted lane on the oracle gate -----------
   // Built lazily from the corpus, queried with the corpus's own first
@@ -123,10 +118,26 @@ object PqIndex {
     s"${System.getProperty("java.io.tmpdir")}/graft-pq-index-$key"
   }
 
-  private def qAnnPqIndexed(spark: SparkSession, dir: String): DataFrame = {
+  /** Build-if-absent against the corpus at `dir`; returns the index dir.
+    * Shared with the composed IVF-PQ lane ([[IvfPq]]). */
+  private[operators] def ensureIndex(spark: SparkSession, dir: String): String = {
     val indexDir = indexDirFor(dir)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$indexDir/codes.parquet")))
       buildIndex(spark, Tables.table(spark, dir, "embeddings"), indexDir)
+    indexDir
+  }
+
+  /** The merged code store (vec_id, c0..c{PqM-1}) — double-append safe. */
+  private[operators] def codesFromIndex(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/codes.parquet").drop("epoch").distinct()
+
+  /** The raw rescore vectors (vec_id, v, norm) persisted beside the codes. */
+  private[operators] def rescoreFromIndex(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/vecs.parquet")
+      .select(col("vec_id"), col("v"), col("norm")).distinct()
+
+  private def qAnnPqIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val indexDir = ensureIndex(spark, dir)
     topKIndexed(spark,
       Tables.table(spark, dir, "embeddings").filter(col("vec_id") < NumQueries),
       indexDir)

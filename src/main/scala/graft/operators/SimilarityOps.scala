@@ -900,30 +900,35 @@ object SimilarityOps {
     * parquet reads) — shared so both lanes are the same algorithm by
     * construction.
     * `queries`: (vec_id, v, norm, nv); `rescore`: (vec_id, v, norm). */
-  private[operators] def pqTopKFromCodes(
-      codes: DataFrame, queries: DataFrame, rescore: DataFrame,
-      cb: Seq[((Int, Long), Seq[Double])]): DataFrame = {
+  /** Per-query ADC distance tables (query_id, dt0..dt{PqM-1}): position
+    * j+1 of dt_m holds the query's squared-L2 to subspace m's centroid j
+    * (absent centroids — clusters emptied during training — keep a
+    * placeholder no code can reference). */
+  private[operators] def pqAdcTables(
+      queries: DataFrame, cb: Seq[((Int, Long), Seq[Double])]): DataFrame = {
     def sv(mm: Int) = slice(col("nv"), mm * PqSub + 1, PqSub)
-    // per-query ADC tables: position j+1 holds the distance to centroid j
-    // (absent centroids — clusters emptied during training — keep a
-    // placeholder no code can reference)
     def dtFor(mm: Int): Column = array((0L until PqK.toLong).map { j =>
       cb.find(c => c._1._1 == mm && c._1._2 == j)
         .map { case (_, cv) => dist2(sv(mm), array(cv.map(lit): _*)) }
         .getOrElse(lit(0.0))
     }: _*)
-    val qs = queries
-      .select(Seq(col("vec_id").as("query_id")) ++
-        (0 until PqM).map(mm => dtFor(mm).as(s"dt$mm")): _*)
-    val adc = (0 until PqM).map(mm =>
+    queries.select(Seq(col("vec_id").as("query_id")) ++
+      (0 until PqM).map(mm => dtFor(mm).as(s"dt$mm")): _*)
+  }
+
+  /** The PqM-lookup fixed-parenthesization ADC sum over (dt_m, c_m). */
+  private[operators] def pqAdcApprox: Column =
+    (0 until PqM).map(mm =>
       element_at(col(s"dt$mm"), (col(s"c$mm") + 1).cast("int"))).reduce(_ + _)
-    // the propose window shuffles only (query_id, vec_id, approx) — the
-    // query vector re-joins AFTER the top-PqR cut (queries×PqR rows), not
-    // on every candidate (measured 6.6 → see PERF.md; the block-rewrite
-    // "carry keys, not payloads" move)
-    val cand = codes.crossJoin(broadcast(qs))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), adc.as("approx"))
+
+  /** Top-PqR propose + exact cosine rescore from candidate rows
+    * (query_id, vec_id, approx) — shared tail of every PQ lane. The
+    * propose window shuffles only (query_id, vec_id, approx): the query
+    * vector re-joins AFTER the top-PqR cut (queries×PqR rows), not on
+    * every candidate (measured 6.6 → see PERF.md; the block-rewrite
+    * "carry keys, not payloads" move). */
+  private[operators] def pqProposeRescore(
+      cand: DataFrame, queries: DataFrame, rescore: DataFrame): DataFrame = {
     val wp = Window.partitionBy(col("query_id")).orderBy(col("approx"), col("vec_id"))
     val qvs = queries
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -937,6 +942,15 @@ object SimilarityOps {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= K)
+  }
+
+  private[operators] def pqTopKFromCodes(
+      codes: DataFrame, queries: DataFrame, rescore: DataFrame,
+      cb: Seq[((Int, Long), Seq[Double])]): DataFrame = {
+    val cand = codes.crossJoin(broadcast(pqAdcTables(queries, cb)))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), pqAdcApprox.as("approx"))
+    pqProposeRescore(cand, queries, rescore)
   }
 
   private[graft] def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
@@ -965,51 +979,107 @@ object SimilarityOps {
        |  GROUP BY m, cluster, pos) mm
        |GROUP BY m, cluster""".stripMargin
 
-  private def pqAssignSql(ctab: String): String =
+  private def pqAssignSql(sub: String, ctab: String): String =
     s"""SELECT vec_id, m, sv, cluster FROM (
        |  SELECT a.vec_id, a.m, a.sv, c.cluster,
        |    ROW_NUMBER() OVER (PARTITION BY a.vec_id, a.m
        |      ORDER BY ${pqD2("a.sv", "c.cv", PqSub)}, c.cluster) AS ar
-       |  FROM sub a JOIN $ctab c ON a.m = c.m) t
+       |  FROM $sub a JOIN $ctab c ON a.m = c.m) t
        |WHERE ar = 1""".stripMargin
 
-  private[operators] def qAnnPqOracle: String = {
+  /** The PQ training + encoding + query-distance-table CTE chain over a
+    * base relation `e(vec_id, v, norm, …)`, with every CTE name prefixed
+    * by `p` so the chain can coexist with the IVF training CTEs in one
+    * composed oracle ([[qAnnIvfPqOracle]]). Yields `${p}codes` (one row
+    * per vector, code0..code{PqM-1}) and `${p}qdt` (per-query per-subspace
+    * centroid distances). */
+  private def pqTrainCtes(p: String): String = {
     val steps = (1 to PqIters).map { t =>
-      s"""c$t AS (${pqMediansSql(if (t == 1) "a0" else s"a${t - 1}")}),
-         |a$t AS (${pqAssignSql(s"c$t")})""".stripMargin
+      s"""${p}c$t AS (${pqMediansSql(if (t == 1) s"${p}a0" else s"${p}a${t - 1}")}),
+         |${p}a$t AS (${pqAssignSql(s"${p}sub", s"${p}c$t")})""".stripMargin
     }.mkString(",\n")
     val codeCols = (0 until PqM)
       .map(mm => s"MAX(CASE WHEN m = $mm THEN cluster END) AS code$mm")
       .mkString(", ")
-    val dtJoins = (0 until PqM).map(mm =>
-      s"JOIN qdt dt$mm ON dt$mm.query_id = dt0.query_id AND dt$mm.m = $mm AND dt$mm.j = x.code$mm")
+    s"""${p}en AS (
+       |  SELECT vec_id, v, norm,
+       |    [CASE WHEN norm > 0.0 THEN x / norm ELSE 0.0 END FOR x IN v] AS nv
+       |  FROM e),
+       |${p}sub AS (
+       |  SELECT vec_id, m, list(val ORDER BY pos) AS sv FROM (
+       |    SELECT vec_id, (i-1) // $PqSub AS m, ((i-1) % $PqSub) + 1 AS pos, nv[i] AS val
+       |    FROM ${p}en, UNNEST(range(1, ${PqM * PqSub + 1})) AS r(i)) s0
+       |  GROUP BY vec_id, m),
+       |${p}a0 AS (SELECT vec_id, m, sv, vec_id % $PqK AS cluster FROM ${p}sub),
+       |$steps,
+       |${p}codes AS (SELECT vec_id, $codeCols FROM ${p}a$PqIters GROUP BY vec_id),
+       |${p}qdt AS (
+       |  SELECT q.vec_id AS query_id, c.m, c.cluster AS j,
+       |    ${pqD2("q.sv", "c.cv", PqSub)} AS d
+       |  FROM ${p}sub q JOIN ${p}c$PqIters c ON q.m = c.m
+       |  WHERE q.vec_id < $NumQueries)""".stripMargin
+  }
+
+  private def pqDtJoins(qdt: String): String =
+    (0 until PqM).map(mm =>
+      s"JOIN $qdt dt$mm ON dt$mm.query_id = dt0.query_id AND dt$mm.m = $mm AND dt$mm.j = x.code$mm")
       .mkString("\n  ")
-    val adcSum = (1 until PqM).foldLeft("dt0.d")((acc, mm) => s"($acc + dt$mm.d)")
+
+  private def pqAdcSumSql: String =
+    (1 until PqM).foldLeft("dt0.d")((acc, mm) => s"($acc + dt$mm.d)")
+
+  private[operators] def qAnnPqOracle: String = {
     s"""WITH e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |    sqrt(list_reduce(list_prepend(0.0, [x*x FOR x IN embedding::DOUBLE[]]), (a,x) -> a+x)) AS norm
        |  FROM embeddings),
-       |en AS (
-       |  SELECT vec_id, v, norm,
-       |    [CASE WHEN norm > 0.0 THEN x / norm ELSE 0.0 END FOR x IN v] AS nv
-       |  FROM e),
-       |sub AS (
-       |  SELECT vec_id, m, list(val ORDER BY pos) AS sv FROM (
-       |    SELECT vec_id, (i-1) // $PqSub AS m, ((i-1) % $PqSub) + 1 AS pos, nv[i] AS val
-       |    FROM en, UNNEST(range(1, ${PqM * PqSub + 1})) AS r(i)) s0
-       |  GROUP BY vec_id, m),
-       |a0 AS (SELECT vec_id, m, sv, vec_id % $PqK AS cluster FROM sub),
-       |$steps,
-       |codes AS (SELECT vec_id, $codeCols FROM a$PqIters GROUP BY vec_id),
-       |qdt AS (
-       |  SELECT q.vec_id AS query_id, c.m, c.cluster AS j,
-       |    ${pqD2("q.sv", "c.cv", PqSub)} AS d
-       |  FROM sub q JOIN c$PqIters c ON q.m = c.m
-       |  WHERE q.vec_id < $NumQueries),
+       |${pqTrainCtes("")},
        |cand AS (
-       |  SELECT dt0.query_id, x.vec_id, $adcSum AS approx
+       |  SELECT dt0.query_id, x.vec_id, $pqAdcSumSql AS approx
        |  FROM codes x
-       |  $dtJoins
+       |  ${pqDtJoins("qdt")}
+       |  WHERE x.vec_id != dt0.query_id),
+       |prop AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx, vec_id) AS pr
+       |    FROM cand) t
+       |  WHERE pr <= $PqR),
+       |scored AS (
+       |  SELECT p.query_id, x.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(0.0, [q.v[i]*x.v[i] FOR i IN range(1, 65)]), (acc,z) -> acc+z)
+       |      / (q.norm * x.norm) AS cosine
+       |  FROM prop p JOIN e x ON x.vec_id = p.vec_id JOIN e q ON q.vec_id = p.query_id)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= $K""".stripMargin
+  }
+
+  /** Composed IVF-PQ oracle: the learned-IVF training CTEs (e, a0..aT,
+    * c1..cT) and the PQ chain (prefixed `p…`) coexist in one WITH; the
+    * candidate set is the intersection of the query's probed cells
+    * (cells = a$IvfIters, probes by centroid distance rank) with the ADC
+    * scoring — then the standard top-PqR propose + exact rescore. Both
+    * trainings unroll, so routing, encoding, ADC, and rescore ALL ride
+    * the rows+schema+hash gate. */
+  private[operators] def qAnnIvfPqOracle: String = {
+    val d2qc = s"list_reduce(list_prepend(0.0, [(q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]) FOR i IN range(1, 65)]), (acc,d) -> acc+d)"
+    s"""WITH ${ivfLearnedCtes},
+       |probes AS (
+       |  SELECT query_id, cluster FROM (
+       |    SELECT q.vec_id AS query_id, c.cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY $d2qc, c.cluster) AS cr
+       |    FROM e q, c$IvfIters c WHERE q.vec_id < $NumQueries) t
+       |  WHERE cr <= $IvfNProbe),
+       |${pqTrainCtes("p")},
+       |cand AS (
+       |  SELECT dt0.query_id, x.vec_id, $pqAdcSumSql AS approx
+       |  FROM pcodes x
+       |  ${pqDtJoins("pqdt")}
+       |  JOIN a$IvfIters cells ON cells.vec_id = x.vec_id
+       |  JOIN probes pr ON pr.cluster = cells.cluster AND pr.query_id = dt0.query_id
        |  WHERE x.vec_id != dt0.query_id),
        |prop AS (
        |  SELECT query_id, vec_id FROM (
