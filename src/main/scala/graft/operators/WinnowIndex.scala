@@ -97,6 +97,38 @@ object WinnowIndex {
     WinnowOps.matchesFrom(
       fpRowsFromIndex(spark, indexDir).drop("tid"))
 
+  /** Incremental matching (the IncrementalDedup contract applied to
+    * winnowing): report ONLY the match pairs with at least one endpoint
+    * in `batch` — batch×resident and batch×batch, never resident×resident
+    * re-pairing. The batch winnows in isolation (O(batch) selection); the
+    * df-cap is evaluated on the UNION of resident and batch postings, so
+    * a fingerprint that crosses the cap only because of the batch
+    * suppresses its pairs exactly as the full recomputation would.
+    * Equals `matchesFrom(resident ∪ batch)` restricted to rows touching a
+    * batch text — by construction, since both run the same pipeline on
+    * the same merged posting set (spec: `WinnowIndexSpec`). */
+  def matchBatch(spark: SparkSession, indexDir: String, batch: DataFrame): DataFrame = {
+    val residentFps = fpRowsFromIndex(spark, indexDir)
+    val batchFps = WinnowOps.fpRows(batch.select(col("doc_id"), col("text")))
+    // a text present on both sides keeps one posting row with the
+    // MIN-merged representative (the family's read-merge)
+    val union = residentFps.select(col("tid"), col("rep"), col("nfp"), col("gh"))
+      .unionByName(batchFps.select(col("tid"), col("rep"), col("nfp"), col("gh")))
+      .groupBy(col("tid"), col("gh"))
+      .agg(min(col("rep")).as("rep"), min(col("nfp")).as("nfp"))
+    val batchTids = batchFps.select(col("tid")).distinct()
+    val all = WinnowOps.matchesFrom(union.select(col("rep"), col("nfp"), col("gh")))
+    // restrict to pairs touching a batch text: resolve batch reps through
+    // the same min-merge (a batch text may resolve to a resident rep)
+    val batchReps = union.join(batchTids, Seq("tid"))
+      .select(col("rep")).distinct()
+    all.join(batchReps.select(col("rep").as("doc_a")), Seq("doc_a"))
+      .unionByName(
+        all.join(batchReps.select(col("rep").as("doc_b")), Seq("doc_b"))
+          .select(all.columns.map(col): _*))
+      .distinct()
+  }
+
   // --- q_winnow_matches_indexed: the persisted lane on the oracle gate --
   private def indexDirFor(dir: String): String = {
     val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "winnow-v1"))

@@ -138,6 +138,23 @@ class WinnowIndexSpec extends AnyFunSuite {
     assert(epochs === before)
   }
 
+  test("matchBatch reports exactly the full pairs touching the batch") {
+    val dir = tmpDir("graft-winnow-incr")
+    WinnowIndex.buildIndex(spark, docsDf(initial), dir)
+    val got = collectMatches(
+      WinnowIndex.matchBatch(spark, dir, docsDf(appended)))
+    // full-recompute reference, restricted to pairs touching a batch rep
+    val full = tmpDir("graft-winnow-incr-full")
+    WinnowIndex.buildIndex(spark, docsDf(initial ++ appended), full)
+    val fullAll = collectMatches(WinnowIndex.matchesFromIndex(spark, full))
+    // batch reps after min-merge: 301 (straddleNew), 5 (repNew's text)
+    val expected = fullAll.filter(m => Set(m._1, m._2).exists(Set(301L, 5L)))
+    assert(got === expected)
+    // the straddle pair and the re-repped pair, and nothing resident-only
+    assert(got.map(m => (m._1, m._2)) === Set((300L, 301L), (5L, 500L)))
+    assert(!got.exists(m => m._1 === 200L), "resident-resident pair excluded")
+  }
+
   test("compaction preserves reads and collapses to one epoch") {
     val dir = tmpDir("graft-winnow-compact")
     WinnowIndex.buildIndex(spark, docsDf(Seq(straddleOld, repOld, repPartner)), dir)
