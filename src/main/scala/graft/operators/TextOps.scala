@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -893,6 +894,80 @@ object TextOps {
 
   /** Shared with the persisted-model lane ([[LmIndex]]), which trains on
     * and scores the same corpus and so rides this oracle unchanged. */
+  // --- q_ccnet_buckets: perplexity-bucket selection (CCNet head/middle/
+  // tail) — the SELECTION step the bigram-LM score feeds in the CCNet
+  // pipeline (Wenzek et al. 2020): per source, split scored documents
+  // into terciles of LM fit. The scale-correct formulation: tercile
+  // CUTOFF VALUES come from the deterministic bottom-k uniform sample
+  // (the q_quantile_sketch move — CCNet itself thresholds on sampled
+  // perplexity percentiles), so thresholds are a bounded per-source
+  // computation (WindowGroupLimit keeps k per task) and the assignment is
+  // a map-only broadcast comparison — never a full per-source rank sort,
+  // which would funnel each source through one reducer at 100 TB.
+  // Determinism: fit_score is one double division of exact BIGINT sums
+  // (bit-identical in both engines, already hash-gated by q_lm_bigram);
+  // thresholds are sampled order statistics at the integer ceil-ranks;
+  // ties at a cutoff bucket by value comparison, identical both sides.
+  private val CcK = 64
+
+  private def qCcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val P = 1000000007L
+    val scored = qLmBigram(spark, dir).select(col("doc_id"), col("fit_score"))
+      .join(table(spark, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id")
+      .withColumn("h", ((col("doc_id") % P) * 48271L + 11L) % P)
+    val wS = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    val sample = scored.withColumn("r", row_number().over(wS)).filter(col("r") <= CcK)
+    val m = sample.groupBy(col("source")).agg(count(lit(1)).as("m"))
+    val wV = Window.partitionBy(col("source"))
+      .orderBy(col("fit_score").desc, col("h"), col("doc_id"))
+    val cuts = sample.withColumn("rv", row_number().over(wV))
+      .join(broadcast(m), Seq("source"))
+      .groupBy(col("source"))
+      .agg(
+        max(when(col("rv") === expr("(m + 2) div 3"), col("fit_score"))).as("t1"),
+        max(when(col("rv") === expr("(2 * m + 2) div 3"), col("fit_score"))).as("t2"))
+    scored.join(broadcast(cuts), Seq("source"))
+      .select(col("doc_id"), col("source"),
+        when(col("fit_score") >= col("t1"), "head")
+          .when(col("fit_score") >= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  private val qCcnetBucketsSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       |bg AS (
+       |  SELECT doc_id, w[g] || ' ' || w[g + 1] AS b, w[g] AS w1
+       |  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS i(g)),
+       |cnt2 AS (SELECT b, count(*) AS c12 FROM bg GROUP BY b),
+       |cnt1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+       |lm AS (
+       |  SELECT doc_id, sum(c12)::DOUBLE / sum(c1) AS fit_score
+       |  FROM bg JOIN cnt2 USING (b) JOIN cnt1 USING (w1)
+       |  GROUP BY doc_id),
+       |sc AS (
+       |  SELECT d.doc_id, d.source, lm.fit_score,
+       |    ((d.doc_id % 1000000007) * 48271 + 11) % 1000000007 AS h
+       |  FROM documents d JOIN lm USING (doc_id)),
+       |r AS (SELECT *, ROW_NUMBER() OVER (
+       |        PARTITION BY source ORDER BY h, doc_id) AS r FROM sc),
+       |s AS (SELECT * FROM r WHERE r <= $CcK),
+       |m AS (SELECT source, COUNT(*) AS m FROM s GROUP BY 1),
+       |rv AS (SELECT source, fit_score, ROW_NUMBER() OVER (
+       |         PARTITION BY source ORDER BY fit_score DESC, h, doc_id) AS rv
+       |       FROM s),
+       |cuts AS (
+       |  SELECT source,
+       |    MAX(CASE WHEN rv = (m + 2) // 3 THEN fit_score END) AS t1,
+       |    MAX(CASE WHEN rv = (2 * m + 2) // 3 THEN fit_score END) AS t2
+       |  FROM rv JOIN m USING (source) GROUP BY source)
+       |SELECT sc.doc_id, sc.source,
+       |  CASE WHEN sc.fit_score >= cuts.t1 THEN 'head'
+       |       WHEN sc.fit_score >= cuts.t2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM sc JOIN cuts USING (source)""".stripMargin
+
   private[operators] def qLmBigramOracle: String = qLmBigramSql
 
   private val qLmBigramSql =
@@ -915,6 +990,7 @@ object TextOps {
   def queries: Seq[QueryDef] = Seq(
     QueryDef("q_redact", qRedact, Some(qRedactSql)),
     QueryDef("q_lm_bigram", qLmBigram, Some(qLmBigramSql)),
+    QueryDef("q_ccnet_buckets", qCcnetBuckets, Some(qCcnetBucketsSql)),
     QueryDef("q_dup_by_source", qDupBySource, Some(qDupBySourceSql)),
     QueryDef("q_mixture_rebalance", qMixtureRebalance, Some(qMixtureRebalanceSql)),
     QueryDef("q_weighted_sample", qWeightedSample, Some(qWeightedSampleSql)),

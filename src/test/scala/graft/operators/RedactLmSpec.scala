@@ -89,4 +89,28 @@ class RedactLmSpec extends AnyFunSuite {
     // a one-token doc has no bigrams and is excluded in both engines
     assert(!got.contains(4L))
   }
+
+  test("q_ccnet_buckets: value-monotone tercile partition of the scored set") {
+    val dir = "/root/testdata/sf0.001"
+    val buckets = QueryRegistry.byName("q_ccnet_buckets").run(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("source"), r.getAs[String]("bucket"))).toMap
+    val scores = QueryRegistry.byName("q_lm_bigram").run(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("fit_score")).toMap
+    // exactly the scored (≥2-token) docs are bucketed
+    assert(buckets.keySet === scores.keySet)
+    val order = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    assert(buckets.values.map(_._2).toSet.subsetOf(order.keySet))
+    assert(buckets.values.map(_._2).toSet.size === 3, "all three buckets occur")
+    // within a source, buckets are a value-monotone partition: a doc in a
+    // better bucket never has a lower fit score than one in a worse bucket
+    buckets.groupBy(_._2._1).foreach { case (_, docs) =>
+      val byBucket = docs.toSeq.groupBy(_._2._2)
+        .map { case (b, ds) => b -> ds.map(d => scores(d._1)) }
+      for {
+        (b1, v1) <- byBucket; (b2, v2) <- byBucket
+        if order(b1) < order(b2)
+      } assert(v1.min >= v2.max, s"$b1 vs $b2 not monotone")
+    }
+  }
 }
