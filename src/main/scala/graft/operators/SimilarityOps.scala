@@ -65,6 +65,61 @@ object SimilarityOps {
        |  FROM scored) t
        |WHERE rank <= $K""".stripMargin
 
+  // --- q_ann_mrr: retrieval-quality eval — MRR of same-label neighbors ---
+  // The second standard retrieval metric beside recall@k (q_ann_recall*):
+  // mean reciprocal rank of the FIRST same-label neighbor in the exact
+  // top-K, fixed-point ppm (1e6 div rank — integer arithmetic end to
+  // end, so the whole eval hash-gates). Queries missing a label match in
+  // the top-K contribute 0, the standard MRR@k convention. The label
+  // joins touch only the queries×K top-k rows, never corpus×corpus.
+  private def qAnnMrr(spark: SparkSession, dir: String): DataFrame = {
+    val labels = table(spark, dir, "embeddings").select(col("vec_id"), col("label"))
+    val topk = qBruteTopK(spark, dir)
+    val hits = topk
+      .join(labels.select(col("vec_id").as("query_id"), col("label").as("qlabel")),
+        "query_id")
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("label").as("nlabel")),
+        "neighbor_id")
+      .filter(col("qlabel") === col("nlabel"))
+      .groupBy(col("query_id")).agg(min(col("rank")).as("first_hit"))
+    topk.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(when(col("first_hit").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        sum(coalesce(expr("1000000 div first_hit"), lit(0L))).as("sum_rr_ppm"))
+      .withColumn("mrr_ppm", expr("sum_rr_ppm div n_queries"))
+  }
+
+  private val qAnnMrrSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_reduce(list_prepend(0.0, [x*x FOR x IN embedding::DOUBLE[]]), (a,x) -> a+x)) AS norm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(0.0, [q.v[i]*e.v[i] FOR i IN range(1, 65)]), (acc,x) -> acc+x)
+       |      / (q.norm * e.norm) AS cosine
+       |  FROM e q JOIN e ON e.vec_id != q.vec_id
+       |  WHERE q.vec_id < $NumQueries),
+       |topk AS (SELECT * FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |    FROM scored) t
+       |  WHERE rank <= $K),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |hits AS (
+       |  SELECT t.query_id, MIN(t.rank) AS first_hit
+       |  FROM topk t JOIN lab q ON q.vec_id = t.query_id
+       |  JOIN lab n ON n.vec_id = t.neighbor_id
+       |  WHERE q.label = n.label GROUP BY 1),
+       |nq AS (SELECT DISTINCT query_id FROM topk)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       |  CAST(SUM(CASE WHEN h.first_hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST(SUM(COALESCE(1000000 // h.first_hit, 0)) AS BIGINT) AS sum_rr_ppm,
+       |  CAST(SUM(COALESCE(1000000 // h.first_hit, 0)) AS BIGINT) // COUNT(*) AS mrr_ppm
+       |FROM nq LEFT JOIN hits h USING (query_id)""".stripMargin
+
   // --- q_ann_lsh: banded random-hyperplane LSH ---------------------------
   // Deterministic hyperplanes (component i of plane p ∈ {-1,+1} from
   // XXH64.hashLong(p*64+i) — no stored model), grouped into `bands` bands
@@ -1167,6 +1222,7 @@ object SimilarityOps {
     QueryDef("q_ann_pq", qAnnPq, Some(qAnnPqOracle)),
     QueryDef("q_ivf_learned_cells", qIvfLearnedCells, Some(qIvfLearnedCellsSql)),
     QueryDef("q_ann_recall", qAnnRecall, None),
+    QueryDef("q_ann_mrr", qAnnMrr, Some(qAnnMrrSql)),
     QueryDef("q_ann_recall_portable", qAnnRecallPortable, Some(qAnnRecallPortableSql)),
     QueryDef("q_diversity_sample", qDiversitySample, Some(qDiversitySampleSql)),
     QueryDef("q_quantize", qQuantize, Some(qQuantizeSql)),
