@@ -355,4 +355,34 @@ class NativeVsComposedSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("poly gram hashes: property — native == composed on random docs") {
+    import org.apache.spark.sql.types.LongType
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val P = PolyMinHash.P
+    val token = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("ä", "日本", "é!", "", "x"))
+    val doc = Gen.chooseNum(0, 14).flatMap(n => Gen.listOfN(n, token))
+      .map(_.mkString(" "))
+    val prop = Prop.forAll(Gen.listOfN(8, doc)) { texts: List[String] =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def charFold(t: org.apache.spark.sql.Column, base: Int) =
+        aggregate(transform(split(t, ""), c => ascii(c).cast(LongType)),
+          lit(0L), (a, c) => (a * base + c) % P)
+      val toks = split(trim(col("text")), " ")
+      val h = transform(toks, t => charFold(t, 31))
+      val composed = when(size(toks) >= 8,
+        transform(sequence(lit(1), size(toks) - 7),
+          j => aggregate(slice(h, j, lit(8)), lit(0L),
+            (a, x) => (a * 31 + x) % P)))
+      docs.select(
+        col("doc_id"),
+        PolyGramHashes.gramHashes(col("text"), 8, 31, 31).as("native"),
+        composed.as("composed"))
+        .collect().forall(r => r.get(1) === r.get(2))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
