@@ -130,7 +130,7 @@ object WinnowOps {
     * (distinct text, distinct selected gram hash). The inline match lane
     * consumes this directly; [[WinnowIndex]] persists exactly these rows
     * per epoch (rep min-merged, rows deduplicated at read). */
-  private[operators] def fpRows(docs: DataFrame): DataFrame = {
+  private[graft] def fpRows(docs: DataFrame): DataFrame = {
     val distinctFps = selectedGrams(docs)
       .select(col("tid"), col("rep"), col("gh")).distinct()
     distinctFps
@@ -143,7 +143,7 @@ object WinnowOps {
     * pair texts sharing ≥ MinShared fingerprints. Shared by the inline
     * and persisted-index lanes so both are the same algorithm by
     * construction. */
-  private[operators] def matchesFrom(fps: DataFrame): DataFrame = {
+  private[graft] def matchesFrom(fps: DataFrame): DataFrame = {
     val dfok = fps.groupBy(col("gh")).agg(count(lit(1)).as("n_texts"))
       .filter(col("n_texts") <= DfCap)
       .select(col("gh"))

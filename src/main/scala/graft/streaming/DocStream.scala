@@ -520,6 +520,60 @@ object DocStream {
     ()
   }
 
+  /** Streaming MOSS matching: each micro-batch is first MATCHED against
+    * the resident fingerprint store ([[graft.operators.WinnowIndex
+    * .matchBatch]] — batch×resident and batch×batch pairs only, df-cap on
+    * the union), the pairs are appended to `matchesDir` as one epoch per
+    * trigger, and only then is the batch folded into the store — so a
+    * later near-copy of any earlier streamed doc is caught when IT
+    * arrives, and no pair is ever reported twice (resident×resident pairs
+    * are never re-derived). Replay safety: the resident-ledger anti-join
+    * empties a replayed batch, so neither pairs nor an epoch are written.
+    * Cap timing: the df-cap is evaluated on the union AS OF each report —
+    * a fingerprint that crosses the cap later cannot un-report earlier
+    * pairs (eager-report semantics; the one-shot recomputation is the
+    * stricter-cap reference), while pair MEMBERSHIP itself is
+    * time-independent because selection is a pure per-text function. */
+  def winnowMatchStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      indexDir: String,
+      matchesDir: String): StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processWinnowMatchBatch(spark, indexDir, matchesDir, batch)
+      }
+      .start()
+
+  /** One micro-batch of [[winnowMatchStream]]. */
+  private[graft] def processWinnowMatchBatch(
+      spark: SparkSession, indexDir: String, matchesDir: String,
+      batch: DataFrame): Unit = {
+    val docs = batch.select(col("doc_id"), col("text")).distinct()
+    val fps = new org.apache.hadoop.fs.Path(s"$indexDir/fps.parquet")
+    val fs = fps.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(fps)) {
+      if (!docs.isEmpty) {
+        // first batch: no resident side — batch×batch pairs only
+        graft.operators.WinnowIndex.buildIndex(spark, docs, indexDir)
+        graft.operators.WinnowOps
+          .matchesFrom(graft.operators.WinnowOps.fpRows(docs).drop("tid"))
+          .write.mode("append").parquet(matchesDir)
+      }
+    } else {
+      val resident = graft.operators.WinnowIndex.residentDocIds(spark, indexDir)
+      val fresh = docs.join(resident, Seq("doc_id"), "left_anti").persist()
+      try {
+        if (!fresh.isEmpty) {
+          graft.operators.WinnowIndex.matchBatch(spark, indexDir, fresh)
+            .write.mode("append").parquet(matchesDir)
+          graft.operators.WinnowIndex.appendToIndex(spark, indexDir, fresh)
+        }
+      } finally fresh.unpersist()
+    }
+    ()
+  }
+
   /** Streaming maintenance of the persisted winnowed-fingerprint store
     * ([[graft.operators.WinnowIndex]]): every micro-batch winnows its own
     * distinct texts in isolation (selection is a pure per-text function —

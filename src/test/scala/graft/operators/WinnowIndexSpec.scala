@@ -155,6 +155,30 @@ class WinnowIndexSpec extends AnyFunSuite {
     assert(!got.exists(m => m._1 === 200L), "resident-resident pair excluded")
   }
 
+  test("winnowMatchStream reports each pair once, when its later endpoint arrives") {
+    implicit val sql = spark.sqlContext
+    val indexDir = tmpDir("graft-winnow-mstream") + "/i"
+    val matchesDir = tmpDir("graft-winnow-mstream") + "/m"
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStream.winnowMatchStream(
+      spark, input.toDF().toDF("doc_id", "text"), indexDir, matchesDir)
+    try {
+      input.addData(survivors(0), straddleOld) // no pairs yet
+      q.processAllAvailable()
+      input.addData(survivors(1), survivors(0)) // re-delivery ignored
+      q.processAllAvailable()
+      input.addData(straddleNew, repOld, repPartner) // cross-batch + in-batch
+      q.processAllAvailable()
+    } finally q.stop()
+    val reported = collectMatches(spark.read.parquet(matchesDir))
+    assert(reported.map(m => (m._1, m._2)) ===
+      Set((200L, 201L), (300L, 301L), (400L, 500L)))
+    // cumulative eager log == the one-shot report on the final store here
+    // (no cap crossing in this fixture)
+    assert(reported === collectMatches(WinnowIndex.matchesFromIndex(spark, indexDir)))
+  }
+
   test("compaction preserves reads and collapses to one epoch") {
     val dir = tmpDir("graft-winnow-compact")
     WinnowIndex.buildIndex(spark, docsDf(Seq(straddleOld, repOld, repPartner)), dir)
