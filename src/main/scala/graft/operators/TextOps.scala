@@ -61,6 +61,56 @@ object TextOps {
        |      / len(string_split(trim(text), ' '))) AS quality_score
        |FROM documents""".stripMargin
 
+  // --- q_char_diversity: integer-exact low-entropy proxies ---------------
+  // The C4/Gopher-family "gibberish and keyboard-mash" signals without the
+  // cross-engine hazard of a float entropy (Σ p·ln p differs in final
+  // ulps between libm implementations): distinct-character count and the
+  // top character's permille share — a near-constant doc ("aaaa…") shows
+  // top_char_permille → 1000, low n_distinct_chars. Dedup-first
+  // wordcount-at-char-granularity shape: chars explode once per DISTINCT
+  // text, the count shuffle carries (text-hash, one char); per-doc rows
+  // attach through the narrow tid join.
+  private def qCharDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    val perText = d.select(col("text")).distinct()
+      .filter(length(col("text")) > 0)
+      .select(xxhash64(col("text")).as("tid"),
+        explode(split(col("text"), "")).as("c"))
+      .groupBy(col("tid"), col("c")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("tid"))
+      .agg(sum(col("cnt")).as("n_chars_total"),
+        count(lit(1)).as("n_distinct_chars"),
+        max(col("cnt")).as("top_char_count"))
+      .withColumn("top_char_permille",
+        expr("(top_char_count * 1000) div n_chars_total"))
+    d.select(col("doc_id"), xxhash64(col("text")).as("tid"))
+      .join(perText, Seq("tid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chars_total"), lit(0L)).as("n_chars_total"),
+        coalesce(col("n_distinct_chars"), lit(0L)).as("n_distinct_chars"),
+        coalesce(col("top_char_count"), lit(0L)).as("top_char_count"),
+        coalesce(col("top_char_permille"), lit(0L)).as("top_char_permille"))
+  }
+
+  private val qCharDiversitySql =
+    """WITH cc AS (
+      |  SELECT text, substring(text, i, 1) AS c
+      |  FROM (SELECT DISTINCT text FROM documents WHERE length(text) > 0) t,
+      |       UNNEST(range(1, length(text) + 1)) AS r(i)),
+      |pc AS (SELECT text, c, COUNT(*) AS cnt FROM cc GROUP BY 1, 2),
+      |pt AS (
+      |  SELECT text,
+      |    CAST(SUM(cnt) AS BIGINT) AS n_chars_total,
+      |    CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+      |    CAST(MAX(cnt) AS BIGINT) AS top_char_count
+      |  FROM pc GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(pt.n_chars_total, 0) AS n_chars_total,
+      |  COALESCE(pt.n_distinct_chars, 0) AS n_distinct_chars,
+      |  COALESCE(pt.top_char_count, 0) AS top_char_count,
+      |  COALESCE((pt.top_char_count * 1000) // pt.n_chars_total, 0) AS top_char_permille
+      |FROM documents d LEFT JOIN pt USING (text)""".stripMargin
+
   // --- q_lang_id: marker-token language heuristic ------------------------
   // Counts per-language function-word markers over the token list; argmax
   // with fixed priority tie-break (en > de > fr > es). The synthetic corpus
@@ -1005,6 +1055,7 @@ object TextOps {
     QueryDef("q_curation", qCuration, Some(qCurationSql)),
     QueryDef("q_top_terms", qTopTerms, Some(qTopTermsSql)),
     QueryDef("q_text_stats", qTextStats, Some(qTextStatsSql), headline = true),
+    QueryDef("q_char_diversity", qCharDiversity, Some(qCharDiversitySql)),
     QueryDef("q_lang_id", qLangId, Some(qLangIdSql)),
     QueryDef("q_fingerprint", qFingerprint, Some(qFingerprintSql)),
     QueryDef("q_train_split", qTrainSplit, Some(qTrainSplitSql)))
