@@ -90,6 +90,27 @@ class RedactLmSpec extends AnyFunSuite {
     assert(!got.contains(4L))
   }
 
+  test("q_char_diversity: hand-computed counts, mash detection, empty doc") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-chardiv").toString
+    Seq(
+      (1L, "aaaa aaa"),   // 8 chars: a×7, space×1 → top 875 permille
+      (2L, "abc"),        // 3 distinct, top 333
+      (3L, ""),           // empty → all zeros
+      (4L, "aaaa aaa"))   // exact copy of 1 (dedup-first path)
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = QueryRegistry.byName("q_char_diversity").run(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chars_total"), r.getAs[Long]("n_distinct_chars"),
+          r.getAs[Long]("top_char_count"), r.getAs[Long]("top_char_permille"))).toMap
+    assert(got(1L) === ((8L, 2L, 7L, 875L)))
+    assert(got(2L) === ((3L, 3L, 1L, 333L)))
+    assert(got(3L) === ((0L, 0L, 0L, 0L)))
+    assert(got(4L) === got(1L))
+  }
+
   test("q_ccnet_buckets: value-monotone tercile partition of the scored set") {
     val dir = "/root/testdata/sf0.001"
     val buckets = QueryRegistry.byName("q_ccnet_buckets").run(spark, dir)
