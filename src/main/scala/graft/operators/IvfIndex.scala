@@ -54,7 +54,7 @@ import org.apache.spark.sql.types._
   * vector index.
   */
 object IvfIndex {
-  import SimilarityOps.{IvfNProbe, K, NumQueries, assignExpr}
+  import SimilarityOps.{K, NumQueries, assignExpr}
   import Tables.table
 
   /** Build-time vs appended assignment tightness (mean squared L2 to the
@@ -104,10 +104,10 @@ object IvfIndex {
       tmp => rows.write.partitionBy("cluster").mode("overwrite").parquet(tmp.toString)
     }
     // assignment tightness of THIS batch vs the frozen centroids — one
-    // aggregate on the same pass's data, O(1) output
-    val centArr = cents.sortBy(_._1)
-    val cvOf = map(centArr.flatMap { case (id, cv) =>
-      Seq(lit(id), array(cv.map(lit): _*)) }: _*)
+    // aggregate on the same pass's data, O(1) output. ONE MapType literal
+    // (k×64 doubles as a value): at production cell counts a per-entry
+    // map(...) literal would be k×65 expression nodes
+    val cvOf = typedlit(cents.map { case (id, cv) => id -> cv }.toMap)
     val statsDf = assigned(batch, cents)
       .select(SimilarityOps.dist2(col("v"), element_at(cvOf, col("cl"))).as("d2"))
       .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2"))
@@ -135,12 +135,17 @@ object IvfIndex {
     writeEpoch(spark, indexDir, 0, cents, corpus)
   }
 
-  /** Train on `dir`'s embeddings (the [[SimilarityOps.learnedCentRows]]
-    * Lloyd loop) and build the index from the same corpus. Also the
-    * RETRAIN path: rebuilding re-learns centroids on the grown corpus. */
+  /** Train on `dir`'s embeddings and build the index from the same
+    * corpus. Geometry is corpus-size-dispatched
+    * ([[SimilarityOps.centRowsAuto]]): the oracle-pinned k=10 label-cell
+    * Lloyd loop below [[SimilarityOps.IvfScaleThreshold]] vectors, √N
+    * hash-init cells (FAISS IVFADC convention) above it. Also the
+    * RETRAIN path: rebuilding re-learns centroids on the grown corpus —
+    * and re-picks k, so a corpus that grew past the threshold gets the
+    * production geometry on retrain. */
   def buildFromCorpus(spark: SparkSession, dir: String, indexDir: String): Unit =
     buildIndex(spark, indexDir,
-      SimilarityOps.learnedCentRows(spark, dir), table(spark, dir, "embeddings"))
+      SimilarityOps.centRowsAuto(spark, dir), table(spark, dir, "embeddings"))
 
   private def readCentroids(
       spark: SparkSession, indexDir: String): Seq[(Long, Seq[Double])] =
@@ -255,9 +260,13 @@ object IvfIndex {
     * serve-time input vectors a production caller would pass directly. */
   def topKIndexed(
       spark: SparkSession, indexDir: String,
-      nprobe: Int = IvfNProbe): DataFrame = {
+      nprobe: Int = 0): DataFrame = {
     import spark.implicits._
     val cents = readCentroids(spark, indexDir)
+    // nprobe ≤ 0 = auto: derived from the PERSISTED cell count, so the
+    // probed fraction tracks whatever geometry built this index (4 of 10
+    // at the gate SFs, ~k/32 of √N at production sizes)
+    val np = if (nprobe > 0) nprobe else SimilarityOps.autoNProbe(cents.size)
     val cellsDir = s"$indexDir/cells.parquet"
     val qRows = spark.read.parquet(cellsDir)
       .filter(col("vec_id") < NumQueries)
@@ -266,7 +275,7 @@ object IvfIndex {
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .toSeq.sortBy(_._1).distinct // double-append safe: queries are value-identical dups
     val probes = qRows.flatMap { case (qid, qv, qnorm) =>
-      probeCells(cents, qv, nprobe).map(c => (qid, qv, qnorm, c))
+      probeCells(cents, qv, np).map(c => (qid, qv, qnorm, c))
     }
     val probesDf = probes.toDF("query_id", "qv", "qnorm", "cl")
     // explicit probed-directory paths: union of probed cells × epochs,
@@ -304,7 +313,9 @@ object IvfIndex {
   // repeat runs (the production cadence) pay only the probe phase. Output
   // is row-identical to q_ann_ivf_learned, so it shares that oracle.
   private def indexDirFor(dir: String): String = {
-    val key = IndexStamp.dirKey(IndexStamp.identity(dir, "embeddings.parquet", "ivf-v1"))
+    // v2: corpus-size-dispatched geometry (√N cells above the scale
+    // threshold) — the key bump invalidates any v1 fixed-k=10 store
+    val key = IndexStamp.dirKey(IndexStamp.identity(dir, "embeddings.parquet", "ivf-v2"))
     s"${System.getProperty("java.io.tmpdir")}/graft-ivf-index-$key"
   }
 
@@ -325,9 +336,10 @@ object IvfIndex {
     * ADC codes instead). */
   private[operators] def probedMembers(
       spark: SparkSession, indexDir: String,
-      nprobe: Int = IvfNProbe): (DataFrame, DataFrame) = {
+      nprobe: Int = 0): (DataFrame, DataFrame) = {
     import spark.implicits._
     val cents = readCentroids(spark, indexDir)
+    val np = if (nprobe > 0) nprobe else SimilarityOps.autoNProbe(cents.size)
     val cellsDir = s"$indexDir/cells.parquet"
     val qRows = spark.read.parquet(cellsDir)
       .filter(col("vec_id") < NumQueries)
@@ -336,7 +348,7 @@ object IvfIndex {
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .toSeq.sortBy(_._1).distinct
     val probes = qRows.flatMap { case (qid, qv) =>
-      probeCells(cents, qv, nprobe).map(c => (qid, c))
+      probeCells(cents, qv, np).map(c => (qid, c))
     }
     val probesDf = probes.toDF("query_id", "cluster")
     val f = fs(spark, indexDir)

@@ -664,8 +664,17 @@ object SimilarityOps {
     * oracle are unchanged by that swap. */
   private[operators] def assignExpr(cents: Seq[(Long, Seq[Double])], v: Column): Column = {
     val sorted = cents.sortBy(_._1)
-    val centArr = array(sorted.map { case (_, cv) => array(cv.map(lit): _*) }: _*)
-    val clusterArr = array(sorted.map(c => lit(c._1)): _*)
+    val (centArr, clusterArr) =
+      if (sorted.size <= 64)
+        (array(sorted.map { case (_, cv) => array(cv.map(lit): _*) }: _*),
+          array(sorted.map(c => lit(c._1)): _*))
+      else
+        // production cell counts (the √N geometry below): ONE ArrayType
+        // literal holding k×64 doubles as a VALUE, not k×64 expression
+        // nodes — the codegen tree stays O(1) in k while the arithmetic
+        // (same dist2 fold, same first-minimum position on the same
+        // cluster-id-sorted order) is value-identical to the small-k form
+        (typedlit(sorted.map(_._2)), typedlit(sorted.map(_._1)))
     val dists = transform(centArr, cv => dist2(v, cv))
     element_at(clusterArr, array_position(dists, array_min(dists)).cast("int"))
   }
@@ -716,6 +725,82 @@ object SimilarityOps {
       e.unpersist()
       rows
     })
+
+  // --- Production IVF geometry (round 8) ---------------------------------
+  // The oracle-pinned quantizer above uses k=10 label-init cells — the
+  // shape the gate's unrolled-CTE oracle can express. At production corpus
+  // sizes that geometry probes 40% of the data and the IVFADC composition
+  // ([[IvfPq]]) shows no advantage over a flat code scan (PERF.md round 7).
+  // Above [[IvfScaleThreshold]] vectors the persisted index switches to
+  // the FAISS IVFADC convention (Jégou et al. 2011): k ≈ √N cells, trained
+  // on a deterministic hash-sample of ≤64·k vectors (the FAISS
+  // points-per-centroid training cap), nprobe ≈ k/32 — a ~3% probed
+  // fraction at sf10's 200k vectors (k=448, nprobe=14). Gate SFs (500–2k
+  // vectors) sit below the threshold, so every oracle-checked lane keeps
+  // its bit-pinned k=10 training unchanged.
+
+  /** Below this corpus size the persisted IVF keeps the oracle's k=10
+    * label-cell geometry; at or above it, √N hash-init cells. */
+  private[graft] val IvfScaleThreshold = 10000L
+
+  private[graft] def autoCellCount(n: Long): Int =
+    math.ceil(math.sqrt(n.toDouble)).toInt
+
+  /** nprobe for a k-cell geometry: the oracle's fixed 4 at gate cell
+    * counts; ~k/32 clamped to [10, 32] at production counts (k=448 → 14,
+    * a 3.1% probed fraction). */
+  private[graft] def autoNProbe(k: Int): Int =
+    if (k <= 16) IvfNProbe else math.min(32, math.max(10, k / 32))
+
+  private val scaledCentCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[(Long, Seq[Double])]]
+
+  /** √N-cell quantizer training: hash-partition init (label cells don't
+    * exist at production cell counts), the SAME Lloyd k-medians
+    * re-estimation and argmin-L2 assignment arithmetic as
+    * [[learnedCentRows]], fewer rounds (each cell is ~√N vectors, so the
+    * assignment stabilizes in a handful of passes), and a deterministic
+    * hash-sample of ≤64·k training vectors so training cost is O(k²·64)
+    * per round regardless of corpus size — the full corpus is touched
+    * only by the one final assignment pass the index build does anyway.
+    * Memoized per (corpus identity, k), the [[learnedCentRows]]
+    * discipline. */
+  private[graft] def scaledCentRows(
+      spark: SparkSession, dir: String, k: Int,
+      iters: Int = 4): Seq[(Long, Seq[Double])] =
+    scaledCentCache.getOrElseUpdate((embStamp(dir), k), {
+      val eAll = table(spark, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      val n = eAll.count()
+      val cap = 64L * k
+      val e = (if (n > cap)
+        eAll.filter(pmod(xxhash64(col("vec_id")), lit(math.max(1L, n / cap))) === 0)
+      else eAll).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var assigned = e.withColumn("cluster", pmod(xxhash64(col("vec_id")), lit(k.toLong)))
+      var rows: Seq[(Long, Seq[Double])] = Seq.empty
+      var t = 0
+      while (t < iters) {
+        rows = centroids(assigned, "cluster").collect().map(r =>
+          (r.get(0).asInstanceOf[Number].longValue, r.getSeq[Double](1))).toSeq
+        assigned = e.select(col("vec_id"), col("v"),
+          assignExpr(rows, col("v")).as("cluster"))
+        t += 1
+      }
+      e.unpersist()
+      rows
+    })
+
+  /** Geometry dispatch for the persisted index family: oracle-pinned k=10
+    * label-cell training below [[IvfScaleThreshold]] vectors (the gate
+    * SFs), √N hash-init cells at or above it (the stress/production
+    * SFs). */
+  private[graft] def centRowsAuto(
+      spark: SparkSession, dir: String): Seq[(Long, Seq[Double])] = {
+    val n = table(spark, dir, "embeddings").count()
+    if (n < IvfScaleThreshold) learnedCentRows(spark, dir)
+    else scaledCentRows(spark, dir, autoCellCount(n))
+  }
 
   /** (centroid table, final cell assignment) over the trained quantizer. */
   private[graft] def learnedIvf(

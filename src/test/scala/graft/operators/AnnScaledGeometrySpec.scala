@@ -1,0 +1,105 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.{SparkTestSession, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Production IVF geometry (round 8): above
+  * [[SimilarityOps.IvfScaleThreshold]] vectors the persisted index trains
+  * √N hash-init cells probed at nprobe ≈ k/32 (the FAISS IVFADC
+  * convention, Jégou et al. 2011) instead of the oracle-pinned k=10
+  * label cells.
+  *
+  * The fixture is a 12k-vector corpus built from 6 deterministically
+  * JITTERED copies of sf0.1's 2000 embeddings — every vector is globally
+  * distinct, so recall is measured against genuine near-neighbors, not
+  * inflated by verbatim duplicates (the honest version of the stress
+  * corpora's replication).
+  */
+class AnnScaledGeometrySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val NCopies = 6
+  private lazy val corpusDir: String = {
+    val out = Files.createTempDirectory("graft-ann-scaled").toString
+    val base = Tables.table(spark, "/root/testdata/sf0.1", "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"),
+        col("label"))
+    // copy 0 verbatim; copies 1..5 perturb every component by a
+    // hash-derived uniform in ±0.04 — a pure function of (vec_id,
+    // component), so the corpus is exactly reproducible
+    val copies = (0 until NCopies).map { i =>
+      val shifted = base.withColumn("vec_id", col("vec_id") + lit(i * 10000L))
+      if (i == 0) shifted
+      else shifted.withColumn("v", transform(col("v"), (x, j) =>
+        x + (pmod(xxhash64(col("vec_id") * lit(97L) + j.cast("long")), lit(1000L))
+          .cast("double") / 1000.0 - 0.5) * 0.08))
+    }.reduce(_.unionByName(_))
+    copies
+      .select(col("vec_id"), col("v").cast("array<float>").as("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    out
+  }
+
+  private lazy val n: Long =
+    Tables.table(spark, corpusDir, "embeddings").count()
+
+  private lazy val indexDir: String = {
+    val d = Files.createTempDirectory("graft-ann-scaled-idx").toString + "/idx"
+    IvfIndex.buildFromCorpus(spark, corpusDir, d)
+    d
+  }
+
+  private def meanRecall(approx: org.apache.spark.sql.DataFrame): Double =
+    SimilarityOps.recallOf(spark, corpusDir, approx)
+      .agg(avg(col("recall_at_k"))).head().getDouble(0)
+
+  test("geometry dispatch: √N cells above the threshold, k=10 at the gate SFs") {
+    assert(n >= SimilarityOps.IvfScaleThreshold)
+    val k = SimilarityOps.autoCellCount(n)
+    assert(k === math.ceil(math.sqrt(n.toDouble)).toInt)
+    val cents = SimilarityOps.centRowsAuto(spark, corpusDir)
+    // k-medians can empty a few cells; the surviving count must stay √N-shaped
+    assert(cents.size > k / 2 && cents.size <= k)
+    // the gate corpus stays on the oracle-pinned label-cell quantizer
+    val gate = SimilarityOps.centRowsAuto(spark, "/root/testdata/sf0.001")
+    assert(gate === SimilarityOps.learnedCentRows(spark, "/root/testdata/sf0.001"))
+    // production nprobe lands in the 10..32 band, a small probed fraction
+    val np = SimilarityOps.autoNProbe(cents.size)
+    assert(np >= 10 && np <= 32 && np < cents.size / 3)
+  }
+
+  test("scaled persisted IVF: recall@5 >= 0.8 at the auto nprobe") {
+    val r = meanRecall(IvfIndex.topKIndexed(spark, indexDir))
+    assert(r >= 0.8, s"ivf-indexed recall@5 $r")
+  }
+
+  test("probe touches only the probed cells, not the corpus") {
+    val cents = spark.read.parquet(s"$indexDir/centroids.parquet").count()
+    val (probes, members) = IvfIndex.probedMembers(spark, indexDir)
+    val np = SimilarityOps.autoNProbe(cents.toInt)
+    // the pruning contract is PER QUERY: exactly nprobe of k cells (a ~9%
+    // fraction here) — the union over 20 spread-out queries legitimately
+    // covers most cells, so the per-query shape is what's asserted
+    val perQuery = probes.groupBy(col("query_id")).count()
+      .select(col("count")).distinct().collect().map(_.getLong(0)).toSet
+    assert(perQuery === Set(np.toLong), s"per-query probed cells $perQuery != $np")
+    assert(np.toLong < cents / 5, s"probed fraction $np of $cents cells")
+    val probed = probes.select(col("cluster")).distinct().count()
+    assert(probed <= SimilarityOps.NumQueries.toLong * np)
+    // members come only from probed cells
+    assert(members.join(probes.select("cluster").distinct(), Seq("cluster"), "left_anti").isEmpty)
+  }
+
+  test("composed IVF-PQ on the scaled geometry keeps recall@5 >= 0.8") {
+    // ensure the shared IVF store exists at the production geometry, then
+    // run the registered composed lane end-to-end on this corpus
+    val out = graft.QueryRegistry.byName("q_ann_ivfpq_indexed").run(spark, corpusDir)
+    val r = meanRecall(out)
+    assert(r >= 0.8, s"ivfpq-indexed recall@5 $r")
+  }
+}
