@@ -22,8 +22,23 @@ import org.apache.spark.sql.functions._
   * dot-prefixed staging, one rename per table per publish):
   *  - `sample.parquet/epoch=N`: (source, doc_id, n_chars, h) — the
   *    epoch batch's per-source bottom-K sampling rows
-  *  - `counts.parquet/epoch=N`: (source, n_docs) — additive exact counts
+  *  - `counts.parquet/epoch=N`: (source, n_docs, batch_key) — exact
+  *    counts plus a content digest of the counted doc_ids
   *  - `docs.parquet/epoch=N`:   (doc_id) — replay-safe membership ledger
+  *
+  * Crash idempotence: the three renames aren't atomic as a group, and the
+  * docs ledger lands LAST — a foreachBatch retry after a crash between
+  * the sample/counts renames and the docs rename re-appends the same
+  * batch as a duplicate epoch. Both payload merges absorb that: the
+  * sample merge dedupes on (source, doc_id) before re-ranking (a
+  * duplicated row is value-identical — h and n_chars are pure functions
+  * of the doc — so it collapses instead of consuming a bottom-K slot),
+  * and the counts merge dedupes on (source, n_docs, batch_key) before
+  * summing, where batch_key is a commutative xxhash64 digest of the
+  * epoch's doc_ids per source — two epochs carry equal keys iff they
+  * counted the same docs (distinct legitimate batches are doc-disjoint by
+  * the ledger anti-join, so their digests differ), making the additive
+  * merge a set-union like the rest of the family.
   */
 object SketchIndex {
 
@@ -34,7 +49,9 @@ object SketchIndex {
     for ((tab, df) <- Seq(
         "sample.parquet" -> QuantileSketch.bottomK(QuantileSketch.sampleRows(docs)),
         "counts.parquet" -> docs.groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs")),
+          .agg(count(lit(1)).as("n_docs"),
+            // bit_xor: commutative and overflow-free under ANSI mode
+            expr("bit_xor(xxhash64(doc_id))").as("batch_key")),
         "docs.parquet" -> docs.select(col("doc_id")).distinct())) {
       val live = new Path(root, s"$tab/epoch=$epoch")
       val tmp = new Path(root, s"$tab/.epoch-$epoch.tmp")
@@ -72,26 +89,38 @@ object SketchIndex {
   /** Fold all epochs into one — the sample's pruning merge (re-rank the
     * union, keep K) is exactly what every read performs, so reads are
     * identical before and after ([[EpochCompact]] swap safety). */
+  /** The family's read-merges, both idempotent under epoch duplication
+    * (see the crash-idempotence note above). */
+  private def mergeSample(raw: DataFrame): DataFrame =
+    QuantileSketch.bottomK(
+      raw.select(col("source"), col("doc_id"), col("n_chars"), col("h"))
+        .dropDuplicates("source", "doc_id"))
+
+  private def mergeCounts(raw: DataFrame): DataFrame =
+    raw.dropDuplicates("source", "n_docs", "batch_key")
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        expr("bit_xor(batch_key)").as("batch_key"))
+
   def compact(spark: SparkSession, indexDir: String): Unit = {
-    EpochCompact.compactTable(spark, s"$indexDir/sample.parquet",
-      QuantileSketch.bottomK)
-    EpochCompact.compactTable(spark, s"$indexDir/counts.parquet",
-      _.groupBy(col("source")).agg(sum(col("n_docs")).as("n_docs")))
+    EpochCompact.compactTable(spark, s"$indexDir/sample.parquet", mergeSample)
+    EpochCompact.compactTable(spark, s"$indexDir/counts.parquet", mergeCounts)
     EpochCompact.compactTable(spark, s"$indexDir/docs.parquet", _.distinct())
   }
 
   /** Quantile estimates from store files only: re-rank the merged
-    * samples, sum the counts, then the shared estimation arithmetic. */
+    * samples, sum the deduplicated counts, then the shared estimation
+    * arithmetic. */
   def estimatesFromIndex(spark: SparkSession, indexDir: String): DataFrame =
     QuantileSketch.estimateFrom(
-      QuantileSketch.bottomK(spark.read.parquet(s"$indexDir/sample.parquet")
-        .select(col("source"), col("doc_id"), col("n_chars"), col("h"))),
-      spark.read.parquet(s"$indexDir/counts.parquet")
-        .groupBy(col("source")).agg(sum(col("n_docs")).as("n_docs")))
+      mergeSample(spark.read.parquet(s"$indexDir/sample.parquet")),
+      mergeCounts(spark.read.parquet(s"$indexDir/counts.parquet"))
+        .select(col("source"), col("n_docs")))
 
   // --- q_quantile_sketch_indexed: the persisted lane on the oracle gate --
   private def indexDirFor(dir: String): String = {
-    val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "sketch-v1"))
+    // v2: counts carry the batch_key crash-idempotence digest
+    val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "sketch-v2"))
     s"${System.getProperty("java.io.tmpdir")}/graft-sketch-index-$key"
   }
 

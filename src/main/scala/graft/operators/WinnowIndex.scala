@@ -72,6 +72,15 @@ object WinnowIndex {
   def residentDocIds(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/docs.parquet").select(col("doc_id")).distinct()
 
+  /** Text identities already fingerprinted — the match stream's SECOND
+    * anti-join target: a known text re-arriving under a brand-new doc_id
+    * passes the doc_id ledger, but every pair it participates in was
+    * already reported when the text first arrived (and would re-report
+    * under a DIFFERENT rep if the new doc_id min-merged below the
+    * resident one), so the stream drops it at text granularity. */
+  def residentTids(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/fps.parquet").select(col("tid")).distinct()
+
   /** Fold all epochs into one — exactly the merge every read performs
     * ([[EpochCompact]] swap safety). */
   def compact(spark: SparkSession, indexDir: String): Unit = {
@@ -117,7 +126,16 @@ object WinnowIndex {
       .groupBy(col("tid"), col("gh"))
       .agg(min(col("rep")).as("rep"), min(col("nfp")).as("nfp"))
     val batchTids = batchFps.select(col("tid")).distinct()
-    val all = WinnowOps.matchesFrom(union.select(col("rep"), col("nfp"), col("gh")))
+    // df-cap on the FULL merged posting set (a fingerprint crossing the
+    // cap only because of the batch suppresses exactly as a rebuild
+    // would), then narrow pair generation to grams the BATCH carries:
+    // every pair with a batch endpoint shares only batch grams, so
+    // reported pairs and their n_shared are unchanged — but the self-join
+    // never generates resident×resident rows over batch-free grams, so
+    // per-batch compute scales with the batch, not the resident corpus
+    val capped = WinnowOps.dfCapped(union.select(col("rep"), col("nfp"), col("gh")))
+    val batchGhs = batchFps.select(col("gh")).distinct()
+    val all = WinnowOps.pairsFrom(capped.join(batchGhs, Seq("gh"), "left_semi"))
     // restrict to pairs touching a batch text: resolve batch reps through
     // the same min-merge (a batch text may resolve to a resident rep)
     val batchReps = union.join(batchTids, Seq("tid"))

@@ -143,11 +143,22 @@ object WinnowOps {
     * pair texts sharing ≥ MinShared fingerprints. Shared by the inline
     * and persisted-index lanes so both are the same algorithm by
     * construction. */
-  private[graft] def matchesFrom(fps: DataFrame): DataFrame = {
+  private[graft] def matchesFrom(fps: DataFrame): DataFrame =
+    pairsFrom(dfCapped(fps))
+
+  /** The df-cap half of [[matchesFrom]]: suppress fingerprints shared by
+    * more than DfCap texts. Split out so the incremental lane
+    * ([[WinnowIndex.matchBatch]]) can cap on the FULL merged posting set
+    * and then narrow the pair generation to batch-relevant grams. */
+  private[graft] def dfCapped(fps: DataFrame): DataFrame = {
     val dfok = fps.groupBy(col("gh")).agg(count(lit(1)).as("n_texts"))
       .filter(col("n_texts") <= DfCap)
       .select(col("gh"))
-    val capped = fps.join(dfok, Seq("gh"))
+    fps.join(dfok, Seq("gh"))
+  }
+
+  /** The pair half of [[matchesFrom]], over already-capped postings. */
+  private[graft] def pairsFrom(capped: DataFrame): DataFrame = {
     val a = capped.select(col("gh"), col("rep").as("doc_a"), col("nfp").as("na"))
     val b = capped.select(col("gh"), col("rep").as("doc_b"), col("nfp").as("nb"))
     a.join(b, Seq("gh"))

@@ -562,7 +562,19 @@ object DocStream {
       }
     } else {
       val resident = graft.operators.WinnowIndex.residentDocIds(spark, indexDir)
-      val fresh = docs.join(resident, Seq("doc_id"), "left_anti").persist()
+      // two-level anti-join: doc_id ledger (replay safety) AND text
+      // identity — an identical text re-arriving under a NEW doc_id has
+      // already had all its pairs reported (and would re-report them
+      // under a different rep if the new id min-merged lower), so the
+      // no-pair-reported-twice contract holds at text granularity; the
+      // duplicate text adds nothing to the store either (the store
+      // indexes texts — representative ids are as-of first arrival)
+      val residentTids = graft.operators.WinnowIndex.residentTids(spark, indexDir)
+      val fresh = docs.join(resident, Seq("doc_id"), "left_anti")
+        .withColumn("tid", xxhash64(col("text")))
+        .join(residentTids, Seq("tid"), "left_anti")
+        .drop("tid")
+        .persist()
       try {
         if (!fresh.isEmpty) {
           graft.operators.WinnowIndex.matchBatch(spark, indexDir, fresh)

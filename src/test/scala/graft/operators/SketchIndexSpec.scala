@@ -97,6 +97,27 @@ class SketchIndexSpec extends AnyFunSuite {
     assert(epochs === before)
   }
 
+  test("a duplicated epoch (crash-retry window) changes no read") {
+    // simulates the crash between the sample/counts renames and the docs
+    // rename: the retry re-appends the SAME batch as a duplicate epoch.
+    // Both merges must absorb it — counts dedupe on the batch digest,
+    // sample rows collapse on (source, doc_id) instead of eating slots.
+    val once = tmpDir("graft-sketch-dup-once")
+    SketchIndex.buildIndex(spark, docsDf(initial), once)
+    SketchIndex.appendToIndex(spark, once, docsDf(appended))
+    val twice = tmpDir("graft-sketch-dup-twice")
+    SketchIndex.buildIndex(spark, docsDf(initial), twice)
+    SketchIndex.appendToIndex(spark, twice, docsDf(appended))
+    SketchIndex.appendToIndex(spark, twice, docsDf(appended)) // the retry
+    val a = collectEsts(SketchIndex.estimatesFromIndex(spark, once))
+    val b = collectEsts(SketchIndex.estimatesFromIndex(spark, twice))
+    assert(a === b)
+    assert(b("s0")._1 === 110L, "n_docs must not double-count")
+    // and compaction of the duplicated store converges to the same reads
+    SketchIndex.compact(spark, twice)
+    assert(collectEsts(SketchIndex.estimatesFromIndex(spark, twice)) === a)
+  }
+
   test("compaction preserves reads and collapses to one epoch") {
     val dir = tmpDir("graft-sketch-compact")
     SketchIndex.buildIndex(spark, docsDf(initial), dir)

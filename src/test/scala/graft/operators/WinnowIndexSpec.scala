@@ -179,6 +179,34 @@ class WinnowIndexSpec extends AnyFunSuite {
     assert(reported === collectMatches(WinnowIndex.matchesFromIndex(spark, indexDir)))
   }
 
+  test("re-arrived identical text under a new doc_id reports nothing new") {
+    implicit val sql = spark.sqlContext
+    val indexDir = tmpDir("graft-winnow-rearrive") + "/i"
+    val matchesDir = tmpDir("graft-winnow-rearrive") + "/m"
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStream.winnowMatchStream(
+      spark, input.toDF().toDF("doc_id", "text"), indexDir, matchesDir)
+    try {
+      input.addData(repOld, repPartner)
+      q.processAllAvailable()
+      input.addData(repNew) // same text as repOld, NEW (lower) doc_id
+      q.processAllAvailable()
+    } finally q.stop()
+    // (400, 500) was reported when repPartner arrived; repNew's text is
+    // already fingerprinted, so its pairs are NOT re-reported under the
+    // min-merged rep 5, and the store keeps serving rep 400
+    val reported = collectMatches(spark.read.parquet(matchesDir))
+    assert(reported.map(m => (m._1, m._2)) === Set((400L, 500L)))
+    assert(collectMatches(WinnowIndex.matchesFromIndex(spark, indexDir))
+      .map(m => (m._1, m._2)) === Set((400L, 500L)))
+    // doc 5 was never folded, and replaying it stays a no-op
+    graft.streaming.DocStream.processWinnowMatchBatch(
+      spark, indexDir, matchesDir, docsDf(Seq(repNew)))
+    assert(collectMatches(spark.read.parquet(matchesDir))
+      .map(m => (m._1, m._2)) === Set((400L, 500L)))
+  }
+
   test("compaction preserves reads and collapses to one epoch") {
     val dir = tmpDir("graft-winnow-compact")
     WinnowIndex.buildIndex(spark, docsDf(Seq(straddleOld, repOld, repPartner)), dir)
