@@ -14,14 +14,25 @@ import org.apache.spark.sql.types._
   * Index layout under `indexDir` (single-writer, atomic renames):
   *  - `centroids.parquet/`:        (cluster, cv) — the k-row model, written
   *                                 once at build, replaced only by retrain
-  *  - `cells.parquet/epoch=K/cluster=C/`: (vec_id, v, norm, cl) — the
-  *                                 vector store partitioned BY CELL inside
-  *                                 each epoch, so a probe of `nprobe` cells
-  *                                 reads exactly `nprobe` directories per
-  *                                 epoch and nothing else. `cl` duplicates
-  *                                 the partition value as a data column
-  *                                 (8 bytes, RLE≈0) so probed-directory
-  *                                 reads don't depend on path parsing.
+  *  - `codebook.parquet/`:         (m, cluster, cv) — the frozen PQ
+  *                                 codebook (round 8): cells carry their
+  *                                 members' PQ codes, the FAISS IVFADC
+  *                                 inverted-list layout, so the composed
+  *                                 lane ([[IvfPq]]) probes code columns
+  *                                 only — no second store, no join
+  *  - `cells.parquet/epoch=K/cluster=C/`: (vec_id, v, norm, cl,
+  *                                 c0..c{PqM-1}) — the vector+code store
+  *                                 partitioned BY CELL inside each epoch,
+  *                                 so a probe of `nprobe` cells reads
+  *                                 exactly `nprobe` directories per epoch
+  *                                 and nothing else, and parquet COLUMN
+  *                                 pruning splits the two lanes: the
+  *                                 exact lane reads (v, norm) never
+  *                                 codes, the ADC lane reads codes never
+  *                                 vectors. `cl` duplicates the partition
+  *                                 value as a data column (8 bytes,
+  *                                 RLE≈0) so probed-directory reads don't
+  *                                 depend on path parsing.
   *  - `baseline.parquet/`:         (n, sum_d2) — build-time assignment
   *                                 tightness (Σ squared L2 to the assigned
   *                                 centroid), the drift reference
@@ -67,35 +78,47 @@ object IvfIndex {
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Batch → (vec_id, v, norm, cl) against frozen centroids. Assignment is
-    * map-only; norm is the [[SimilarityOps.withNorm]] expression so the
-    * stored doubles are bit-identical to the inline lane's. */
+  /** Batch → (vec_id, v, norm, cl, c0..c{PqM-1}) against the frozen
+    * centroids AND the frozen PQ codebook — the IVFADC layout (Jégou et
+    * al. 2011): every inverted list carries its members' PQ codes, so
+    * the composed probe ([[IvfPq]]) reads ONLY the probed cells' code
+    * columns (parquet column pruning skips the 64-double vectors), while
+    * the exact lane reads only (v, norm) and never sees the codes.
+    * Assignment and encoding are both map-only on one scan; norm is the
+    * [[SimilarityOps.withNorm]] expression so the stored doubles are
+    * bit-identical to the inline lane's. */
   private def assigned(
-      batch: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame = {
+      batch: DataFrame, cents: Seq[(Long, Seq[Double])],
+      cb: Seq[((Int, Long), Seq[Double])]): DataFrame = {
+    import SimilarityOps.{PqM, PqSub, pqCodeFor}
     val d = batch.select(col("vec_id"),
       transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
     d.withColumn("norm", sqrt(graft.functions.VectorOps.dot(col("v"), col("v"))))
       .withColumn("cl", assignExpr(cents, col("v")))
+      .withColumn("nv", transform(col("v"),
+        x => when(col("norm") > 0.0, x / col("norm")).otherwise(0.0)))
+      .select(Seq(col("vec_id"), col("v"), col("norm"), col("cl")) ++
+        (0 until PqM).map(mm => pqCodeFor(cb, mm,
+          slice(col("nv"), mm * PqSub + 1, PqSub)).as(s"c$mm")): _*)
   }
 
   private def publish(
       spark: SparkSession, dir: String, tmpName: String, liveName: String)(
-      write: Path => Unit): Unit = {
-    val f = fs(spark, dir)
-    val tmp = new Path(dir, tmpName)
-    val live = new Path(dir, liveName)
-    f.delete(tmp, true)
-    write(tmp)
-    f.delete(live, true)
-    if (!f.rename(tmp, live))
-      throw new java.io.IOException(s"IVF index publish failed: $tmp -> $live")
-  }
+      write: Path => Unit): Unit =
+    AtomicPublish.stageAndRename(spark, dir, tmpName, liveName)(write)
 
-  /** Write one epoch of cell-partitioned vectors + its stats row. */
+  /** Write one epoch of cell-partitioned, code-carrying vectors + its
+    * stats row. */
   private def writeEpoch(
       spark: SparkSession, indexDir: String, epoch: Int,
-      cents: Seq[(Long, Seq[Double])], batch: DataFrame): Unit = {
-    val rows = assigned(batch, cents)
+      cents: Seq[(Long, Seq[Double])], cb: Seq[((Int, Long), Seq[Double])],
+      batch: DataFrame): Unit = {
+    // one assignment+encoding pass feeds both the cell rows and the
+    // stats aggregate (persist: the full-corpus assignment at production
+    // cell counts is the build's dominant compute — don't run it twice)
+    val enc = assigned(batch, cents, cb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = enc
       .withColumn("cluster", col("cl"))
       // ≤1 file per cell per hash-partition; at corpus scale this is the
       // per-cell layout a 1000-executor write would produce anyway
@@ -108,7 +131,7 @@ object IvfIndex {
     // (k×64 doubles as a value): at production cell counts a per-entry
     // map(...) literal would be k×65 expression nodes
     val cvOf = typedlit(cents.map { case (id, cv) => id -> cv }.toMap)
-    val statsDf = assigned(batch, cents)
+    val statsDf = enc
       .select(SimilarityOps.dist2(col("v"), element_at(cvOf, col("cl"))).as("d2"))
       .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2"))
     val (parent, name) =
@@ -118,21 +141,38 @@ object IvfIndex {
     publish(spark, parent, s".stats-$epoch.tmp", name) {
       tmp => statsDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     }
+    enc.unpersist()
+    ()
   }
 
-  /** Build (overwrite) the index: persist the centroid model and lay the
-    * corpus out cell-partitioned as epoch 0; record the drift baseline. */
+  /** Build (overwrite) the index: persist the centroid model AND the PQ
+    * codebook (both frozen at build — the IVFADC model pair), lay the
+    * corpus out cell-partitioned as epoch 0 with per-row codes; record
+    * the drift baseline. `cb` defaults to training the codebook on this
+    * corpus (the [[SimilarityOps.pqTrainCodebook]] loop — deterministic,
+    * so a caller passing the memoized full-corpus codebook gets the
+    * identical model without retraining). */
   def buildIndex(
       spark: SparkSession, indexDir: String,
-      cents: Seq[(Long, Seq[Double])], corpus: DataFrame): Unit = {
+      cents: Seq[(Long, Seq[Double])], corpus: DataFrame,
+      cb: Seq[((Int, Long), Seq[Double])] = null): Unit = {
     val f = fs(spark, indexDir)
     f.delete(new Path(indexDir), true)
     f.mkdirs(new Path(indexDir))
     import spark.implicits._
+    val cb0 = Option(cb).getOrElse(
+      SimilarityOps.pqTrainCodebook(SimilarityOps.pqNormalize(
+        // pqNormalize's withNorm plumbing expects a label column
+        if (corpus.columns.contains("label")) corpus
+        else corpus.withColumn("label", lit(0L)))))
     publish(spark, indexDir, ".centroids.tmp", "centroids.parquet") { tmp =>
       cents.toDF("cluster", "cv").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     }
-    writeEpoch(spark, indexDir, 0, cents, corpus)
+    publish(spark, indexDir, ".codebook.tmp", "codebook.parquet") { tmp =>
+      cb0.map { case ((m, c), cv) => (m, c, cv) }.toDF("m", "cluster", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    }
+    writeEpoch(spark, indexDir, 0, cents, cb0, corpus)
   }
 
   /** Train on `dir`'s embeddings and build the index from the same
@@ -145,12 +185,26 @@ object IvfIndex {
     * production geometry on retrain. */
   def buildFromCorpus(spark: SparkSession, dir: String, indexDir: String): Unit =
     buildIndex(spark, indexDir,
-      SimilarityOps.centRowsAuto(spark, dir), table(spark, dir, "embeddings"))
+      SimilarityOps.centRowsAuto(spark, dir), table(spark, dir, "embeddings"),
+      // the memoized full-corpus codebook — the SAME model the standalone
+      // PQ lane trains/persists, so the composed lane's codes equal the
+      // oracle's by construction
+      SimilarityOps.pqCodebook(spark, dir))
 
   private def readCentroids(
       spark: SparkSession, indexDir: String): Seq[(Long, Seq[Double])] =
     spark.read.parquet(s"$indexDir/centroids.parquet").collect()
       .map(r => (r.get(r.fieldIndex("cluster")).asInstanceOf[Number].longValue,
+        r.getSeq[Double](r.fieldIndex("cv"))))
+      .toSeq.sortBy(_._1)
+
+  /** The frozen PQ codebook persisted at build (PqM×PqK×PqSub doubles —
+    * the whole model). */
+  private[operators] def readCodebook(
+      spark: SparkSession, indexDir: String): Seq[((Int, Long), Seq[Double])] =
+    spark.read.parquet(s"$indexDir/codebook.parquet").collect()
+      .map(r => ((r.getInt(r.fieldIndex("m")),
+        r.get(r.fieldIndex("cluster")).asInstanceOf[Number].longValue),
         r.getSeq[Double](r.fieldIndex("cv"))))
       .toSeq.sortBy(_._1)
 
@@ -169,7 +223,8 @@ object IvfIndex {
   def appendToIndex(spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
     val next = epochDirs(spark, indexDir)
       .map(_.stripPrefix("epoch=").toInt).max + 1
-    writeEpoch(spark, indexDir, next, readCentroids(spark, indexDir), batch)
+    writeEpoch(spark, indexDir, next, readCentroids(spark, indexDir),
+      readCodebook(spark, indexDir), batch)
   }
 
   /** Compare appended assignment tightness against the build baseline —
@@ -211,9 +266,11 @@ object IvfIndex {
     publish(spark, cellsDir, ".compact.tmp", s"epoch=$next") { tmp =>
       // basePath: the epoch roots contain cluster= subdirs, so partition
       // discovery needs the common root to parse a consistent layout
-      spark.read.option("basePath", cellsDir)
+      // keep EVERY data column (v/norm for the exact lane, c* codes for
+      // the composed lane); only the epoch/cluster partition dirs fold
+      val raw = spark.read.option("basePath", cellsDir)
         .parquet(eps.map(e => s"$cellsDir/$e"): _*)
-        .select(col("vec_id"), col("v"), col("norm"), col("cl"))
+      raw.select(raw.columns.filter(c => c != "epoch" && c != "cluster").map(col): _*)
         .dropDuplicates()
         .withColumn("cluster", col("cl"))
         .write.partitionBy("cluster").mode("overwrite").parquet(tmp.toString)
@@ -313,9 +370,10 @@ object IvfIndex {
   // repeat runs (the production cadence) pay only the probe phase. Output
   // is row-identical to q_ann_ivf_learned, so it shares that oracle.
   private def indexDirFor(dir: String): String = {
-    // v2: corpus-size-dispatched geometry (√N cells above the scale
-    // threshold) — the key bump invalidates any v1 fixed-k=10 store
-    val key = IndexStamp.dirKey(IndexStamp.identity(dir, "embeddings.parquet", "ivf-v2"))
+    // v3: corpus-size-dispatched geometry (√N cells above the scale
+    // threshold) + IVFADC code-carrying cells — the key bump invalidates
+    // any store with the old layout
+    val key = IndexStamp.dirKey(IndexStamp.identity(dir, "embeddings.parquet", "ivf-v3"))
     s"${System.getProperty("java.io.tmpdir")}/graft-ivf-index-$key"
   }
 
@@ -364,6 +422,65 @@ object IvfIndex {
       else spark.read.parquet(dirs: _*)
         .select(col("vec_id"), col("cl").as("cluster")).distinct()
     (probesDf, members)
+  }
+
+  /** The probed directory list for the current probe set — shared by the
+    * composed IVF-PQ lane's two reads (codes for ADC, raw vectors for
+    * rescore), so both touch ONLY the probed cells. */
+  private def probedDirs(
+      spark: SparkSession, indexDir: String, nprobe: Int): (DataFrame, Seq[String]) = {
+    import spark.implicits._
+    val cents = readCentroids(spark, indexDir)
+    val np = if (nprobe > 0) nprobe else SimilarityOps.autoNProbe(cents.size)
+    val cellsDir = s"$indexDir/cells.parquet"
+    val qRows = spark.read.parquet(cellsDir)
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq.sortBy(_._1).distinct
+    val probes = qRows.flatMap { case (qid, qv) =>
+      probeCells(cents, qv, np).map(c => (qid, c))
+    }
+    val f = fs(spark, indexDir)
+    val probedCells = probes.map(_._2).distinct
+    val dirs = for {
+      e <- epochDirs(spark, indexDir)
+      c <- probedCells
+      p = s"$cellsDir/$e/cluster=$c"
+      if f.exists(new Path(p))
+    } yield p
+    (probes.toDF("query_id", "cluster"), dirs)
+  }
+
+  /** The IVFADC probe inputs: (probes(query_id, cluster),
+    * codes(vec_id, cluster, c0..c{PqM-1}), rescore(vec_id, v, norm)) —
+    * all three read ONLY the probed cell directories; the codes read
+    * prunes the 64-double vector columns (8 small ints per row travel,
+    * the PqIndex memory-traffic contract), the rescore read prunes the
+    * codes. This is the composed lane's whole I/O surface: never a scan
+    * of unprobed cells, never a join against a second store. */
+  private[operators] def probedCodes(
+      spark: SparkSession, indexDir: String,
+      nprobe: Int = 0): (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    import SimilarityOps.PqM
+    val (probesDf, dirs) = probedDirs(spark, indexDir, nprobe)
+    if (dirs.isEmpty) {
+      val codes = spark.emptyDataset[(Long, Long)].toDF("vec_id", "cluster")
+      val rescore = spark.emptyDataset[(Long, Seq[Double], Double)]
+        .toDF("vec_id", "v", "norm")
+      (probesDf, codes, rescore)
+    } else {
+      val codes = spark.read.parquet(dirs: _*)
+        .select(Seq(col("vec_id"), col("cl").as("cluster")) ++
+          (0 until PqM).map(mm => col(s"c$mm")): _*)
+        .dropDuplicates("vec_id", "cluster")
+      val rescore = spark.read.parquet(dirs: _*)
+        .select(col("vec_id"), col("v"), col("norm"))
+        .dropDuplicates("vec_id")
+      (probesDf, codes, rescore)
+    }
   }
 
   private def qAnnIvfIndexed(spark: SparkSession, dir: String): DataFrame =

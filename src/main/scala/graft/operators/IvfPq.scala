@@ -66,21 +66,29 @@ object IvfPq {
   }
 
   private def qAnnIvfPqIndexed(spark: SparkSession, dir: String): DataFrame = {
+    // ONE store, the true IVFADC layout (round 8): the IvfIndex cells
+    // carry their members' PQ codes, so the probe reads ONLY the probed
+    // cell directories' code columns (column pruning skips the 64-double
+    // vectors), ADC-scores them against the broadcast distance tables,
+    // and rescores the top-PqR proposals from the SAME probed dirs' raw
+    // columns — no full code-store scan, no cross-store join (the
+    // round-7 shape joined a flat PqIndex scan against the probed
+    // members, which cost more than it saved; measured in PERF.md).
+    // Codes are encoded with the memoized full-corpus codebook, so the
+    // output is row-identical to the inline lane and rides its oracle.
     val ivfDir = IvfIndex.ensureIndex(spark, dir)
-    val pqDir = PqIndex.ensureIndex(spark, dir)
-    val cb = PqIndex.readCodebook(spark, pqDir)
-    val (probes, members) = IvfIndex.probedMembers(spark, ivfDir)
+    val cb = IvfIndex.readCodebook(spark, ivfDir)
+    val (probes, codes, rescore) = IvfIndex.probedCodes(spark, ivfDir)
     val queries = pqNormalize(
       Tables.table(spark, dir, "embeddings").filter(col("vec_id") < NumQueries))
-    val cand = PqIndex.codesFromIndex(spark, pqDir)
-      .join(members, Seq("vec_id"))
+    val cand = codes
       .join(broadcast(probes.join(pqAdcTables(queries, cb), "query_id")), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), pqAdcApprox.as("approx"))
       // double-append / compaction-window duplicates are value-identical
       // (frozen models) — keep one, ranking stays exact
       .dropDuplicates("query_id", "vec_id")
-    pqProposeRescore(cand, queries, PqIndex.rescoreFromIndex(spark, pqDir))
+    pqProposeRescore(cand, queries, rescore)
   }
 
   def queries: Seq[QueryDef] = Seq(

@@ -991,6 +991,9 @@ object SimilarityOps {
   private[operators] def pqCodeFor(
       cb: Seq[((Int, Long), Seq[Double])], mm: Int, sv: Column): Column = {
     val cs = cb.filter(_._1._1 == mm).sortBy(_._1._2)
+    // a subspace with no centroids (vectors shorter than PqM×PqSub — the
+    // degenerate low-dimension case some fixtures exercise) codes as -1
+    if (cs.isEmpty) return lit(-1L)
     val centArr = array(cs.map { case (_, cv) => array(cv.map(lit): _*) }: _*)
     val clusterArr = array(cs.map(c => lit(c._1._2)): _*)
     val dists = transform(centArr, cv => dist2(sv, cv))
