@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Operator-facing inspection of persisted index stores — the catalog
+  * half of the round-8 policy layer ([[operators.IndexPolicy]]). Given
+  * one or more index directories, detects the family by its table
+  * signature, and prints per table: published epoch count, row count,
+  * and any crash-recovery residue (`.compact-bak` / dot-staging dirs);
+  * IVF stores additionally get their [[operators.IvfIndex.driftReport]].
+  * Run:
+  *
+  *   sbt "runMain graft.IndexCatalog /tmp/graft-ivf-index-* ..."
+  */
+object IndexCatalog {
+
+  /** (signature table → family name); first match wins. */
+  private val Families: Seq[(String, String)] = Seq(
+    "centroids.parquet" -> "ivf",
+    "codebook.parquet" -> "pq",
+    "bands.parquet" -> "ann-lsh",
+    "fps.parquet" -> "winnow",
+    "grams.parquet" -> "span",
+    "sample.parquet" -> "sketch",
+    "pairs.parquet" -> "lm-bigram",
+    "shingle_df.parquet" -> "incremental-dedup",
+    "edges.parquet" -> "cluster",
+    "counts.parquet" -> "classifier")
+
+  final case class TableReport(
+      name: String, epochs: Int, rows: Long, residue: Seq[String])
+
+  final case class IndexReport(
+      dir: String, family: String, tables: Seq[TableReport],
+      drift: Option[operators.IvfIndex.DriftReport])
+
+  /** Structured report for one index dir (spec-callable). */
+  def report(spark: SparkSession, dir: String): IndexReport = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val children = fs.listStatus(root).map(_.getPath.getName).toSeq.sorted
+    val tables = children.filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+    val family = Families.collectFirst {
+      case (sig, fam) if tables.contains(sig) => fam
+    }.getOrElse("unknown")
+    val reports = tables.map { t =>
+      val tp = new Path(root, t)
+      val sub = fs.listStatus(tp).map(_.getPath.getName).toSeq
+      val epochs = sub.count(_.startsWith("epoch="))
+      val rows =
+        try spark.read.parquet(tp.toString).count()
+        catch { case _: Throwable => -1L }
+      TableReport(t, epochs, rows, sub.filter(_.startsWith(".")))
+    }
+    val residue = children.filter(n => n.contains(".compact-bak") || n.startsWith("."))
+    val drift =
+      if (family == "ivf" && tables.contains("baseline.parquet"))
+        try Some(operators.IvfIndex.driftReport(spark, dir))
+        catch { case _: Throwable => None }
+      else None
+    IndexReport(dir, family,
+      reports ++ residue.map(r => TableReport(r, 0, -1L, Seq(r))), drift)
+  }
+
+  /** Render one report as the CLI's output lines. */
+  def render(r: IndexReport): Seq[String] = {
+    val head = s"[catalog] ${r.dir} family=${r.family}"
+    val tabs = r.tables.map { t =>
+      val ep = if (t.epochs > 0) s"epochs=${t.epochs}" else "unpartitioned"
+      val res = if (t.residue.nonEmpty) s" RESIDUE=${t.residue.mkString(",")}" else ""
+      f"[catalog]   ${t.name}%-22s $ep%-12s rows=${t.rows}$res"
+    }
+    val drift = r.drift.map { d =>
+      f"[catalog]   drift: baseline=${d.baselineMean}%.4f appended=${d.appendedMean}%.4f " +
+        s"rows=${d.appendedRows} retrain=${d.retrain}"
+    }
+    (head +: tabs) ++ drift
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: IndexCatalog <indexDir> [indexDir...]")
+    val builder = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+    Tables.RequiredConf.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try args.foreach { dir =>
+      render(report(spark, dir)).foreach(println)
+    } finally spark.stop()
+  }
+}

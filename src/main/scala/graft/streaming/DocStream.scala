@@ -456,17 +456,19 @@ object DocStream {
   def lmModelMaintenanceStream(
       spark: SparkSession,
       docs: DataFrame,
-      modelDir: String): StreamingQuery =
+      modelDir: String,
+      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery): StreamingQuery =
     docs.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processLmModelBatch(spark, modelDir, batch)
+        processLmModelBatch(spark, modelDir, batch, compactEvery)
       }
       .start()
 
   /** One micro-batch of [[lmModelMaintenanceStream]] — factored out so
     * the cross-batch contracts are directly testable. */
   private[graft] def processLmModelBatch(
-      spark: SparkSession, modelDir: String, batch: DataFrame): Unit = {
+      spark: SparkSession, modelDir: String, batch: DataFrame,
+      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery): Unit = {
     val docs = batch.select(col("doc_id"), col("text")).distinct()
     val pairs = new org.apache.hadoop.fs.Path(s"$modelDir/pairs.parquet")
     val fs = pairs.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -476,8 +478,16 @@ object DocStream {
       val resident = graft.operators.LmIndex.residentDocIds(spark, modelDir)
       val fresh = docs.join(resident, Seq("doc_id"), "left_anti").persist()
       try {
-        if (!fresh.isEmpty)
+        if (!fresh.isEmpty) {
           graft.operators.LmIndex.appendToModel(spark, modelDir, fresh)
+          // policy: bound read amplification — self-compact at the
+          // epoch-count threshold (the read-merge, folded to one epoch)
+          graft.operators.IndexPolicy.maybeCompact(
+            spark, s"$modelDir/pairs.parquet", compactEvery) {
+            graft.operators.LmIndex.compact(spark, modelDir)
+          }
+          ()
+        }
       } finally fresh.unpersist()
     }
     ()
@@ -493,17 +503,19 @@ object DocStream {
   def sketchMaintenanceStream(
       spark: SparkSession,
       docs: DataFrame,
-      indexDir: String): StreamingQuery =
+      indexDir: String,
+      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery): StreamingQuery =
     docs.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processSketchBatch(spark, indexDir, batch)
+        processSketchBatch(spark, indexDir, batch, compactEvery)
       }
       .start()
 
   /** One micro-batch of [[sketchMaintenanceStream]] — factored out so
     * the cross-batch contracts are directly testable. */
   private[graft] def processSketchBatch(
-      spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+      spark: SparkSession, indexDir: String, batch: DataFrame,
+      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery): Unit = {
     val docs = batch.select(col("doc_id"), col("source"), col("n_chars")).distinct()
     val sample = new org.apache.hadoop.fs.Path(s"$indexDir/sample.parquet")
     val fs = sample.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -513,8 +525,16 @@ object DocStream {
       val resident = graft.operators.SketchIndex.residentDocIds(spark, indexDir)
       val fresh = docs.join(resident, Seq("doc_id"), "left_anti").persist()
       try {
-        if (!fresh.isEmpty)
+        if (!fresh.isEmpty) {
           graft.operators.SketchIndex.appendToIndex(spark, indexDir, fresh)
+          // policy: bound read amplification — self-compact at the
+          // epoch-count threshold (the read-merge, folded to one epoch)
+          graft.operators.IndexPolicy.maybeCompact(
+            spark, s"$indexDir/sample.parquet", compactEvery) {
+            graft.operators.SketchIndex.compact(spark, indexDir)
+          }
+          ()
+        }
       } finally fresh.unpersist()
     }
     ()
@@ -538,17 +558,19 @@ object DocStream {
       spark: SparkSession,
       docs: DataFrame,
       indexDir: String,
-      matchesDir: String): StreamingQuery =
+      matchesDir: String,
+      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery): StreamingQuery =
     docs.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processWinnowMatchBatch(spark, indexDir, matchesDir, batch)
+        processWinnowMatchBatch(spark, indexDir, matchesDir, batch, compactEvery)
       }
       .start()
 
   /** One micro-batch of [[winnowMatchStream]]. */
   private[graft] def processWinnowMatchBatch(
       spark: SparkSession, indexDir: String, matchesDir: String,
-      batch: DataFrame): Unit = {
+      batch: DataFrame,
+      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery): Unit = {
     val docs = batch.select(col("doc_id"), col("text")).distinct()
     val fps = new org.apache.hadoop.fs.Path(s"$indexDir/fps.parquet")
     val fs = fps.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -580,6 +602,14 @@ object DocStream {
           graft.operators.WinnowIndex.matchBatch(spark, indexDir, fresh)
             .write.mode("append").parquet(matchesDir)
           graft.operators.WinnowIndex.appendToIndex(spark, indexDir, fresh)
+          // policy: bound read amplification — self-compact at the
+          // epoch-count threshold (match output is unaffected: the
+          // compacted store serves identical merged fingerprints)
+          graft.operators.IndexPolicy.maybeCompact(
+            spark, s"$indexDir/fps.parquet", compactEvery) {
+            graft.operators.WinnowIndex.compact(spark, indexDir)
+          }
+          ()
         }
       } finally fresh.unpersist()
     }
@@ -597,17 +627,19 @@ object DocStream {
   def winnowIndexMaintenanceStream(
       spark: SparkSession,
       docs: DataFrame,
-      indexDir: String): StreamingQuery =
+      indexDir: String,
+      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery): StreamingQuery =
     docs.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processWinnowIndexBatch(spark, indexDir, batch)
+        processWinnowIndexBatch(spark, indexDir, batch, compactEvery)
       }
       .start()
 
   /** One micro-batch of [[winnowIndexMaintenanceStream]] — factored out
     * so the cross-batch contracts are directly testable. */
   private[graft] def processWinnowIndexBatch(
-      spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+      spark: SparkSession, indexDir: String, batch: DataFrame,
+      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery): Unit = {
     val docs = batch.select(col("doc_id"), col("text")).distinct()
     val fps = new org.apache.hadoop.fs.Path(s"$indexDir/fps.parquet")
     val fs = fps.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -617,8 +649,16 @@ object DocStream {
       val resident = graft.operators.WinnowIndex.residentDocIds(spark, indexDir)
       val fresh = docs.join(resident, Seq("doc_id"), "left_anti").persist()
       try {
-        if (!fresh.isEmpty)
+        if (!fresh.isEmpty) {
           graft.operators.WinnowIndex.appendToIndex(spark, indexDir, fresh)
+          // policy: bound read amplification — self-compact at the
+          // epoch-count threshold (the read-merge, folded to one epoch)
+          graft.operators.IndexPolicy.maybeCompact(
+            spark, s"$indexDir/fps.parquet", compactEvery) {
+            graft.operators.WinnowIndex.compact(spark, indexDir)
+          }
+          ()
+        }
       } finally fresh.unpersist()
     }
     ()
@@ -635,17 +675,19 @@ object DocStream {
   def spanIndexMaintenanceStream(
       spark: SparkSession,
       docs: DataFrame,
-      indexDir: String): StreamingQuery =
+      indexDir: String,
+      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery): StreamingQuery =
     docs.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processSpanIndexBatch(spark, indexDir, batch)
+        processSpanIndexBatch(spark, indexDir, batch, compactEvery)
       }
       .start()
 
   /** One micro-batch of [[spanIndexMaintenanceStream]] — factored out so
     * the cross-batch contracts are directly testable. */
   private[graft] def processSpanIndexBatch(
-      spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+      spark: SparkSession, indexDir: String, batch: DataFrame,
+      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery): Unit = {
     val docs = batch.select(col("doc_id"), col("text")).distinct()
     val grams = new org.apache.hadoop.fs.Path(s"$indexDir/grams.parquet")
     val fs = grams.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -655,8 +697,16 @@ object DocStream {
       val resident = graft.operators.SpanIndex.residentDocIds(spark, indexDir)
       val fresh = docs.join(resident, Seq("doc_id"), "left_anti").persist()
       try {
-        if (!fresh.isEmpty)
+        if (!fresh.isEmpty) {
           graft.operators.SpanIndex.appendToIndex(spark, indexDir, fresh)
+          // policy: bound read amplification — self-compact at the
+          // epoch-count threshold (the read-merge, folded to one epoch)
+          graft.operators.IndexPolicy.maybeCompact(
+            spark, s"$indexDir/grams.parquet", compactEvery) {
+            graft.operators.SpanIndex.compact(spark, indexDir)
+          }
+          ()
+        }
       } finally fresh.unpersist()
     }
     ()
@@ -675,16 +725,18 @@ object DocStream {
   def classifierModelMaintenanceStream(
       spark: SparkSession,
       docs: DataFrame,
-      modelDir: String): StreamingQuery =
+      modelDir: String,
+      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery): StreamingQuery =
     docs.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processClassifierModelBatch(spark, modelDir, batch)
+        processClassifierModelBatch(spark, modelDir, batch, compactEvery)
       }
       .start()
 
   /** One micro-batch of [[classifierModelMaintenanceStream]]. */
   private[graft] def processClassifierModelBatch(
-      spark: SparkSession, modelDir: String, batch: DataFrame): Unit = {
+      spark: SparkSession, modelDir: String, batch: DataFrame,
+      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery): Unit = {
     val docs = batch.select(col("doc_id"), col("lang"), col("text")).distinct()
     val counts = new org.apache.hadoop.fs.Path(s"$modelDir/counts.parquet")
     val fs = counts.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -694,8 +746,16 @@ object DocStream {
       val resident = graft.operators.ClassifyIndex.residentDocIds(spark, modelDir)
       val fresh = docs.join(resident, Seq("doc_id"), "left_anti").persist()
       try {
-        if (!fresh.isEmpty)
+        if (!fresh.isEmpty) {
           graft.operators.ClassifyIndex.appendToModel(spark, modelDir, fresh)
+          // policy: bound read amplification — self-compact at the
+          // epoch-count threshold (the read-merge, folded to one epoch)
+          graft.operators.IndexPolicy.maybeCompact(
+            spark, s"$modelDir/counts.parquet", compactEvery) {
+            graft.operators.ClassifyIndex.compact(spark, modelDir)
+          }
+          ()
+        }
       } finally fresh.unpersist()
     }
     ()

@@ -144,10 +144,11 @@ object EmbedStream {
   def annIndexMaintenanceStream(
       spark: SparkSession,
       vecs: DataFrame,
-      indexDir: String): StreamingQuery =
+      indexDir: String,
+      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery): StreamingQuery =
     vecs.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processAnnIndexBatch(spark, indexDir, batch)
+        processAnnIndexBatch(spark, indexDir, batch, compactEvery)
       }
       .start()
 
@@ -155,7 +156,8 @@ object EmbedStream {
     * the cross-batch contracts (batch-build parity, replay idempotence)
     * are directly testable. */
   private[streaming] def processAnnIndexBatch(
-      spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+      spark: SparkSession, indexDir: String, batch: DataFrame,
+      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery): Unit = {
     // the index stores (vec_id, v, norm) only — label is withNorm plumbing
     val vecs = batch.select(col("vec_id"), col("embedding"))
       .dropDuplicates("vec_id")
@@ -170,8 +172,16 @@ object EmbedStream {
       val resident = spark.read.parquet(vectors.toString).select(col("vec_id"))
       val fresh = vecs.join(resident, Seq("vec_id"), "left_anti").persist()
       try {
-        if (!fresh.isEmpty)
+        if (!fresh.isEmpty) {
           graft.operators.AnnIndex.appendToIndex(spark, indexDir, fresh)
+          // policy: bound read amplification — self-compact at the
+          // epoch-count threshold (the read-merge, folded to one epoch)
+          graft.operators.IndexPolicy.maybeCompact(
+            spark, s"$indexDir/bands.parquet", compactEvery) {
+            graft.operators.AnnIndex.compact(spark, indexDir)
+          }
+          ()
+        }
       } finally fresh.unpersist()
     }
     ()
@@ -192,17 +202,19 @@ object EmbedStream {
   def ivfIndexMaintenanceStream(
       spark: SparkSession,
       vecs: DataFrame,
-      indexDir: String): StreamingQuery =
+      indexDir: String,
+      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery): StreamingQuery =
     vecs.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processIvfIndexBatch(spark, indexDir, batch)
+        processIvfIndexBatch(spark, indexDir, batch, compactEvery)
       }
       .start()
 
   /** One micro-batch of [[ivfIndexMaintenanceStream]] — factored out so
     * batch-build parity and replay idempotence are directly testable. */
   private[streaming] def processIvfIndexBatch(
-      spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+      spark: SparkSession, indexDir: String, batch: DataFrame,
+      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery): Unit = {
     val cells = new org.apache.hadoop.fs.Path(s"$indexDir/cells.parquet")
     val fs = cells.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(cells))
@@ -213,8 +225,16 @@ object EmbedStream {
     val resident = spark.read.parquet(cells.toString).select(col("vec_id"))
     val fresh = vecs.join(resident, Seq("vec_id"), "left_anti").persist()
     try {
-      if (!fresh.isEmpty)
+      if (!fresh.isEmpty) {
         graft.operators.IvfIndex.appendToIndex(spark, indexDir, fresh)
+        // policy: bound read amplification — self-compact at the
+        // epoch-count threshold (the read-merge, folded to one epoch)
+        graft.operators.IndexPolicy.maybeCompact(
+          spark, s"$indexDir/cells.parquet", compactEvery) {
+          graft.operators.IvfIndex.compact(spark, indexDir)
+        }
+        ()
+      }
     } finally fresh.unpersist()
     ()
   }
@@ -228,16 +248,18 @@ object EmbedStream {
   def pqIndexMaintenanceStream(
       spark: SparkSession,
       vecs: DataFrame,
-      indexDir: String): StreamingQuery =
+      indexDir: String,
+      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery): StreamingQuery =
     vecs.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processPqIndexBatch(spark, indexDir, batch)
+        processPqIndexBatch(spark, indexDir, batch, compactEvery)
       }
       .start()
 
   /** One micro-batch of [[pqIndexMaintenanceStream]]. */
   private[graft] def processPqIndexBatch(
-      spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+      spark: SparkSession, indexDir: String, batch: DataFrame,
+      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery): Unit = {
     val codes = new org.apache.hadoop.fs.Path(s"$indexDir/codes.parquet")
     val fs = codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(codes))
@@ -250,8 +272,16 @@ object EmbedStream {
     val resident = graft.operators.PqIndex.residentVecIds(spark, indexDir)
     val fresh = vecs.join(resident, Seq("vec_id"), "left_anti").persist()
     try {
-      if (!fresh.isEmpty)
+      if (!fresh.isEmpty) {
         graft.operators.PqIndex.appendToIndex(spark, indexDir, fresh)
+        // policy: bound read amplification — self-compact at the
+        // epoch-count threshold (the read-merge, folded to one epoch)
+        graft.operators.IndexPolicy.maybeCompact(
+          spark, s"$indexDir/codes.parquet", compactEvery) {
+          graft.operators.PqIndex.compact(spark, indexDir)
+        }
+        ()
+      }
     } finally fresh.unpersist()
     ()
   }

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** The round-8 policy layer: a long-lived maintenance stream must
+  * SELF-compact — epoch counts bounded by the threshold forever, reads
+  * identical through every fold — with no operator in the loop. */
+class IndexPolicySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def epochsOf(dir: String, table: String): Set[String] = {
+    val f = new java.io.File(s"$dir/$table")
+    if (!f.isDirectory) Set.empty
+    else f.listFiles().map(_.getName).filter(_.startsWith("epoch=")).toSet
+  }
+
+  test("maybeCompact triggers at the threshold and only then") {
+    val dir = tmpDir("graft-policy-unit")
+    val docs = (1L to 50L).map(i => (i, "s0", 100L + i)).toDF("doc_id", "source", "n_chars")
+    SketchIndex.buildIndex(spark, docs.filter(col("doc_id") <= 10), dir)
+    SketchIndex.appendToIndex(spark, dir, docs.filter(col("doc_id") > 10 && col("doc_id") <= 20))
+    var ran = 0
+    // below threshold: no trigger
+    assert(!IndexPolicy.maybeCompact(spark, s"$dir/sample.parquet", every = 3) { ran += 1 })
+    assert(ran === 0)
+    SketchIndex.appendToIndex(spark, dir, docs.filter(col("doc_id") > 20))
+    // at threshold: trigger fires
+    assert(IndexPolicy.maybeCompact(spark, s"$dir/sample.parquet", every = 3) {
+      ran += 1
+      SketchIndex.compact(spark, dir)
+    })
+    assert(ran === 1)
+    assert(epochsOf(dir, "sample.parquet") === Set("epoch=0"))
+    // disabled: never fires
+    assert(!IndexPolicy.maybeCompact(spark, s"$dir/sample.parquet", every = 0) { ran += 1 })
+    assert(ran === 1)
+  }
+
+  test("a long maintenance stream self-compacts and keeps serving exact reads") {
+    implicit val sql = spark.sqlContext
+    val indexDir = tmpDir("graft-policy-stream") + "/i"
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, String, Long)]
+    val every = 4
+    val q = graft.streaming.DocStream.sketchMaintenanceStream(
+      spark, input.toDF().toDF("doc_id", "source", "n_chars"), indexDir,
+      compactEvery = every)
+    val all = (1L to 120L).map(i => (i, if (i % 3 == 0) "s1" else "s0", 50L + i))
+    try {
+      all.grouped(10).foreach { batch =>
+        input.addData(batch: _*)
+        q.processAllAvailable()
+        // the published epoch count never exceeds the threshold: the
+        // trigger folds the store back to one epoch whenever it reaches it
+        assert(epochsOf(indexDir, "sample.parquet").size <= every,
+          s"epochs ${epochsOf(indexDir, "sample.parquet")}")
+      }
+    } finally q.stop()
+    // at least one compaction actually happened over 12 appends
+    assert(epochsOf(indexDir, "sample.parquet").size < 12)
+    // and the self-compacted store serves EXACTLY the one-shot build
+    val batchDir = tmpDir("graft-policy-batch") + "/i"
+    SketchIndex.buildIndex(spark,
+      all.toDF("doc_id", "source", "n_chars"), batchDir)
+    def ests(d: String) = SketchIndex.estimatesFromIndex(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ests(indexDir) === ests(batchDir))
+  }
+
+  test("IndexCatalog reports family, epochs, rows and drift") {
+    val dir = tmpDir("graft-policy-catalog")
+    val docs = (1L to 40L).map(i => (i, "s0", 100L + i)).toDF("doc_id", "source", "n_chars")
+    SketchIndex.buildIndex(spark, docs.filter(col("doc_id") <= 20), dir)
+    SketchIndex.appendToIndex(spark, dir, docs.filter(col("doc_id") > 20))
+    val r = graft.IndexCatalog.report(spark, dir)
+    assert(r.family === "sketch")
+    val sample = r.tables.find(_.name == "sample.parquet").get
+    assert(sample.epochs === 2)
+    assert(sample.rows === 40L)
+    val docsT = r.tables.find(_.name == "docs.parquet").get
+    assert(docsT.rows === 40L)
+    assert(r.drift.isEmpty)
+    assert(graft.IndexCatalog.render(r).nonEmpty)
+
+    // ivf store gets a drift row
+    val emb = graft.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val ivfDir = tmpDir("graft-policy-catalog-ivf") + "/idx"
+    val cents = SimilarityOps.learnedCentRows(spark, "/root/testdata/sf0.001")
+    IvfIndex.buildIndex(spark, ivfDir, cents, emb.filter(col("vec_id") % 2 === 0))
+    IvfIndex.appendToIndex(spark, ivfDir, emb.filter(col("vec_id") % 2 === 1))
+    val ri = graft.IndexCatalog.report(spark, ivfDir)
+    assert(ri.family === "ivf")
+    assert(ri.drift.isDefined)
+    assert(ri.drift.get.appendedRows > 0)
+  }
+}
