@@ -60,13 +60,10 @@ object AnnIndex {
     for ((tab, df) <- Seq(
         "bands.parquet" -> bandRows(e),
         "vectors.parquet" -> e)) {
-      val live = new Path(root, s"$tab/epoch=$epoch")
-      val tmp = new Path(root, s"$tab/.epoch-$epoch.tmp")
-      fs.delete(tmp, true)
-      df.write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(live, true)
-      if (!fs.rename(tmp, live))
-        throw new java.io.IOException(s"ANN index epoch publish failed: $tmp -> $live")
+      AtomicPublish.stageAndRename(
+        spark, new Path(root, tab).toString, s".epoch-$epoch.tmp", s"epoch=$epoch") {
+        tmp => df.write.mode("overwrite").parquet(tmp.toString)
+      }
     }
   }
 
@@ -118,19 +115,17 @@ object AnnIndex {
       val live = fs.listStatus(dir).map(_.getPath)
         .filter(_.getName.startsWith("epoch="))
       val next = live.map(_.getName.stripPrefix("epoch=").toInt).max + 1
-      val staging = new Path(dir, ".compact.tmp")
-      fs.delete(staging, true)
       // one consolidated write — partition count is Spark's choice, the
       // win is one directory and full-size files instead of per-batch
       // dirs. dropDuplicates: epochs are a row set; dedup here both
       // absorbs double-appended batches and makes a crash-rerun (which
       // unions olds + the already-published consolidated epoch) converge.
-      spark.read.parquet(live.map(_.toString): _*)
-        .dropDuplicates()
-        .write.mode("overwrite").parquet(staging.toString)
-      if (!fs.rename(staging, new Path(dir, s"epoch=$next")))
-        throw new java.io.IOException(s"ANN index compaction publish failed: $tab")
-      live.foreach(p => fs.delete(p, true))
+      AtomicPublish.publishThenDelete(
+        spark, dir.toString, ".compact.tmp", s"epoch=$next", live.toSeq) { tmp =>
+        spark.read.parquet(live.map(_.toString): _*)
+          .dropDuplicates()
+          .write.mode("overwrite").parquet(tmp.toString)
+      }
     }
   }
 

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** The persisted-index family's THREE publish disciplines, extracted from
+  * the per-family copies (round-8 verdict item: nine hand-rolled rename
+  * sequences drift independently; one helper can't). All three share the
+  * invariants every family was built on: dot-prefixed staging dirs are
+  * invisible to readers (partition discovery skips them), a reader sees
+  * whole published dirs or nothing, and the writer is single-threaded per
+  * store (epoch numbering is read-modify-write).
+  *
+  *  - [[stageAndRename]]: write invisible, delete the old live name, one
+  *    rename to publish. The per-epoch append path: the live name never
+  *    exists half-written; a crash before the rename leaves only staging
+  *    residue that the next attempt deletes.
+  *  - [[publishThenDelete]]: write the consolidated copy invisible,
+  *    publish it as a FRESH name, only then delete the inputs. The
+  *    compaction path for stores whose reads tolerate old + consolidated
+  *    COEXISTING (row-set semantics + read-time dedup): consolidated data
+  *    is never the only copy while invisible.
+  *  - [[swapDir]]: stage a complete replacement dir, `live → bak`,
+  *    `tmp → live` (rolled back if the second rename fails), delete bak.
+  *    For stores whose reads would DOUBLE under coexistence (additive
+  *    counts): a crash between the renames leaves the full store in
+  *    `<bak>` for operator recovery, never a half-written live dir.
+  */
+object AtomicPublish {
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Write via `write` into `parentDir/tmpName` (must be dot-prefixed —
+    * enforced), then replace `parentDir/liveName` with it. */
+  def stageAndRename(
+      spark: SparkSession, parentDir: String, tmpName: String, liveName: String)(
+      write: Path => Unit): Unit = {
+    require(tmpName.startsWith("."), s"staging name must be dot-prefixed: $tmpName")
+    val tmp = new Path(parentDir, tmpName)
+    val live = new Path(parentDir, liveName)
+    val fs = fsOf(spark, tmp)
+    fs.delete(tmp, true)
+    write(tmp)
+    fs.delete(live, true)
+    if (!fs.rename(tmp, live))
+      throw new java.io.IOException(s"publish failed: $tmp -> $live")
+  }
+
+  /** Write via `write` into `parentDir/stagingName`, publish it as
+    * `parentDir/freshName`, then delete `olds`. Reads must tolerate olds
+    * and the fresh copy coexisting (the window between publish and
+    * delete). */
+  def publishThenDelete(
+      spark: SparkSession, parentDir: String, stagingName: String,
+      freshName: String, olds: Seq[Path])(write: Path => Unit): Unit = {
+    stageAndRename(spark, parentDir, stagingName, freshName)(write)
+    val fs = fsOf(spark, new Path(parentDir))
+    olds.foreach(p => fs.delete(p, true))
+  }
+
+  /** Stage a complete replacement for `liveDir` (written via `write`),
+    * then swap it in with two renames and a rollback; `bakSuffix` names
+    * the crash-recovery copy. */
+  def swapDir(
+      spark: SparkSession, liveDir: String,
+      tmpSuffix: String = ".compact-tmp", bakSuffix: String = ".compact-bak")(
+      write: Path => Unit): Unit = {
+    val live = new Path(liveDir)
+    val fs = fsOf(spark, live)
+    val tmp = new Path(live.getParent, live.getName + tmpSuffix)
+    val bak = new Path(live.getParent, live.getName + bakSuffix)
+    fs.delete(tmp, true)
+    write(tmp)
+    fs.delete(bak, true)
+    if (!fs.rename(live, bak))
+      throw new java.io.IOException(s"swap failed: $live -> $bak")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(bak, live)
+      throw new java.io.IOException(s"swap failed: $tmp -> $live")
+    }
+    fs.delete(bak, true)
+    ()
+  }
+}

@@ -32,13 +32,10 @@ object ClassifyIndex {
     for ((tab, df) <- Seq(
         "counts.parquet" -> ClassifyOps.trainCounts(docs),
         "docs.parquet" -> docs.select(col("doc_id")).distinct())) {
-      val live = new Path(root, s"$tab/epoch=$epoch")
-      val tmp = new Path(root, s"$tab/.epoch-$epoch.tmp")
-      fs.delete(tmp, true)
-      df.write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(live, true)
-      if (!fs.rename(tmp, live))
-        throw new java.io.IOException(s"classifier model publish failed: $tmp -> $live")
+      AtomicPublish.stageAndRename(
+        spark, new Path(root, tab).toString, s".epoch-$epoch.tmp", s"epoch=$epoch") {
+        tmp => df.write.mode("overwrite").parquet(tmp.toString)
+      }
     }
   }
 

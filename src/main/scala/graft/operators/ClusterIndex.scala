@@ -218,28 +218,19 @@ object ClusterIndex {
       .select(col("t1"), col("t2"))
     val finalMeta = oldMeta.unionByName(metaOf(batch))
 
-    val live = new Path(indexDir)
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(live.getParent, live.getName + ".append-tmp")
-    val bak = new Path(live.getParent, live.getName + ".append-bak")
-    fs.delete(tmp, true)
-    m.sh.write.mode(SaveMode.Overwrite).parquet(s"$tmp/text_shingles.parquet")
-    m.df.write.mode(SaveMode.Overwrite).parquet(s"$tmp/shingle_df.parquet")
-    m.texts.write.mode(SaveMode.Overwrite).parquet(s"$tmp/texts.parquet")
-    m.members.write.mode(SaveMode.Overwrite).parquet(s"$tmp/members.parquet")
-    finalEdges.write.mode(SaveMode.Overwrite).parquet(s"$tmp/edges.parquet")
-    finalLabels.write.mode(SaveMode.Overwrite).parquet(s"$tmp/labels.parquet")
-    finalMeta.write.mode(SaveMode.Overwrite).parquet(s"$tmp/doc_meta.parquet")
-    touched.unpersist()
-    newEdges.unpersist()
-    fs.delete(bak, true)
-    if (!fs.rename(live, bak))
-      throw new java.io.IOException(s"cluster index swap failed: $live -> $bak")
-    if (!fs.rename(tmp, live)) {
-      fs.rename(bak, live)
-      throw new java.io.IOException(s"cluster index swap failed: $tmp -> $live")
+    AtomicPublish.swapDir(spark, indexDir,
+      tmpSuffix = ".append-tmp", bakSuffix = ".append-bak") { tmp =>
+      m.sh.write.mode(SaveMode.Overwrite).parquet(s"$tmp/text_shingles.parquet")
+      m.df.write.mode(SaveMode.Overwrite).parquet(s"$tmp/shingle_df.parquet")
+      m.texts.write.mode(SaveMode.Overwrite).parquet(s"$tmp/texts.parquet")
+      m.members.write.mode(SaveMode.Overwrite).parquet(s"$tmp/members.parquet")
+      finalEdges.write.mode(SaveMode.Overwrite).parquet(s"$tmp/edges.parquet")
+      finalLabels.write.mode(SaveMode.Overwrite).parquet(s"$tmp/labels.parquet")
+      finalMeta.write.mode(SaveMode.Overwrite).parquet(s"$tmp/doc_meta.parquet")
+      touched.unpersist()
+      newEdges.unpersist()
+      ()
     }
-    fs.delete(bak, true)
   }
 
   /** q_dedup_clusters from index tables only (labels ⋈ members ⋈ texts):

@@ -38,17 +38,8 @@ object EpochCompact {
       .filter(_.startsWith("epoch="))
     if (epochs.length <= 1) return
     val merged = consolidate(spark.read.parquet(tableDir).drop("epoch"))
-    val tmp = new Path(live.getParent, live.getName + ".compact-tmp")
-    val bak = new Path(live.getParent, live.getName + ".compact-bak")
-    fs.delete(tmp, true)
-    merged.write.parquet(s"$tmp/epoch=0")
-    fs.delete(bak, true)
-    if (!fs.rename(live, bak))
-      throw new java.io.IOException(s"compact swap failed: $live -> $bak")
-    if (!fs.rename(tmp, live)) {
-      fs.rename(bak, live)
-      throw new java.io.IOException(s"compact swap failed: $tmp -> $live")
+    AtomicPublish.swapDir(spark, tableDir) { tmp =>
+      merged.write.parquet(s"$tmp/epoch=0")
     }
-    fs.delete(bak, true)
   }
 }

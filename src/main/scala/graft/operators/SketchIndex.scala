@@ -53,13 +53,10 @@ object SketchIndex {
             // bit_xor: commutative and overflow-free under ANSI mode
             expr("bit_xor(xxhash64(doc_id))").as("batch_key")),
         "docs.parquet" -> docs.select(col("doc_id")).distinct())) {
-      val live = new Path(root, s"$tab/epoch=$epoch")
-      val tmp = new Path(root, s"$tab/.epoch-$epoch.tmp")
-      fs.delete(tmp, true)
-      df.write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(live, true)
-      if (!fs.rename(tmp, live))
-        throw new java.io.IOException(s"sketch store epoch publish failed: $tmp -> $live")
+      AtomicPublish.stageAndRename(
+        spark, new Path(root, tab).toString, s".epoch-$epoch.tmp", s"epoch=$epoch") {
+        tmp => df.write.mode("overwrite").parquet(tmp.toString)
+      }
     }
   }
 
@@ -86,9 +83,6 @@ object SketchIndex {
   def residentDocIds(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/docs.parquet").select(col("doc_id")).distinct()
 
-  /** Fold all epochs into one — the sample's pruning merge (re-rank the
-    * union, keep K) is exactly what every read performs, so reads are
-    * identical before and after ([[EpochCompact]] swap safety). */
   /** The family's read-merges, both idempotent under epoch duplication
     * (see the crash-idempotence note above). */
   private def mergeSample(raw: DataFrame): DataFrame =
@@ -102,6 +96,9 @@ object SketchIndex {
       .agg(sum(col("n_docs")).as("n_docs"),
         expr("bit_xor(batch_key)").as("batch_key"))
 
+  /** Fold all epochs into one — each table's merge is exactly what every
+    * read performs, so reads are identical before and after
+    * ([[EpochCompact]] swap safety). */
   def compact(spark: SparkSession, indexDir: String): Unit = {
     EpochCompact.compactTable(spark, s"$indexDir/sample.parquet", mergeSample)
     EpochCompact.compactTable(spark, s"$indexDir/counts.parquet", mergeCounts)

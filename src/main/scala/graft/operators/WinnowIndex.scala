@@ -38,13 +38,10 @@ object WinnowIndex {
     for ((tab, df) <- Seq(
         "fps.parquet" -> WinnowOps.fpRows(docs),
         "docs.parquet" -> docs.select(col("doc_id")).distinct())) {
-      val live = new Path(root, s"$tab/epoch=$epoch")
-      val tmp = new Path(root, s"$tab/.epoch-$epoch.tmp")
-      fs.delete(tmp, true)
-      df.write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(live, true)
-      if (!fs.rename(tmp, live))
-        throw new java.io.IOException(s"winnow index epoch publish failed: $tmp -> $live")
+      AtomicPublish.stageAndRename(
+        spark, new Path(root, tab).toString, s".epoch-$epoch.tmp", s"epoch=$epoch") {
+        tmp => df.write.mode("overwrite").parquet(tmp.toString)
+      }
     }
   }
 
