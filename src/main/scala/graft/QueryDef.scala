@@ -26,6 +26,7 @@ object QueryRegistry {
       operators.AdvancedOps.queries ++
       operators.FunctionQueries.queries ++
       operators.TextOps.queries ++
+      operators.CurationFunnel.queries ++
       operators.CorpusOps.queries ++
       operators.DedupOps.queries ++
       operators.SpanDedup.queries ++

@@ -66,8 +66,13 @@ object ClassifyOps {
     * text and attributed back to doc_ids by an internal hash join —
     * exact copies (the dominant redundancy at corpus scale) cost one
     * membership row, not a re-scored token stream. */
-  private[operators] def scoreAgainst(docs: DataFrame, counts: DataFrame): DataFrame = {
-    val test = docs.filter(col("doc_id") % TestMod === 0L)
+  private[operators] def scoreAgainst(docs: DataFrame, counts: DataFrame): DataFrame =
+    scoreDocs(docs.filter(col("doc_id") % TestMod === 0L), counts)
+
+  /** Score an arbitrary target set against a trained counts table — the
+    * holdout lane above and the curation funnel's all-docs classifier
+    * gate ([[CurationFunnel]]) share this body. */
+  private[operators] def scoreDocs(test: DataFrame, counts: DataFrame): DataFrame = {
     val langTotals = counts.groupBy(col("lang")).agg(sum(col("c")).as("n_l"))
     val vocabN = counts.select(col("word")).distinct()
       .agg(count(lit(1)).as("v"))
@@ -120,6 +125,14 @@ object ClassifyOps {
   }
 
   private[operators] val oracleSql: String =
+    predictionSql(s"doc_id % $TestMod = 0")
+
+  /** All-docs prediction oracle — the curation funnel's classifier gate
+    * ([[CurationFunnel]]): same trained model, the target WHERE clause
+    * opened up. */
+  private[operators] val predictAllSql: String = predictionSql("TRUE")
+
+  private def predictionSql(targetWhere: String): String =
     s"""WITH tok AS (
        |  SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS word
        |  FROM documents),
@@ -134,7 +147,7 @@ object ClassifyOps {
        |  CROSS JOIN lt l CROSS JOIN vn
        |  LEFT JOIN cnt c ON c.word = w.word AND c.lang = l.lang),
        |dflt AS (SELECT lang, $Scale // (n_l + v) AS s0 FROM lt CROSS JOIN vn),
-       |ttok AS (SELECT doc_id, word FROM tok WHERE doc_id % $TestMod = 0),
+       |ttok AS (SELECT doc_id, word FROM tok WHERE $targetWhere),
        |hits AS (
        |  SELECT t.doc_id, g.lang, CAST(SUM(g.s) AS BIGINT) AS sum_s,
        |    CAST(COUNT(*) AS BIGINT) AS n_rows
@@ -142,7 +155,7 @@ object ClassifyOps {
        |base AS (
        |  SELECT doc_id, lang AS true_lang,
        |    len(string_split(trim(text), ' '))::BIGINT AS n_toks
-       |  FROM documents WHERE doc_id % $TestMod = 0),
+       |  FROM documents WHERE $targetWhere),
        |sc AS (
        |  SELECT b.doc_id, b.true_lang, f.lang,
        |    COALESCE(h.sum_s, 0) + (b.n_toks - COALESCE(h.n_rows, 0)) * f.s0 AS total

@@ -1,0 +1,174 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** q_curation2 — the round-8 curation funnel, composing the round-7
+  * signal operators END TO END the way a production pipeline runs them
+  * (q_curation predates all of them and gates on length/stopwords only):
+  *
+  *   1_total      every document
+  *   2_quality    char-diversity gate (n_distinct_chars, top-char share —
+  *                the q_char_diversity signals) + minimum token count
+  *   3_classifier bag-of-words classifier self-consistency: the model
+  *                trained on the deterministic train split must predict
+  *                the document's recorded lang (q_classify_freq's exact
+  *                train→predict loop, target widened to ALL docs)
+  *   4_ccnet      CCNet head/middle selection from sampled LM-fit
+  *                terciles (q_ccnet_buckets) — the tail is dropped
+  *   5_dedup      exact-duplicate keeper + winnowing/MOSS near-dup
+  *                removal AMONG THE SURVIVORS (matches are computed on
+  *                the stage-4 output, the real pipeline order; losers
+  *                are the match report's dominated side)
+  *   6_train      the 80% hash-bucket train split (q_train_split's
+  *                arithmetic)
+  *
+  * Output is the attrition ledger (stage, n_docs, n_tokens) — one row
+  * per stage, zero-total stages included, so the whole funnel is ONE
+  * hash-gated relation. The oracle is the same chain in DuckDB, nesting
+  * the already-oracle-green component queries (classifier, CCNet,
+  * winnow matching) as subqueries — the composition is verified, not
+  * just the parts.
+  *
+  * Scale shape: every signal is computed once per corpus scan (or per
+  * DISTINCT text for the text-pure ones); gates are cumulative boolean
+  * columns on one frame; the only stage that recomputes anything on a
+  * SUBSET is dedup, whose winnowing input is the already-filtered
+  * survivor set (smaller than the corpus by construction).
+  */
+object CurationFunnel {
+  import Tables.table
+
+  private val MinToks = 20L
+  private val MinDistinctChars = 18L
+  private val MaxTopCharPermille = 195L
+
+  private def qCuration2(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    val nToks = size(split(trim(col("text")), " ")).cast(LongType)
+
+    // per-distinct-text char-diversity signals (the q_char_diversity body)
+    val perText = d.select(col("text")).distinct()
+      .filter(length(col("text")) > 0)
+      .select(xxhash64(col("text")).as("tid"),
+        explode(split(col("text"), "")).as("c"))
+      .groupBy(col("tid"), col("c")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("tid"))
+      .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("nd"), max(col("cnt")).as("top"))
+      .select(col("tid"), col("nd"), expr("(top * 1000) div tot").as("tp"))
+
+    val preds = ClassifyOps.scoreDocs(d, ClassifyOps.trainCounts(d))
+      .select(col("doc_id"), col("is_correct"))
+    val buckets = TextOps.qCcnetBuckets(spark, dir)
+      .select(col("doc_id"), col("bucket"))
+
+    val staged = d
+      .select(col("doc_id"), col("text"), nToks.as("n_toks"),
+        xxhash64(col("text")).as("tid"))
+      .join(perText, Seq("tid"), "left")
+      .join(preds, Seq("doc_id"), "left")
+      .join(buckets, Seq("doc_id"), "left")
+      .withColumn("s2",
+        col("n_toks") >= MinToks &&
+          coalesce(col("nd"), lit(0L)) >= MinDistinctChars &&
+          coalesce(col("tp"), lit(1000L)) <= MaxTopCharPermille)
+      .withColumn("s3", col("s2") && coalesce(col("is_correct"), lit(0L)) === 1L)
+      .withColumn("s4", col("s3") && col("bucket").isin("head", "middle"))
+
+    // dedup among the stage-4 survivors: exact keeper (min doc per text)
+    // + winnow-match losers (the dominated side of each reported pair)
+    val surv4 = staged.filter(col("s4")).select(col("doc_id"), col("text"))
+    val keepers = surv4.groupBy(col("text")).agg(min(col("doc_id")).as("keep_id"))
+    val losers = WinnowOps
+      .matchesFrom(WinnowOps.fpRows(surv4).drop("tid"))
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("is_loser", lit(true))
+    val full = staged
+      .join(keepers, Seq("text"), "left")
+      .join(losers, Seq("doc_id"), "left")
+      .withColumn("s5",
+        col("s4") && col("doc_id") === col("keep_id") &&
+          !coalesce(col("is_loser"), lit(false)))
+      .withColumn("s6", col("s5") &&
+        pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(100L)) < 80)
+
+    // one total aggregate → stack to the 6-row ledger (zero stages kept)
+    def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    def tok(c: org.apache.spark.sql.Column) = sum(when(c, col("n_toks")).otherwise(0L))
+    full.agg(
+      count(lit(1)).as("n1"), sum(col("n_toks")).as("t1"),
+      cnt(col("s2")).as("n2"), tok(col("s2")).as("t2"),
+      cnt(col("s3")).as("n3"), tok(col("s3")).as("t3"),
+      cnt(col("s4")).as("n4"), tok(col("s4")).as("t4"),
+      cnt(col("s5")).as("n5"), tok(col("s5")).as("t5"),
+      cnt(col("s6")).as("n6"), tok(col("s6")).as("t6"))
+      .selectExpr("""stack(6,
+        '1_total',      n1, t1,
+        '2_quality',    n2, t2,
+        '3_classifier', n3, t3,
+        '4_ccnet',      n4, t4,
+        '5_dedup',      n5, t5,
+        '6_train',      n6, t6) as (stage, n_docs, n_tokens)""")
+      .select(col("stage"), coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
+
+  private val qCuration2Sql: String = {
+    val winnowOnSurvivors =
+      WinnowOps.qWinnowMatchesSql.replace("FROM documents", "FROM s4docs")
+    s"""WITH cdiv AS (
+       |  SELECT text,
+       |    CAST(COUNT(DISTINCT c) AS BIGINT) AS nd,
+       |    (MAX(cnt) * 1000) // SUM(cnt) AS tp
+       |  FROM (
+       |    SELECT text, c, COUNT(*) AS cnt
+       |    FROM (SELECT text, substring(text, i, 1) AS c
+       |          FROM (SELECT DISTINCT text FROM documents WHERE length(text) > 0) t,
+       |               UNNEST(range(1, length(text) + 1)) AS r(i))
+       |    GROUP BY 1, 2)
+       |  GROUP BY text),
+       |cls AS (SELECT doc_id, is_correct FROM (${ClassifyOps.predictAllSql})),
+       |ccb AS (SELECT doc_id, bucket FROM (${TextOps.qCcnetBucketsSql})),
+       |gated AS (
+       |  SELECT d.doc_id, d.text,
+       |    len(string_split(trim(d.text), ' '))::BIGINT AS n_toks,
+       |    (len(string_split(trim(d.text), ' ')) >= $MinToks
+       |      AND COALESCE(cdiv.nd, 0) >= $MinDistinctChars
+       |      AND COALESCE(cdiv.tp, 1000) <= $MaxTopCharPermille) AS s2f,
+       |    COALESCE(cls.is_correct, 0) = 1 AS clf,
+       |    COALESCE(ccb.bucket IN ('head', 'middle'), FALSE) AS ccf
+       |  FROM documents d
+       |  LEFT JOIN cdiv USING (text)
+       |  LEFT JOIN cls USING (doc_id)
+       |  LEFT JOIN ccb USING (doc_id)),
+       |g2 AS (SELECT *, s2f AND clf AS s3f, s2f AND clf AND ccf AS s4f FROM gated),
+       |s4docs AS (SELECT doc_id, text FROM g2 WHERE s4f),
+       |wlosers AS (SELECT DISTINCT doc_b FROM ($winnowOnSurvivors)),
+       |keepers AS (SELECT text, MIN(doc_id) AS keep_id FROM s4docs GROUP BY text),
+       |g3 AS (
+       |  SELECT g2.*,
+       |    (s4f AND g2.doc_id = k.keep_id
+       |      AND g2.doc_id NOT IN (SELECT doc_b FROM wlosers)) AS s5f
+       |  FROM g2 LEFT JOIN keepers k USING (text)),
+       |g4 AS (SELECT *,
+       |    (s5f AND (doc_id * 2654435761) % 4294967296 % 100 < 80) AS s6f
+       |  FROM g3)
+       |SELECT '1_total' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  COALESCE(CAST(SUM(n_toks) AS BIGINT), 0) AS n_tokens FROM g4
+       |UNION ALL SELECT '2_quality', COUNT(*),
+       |  COALESCE(CAST(SUM(n_toks) AS BIGINT), 0) FROM g4 WHERE s2f
+       |UNION ALL SELECT '3_classifier', COUNT(*),
+       |  COALESCE(CAST(SUM(n_toks) AS BIGINT), 0) FROM g4 WHERE s3f
+       |UNION ALL SELECT '4_ccnet', COUNT(*),
+       |  COALESCE(CAST(SUM(n_toks) AS BIGINT), 0) FROM g4 WHERE s4f
+       |UNION ALL SELECT '5_dedup', COUNT(*),
+       |  COALESCE(CAST(SUM(n_toks) AS BIGINT), 0) FROM g4 WHERE s5f
+       |UNION ALL SELECT '6_train', COUNT(*),
+       |  COALESCE(CAST(SUM(n_toks) AS BIGINT), 0) FROM g4 WHERE s6f""".stripMargin
+  }
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_curation2", qCuration2, Some(qCuration2Sql), headline = true))
+}

@@ -960,7 +960,7 @@ object TextOps {
   // ties at a cutoff bucket by value comparison, identical both sides.
   private val CcK = 64
 
-  private def qCcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def qCcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
     val P = 1000000007L
     val scored = qLmBigram(spark, dir).select(col("doc_id"), col("fit_score"))
       .join(table(spark, dir, "documents").select(col("doc_id"), col("source")),
@@ -984,7 +984,7 @@ object TextOps {
           .otherwise("tail").as("bucket"))
   }
 
-  private val qCcnetBucketsSql =
+  private[operators] val qCcnetBucketsSql =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
        |bg AS (
