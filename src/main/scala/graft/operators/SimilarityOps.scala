@@ -916,6 +916,67 @@ object SimilarityOps {
        |SELECT CAST(cluster AS BIGINT) AS cluster, COUNT(*) AS n_assigned
        |FROM a$IvfIters GROUP BY 1""".stripMargin
 
+  // --- q_semantic_dedup: SemDeDup (Abbas et al. 2023) --------------------
+  // Embedding-level semantic deduplication, the modern pipeline's
+  // complement to text-level near-dup removal: cluster the embeddings
+  // with the IVF quantizer, then WITHIN each cluster drop any vector
+  // that has a τ-cosine neighbor ranking better by (distance-to-centroid,
+  // id) — the paper's keep-one-per-semantic-neighborhood rule made
+  // deterministic. Clustering is what makes it scale: candidate pairs are
+  // bounded per cell (with the √N production geometry, N/k ≈ √N members
+  // per cell → O(N^1.5) pairs corpus-wide instead of O(N²); the paper's
+  // own tractability argument), and the pair join shuffles by cluster
+  // only. Geometry dispatches like the persisted IVF: the oracle-pinned
+  // k=10 training at the gate SFs (so the whole pipeline — training,
+  // assignment, pair scan, keep rule — rides one unrolled-CTE oracle),
+  // √N hash-init cells at production sizes. τ = 0.35 sits at the ~99.9th
+  // cosine percentile of the synthetic corpus (which has no true
+  // semantic duplicates — the operator SHAPE is what transfers; on a
+  // real embedding corpus τ is the usual 0.9x).
+  private val SemTau = 0.35
+
+  private def qSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val rows = centRowsAuto(spark, dir)
+    val e = withNorm(table(spark, dir, "embeddings"))
+      .withColumn("cluster", assignExpr(rows, col("v")))
+    val cvOf = typedlit(rows.map { case (id, cv) => id -> cv }.toMap)
+    val m = e.select(col("vec_id"), col("v"), col("norm"), col("cluster"),
+      dist2(col("v"), element_at(cvOf, col("cluster"))).as("d2c"))
+    val o = m.select(col("cluster"), col("vec_id").as("o_id"),
+      col("v").as("ov"), col("norm").as("onorm"), col("d2c").as("od2c"))
+    // a vector is dropped iff some same-cluster τ-neighbor ranks better
+    val dropped = m.join(o, Seq("cluster"))
+      .filter(col("o_id") =!= col("vec_id"))
+      .filter(dot(col("v"), col("ov")) / (col("norm") * col("onorm")) >= SemTau)
+      .filter(col("od2c") < col("d2c") ||
+        (col("od2c") === col("d2c") && col("o_id") < col("vec_id")))
+      .select(col("vec_id")).distinct()
+      .withColumn("is_dropped", lit(1L))
+    m.select(col("vec_id"), col("cluster").cast(LongType).as("cluster"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        (lit(1L) - coalesce(col("is_dropped"), lit(0L))).as("kept"))
+  }
+
+  private def qSemanticDedupSql: String = {
+    val d2c = s"list_reduce(list_prepend(0.0, [(x.v[i]-c.cv[i])*(x.v[i]-c.cv[i]) FOR i IN range(1, 65)]), (acc,d) -> acc+d)"
+    val cosAB = s"list_reduce(list_prepend(0.0, [a.v[i]*b.v[i] FOR i IN range(1, 65)]), (acc,x) -> acc+x) / (a.norm * b.norm)"
+    s"""WITH ${ivfLearnedCtes},
+       |m AS (
+       |  SELECT x.vec_id, x.v, e.norm, x.cluster, $d2c AS d2c
+       |  FROM a$IvfIters x
+       |  JOIN e USING (vec_id)
+       |  JOIN c$IvfIters c ON c.cluster = x.cluster),
+       |dropped AS (
+       |  SELECT DISTINCT a.vec_id
+       |  FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id != b.vec_id
+       |  WHERE $cosAB >= $SemTau
+       |    AND (b.d2c < a.d2c OR (b.d2c = a.d2c AND b.vec_id < a.vec_id)))
+       |SELECT m.vec_id, CAST(m.cluster AS BIGINT) AS cluster,
+       |  CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END::BIGINT AS kept
+       |FROM m LEFT JOIN dropped d ON d.vec_id = m.vec_id""".stripMargin
+  }
+
   // --- q_ann_pq: product-quantization ANN (ADC propose + exact rescore) --
   // The memory-compression half of a production ANN stack (IVF-PQ minus
   // the IVF routing, which q_ann_ivf_learned/IvfIndex already provide and
@@ -1312,6 +1373,7 @@ object SimilarityOps {
     QueryDef("q_ann_recall", qAnnRecall, None),
     QueryDef("q_ann_mrr", qAnnMrr, Some(qAnnMrrSql)),
     QueryDef("q_ann_recall_portable", qAnnRecallPortable, Some(qAnnRecallPortableSql)),
+    QueryDef("q_semantic_dedup", qSemanticDedup, Some(qSemanticDedupSql)),
     QueryDef("q_diversity_sample", qDiversitySample, Some(qDiversitySampleSql)),
     QueryDef("q_quantize", qQuantize, Some(qQuantizeSql)),
     QueryDef("q_kmedians_step", qKMediansStep, Some(qKMediansStepSql)))
