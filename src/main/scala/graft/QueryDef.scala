@@ -27,6 +27,7 @@ object QueryRegistry {
       operators.FunctionQueries.queries ++
       operators.TextOps.queries ++
       operators.CurationFunnel.queries ++
+      operators.GopherRules.queries ++
       operators.CorpusOps.queries ++
       operators.DedupOps.queries ++
       operators.SpanDedup.queries ++

@@ -93,11 +93,15 @@ object IvfIndex {
     import SimilarityOps.{PqM, PqSub, pqCodeFor}
     val d = batch.select(col("vec_id"),
       transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+    val asg = SimilarityOps.assignStruct(cents, col("v"))
     d.withColumn("norm", sqrt(graft.functions.VectorOps.dot(col("v"), col("v"))))
-      .withColumn("cl", assignExpr(cents, col("v")))
+      .withColumn("cl", asg.getField("cluster"))
+      // assignment tightness rides the same single-pass native expression
+      // — the drift stats need no second corpus pass or map literal
+      .withColumn("d2c", asg.getField("d2c"))
       .withColumn("nv", transform(col("v"),
         x => when(col("norm") > 0.0, x / col("norm")).otherwise(0.0)))
-      .select(Seq(col("vec_id"), col("v"), col("norm"), col("cl")) ++
+      .select(Seq(col("vec_id"), col("v"), col("norm"), col("cl"), col("d2c")) ++
         (0 until PqM).map(mm => pqCodeFor(cb, mm,
           slice(col("nv"), mm * PqSub + 1, PqSub)).as(s"c$mm")): _*)
   }
@@ -126,14 +130,10 @@ object IvfIndex {
     publish(spark, s"$indexDir/cells.parquet", s".epoch-$epoch.tmp", s"epoch=$epoch") {
       tmp => rows.write.partitionBy("cluster").mode("overwrite").parquet(tmp.toString)
     }
-    // assignment tightness of THIS batch vs the frozen centroids — one
-    // aggregate on the same pass's data, O(1) output. ONE MapType literal
-    // (k×64 doubles as a value): at production cell counts a per-entry
-    // map(...) literal would be k×65 expression nodes
-    val cvOf = typedlit(cents.map { case (id, cv) => id -> cv }.toMap)
+    // assignment tightness of THIS batch vs the frozen centroids — the
+    // d2c the native assignment already computed, one O(1) aggregate
     val statsDf = enc
-      .select(SimilarityOps.dist2(col("v"), element_at(cvOf, col("cl"))).as("d2"))
-      .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2"))
+      .agg(count(lit(1)).as("n"), sum(col("d2c")).as("sum_d2"))
     val (parent, name) =
       if (epoch == 0) (indexDir, "baseline.parquet")
       else (s"$indexDir/stats.parquet", s"epoch=$epoch")

@@ -662,22 +662,15 @@ object SimilarityOps {
     * count). A coarse quantizer with many thousands of cells would switch
     * to a broadcast-table join for assignment; the training loop and
     * oracle are unchanged by that swap. */
-  private[operators] def assignExpr(cents: Seq[(Long, Seq[Double])], v: Column): Column = {
-    val sorted = cents.sortBy(_._1)
-    val (centArr, clusterArr) =
-      if (sorted.size <= 64)
-        (array(sorted.map { case (_, cv) => array(cv.map(lit): _*) }: _*),
-          array(sorted.map(c => lit(c._1)): _*))
-      else
-        // production cell counts (the √N geometry below): ONE ArrayType
-        // literal holding k×64 doubles as a VALUE, not k×64 expression
-        // nodes — the codegen tree stays O(1) in k while the arithmetic
-        // (same dist2 fold, same first-minimum position on the same
-        // cluster-id-sorted order) is value-identical to the small-k form
-        (typedlit(sorted.map(_._2)), typedlit(sorted.map(_._1)))
-    val dists = transform(centArr, cv => dist2(v, cv))
-    element_at(clusterArr, array_position(dists, array_min(dists)).cast("int"))
-  }
+  /** Native single-pass (cluster, d2c) assignment — see
+    * [[graft.functions.CellAssign]]: bit-identical to the composed
+    * transform/array_position form (parity spec) in a tight generated
+    * loop, O(1) expression-tree size in k. */
+  private[operators] def assignStruct(cents: Seq[(Long, Seq[Double])], v: Column): Column =
+    graft.functions.CellAssign.assign(cents, v)
+
+  private[operators] def assignExpr(cents: Seq[(Long, Seq[Double])], v: Column): Column =
+    assignStruct(cents, v).getField("cluster")
 
   /** Trained centroids are memoized per (embeddings identity, iters) —
     * an IVF index is built ONCE in production and served to every query;
@@ -937,19 +930,28 @@ object SimilarityOps {
 
   private def qSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val rows = centRowsAuto(spark, dir)
-    val e = withNorm(table(spark, dir, "embeddings"))
-      .withColumn("cluster", assignExpr(rows, col("v")))
-    val cvOf = typedlit(rows.map { case (id, cv) => id -> cv }.toMap)
-    val m = e.select(col("vec_id"), col("v"), col("norm"), col("cluster"),
-      dist2(col("v"), element_at(cvOf, col("cluster"))).as("d2c"))
-    val o = m.select(col("cluster"), col("vec_id").as("o_id"),
-      col("v").as("ov"), col("norm").as("onorm"), col("d2c").as("od2c"))
+    // the pair join's row payload is the cost at the O(N^1.5) pair bound:
+    // carry ONE pre-normalized vector (cosine = plain dot) + the 8-byte
+    // rank key; (cluster, d2c) come from the native single-pass
+    // assignment (the composed k-fold HOF form measured 13.8 s warm at
+    // the sf1 stress — see PERF.md)
+    val asg = assignStruct(rows, col("v"))
+    val m = withNorm(table(spark, dir, "embeddings"))
+      .select(col("vec_id"),
+        asg.getField("cluster").as("cluster"),
+        asg.getField("d2c").as("d2c"),
+        transform(col("v"),
+          x => when(col("norm") > 0.0, x / col("norm")).otherwise(0.0)).as("nv"))
+    val o = m.select(col("cluster").as("ocl"), col("vec_id").as("o_id"),
+      col("nv").as("onv"), col("d2c").as("od2c"))
     // a vector is dropped iff some same-cluster τ-neighbor ranks better
-    val dropped = m.join(o, Seq("cluster"))
-      .filter(col("o_id") =!= col("vec_id"))
-      .filter(dot(col("v"), col("ov")) / (col("norm") * col("onorm")) >= SemTau)
-      .filter(col("od2c") < col("d2c") ||
-        (col("od2c") === col("d2c") && col("o_id") < col("vec_id")))
+    // by (distance-to-centroid, id); the rank predicate rides the JOIN
+    // condition, so the cosine evaluates on only half the pair space
+    val dropped = m.join(o,
+        col("cluster") === col("ocl") &&
+          (col("od2c") < col("d2c") ||
+            (col("od2c") === col("d2c") && col("o_id") < col("vec_id"))))
+      .filter(dot(col("nv"), col("onv")) >= SemTau)
       .select(col("vec_id")).distinct()
       .withColumn("is_dropped", lit(1L))
     m.select(col("vec_id"), col("cluster").cast(LongType).as("cluster"))
@@ -960,18 +962,22 @@ object SimilarityOps {
 
   private def qSemanticDedupSql: String = {
     val d2c = s"list_reduce(list_prepend(0.0, [(x.v[i]-c.cv[i])*(x.v[i]-c.cv[i]) FOR i IN range(1, 65)]), (acc,d) -> acc+d)"
-    val cosAB = s"list_reduce(list_prepend(0.0, [a.v[i]*b.v[i] FOR i IN range(1, 65)]), (acc,x) -> acc+x) / (a.norm * b.norm)"
+    // cosine as the dot of the PRE-NORMALIZED vectors — the engine's
+    // exact arithmetic (x_i/‖x‖ · y_i/‖y‖ summed), NOT dot/(‖x‖·‖y‖),
+    // which differs in final ulps and could flip the τ comparison
+    val cosAB = s"list_reduce(list_prepend(0.0, [a.nv[i]*b.nv[i] FOR i IN range(1, 65)]), (acc,x) -> acc+x)"
     s"""WITH ${ivfLearnedCtes},
        |m AS (
-       |  SELECT x.vec_id, x.v, e.norm, x.cluster, $d2c AS d2c
+       |  SELECT x.vec_id, x.cluster, $d2c AS d2c,
+       |    [CASE WHEN e.norm > 0.0 THEN xi / e.norm ELSE 0.0 END FOR xi IN x.v] AS nv
        |  FROM a$IvfIters x
        |  JOIN e USING (vec_id)
        |  JOIN c$IvfIters c ON c.cluster = x.cluster),
        |dropped AS (
        |  SELECT DISTINCT a.vec_id
-       |  FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id != b.vec_id
-       |  WHERE $cosAB >= $SemTau
-       |    AND (b.d2c < a.d2c OR (b.d2c = a.d2c AND b.vec_id < a.vec_id)))
+       |  FROM m a JOIN m b ON a.cluster = b.cluster
+       |    AND (b.d2c < a.d2c OR (b.d2c = a.d2c AND b.vec_id < a.vec_id))
+       |  WHERE $cosAB >= $SemTau)
        |SELECT m.vec_id, CAST(m.cluster AS BIGINT) AS cluster,
        |  CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END::BIGINT AS kept
        |FROM m LEFT JOIN dropped d ON d.vec_id = m.vec_id""".stripMargin

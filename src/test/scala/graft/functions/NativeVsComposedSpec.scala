@@ -311,6 +311,46 @@ class NativeVsComposedSpec extends AnyFunSuite {
     assert(r.length === 500)
   }
 
+  test("cell assignment: native expression == composed transform/array_position form") {
+    // real vectors against a centroid table derived from the corpus
+    // itself (so distances land close and ties are plausible), plus a
+    // literal exact-tie fixture pinning the first-minimum tie-break
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cents: Seq[(Long, Seq[Double])] = real.limit(40).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    def composed(v: org.apache.spark.sql.Column) = {
+      val sorted = cents.sortBy(_._1)
+      val centArr = array(sorted.map { case (_, cv) => array(cv.map(lit): _*) }: _*)
+      val clusterArr = array(sorted.map(c => lit(c._1)): _*)
+      def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
+      val dists = transform(centArr, cv => dist2(v, cv))
+      struct(
+        element_at(clusterArr, array_position(dists, array_min(dists)).cast("int"))
+          .as("cluster"),
+        array_min(dists).as("d2c"))
+    }
+    val r = real.select(
+      CellAssign.assign(cents, col("v")).as("n"), composed(col("v")).as("c"))
+      .select(col("n.cluster"), col("c.cluster"), col("n.d2c"), col("c.d2c"))
+      .collect()
+    assert(r.length === 500)
+    r.foreach { row =>
+      assert(row.getLong(0) === row.getLong(1))
+      assert(row.getDouble(2) === row.getDouble(3)) // bit-identical
+    }
+    // exact tie: two identical centroids under different ids — the FIRST
+    // (smaller id) must win in both forms
+    val tieCents: Seq[(Long, Seq[Double])] =
+      Seq(7L -> Seq(1.0, 2.0), 3L -> Seq(1.0, 2.0), 9L -> Seq(5.0, 5.0))
+    val tie = spark.range(1).select(typedlit(Seq(1.0, 2.5)).as("v"))
+      .select(CellAssign.assign(tieCents, col("v")).getField("cluster").as("n"))
+      .head().getLong(0)
+    assert(tie === 3L, "first-minimum tie-break must pick the smaller cluster id")
+  }
+
   test("parse_date: native expression == composed built-ins") {
     val dates = Seq("01-FEB-19", "01-Feb-19", "29-FEB-19", "29-FEB-20",
       "31-APR-19", "nope", "")
