@@ -424,6 +424,33 @@ object IvfIndex {
     (probesDf, members)
   }
 
+  /** Resident members of SPECIFIC cells, read from ONLY those cells'
+    * directories (explicit paths — the topKIndexed pruning contract):
+    * (vec_id, cluster, d2c, nv) with the vector pre-normalized for
+    * cosine-as-dot. The streaming semantic-dedup lane's read: an
+    * arriving batch compares against exactly its own clusters' residents,
+    * never the corpus. */
+  private[graft] def cellMembers(
+      spark: SparkSession, indexDir: String, clusters: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    val cellsDir = s"$indexDir/cells.parquet"
+    val f = fs(spark, indexDir)
+    val dirs = for {
+      e <- epochDirs(spark, indexDir)
+      c <- clusters.distinct
+      p = s"$cellsDir/$e/cluster=$c"
+      if f.exists(new Path(p))
+    } yield p
+    if (dirs.isEmpty)
+      spark.emptyDataset[(Long, Long, Double, Seq[Double])]
+        .toDF("vec_id", "cluster", "d2c", "nv")
+    else spark.read.parquet(dirs: _*)
+      .select(col("vec_id"), col("cl").as("cluster"), col("d2c"),
+        transform(col("v"),
+          x => when(col("norm") > 0.0, x / col("norm")).otherwise(0.0)).as("nv"))
+      .dropDuplicates("vec_id")
+  }
+
   /** The probed directory list for the current probe set — shared by the
     * composed IVF-PQ lane's two reads (codes for ADC, raw vectors for
     * rescore), so both touch ONLY the probed cells. */

@@ -666,7 +666,7 @@ object SimilarityOps {
     * [[graft.functions.CellAssign]]: bit-identical to the composed
     * transform/array_position form (parity spec) in a tight generated
     * loop, O(1) expression-tree size in k. */
-  private[operators] def assignStruct(cents: Seq[(Long, Seq[Double])], v: Column): Column =
+  private[graft] def assignStruct(cents: Seq[(Long, Seq[Double])], v: Column): Column =
     graft.functions.CellAssign.assign(cents, v)
 
   private[operators] def assignExpr(cents: Seq[(Long, Seq[Double])], v: Column): Column =

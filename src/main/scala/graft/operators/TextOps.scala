@@ -807,6 +807,45 @@ object TextOps {
           / col("tokens").cast(DoubleType)).as("keep_rate"))
   }
 
+  // --- q_temperature_mix: temperature-based mixture reweighting ----------
+  // The multilingual/multi-source sampling scheme (α-temperature scaling,
+  // the mT5/XLM-R convention): source i's sampling weight ∝ p_i^α, which
+  // up-weights small sources relative to proportional sampling. α = 1/2
+  // keeps it INTEGER-EXACT across engines: w_i = ⌊√tokens_i⌋ (IEEE sqrt
+  // is correctly rounded in both engines, so the floor is deterministic;
+  // no float pow, no cross-engine Σ-order hazard — all downstream
+  // arithmetic is BIGINT), target_i = total·w_i div Σw, and the keep/
+  // upsample factor in fixed-point permille. Same one-aggregate shape as
+  // q_mixture_rebalance — a k-row broadcast plan at any corpus size.
+  private def qTemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val toks = table(spark, dir, "documents")
+      .select(col("source"),
+        size(split(trim(col("text")), " ")).cast(LongType).as("n_tok"))
+    val perSource = toks.groupBy(col("source")).agg(sum(col("n_tok")).as("tokens"))
+      .withColumn("w", floor(sqrt(col("tokens").cast(DoubleType))).cast(LongType))
+    val totals = perSource.agg(
+      sum(col("tokens")).as("total"), sum(col("w")).as("sum_w"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("tokens"), col("w"),
+        expr("(total * w) div sum_w").as("target_tokens"))
+      .withColumn("sample_permille",
+        expr("(target_tokens * 1000) div tokens"))
+  }
+
+  private val qTemperatureMixSql =
+    """WITH toks AS (
+      |  SELECT source, len(string_split(trim(text), ' ')) AS n_tok FROM documents),
+      |per AS (
+      |  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tokens,
+      |    CAST(floor(sqrt(CAST(SUM(n_tok) AS BIGINT))) AS BIGINT) AS w
+      |  FROM toks GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+      |               CAST(SUM(w) AS BIGINT) AS sum_w FROM per)
+      |SELECT source, tokens, w,
+      |  (total * w) // sum_w AS target_tokens,
+      |  (((total * w) // sum_w) * 1000) // tokens AS sample_permille
+      |FROM per, tot""".stripMargin
+
   private val qMixtureRebalanceSql =
     """WITH toks AS (
       |  SELECT source, len(string_split(trim(text), ' ')) AS n_tok FROM documents),
@@ -1043,6 +1082,7 @@ object TextOps {
     QueryDef("q_ccnet_buckets", qCcnetBuckets, Some(qCcnetBucketsSql)),
     QueryDef("q_dup_by_source", qDupBySource, Some(qDupBySourceSql)),
     QueryDef("q_mixture_rebalance", qMixtureRebalance, Some(qMixtureRebalanceSql)),
+    QueryDef("q_temperature_mix", qTemperatureMix, Some(qTemperatureMixSql)),
     QueryDef("q_weighted_sample", qWeightedSample, Some(qWeightedSampleSql)),
     QueryDef("q_token_budget", qTokenBudget, Some(qTokenBudgetSql)),
     QueryDef("q_repetition", qRepetition, Some(qRepetitionSql)),

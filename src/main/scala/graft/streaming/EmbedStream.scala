@@ -285,4 +285,103 @@ object EmbedStream {
     } finally fresh.unpersist()
     ()
   }
+
+  /** Streaming SemDeDup at ingest (the q_semantic_dedup keep-rule as a
+    * maintenance lane over the persisted IVF store): each micro-batch is
+    * assigned map-only against the FROZEN centroids, compared against
+    * ONLY ITS OWN CLUSTERS' resident survivors (explicit probed cell
+    * dirs — never a corpus scan) plus its in-batch same-cluster peers,
+    * and each vector's keep/drop decision is appended to `decisionsDir`;
+    * only the KEPT vectors fold into the store, so the resident set IS
+    * the surviving corpus — the greedy ingest-order SemDeDup. Eager
+    * semantics like [[DocStream.winnowMatchStream]]: decisions are as-of
+    * arrival (a later, better-centered near-dup does not retro-drop an
+    * accepted resident; the one-shot q_semantic_dedup over the final
+    * corpus is the batch reference with its own rank order). Replay
+    * safety: the resident-ledger anti-join covers KEPT vectors; dropped
+    * vec_ids are re-decided identically on re-delivery (same resident
+    * state, same rule), appending a duplicate decision row — decisions
+    * dedupe by vec_id (spec-pinned). The index must already be BUILT
+    * (quantizer training is a batch decision — the IVF-lane contract). */
+  def semanticDedupStream(
+      spark: SparkSession,
+      vecs: DataFrame,
+      indexDir: String,
+      decisionsDir: String,
+      tau: Double,
+      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery): StreamingQuery =
+    vecs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processSemanticDedupBatch(spark, indexDir, decisionsDir, tau, batch, compactEvery)
+      }
+      .start()
+
+  /** One micro-batch of [[semanticDedupStream]]. */
+  private[graft] def processSemanticDedupBatch(
+      spark: SparkSession, indexDir: String, decisionsDir: String,
+      tau: Double, batch: DataFrame,
+      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery): Unit = {
+    val cells = new org.apache.hadoop.fs.Path(s"$indexDir/cells.parquet")
+    val fs = cells.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(cells))
+      throw new IllegalStateException(
+        s"semantic-dedup maintenance requires a built index at $indexDir")
+    val raw = batch.select(col("vec_id"), col("embedding")).dropDuplicates("vec_id")
+    val resident = spark.read.parquet(cells.toString).select(col("vec_id"))
+    val fresh0 = raw.join(resident, Seq("vec_id"), "left_anti")
+    val cents = spark.read.parquet(s"$indexDir/centroids.parquet").collect()
+      .map(r => (r.get(r.fieldIndex("cluster")).asInstanceOf[Number].longValue,
+        r.getSeq[Double](r.fieldIndex("cv"))))
+      .toSeq.sortBy(_._1)
+    val asg = graft.operators.SimilarityOps.assignStruct(cents,
+      transform(col("embedding"), x => x.cast(DoubleType)))
+    val fresh = fresh0
+      .withColumn("v", transform(col("embedding"), x => x.cast(DoubleType)))
+      .withColumn("norm", sqrt(graft.functions.VectorOps.dot(col("v"), col("v"))))
+      .select(col("vec_id"), col("embedding"),
+        asg.getField("cluster").as("cluster"),
+        asg.getField("d2c").as("d2c"),
+        transform(col("v"),
+          x => when(col("norm") > 0.0, x / col("norm")).otherwise(0.0)).as("nv"))
+      .persist()
+    try {
+      if (!fresh.isEmpty) {
+        val batchClusters = fresh.select(col("cluster")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        val residentSide = graft.operators.IvfIndex
+          .cellMembers(spark, indexDir, batchClusters)
+        val side = residentSide
+          .unionByName(fresh.select(col("vec_id"), col("cluster"), col("d2c"), col("nv")))
+          .select(col("cluster").as("ocl"), col("vec_id").as("o_id"),
+            col("d2c").as("od2c"), col("nv").as("onv"))
+        val dropped = fresh.join(side,
+            col("cluster") === col("ocl") &&
+              (col("od2c") < col("d2c") ||
+                (col("od2c") === col("d2c") && col("o_id") < col("vec_id"))))
+          .filter(graft.functions.VectorOps.dot(col("nv"), col("onv")) >= tau)
+          .select(col("vec_id")).distinct()
+          .withColumn("is_dropped", lit(1L))
+        val decided = fresh.select(col("vec_id"), col("cluster"), col("embedding"))
+          .join(dropped, Seq("vec_id"), "left")
+          .withColumn("kept", lit(1L) - coalesce(col("is_dropped"), lit(0L)))
+          .persist()
+        try {
+          decided.select(col("vec_id"), col("cluster").cast(LongType).as("cluster"),
+            col("kept"))
+            .write.mode("append").parquet(decisionsDir)
+          val keptBatch = decided.filter(col("kept") === 1L)
+            .select(col("vec_id"), col("embedding"))
+          if (!keptBatch.isEmpty) {
+            graft.operators.IvfIndex.appendToIndex(spark, indexDir, keptBatch)
+            graft.operators.IndexPolicy.maybeCompact(
+              spark, s"$indexDir/cells.parquet", compactEvery) {
+              graft.operators.IvfIndex.compact(spark, indexDir)
+            }
+            ()
+          }
+        } finally decided.unpersist()
+      }
+    } finally fresh.unpersist()
+    ()
+  }
 }
