@@ -48,4 +48,20 @@ object IndexPolicy {
       compact
       true
     } else false
+
+  /** Drift policy for the IVF family: when appended assignment tightness
+    * has decayed past `factor` × the build baseline, retrain the store
+    * from its own resident vectors ([[IvfIndex.retrain]] — which also
+    * resets the baseline, re-arming the detector). Returns whether a
+    * retrain ran. Opt-in at the stream lane (a full retrain inside a
+    * micro-batch is a deployment decision); the catalog surfaces the same
+    * report for operators who prefer scheduled retrains. */
+  def maybeRetrain(
+      spark: SparkSession, indexDir: String, factor: Double): Boolean = {
+    val report = IvfIndex.driftReport(spark, indexDir, factor)
+    if (report.retrain) {
+      IvfIndex.retrain(spark, indexDir)
+      true
+    } else false
+  }
 }

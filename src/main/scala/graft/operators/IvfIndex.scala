@@ -227,6 +227,35 @@ object IvfIndex {
       readCodebook(spark, indexDir), batch)
   }
 
+  /** Drift-triggered RETRAIN from the store itself (round 8 — the last
+    * policy gap: [[driftReport]] detected decay but nothing acted on it,
+    * and a long-lived stream has no corpus dir to rebuild from): read
+    * every resident vector out of the cells, re-learn √N hash-init
+    * centroids on it ([[SimilarityOps.scaledCentRowsOf]] — labels don't
+    * exist in the store, so the production geometry is the only path),
+    * re-train the PQ codebook, stage a COMPLETE fresh index beside the
+    * live one, and swap with the two-rename discipline — readers see the
+    * old index or the new one, never a half-built mix; a crash between
+    * the renames leaves the full old index in the `.retrain-bak` recovery
+    * copy. The retrained store's epoch-0 stats become the NEW drift
+    * baseline, so the detector re-arms automatically. */
+  def retrain(spark: SparkSession, indexDir: String): Unit = {
+    val corpus = spark.read.parquet(s"$indexDir/cells.parquet")
+      .select(col("vec_id"), col("v").as("embedding"))
+      .dropDuplicates("vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = corpus.count()
+      val k = math.max(10, SimilarityOps.autoCellCount(n))
+      val cents = SimilarityOps.scaledCentRowsOf(
+        corpus.select(col("vec_id"), col("embedding").as("v")), k)
+      AtomicPublish.swapDir(spark, indexDir,
+        tmpSuffix = ".retrain-tmp", bakSuffix = ".retrain-bak") { tmp =>
+        buildIndex(spark, tmp.toString, cents, corpus)
+      }
+    } finally { corpus.unpersist(); () }
+  }
+
   /** Compare appended assignment tightness against the build baseline —
     * the frozen-centroid decay detector. No appends → no drift. */
   def driftReport(

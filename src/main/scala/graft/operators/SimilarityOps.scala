@@ -761,28 +761,36 @@ object SimilarityOps {
   private[graft] def scaledCentRows(
       spark: SparkSession, dir: String, k: Int,
       iters: Int = 4): Seq[(Long, Seq[Double])] =
-    scaledCentCache.getOrElseUpdate((embStamp(dir), k), {
-      val eAll = table(spark, dir, "embeddings")
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      val n = eAll.count()
-      val cap = 64L * k
-      val e = (if (n > cap)
-        eAll.filter(pmod(xxhash64(col("vec_id")), lit(math.max(1L, n / cap))) === 0)
-      else eAll).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var assigned = e.withColumn("cluster", pmod(xxhash64(col("vec_id")), lit(k.toLong)))
-      var rows: Seq[(Long, Seq[Double])] = Seq.empty
-      var t = 0
-      while (t < iters) {
-        rows = centroids(assigned, "cluster").collect().map(r =>
-          (r.get(0).asInstanceOf[Number].longValue, r.getSeq[Double](1))).toSeq
-        assigned = e.select(col("vec_id"), col("v"),
-          assignExpr(rows, col("v")).as("cluster"))
-        t += 1
-      }
-      e.unpersist()
-      rows
-    })
+    scaledCentCache.getOrElseUpdate((embStamp(dir), k),
+      scaledCentRowsOf(
+        table(spark, dir, "embeddings")
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast(DoubleType)).as("v")),
+        k, iters))
+
+  /** The √N-geometry training loop over an arbitrary (vec_id, v) frame —
+    * the corpus-dir path above and [[IvfIndex.retrain]]'s from-the-store
+    * path share this body. */
+  private[graft] def scaledCentRowsOf(
+      eAll: DataFrame, k: Int, iters: Int = 4): Seq[(Long, Seq[Double])] = {
+    val n = eAll.count()
+    val cap = 64L * k
+    val e = (if (n > cap)
+      eAll.filter(pmod(xxhash64(col("vec_id")), lit(math.max(1L, n / cap))) === 0)
+    else eAll).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var assigned = e.withColumn("cluster", pmod(xxhash64(col("vec_id")), lit(k.toLong)))
+    var rows: Seq[(Long, Seq[Double])] = Seq.empty
+    var t = 0
+    while (t < iters) {
+      rows = centroids(assigned, "cluster").collect().map(r =>
+        (r.get(0).asInstanceOf[Number].longValue, r.getSeq[Double](1))).toSeq
+      assigned = e.select(col("vec_id"), col("v"),
+        assignExpr(rows, col("v")).as("cluster"))
+      t += 1
+    }
+    e.unpersist()
+    rows
+  }
 
   /** Geometry dispatch for the persisted index family: oracle-pinned k=10
     * label-cell training below [[IvfScaleThreshold]] vectors (the gate

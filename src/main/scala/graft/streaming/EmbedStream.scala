@@ -203,10 +203,11 @@ object EmbedStream {
       spark: SparkSession,
       vecs: DataFrame,
       indexDir: String,
-      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery): StreamingQuery =
+      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery,
+      retrainFactor: Double = 0.0): StreamingQuery =
     vecs.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processIvfIndexBatch(spark, indexDir, batch, compactEvery)
+        processIvfIndexBatch(spark, indexDir, batch, compactEvery, retrainFactor)
       }
       .start()
 
@@ -214,7 +215,8 @@ object EmbedStream {
     * batch-build parity and replay idempotence are directly testable. */
   private[streaming] def processIvfIndexBatch(
       spark: SparkSession, indexDir: String, batch: DataFrame,
-      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery): Unit = {
+      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery,
+      retrainFactor: Double = 0.0): Unit = {
     val cells = new org.apache.hadoop.fs.Path(s"$indexDir/cells.parquet")
     val fs = cells.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(cells))
@@ -233,6 +235,11 @@ object EmbedStream {
           spark, s"$indexDir/cells.parquet", compactEvery) {
           graft.operators.IvfIndex.compact(spark, indexDir)
         }
+        // drift policy (opt-in, factor > 0): when appended data has
+        // decayed the frozen quantizer past the threshold, retrain the
+        // store from its own residents and re-arm the baseline
+        if (retrainFactor > 0.0)
+          graft.operators.IndexPolicy.maybeRetrain(spark, indexDir, retrainFactor)
         ()
       }
     } finally fresh.unpersist()

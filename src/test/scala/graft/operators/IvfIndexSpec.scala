@@ -134,6 +134,48 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(after.appendedRows === 0L)
   }
 
+  test("drift policy: maybeRetrain rebuilds from the store and re-arms the detector") {
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    val indexDir = freshDir("retrain")
+    val cents = SimilarityOps.learnedCentRows(spark, sfDir)
+    IvfIndex.buildIndex(spark, indexDir, cents, emb)
+    // below threshold: no action
+    assert(!IndexPolicy.maybeRetrain(spark, indexDir, 1.5))
+
+    val shifted = emb.filter(col("vec_id") % 7 === 1)
+      .withColumn("vec_id", col("vec_id") + 200000)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x + lit(25.0f)))
+    IvfIndex.appendToIndex(spark, indexDir, shifted)
+    val idsBefore = spark.read.parquet(s"$indexDir/cells.parquet")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(IvfIndex.driftReport(spark, indexDir).retrain)
+
+    // the policy fires: retrain FROM THE STORE (no corpus dir involved)
+    assert(IndexPolicy.maybeRetrain(spark, indexDir, 1.5))
+    // detector re-armed: fresh baseline, zero appended epochs
+    val after = IvfIndex.driftReport(spark, indexDir)
+    assert(!after.retrain)
+    assert(after.appendedRows === 0L)
+    // no vector lost, no recovery residue, queries still serve a dense top-k
+    val idsAfter = spark.read.parquet(s"$indexDir/cells.parquet")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(idsAfter === idsBefore)
+    val root = new java.io.File(indexDir).getParentFile
+    assert(!root.listFiles().exists(_.getName.contains(".retrain-")),
+      "retrain left staging/backup residue")
+    val out = IvfIndex.topKIndexed(spark, indexDir)
+    val shape = out.groupBy(col("query_id"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(_.getLong(1)).toSet
+    assert(shape === Set(5L))
+    // the NEW quantizer actually sees the drifted region: the shifted
+    // vectors no longer sit far from every centroid
+    val base = spark.read.parquet(s"$indexDir/baseline.parquet").head()
+    assert(base.getLong(0) === idsBefore.size)
+  }
+
   test("double-append and compaction leave query output identical") {
     val emb = Tables.table(spark, sfDir, "embeddings")
     val indexDir = freshDir("dup")
