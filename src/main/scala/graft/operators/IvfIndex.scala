@@ -20,7 +20,7 @@ import org.apache.spark.sql.types._
   *                                 inverted-list layout, so the composed
   *                                 lane ([[IvfPq]]) probes code columns
   *                                 only — no second store, no join
-  *  - `cells.parquet/epoch=K/cluster=C/`: (vec_id, v, norm, cl,
+  *  - `cells.parquet/epoch=K/cluster=C/`: (vec_id, v, norm, cl, d2c,
   *                                 c0..c{PqM-1}) — the vector+code store
   *                                 partitioned BY CELL inside each epoch,
   *                                 so a probe of `nprobe` cells reads
