@@ -44,6 +44,48 @@ object EmbGen {
   }
 }
 
+/** Production-width variant of [[EmbGen]]: widen the 64-dim source
+  * embeddings to 64×`blocks` dims (each block a deterministically
+  * JITTERED copy of the base vector — correlated like real embedding
+  * dimensions, never verbatim), then replicate K× under offset ids.
+  * This is the corpus for the IVFADC dimensional claim: at 768 dims the
+  * exact lane reads and multiplies 12× more per candidate while ADC
+  * stays PqM table lookups.
+  *
+  *   sbt "runMain graft.EmbGenWide /root/testdata/sf0.1 /tmp/sfstress/emb768 100 12"
+  */
+object EmbGenWide {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 4, "usage: EmbGenWide <srcDir> <outDir> <K> <blocks>")
+    val builder = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+    Tables.RequiredConf.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (k, blocks) = (args(2).toInt, args(3).toInt)
+    val src = Tables.table(spark, args(0), "embeddings")
+    val stride = {
+      val mx = src.agg(max(col("vec_id"))).head().getLong(0)
+      var s = 1L; while (s <= mx) s *= 10; s
+    }
+    val wide = src.select(col("vec_id"), col("label"),
+      flatten(transform(sequence(lit(0), lit(blocks - 1)), b =>
+        transform(col("embedding"), (x, i) =>
+          x + (pmod(xxhash64(col("vec_id") * 1231L + b * 97L + i.cast("long")),
+            lit(1000L)).cast("float") / 1000.0f - 0.5f) * 0.05f))).as("embedding"))
+    (0 until k).map(i => wide.withColumn("vec_id", col("vec_id") + lit(i * stride)))
+      .reduce(_.unionByName(_))
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"${args(1)}/embeddings.parquet")
+    println(s"[embgen] ${spark.read.parquet(s"${args(1)}/embeddings.parquet").count()} rows, " +
+      s"dim=${64 * blocks}")
+    spark.stop()
+  }
+}
+
 object AnnBench {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/sfstress/sf10")
