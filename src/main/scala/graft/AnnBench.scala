@@ -55,17 +55,14 @@ object EmbGen {
   *   sbt "runMain graft.EmbGenWide /root/testdata/sf0.1 /tmp/sfstress/emb768 100 12"
   */
 object EmbGenWide {
-  def main(args: Array[String]): Unit = {
-    require(args.length == 4, "usage: EmbGenWide <srcDir> <outDir> <K> <blocks>")
-    val builder = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-    Tables.RequiredConf.foreach { case (k, v) => builder.config(k, v) }
-    val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val (k, blocks) = (args(2).toInt, args(3).toInt)
-    val src = Tables.table(spark, args(0), "embeddings")
+
+  /** Widen `src` embeddings to 64×`blocks` dims (each block a
+    * deterministically jittered copy of the base vector) and replicate
+    * `k`× under offset ids — factored out so the wide-dim recall spec
+    * ([[graft.operators.WideDimAnnSpec]]) gates the same construction
+    * the bench harness measures. */
+  def widened(src: org.apache.spark.sql.DataFrame, k: Int, blocks: Int)
+      : org.apache.spark.sql.DataFrame = {
     val stride = {
       val mx = src.agg(max(col("vec_id"))).head().getLong(0)
       var s = 1L; while (s <= mx) s *= 10; s
@@ -78,6 +75,19 @@ object EmbGenWide {
     (0 until k).map(i => wide.withColumn("vec_id", col("vec_id") + lit(i * stride)))
       .reduce(_.unionByName(_))
       .select(col("vec_id"), col("embedding"), col("label"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 4, "usage: EmbGenWide <srcDir> <outDir> <K> <blocks>")
+    val builder = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+    Tables.RequiredConf.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (k, blocks) = (args(2).toInt, args(3).toInt)
+    widened(Tables.table(spark, args(0), "embeddings"), k, blocks)
       .repartition(32)
       .write.mode("overwrite").parquet(s"${args(1)}/embeddings.parquet")
     println(s"[embgen] ${spark.read.parquet(s"${args(1)}/embeddings.parquet").count()} rows, " +

@@ -15,7 +15,12 @@ import org.apache.spark.sql.SparkSession
   */
 object IndexCatalog {
 
-  /** (signature table → family name); first match wins. */
+  /** (signature table → family name); first match wins, so families
+    * whose stores CONTAIN another family's signature table must come
+    * first: cluster stores carry both `shingle_df.parquet` and
+    * `edges.parquet` (and `labels.parquet`, unique to them) — keyed on
+    * `labels.parquet` ahead of the shingle signature so they don't
+    * misreport as incremental-dedup. */
   private val Families: Seq[(String, String)] = Seq(
     "centroids.parquet" -> "ivf",
     "codebook.parquet" -> "pq",
@@ -24,12 +29,20 @@ object IndexCatalog {
     "grams.parquet" -> "span",
     "sample.parquet" -> "sketch",
     "pairs.parquet" -> "lm-bigram",
-    "shingle_df.parquet" -> "incremental-dedup",
+    "labels.parquet" -> "cluster",
     "edges.parquet" -> "cluster",
+    "shingle_df.parquet" -> "incremental-dedup",
     "counts.parquet" -> "classifier")
 
   final case class TableReport(
-      name: String, epochs: Int, rows: Long, residue: Seq[String])
+      name: String, epochs: Int, rows: Long, residue: Seq[String]) {
+    /** Compaction debt: published epochs a compact() would fold away.
+      * Every family's compact folds a table to ONE epoch, so debt =
+      * epochs − 1 — the read-amplification the policy layer bounds
+      * ([[operators.IndexPolicy.CompactEvery]]); a table at 0 debt is
+      * freshly compacted (or unpartitioned). */
+    def compactionDebt: Int = math.max(0, epochs - 1)
+  }
 
   final case class IndexReport(
       dir: String, family: String, tables: Seq[TableReport],
@@ -67,9 +80,11 @@ object IndexCatalog {
   def render(r: IndexReport): Seq[String] = {
     val head = s"[catalog] ${r.dir} family=${r.family}"
     val tabs = r.tables.map { t =>
-      val ep = if (t.epochs > 0) s"epochs=${t.epochs}" else "unpartitioned"
+      val ep =
+        if (t.epochs > 0) s"epochs=${t.epochs} debt=${t.compactionDebt}"
+        else "unpartitioned"
       val res = if (t.residue.nonEmpty) s" RESIDUE=${t.residue.mkString(",")}" else ""
-      f"[catalog]   ${t.name}%-22s $ep%-12s rows=${t.rows}$res"
+      f"[catalog]   ${t.name}%-22s $ep%-16s rows=${t.rows}$res"
     }
     val drift = r.drift.map { d =>
       f"[catalog]   drift: baseline=${d.baselineMean}%.4f appended=${d.appendedMean}%.4f " +

@@ -87,12 +87,19 @@ object ClassifyIndex {
     s"${System.getProperty("java.io.tmpdir")}/graft-clf-model-$key"
   }
 
-  private def qClassifyIndexed(spark: SparkSession, dir: String): DataFrame = {
+  /** Build-if-absent against the corpus at `dir`; returns the model dir.
+    * Shared by the scoring lane and the indexed curation funnel
+    * ([[CurationFunnel]]). */
+  private[operators] def ensureModel(spark: SparkSession, dir: String): String = {
     val modelDir = modelDirFor(dir)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$modelDir/counts.parquet")))
       buildModel(spark, Tables.table(spark, dir, "documents"), modelDir)
-    scoreDocs(spark, Tables.table(spark, dir, "documents"), modelDir)
+    modelDir
   }
+
+  private def qClassifyIndexed(spark: SparkSession, dir: String): DataFrame =
+    scoreDocs(spark, Tables.table(spark, dir, "documents"),
+      ensureModel(spark, dir))
 
   def queries: Seq[QueryDef] = Seq(
     QueryDef("q_classify_freq_indexed", qClassifyIndexed, Some(ClassifyOps.oracleSql)))

@@ -45,11 +45,83 @@ object CurationFunnel {
   private val MinDistinctChars = 18L
   private val MaxTopCharPermille = 195L
 
-  private def qCuration2(spark: SparkSession, dir: String): DataFrame = {
+  private def qCuration2(spark: SparkSession, dir: String): DataFrame =
+    curationLedger(spark, dir, indexed = false)
+
+  /** q_curation2_indexed: the SAME funnel at production cadence — the
+    * classifier counts, the bigram-LM model, and the winnowed
+    * fingerprints are read from their persisted, stream-maintained
+    * stores ([[ClassifyIndex]]/[[LmIndex]]/[[WinnowIndex]], build-if-
+    * absent) instead of retrained inline on every invocation. Output is
+    * row-identical (the stores train on the same corpus with the same
+    * arithmetic — each already proven against the component oracles), so
+    * the lane rides qCuration2's oracle; what changes is the cost: warm
+    * runs pay scoring + the gate aggregate only, never the three
+    * training loops. The one survivor-dependent recomputation that
+    * CANNOT come from a corpus-level store is kept minimal by
+    * construction: the dedup stage needs fingerprints of the stage-4
+    * SURVIVORS with survivor-relative representatives and a
+    * survivor-relative df-cap, so the indexed lane joins the persisted
+    * per-text fingerprint rows to the survivor set (pure id/hash
+    * plumbing) and re-derives rep = min surviving doc_id per text — the
+    * expensive part (gram hashing + winnow selection per text) is never
+    * recomputed. */
+  private def qCuration2Indexed(spark: SparkSession, dir: String): DataFrame =
+    curationLedger(spark, dir, indexed = true)
+
+  private def curationLedger(
+      spark: SparkSession, dir: String, indexed: Boolean): DataFrame = {
     val d = table(spark, dir, "documents")
+    if (indexed)
+      storesLedger(spark, d,
+        ClassifyIndex.ensureModel(spark, dir),
+        LmIndex.ensureModel(spark, dir),
+        WinnowIndex.ensureIndex(spark, dir))
+    else
+      ledgerOver(spark, d,
+        ClassifyOps.scoreDocs(d, ClassifyOps.trainCounts(d)),
+        TextOps.qCcnetBuckets(spark, dir),
+        surv4 => WinnowOps.fpRows(surv4).drop("tid"))
+  }
+
+  /** The funnel ledger over an arbitrary documents frame, every model
+    * read from its PERSISTED store — shared by `q_curation2_indexed` and
+    * the curation-at-ingest streaming lane
+    * ([[graft.streaming.DocStream.curationFunnelStream]]), whose
+    * cumulative ledger equals this over the arrived union because the
+    * three stores are append≡rebuild exact. `docs` needs (doc_id, text,
+    * lang, source). */
+  private[graft] def storesLedger(
+      spark: SparkSession, docs: DataFrame,
+      clfDir: String, lmDir: String, winDir: String): DataFrame =
+    ledgerOver(spark, docs,
+      ClassifyOps.scoreDocs(docs, ClassifyIndex.modelCounts(spark, clfDir)),
+      TextOps.ccnetBucketsFrom(docs, LmIndex.scoreDocs(spark, docs, lmDir)),
+      surv4 => {
+        // survivor-relative rep + df-cap over the persisted per-text
+        // fingerprints: selection is a pure function of the text, so
+        // restricting the store's rows to survivor tids reproduces
+        // fpRows(surv4) exactly (modulo rep, re-derived here)
+        val survRep = surv4
+          .select(xxhash64(col("text")).as("tid"), col("doc_id"))
+          .groupBy(col("tid")).agg(min(col("doc_id")).as("rep"))
+        WinnowIndex.fpRowsFromIndex(spark, winDir)
+          .select(col("tid"), col("nfp"), col("gh"))
+          .join(survRep, "tid")
+          .select(col("rep"), col("nfp"), col("gh"))
+      })
+
+  /** The funnel body: gate columns + attrition aggregate over `d`, with
+    * the three model-backed signals supplied by the caller (inline
+    * retraining, persisted stores, or stream-maintained stores). */
+  private def ledgerOver(
+      spark: SparkSession, d: DataFrame,
+      predsIn: DataFrame, bucketsIn: DataFrame,
+      survFpsFor: DataFrame => DataFrame): DataFrame = {
     val nToks = size(split(trim(col("text")), " ")).cast(LongType)
 
-    // per-distinct-text char-diversity signals (the q_char_diversity body)
+    // per-distinct-text char-diversity signals (the q_char_diversity
+    // body) — pure per-text arithmetic, no trainable state to persist
     val perText = d.select(col("text")).distinct()
       .filter(length(col("text")) > 0)
       .select(xxhash64(col("text")).as("tid"),
@@ -59,10 +131,8 @@ object CurationFunnel {
       .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("nd"), max(col("cnt")).as("top"))
       .select(col("tid"), col("nd"), expr("(top * 1000) div tot").as("tp"))
 
-    val preds = ClassifyOps.scoreDocs(d, ClassifyOps.trainCounts(d))
-      .select(col("doc_id"), col("is_correct"))
-    val buckets = TextOps.qCcnetBuckets(spark, dir)
-      .select(col("doc_id"), col("bucket"))
+    val preds = predsIn.select(col("doc_id"), col("is_correct"))
+    val buckets = bucketsIn.select(col("doc_id"), col("bucket"))
 
     // persisted: the frame feeds BOTH the dedup stage's survivor set and
     // the final aggregate — without it the classifier + LM + char-signal
@@ -83,11 +153,14 @@ object CurationFunnel {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // dedup among the stage-4 survivors: exact keeper (min doc per text)
-    // + winnow-match losers (the dominated side of each reported pair)
+    // + winnow-match losers (the dominated side of each reported pair);
+    // the fingerprint rows come from the caller (selected on the
+    // survivor set inline, or the persisted store's per-text rows
+    // restricted to survivor tids — identical by selection purity)
     val surv4 = staged.filter(col("s4")).select(col("doc_id"), col("text"))
     val keepers = surv4.groupBy(col("text")).agg(min(col("doc_id")).as("keep_id"))
     val losers = WinnowOps
-      .matchesFrom(WinnowOps.fpRows(surv4).drop("tid"))
+      .matchesFrom(survFpsFor(surv4))
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("is_loser", lit(true))
     val full = staged
@@ -99,25 +172,35 @@ object CurationFunnel {
       .withColumn("s6", col("s5") &&
         pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(100L)) < 80)
 
-    // one total aggregate → stack to the 6-row ledger (zero stages kept)
+    // one total aggregate, materialized HERE (12 longs) so `staged` can
+    // be unpersisted before returning — a lazy result frame would either
+    // leak the cached full-corpus frame per invocation or recompute the
+    // whole funnel twice on unpersist; the ledger is 6 driver-built rows
+    ledgerFrom(spark, full, () => { staged.unpersist(); () })
+  }
+
+  /** Aggregate the staged gate frame to the 6-row attrition ledger:
+    * collect the ONE total-aggregate row, run `cleanup` (unpersist of
+    * the staged frame), and return the ledger as a local relation.
+    * Shared by the inline and indexed funnel lanes. */
+  private def ledgerFrom(
+      spark: SparkSession, full: DataFrame, cleanup: () => Unit): DataFrame = {
     def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
     def tok(c: org.apache.spark.sql.Column) = sum(when(c, col("n_toks")).otherwise(0L))
-    full.agg(
-      count(lit(1)).as("n1"), sum(col("n_toks")).as("t1"),
-      cnt(col("s2")).as("n2"), tok(col("s2")).as("t2"),
-      cnt(col("s3")).as("n3"), tok(col("s3")).as("t3"),
-      cnt(col("s4")).as("n4"), tok(col("s4")).as("t4"),
-      cnt(col("s5")).as("n5"), tok(col("s5")).as("t5"),
-      cnt(col("s6")).as("n6"), tok(col("s6")).as("t6"))
-      .selectExpr("""stack(6,
-        '1_total',      n1, t1,
-        '2_quality',    n2, t2,
-        '3_classifier', n3, t3,
-        '4_ccnet',      n4, t4,
-        '5_dedup',      n5, t5,
-        '6_train',      n6, t6) as (stage, n_docs, n_tokens)""")
-      .select(col("stage"), coalesce(col("n_docs"), lit(0L)).as("n_docs"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+    val r =
+      try full.agg(
+        count(lit(1)).as("n1"), sum(col("n_toks")).as("t1"),
+        cnt(col("s2")).as("n2"), tok(col("s2")).as("t2"),
+        cnt(col("s3")).as("n3"), tok(col("s3")).as("t3"),
+        cnt(col("s4")).as("n4"), tok(col("s4")).as("t4"),
+        cnt(col("s5")).as("n5"), tok(col("s5")).as("t5"),
+        cnt(col("s6")).as("n6"), tok(col("s6")).as("t6")).head()
+      finally cleanup()
+    def lv(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+    import spark.implicits._
+    Seq("1_total", "2_quality", "3_classifier", "4_ccnet", "5_dedup", "6_train")
+      .zipWithIndex.map { case (s, i) => (s, lv(2 * i), lv(2 * i + 1)) }
+      .toDF("stage", "n_docs", "n_tokens")
   }
 
   private val qCuration2Sql: String = {
@@ -175,5 +258,6 @@ object CurationFunnel {
   }
 
   def queries: Seq[QueryDef] = Seq(
-    QueryDef("q_curation2", qCuration2, Some(qCuration2Sql), headline = true))
+    QueryDef("q_curation2", qCuration2, Some(qCuration2Sql), headline = true),
+    QueryDef("q_curation2_indexed", qCuration2Indexed, Some(qCuration2Sql)))
 }

@@ -90,7 +90,7 @@ object IvfIndex {
   private def assigned(
       batch: DataFrame, cents: Seq[(Long, Seq[Double])],
       cb: Seq[((Int, Long), Seq[Double])]): DataFrame = {
-    import SimilarityOps.{PqM, PqSub, pqCodeFor}
+    import SimilarityOps.{PqSub, pqCodeFor, pqMOf}
     val d = batch.select(col("vec_id"),
       transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
     val asg = SimilarityOps.assignStruct(cents, col("v"))
@@ -101,8 +101,10 @@ object IvfIndex {
       .withColumn("d2c", asg.getField("d2c"))
       .withColumn("nv", transform(col("v"),
         x => when(col("norm") > 0.0, x / col("norm")).otherwise(0.0)))
+      // code-column count derives from the codebook's own m range, so a
+      // wide-dim build carries codes for EVERY block of the vector
       .select(Seq(col("vec_id"), col("v"), col("norm"), col("cl"), col("d2c")) ++
-        (0 until PqM).map(mm => pqCodeFor(cb, mm,
+        (0 until pqMOf(cb)).map(mm => pqCodeFor(cb, mm,
           slice(col("nv"), mm * PqSub + 1, PqSub)).as(s"c$mm")): _*)
   }
 
@@ -288,7 +290,21 @@ object IvfIndex {
     * deduplicated union, rename to `epoch=max+1`, then delete olds. The
     * consolidated copy is never the only copy while invisible. Stats
     * epochs are merged the same way (their sums are additive). */
-  def compact(spark: SparkSession, indexDir: String): Unit = {
+  def compact(spark: SparkSession, indexDir: String): Unit =
+    compactExcluding(spark, indexDir, None)
+
+  /** [[compact]] with an eviction set: fold the epochs, DROPPING every
+    * vector whose id is in `dropIds` (a (vec_id) frame). The
+    * reconciliation half of the streaming SemDeDup policy
+    * ([[graft.streaming.EmbedStream.reconcileSemanticDedup]]) — eviction
+    * rides the same publish-before-delete rewrite a compaction already
+    * performs, so there is no second rewrite discipline to get wrong.
+    * Stats epochs keep their historical sums (they record the tightness
+    * of APPENDED batches against the then-frozen centroids — an audit
+    * trail, not a view of the resident set). */
+  private[graft] def compactExcluding(
+      spark: SparkSession, indexDir: String,
+      dropIds: Option[DataFrame]): Unit = {
     val eps = epochDirs(spark, indexDir)
     val next = eps.map(_.stripPrefix("epoch=").toInt).max + 1
     val cellsDir = s"$indexDir/cells.parquet"
@@ -299,8 +315,11 @@ object IvfIndex {
       // the composed lane); only the epoch/cluster partition dirs fold
       val raw = spark.read.option("basePath", cellsDir)
         .parquet(eps.map(e => s"$cellsDir/$e"): _*)
-      raw.select(raw.columns.filter(c => c != "epoch" && c != "cluster").map(col): _*)
+      val folded = raw
+        .select(raw.columns.filter(c => c != "epoch" && c != "cluster").map(col): _*)
         .dropDuplicates()
+      dropIds.fold(folded)(ids =>
+        folded.join(ids.select(col("vec_id")), Seq("vec_id"), "left_anti"))
         .withColumn("cluster", col("cl"))
         .write.partitionBy("cluster").mode("overwrite").parquet(tmp.toString)
     }
@@ -520,17 +539,25 @@ object IvfIndex {
       spark: SparkSession, indexDir: String,
       nprobe: Int = 0): (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
-    import SimilarityOps.PqM
     val (probesDf, dirs) = probedDirs(spark, indexDir, nprobe)
+    // the store's code-column count = the persisted codebook's m range —
+    // also what keeps the EMPTY-probe fallback schema-complete: the ADC
+    // consumer references c0..c{m-1} unconditionally, so an index with no
+    // query vectors (or all probed dirs vacant) must still carry the
+    // columns (typed null) rather than throw AnalysisException downstream
+    val mCount = SimilarityOps.pqMOf(readCodebook(spark, indexDir))
     if (dirs.isEmpty) {
-      val codes = spark.emptyDataset[(Long, Long)].toDF("vec_id", "cluster")
+      val codes = (0 until mCount).foldLeft(
+        spark.emptyDataset[(Long, Long)].toDF("vec_id", "cluster")) {
+        (d, mm) => d.withColumn(s"c$mm", lit(null).cast(LongType))
+      }
       val rescore = spark.emptyDataset[(Long, Seq[Double], Double)]
         .toDF("vec_id", "v", "norm")
       (probesDf, codes, rescore)
     } else {
       val codes = spark.read.parquet(dirs: _*)
         .select(Seq(col("vec_id"), col("cl").as("cluster")) ++
-          (0 until PqM).map(mm => col(s"c$mm")): _*)
+          (0 until mCount).map(mm => col(s"c$mm")): _*)
         .dropDuplicates("vec_id", "cluster")
       val rescore = spark.read.parquet(dirs: _*)
         .select(col("vec_id"), col("v"), col("norm"))

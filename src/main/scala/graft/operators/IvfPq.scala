@@ -52,16 +52,16 @@ object IvfPq {
         .orderBy(dist2(col("qv"), col("cv")), col("cluster"))))
       .filter(col("cr") <= IvfNProbe)
       .select(col("query_id"), col("cluster"))
-    // ONE corpus scan carries cell assignment AND the PqM codes
+    // ONE corpus scan carries cell assignment AND the codebook's codes
     val codesWithCell = en.select(
       Seq(col("vec_id"),
         assignExpr(centRows, col("v")).as("cluster")) ++
-        (0 until PqM).map(mm => pqCodeFor(cb, mm,
+        (0 until pqMOf(cb)).map(mm => pqCodeFor(cb, mm,
           slice(col("nv"), mm * PqSub + 1, PqSub)).as(s"c$mm")): _*)
     val cand = codesWithCell
       .join(broadcast(probes.join(pqAdcTables(queries, cb), "query_id")), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), pqAdcApprox.as("approx"))
+      .select(col("query_id"), col("vec_id"), pqAdcApprox(pqMOf(cb)).as("approx"))
     pqProposeRescore(cand, queries, en)
   }
 
@@ -84,7 +84,7 @@ object IvfPq {
     val cand = codes
       .join(broadcast(probes.join(pqAdcTables(queries, cb), "query_id")), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), pqAdcApprox.as("approx"))
+      .select(col("query_id"), col("vec_id"), pqAdcApprox(pqMOf(cb)).as("approx"))
       // double-append / compaction-window duplicates are value-identical
       // (frozen models) — keep one, ranking stays exact
       .dropDuplicates("query_id", "vec_id")

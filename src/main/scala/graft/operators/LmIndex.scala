@@ -133,13 +133,35 @@ object LmIndex {
     s"${System.getProperty("java.io.tmpdir")}/graft-lm-model-$key"
   }
 
-  private def qLmIndexed(spark: SparkSession, dir: String): DataFrame = {
+  /** Build-if-absent against the corpus at `dir`; returns the model dir.
+    * Shared by the scoring lane, the indexed CCNet-selection lane, and
+    * the indexed curation funnel ([[CurationFunnel]]) — all read the SAME
+    * persisted model. */
+  private[operators] def ensureModel(spark: SparkSession, dir: String): String = {
     val modelDir = modelDirFor(dir)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$modelDir/pairs.parquet")))
       buildModel(spark, Tables.table(spark, dir, "documents"), modelDir)
-    scoreDocs(spark, Tables.table(spark, dir, "documents"), modelDir)
+    modelDir
+  }
+
+  private def qLmIndexed(spark: SparkSession, dir: String): DataFrame =
+    scoreDocs(spark, Tables.table(spark, dir, "documents"),
+      ensureModel(spark, dir))
+
+  /** q_ccnet_buckets_indexed: the CCNet head/middle/tail selection scored
+    * from the PERSISTED LM model — the production cadence (the inline
+    * lane retrains the bigram LM on every invocation; this one reads the
+    * stream-maintained counts). Row-identical to q_ccnet_buckets (same
+    * BIGINT-sum fit_score, same sampled-tercile cutoffs), so it rides the
+    * same oracle. */
+  private def qCcnetBucketsIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.table(spark, dir, "documents")
+    TextOps.ccnetBucketsFrom(docs,
+      scoreDocs(spark, docs, ensureModel(spark, dir)))
   }
 
   def queries: Seq[QueryDef] = Seq(
-    QueryDef("q_lm_bigram_indexed", qLmIndexed, Some(TextOps.qLmBigramOracle)))
+    QueryDef("q_lm_bigram_indexed", qLmIndexed, Some(TextOps.qLmBigramOracle)),
+    QueryDef("q_ccnet_buckets_indexed", qCcnetBucketsIndexed,
+      Some(TextOps.qCcnetBucketsOracle)))
 }

@@ -1029,14 +1029,28 @@ object SimilarityOps {
   private[operators] def pqNormalized(spark: SparkSession, dir: String): DataFrame =
     pqNormalize(table(spark, dir, "embeddings"))
 
-  /** (vec_id, m, sv): the PqM normalized subvectors per vector. */
-  private[operators] def pqSubvectorsOf(en: DataFrame): DataFrame =
-    en.select(col("vec_id"), posexplode(array(
-      (0 until PqM).map(m => slice(col("nv"), m * PqSub + 1, PqSub)): _*))
-      .as(Seq("m", "sv")))
+  /** Subspace count for a corpus of `dim` dimensions: one PqSub-wide
+    * codebook per full block (the gate corpora's 64 dims → the
+    * oracle-pinned 8; a 768-dim production corpus → 96 — the whole
+    * vector is coded, not just its first block). Non-multiples ignore
+    * the <PqSub-dim tail (embedding widths are block-multiples in
+    * practice; a sub-block corpus still trains one codebook on its
+    * short slice). */
+  private[operators] def pqMForDim(dim: Int): Int = math.max(1, dim / PqSub)
 
-  private def pqSubvectors(spark: SparkSession, dir: String): DataFrame =
-    pqSubvectorsOf(pqNormalized(spark, dir))
+  /** Subspace count OF a trained codebook — the model carries its own
+    * geometry (the `m` key), so readers of a persisted codebook
+    * ([[PqIndex]]/[[IvfIndex]]) recover the build-time dimension with no
+    * side-channel. Empty codebook (degenerate sub-block fixtures) keeps
+    * the legacy PqM so downstream column arithmetic stays total. */
+  private[operators] def pqMOf(cb: Seq[((Int, Long), Seq[Double])]): Int =
+    if (cb.isEmpty) PqM else cb.map(_._1._1).max + 1
+
+  /** (vec_id, m, sv): the mCount normalized subvectors per vector. */
+  private[operators] def pqSubvectorsOf(en: DataFrame, mCount: Int = PqM): DataFrame =
+    en.select(col("vec_id"), posexplode(array(
+      (0 until mCount).map(m => slice(col("nv"), m * PqSub + 1, PqSub)): _*))
+      .as(Seq("m", "sv")))
 
   /** Exact component-wise median centroids keyed by (m, cluster) —
     * the [[centroids]] construction with the subspace in the key. */
@@ -1082,12 +1096,19 @@ object SimilarityOps {
 
   /** The fixed-budget Lloyd training loop over a normalized vector set —
     * shared by the inline lane's memoized codebook and [[PqIndex]]'s
-    * persisted build (same input ⇒ same codebook, deterministically). */
+    * persisted build (same input ⇒ same codebook, deterministically).
+    * Subspace count derives from the CORPUS DIMENSION (one bounded
+    * take(1) — [[pqMForDim]]), so a 768-dim corpus trains 96 codebooks
+    * and the whole vector is coded; the 64-dim gate corpora derive the
+    * oracle-pinned 8, bit-identical to the fixed-PqM model. */
   private[operators] def pqTrainCodebook(en: DataFrame): Seq[((Int, Long), Seq[Double])] = {
-    val sub = pqSubvectorsOf(en)
+    val dim = en.select(size(col("nv")).as("d")).take(1)
+      .headOption.map(_.getInt(0)).getOrElse(PqM * PqSub)
+    val mCount = pqMForDim(dim)
+    val sub = pqSubvectorsOf(en, mCount)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def assignAll(cb: Seq[((Int, Long), Seq[Double])]): Column =
-      (0 until PqM).foldLeft(lit(-1L)) { (acc, mm) =>
+      (0 until mCount).foldLeft(lit(-1L)) { (acc, mm) =>
         when(col("m") === mm, pqCodeFor(cb, mm, col("sv"))).otherwise(acc)
       }
     var assigned = sub.withColumn("cluster", pmod(col("vec_id"), lit(PqK.toLong)))
@@ -1105,12 +1126,14 @@ object SimilarityOps {
   private[operators] def pqCodebook(spark: SparkSession, dir: String): Seq[((Int, Long), Seq[Double])] =
     pqCbCache.getOrElseUpdate(embStamp(dir), pqTrainCodebook(pqNormalized(spark, dir)))
 
-  /** Per-vector PQ codes against a literal codebook. */
+  /** Per-vector PQ codes against a literal codebook — the codebook's own
+    * `m` range decides how many code columns exist ([[pqMOf]]), so a
+    * wide-dim model codes the whole vector. */
   private[operators] def pqCodesOf(
       en: DataFrame, cb: Seq[((Int, Long), Seq[Double])]): DataFrame = {
     def sv(mm: Int) = slice(col("nv"), mm * PqSub + 1, PqSub)
     en.select(col("vec_id") +:
-      (0 until PqM).map(mm => pqCodeFor(cb, mm, sv(mm)).as(s"c$mm")): _*)
+      (0 until pqMOf(cb)).map(mm => pqCodeFor(cb, mm, sv(mm)).as(s"c$mm")): _*)
   }
 
   /** The ADC propose + exact-rescore pipeline, parameterized by where the
@@ -1131,13 +1154,18 @@ object SimilarityOps {
         .getOrElse(lit(0.0))
     }: _*)
     queries.select(Seq(col("vec_id").as("query_id")) ++
-      (0 until PqM).map(mm => dtFor(mm).as(s"dt$mm")): _*)
+      (0 until pqMOf(cb)).map(mm => dtFor(mm).as(s"dt$mm")): _*)
   }
 
-  /** The PqM-lookup fixed-parenthesization ADC sum over (dt_m, c_m). */
-  private[operators] def pqAdcApprox: Column =
-    (0 until PqM).map(mm =>
-      element_at(col(s"dt$mm"), (col(s"c$mm") + 1).cast("int"))).reduce(_ + _)
+  /** The mCount-lookup fixed-parenthesization ADC sum over (dt_m, c_m).
+    * A -1 sentinel code (subspace with no trained centroids) contributes
+    * 0.0 instead of an out-of-bounds element_at — degrade, don't crash
+    * (mirrors pqAdcTables' absent-centroid placeholder). */
+  private[operators] def pqAdcApprox(mCount: Int = PqM): Column =
+    (0 until mCount).map(mm =>
+      when(col(s"c$mm") >= 0L,
+        element_at(col(s"dt$mm"), (col(s"c$mm") + 1).cast("int")))
+        .otherwise(lit(0.0))).reduce(_ + _)
 
   /** Top-PqR propose + exact cosine rescore from candidate rows
     * (query_id, vec_id, approx) — shared tail of every PQ lane. The
@@ -1167,7 +1195,7 @@ object SimilarityOps {
       cb: Seq[((Int, Long), Seq[Double])]): DataFrame = {
     val cand = codes.crossJoin(broadcast(pqAdcTables(queries, cb)))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), pqAdcApprox.as("approx"))
+      .select(col("query_id"), col("vec_id"), pqAdcApprox(pqMOf(cb)).as("approx"))
     pqProposeRescore(cand, queries, rescore)
   }
 

@@ -999,11 +999,18 @@ object TextOps {
   // ties at a cutoff bucket by value comparison, identical both sides.
   private val CcK = 64
 
-  private[operators] def qCcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def qCcnetBuckets(spark: SparkSession, dir: String): DataFrame =
+    ccnetBucketsFrom(table(spark, dir, "documents"), qLmBigram(spark, dir))
+
+  /** The tercile-selection body, parameterized by where the LM fit scores
+    * come from — inline training ([[qCcnetBuckets]]) vs the persisted
+    * [[LmIndex]] model (`q_ccnet_buckets_indexed`). fit_score is one
+    * double division of exact BIGINT sums in both lanes, so the indexed
+    * twin is row-identical and rides the same oracle. */
+  private[operators] def ccnetBucketsFrom(docs: DataFrame, lmScored: DataFrame): DataFrame = {
     val P = 1000000007L
-    val scored = qLmBigram(spark, dir).select(col("doc_id"), col("fit_score"))
-      .join(table(spark, dir, "documents").select(col("doc_id"), col("source")),
-        "doc_id")
+    val scored = lmScored.select(col("doc_id"), col("fit_score"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .withColumn("h", ((col("doc_id") % P) * 48271L + 11L) % P)
     val wS = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
     val sample = scored.withColumn("r", row_number().over(wS)).filter(col("r") <= CcK)
@@ -1058,6 +1065,10 @@ object TextOps {
        |FROM sc JOIN cuts USING (source)""".stripMargin
 
   private[operators] def qLmBigramOracle: String = qLmBigramSql
+
+  /** The CCNet-selection oracle, shared with the persisted-model lane
+    * ([[LmIndex]] `q_ccnet_buckets_indexed`). */
+  private[operators] def qCcnetBucketsOracle: String = qCcnetBucketsSql
 
   private val qLmBigramSql =
     s"""WITH toks AS (

@@ -150,12 +150,18 @@ object WinnowIndex {
     s"${System.getProperty("java.io.tmpdir")}/graft-winnow-index-$key"
   }
 
-  private def qWinnowMatchesIndexed(spark: SparkSession, dir: String): DataFrame = {
+  /** Build-if-absent against the corpus at `dir`; returns the index dir.
+    * Shared by the match lane and the indexed curation funnel
+    * ([[CurationFunnel]]). */
+  private[operators] def ensureIndex(spark: SparkSession, dir: String): String = {
     val indexDir = indexDirFor(dir)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$indexDir/fps.parquet")))
       buildIndex(spark, Tables.table(spark, dir, "documents"), indexDir)
-    matchesFromIndex(spark, indexDir)
+    indexDir
   }
+
+  private def qWinnowMatchesIndexed(spark: SparkSession, dir: String): DataFrame =
+    matchesFromIndex(spark, ensureIndex(spark, dir))
 
   def queries: Seq[QueryDef] = Seq(
     QueryDef("q_winnow_matches_indexed", qWinnowMatchesIndexed,

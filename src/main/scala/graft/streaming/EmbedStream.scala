@@ -316,18 +316,74 @@ object EmbedStream {
       indexDir: String,
       decisionsDir: String,
       tau: Double,
-      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery): StreamingQuery =
+      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery,
+      reconcileEvery: Int = 0): StreamingQuery =
     vecs.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processSemanticDedupBatch(spark, indexDir, decisionsDir, tau, batch, compactEvery)
+        processSemanticDedupBatch(spark, indexDir, decisionsDir, tau, batch,
+          compactEvery, reconcileEvery)
       }
       .start()
+
+  /** Reconciliation pass for the streaming SemDeDup store (round-9 —
+    * closes the eager-decision drift the round-8 verdict flagged): the
+    * stream's keep decisions are as-of arrival, so an adversarial order
+    * can admit a DOMINATED survivor (a later, better-centered near-dup
+    * is kept beside it instead of replacing it) and the resident set
+    * drifts from the batch keep-rule. This pass runs the EXACT
+    * q_semantic_dedup rule over the resident survivors — drop any vector
+    * with a same-cluster τ-cosine neighbor ranking better by
+    * (distance-to-centroid, id) — evicts the violators through the
+    * store's own compact rewrite ([[graft.operators.IvfIndex.compactExcluding]]:
+    * publish-before-delete, so readers never see a torn store), and
+    * appends the evicted ids to `$indexDir/reconcile_audit.parquet`.
+    * Because the rewrite IS a compaction, the epoch count folds to one
+    * and the policy trigger re-arms. Idempotent: the rule over an
+    * already-reconciled store evicts nothing (a second pass is a plain
+    * compact). Returns the number of evicted vectors.
+    *
+    * Cost: the same cluster-bounded pair join as the batch operator —
+    * O(Σ per-cell members²), the SemDeDup tractability bound — which is
+    * why it is a PERIODIC policy action (`reconcileEvery` epochs), not a
+    * per-batch one. */
+  def reconcileSemanticDedup(
+      spark: SparkSession, indexDir: String, tau: Double): Long = {
+    val m = spark.read.parquet(s"$indexDir/cells.parquet")
+      .select(col("vec_id"), col("cl").as("cluster"), col("d2c"),
+        transform(col("v"),
+          x => when(col("norm") > 0.0, x / col("norm")).otherwise(0.0)).as("nv"))
+      .dropDuplicates("vec_id")
+    val o = m.select(col("cluster").as("ocl"), col("vec_id").as("o_id"),
+      col("d2c").as("od2c"), col("nv").as("onv"))
+    val evicted = m.join(o,
+        col("cluster") === col("ocl") &&
+          (col("od2c") < col("d2c") ||
+            (col("od2c") === col("d2c") && col("o_id") < col("vec_id"))))
+      .filter(graft.functions.VectorOps.dot(col("nv"), col("onv")) >= tau)
+      .select(col("vec_id"), col("cluster")).distinct()
+      .persist()
+    try {
+      val n = evicted.count()
+      if (n > 0)
+        // audit BEFORE the rewrite: a crash in between re-runs the
+        // deterministic rule and re-audits the same rows (consumers
+        // dedupe by vec_id); the reverse order could evict silently
+        evicted.withColumn("evicted", lit(1L))
+          .write.mode("append").parquet(s"$indexDir/reconcile_audit.parquet")
+      // fold epochs even when nothing was evicted — the trigger fires on
+      // epoch count, so the rewrite must re-arm it either way
+      graft.operators.IvfIndex.compactExcluding(spark, indexDir,
+        if (n > 0) Some(evicted.select(col("vec_id"))) else None)
+      n
+    } finally { evicted.unpersist(); () }
+  }
 
   /** One micro-batch of [[semanticDedupStream]]. */
   private[graft] def processSemanticDedupBatch(
       spark: SparkSession, indexDir: String, decisionsDir: String,
       tau: Double, batch: DataFrame,
-      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery): Unit = {
+      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery,
+      reconcileEvery: Int = 0): Unit = {
     val cells = new org.apache.hadoop.fs.Path(s"$indexDir/cells.parquet")
     val fs = cells.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(cells))
@@ -380,6 +436,15 @@ object EmbedStream {
             .select(col("vec_id"), col("embedding"))
           if (!keptBatch.isEmpty) {
             graft.operators.IvfIndex.appendToIndex(spark, indexDir, keptBatch)
+            // reconcile policy (opt-in, the periodic batch-rule audit):
+            // runs FIRST because its rewrite is itself a compaction —
+            // when it fires, the compact trigger below sees one epoch
+            if (reconcileEvery > 0)
+              graft.operators.IndexPolicy.maybeCompact(
+                spark, s"$indexDir/cells.parquet", reconcileEvery) {
+                reconcileSemanticDedup(spark, indexDir, tau)
+                ()
+              }
             graft.operators.IndexPolicy.maybeCompact(
               spark, s"$indexDir/cells.parquet", compactEvery) {
               graft.operators.IvfIndex.compact(spark, indexDir)

@@ -67,4 +67,54 @@ class SemanticDedupStreamSpec extends AnyFunSuite {
     assert(epochs === beforeEpochs)
     assert(spark.read.parquet(decisionsDir).count() === beforeDecisions)
   }
+
+  private def storedIds(indexDir: String): Set[Long] =
+    spark.read.parquet(s"$indexDir/cells.parquet")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+
+  test("reconcile evicts order-admitted dominated survivors to the batch keep-rule") {
+    val base = java.nio.file.Files.createTempDirectory("graft-semrec").toString
+    val indexDir = s"$base/idx"
+    val decisionsDir = s"$base/decisions"
+    graft.operators.IvfIndex.buildIndex(spark, indexDir, cents, vdf(a))
+    // eager drift by construction: c (12) is admitted in batch 1, then e
+    // (14) — a τ-neighbor of c with BETTER (d2c, id) rank — is admitted
+    // in batch 2; the eager lane cannot retro-drop c, so the store holds
+    // a vector the batch rule over the full arrival union {a,b,c,d,e}
+    // would drop (that rule keeps exactly {a, e}: b is a τ-dup of a, d
+    // of c, and c is dominated by e — all same-cluster, ranked by d2c)
+    EmbedStream.processSemanticDedupBatch(spark, indexDir, decisionsDir, Tau, vdf(b, c))
+    EmbedStream.processSemanticDedupBatch(spark, indexDir, decisionsDir, Tau, vdf(d, e))
+    assert(storedIds(indexDir) === Set(10L, 12L, 14L), "eager state before reconcile")
+
+    val n = EmbedStream.reconcileSemanticDedup(spark, indexDir, Tau)
+    assert(n === 1L)
+    assert(storedIds(indexDir) === Set(10L, 14L),
+      "store must equal the batch keep-rule's survivor set")
+    // the eviction is audited, and the rewrite folded the epochs to one
+    val audit = spark.read.parquet(s"$indexDir/reconcile_audit.parquet")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(audit === Set(12L))
+    val epochs = new java.io.File(s"$indexDir/cells.parquet").listFiles()
+      .map(_.getName).count(_.startsWith("epoch="))
+    assert(epochs === 1, "reconcile rewrite is itself a compaction")
+    // idempotent: a reconciled store has no violators left
+    assert(EmbedStream.reconcileSemanticDedup(spark, indexDir, Tau) === 0L)
+    assert(storedIds(indexDir) === Set(10L, 14L))
+  }
+
+  test("reconcileEvery policy trigger self-corrects the store unattended") {
+    val base = java.nio.file.Files.createTempDirectory("graft-semrecpol").toString
+    val indexDir = s"$base/idx"
+    val decisionsDir = s"$base/decisions"
+    graft.operators.IvfIndex.buildIndex(spark, indexDir, cents, vdf(a))
+    // epoch-count trigger at 2: fires after each kept append once the
+    // store has ≥ 2 epochs, and its rewrite re-arms the counter
+    Seq(vdf(b, c), vdf(d, e)).foreach { batch =>
+      EmbedStream.processSemanticDedupBatch(
+        spark, indexDir, decisionsDir, Tau, batch, reconcileEvery = 2)
+    }
+    assert(storedIds(indexDir) === Set(10L, 14L),
+      "the policy-triggered reconcile must have evicted the dominated survivor")
+  }
 }
