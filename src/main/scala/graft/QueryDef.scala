@@ -28,6 +28,7 @@ object QueryRegistry {
       operators.TextOps.queries ++
       operators.CurationFunnel.queries ++
       operators.GopherRules.queries ++
+      operators.PackingOps.queries ++
       operators.CorpusOps.queries ++
       operators.DedupOps.queries ++
       operators.SpanDedup.queries ++

@@ -96,7 +96,7 @@ object CurationFunnel {
       clfDir: String, lmDir: String, winDir: String): DataFrame =
     ledgerOver(spark, docs,
       ClassifyOps.scoreDocs(docs, ClassifyIndex.modelCounts(spark, clfDir)),
-      TextOps.ccnetBucketsFrom(docs, LmIndex.scoreDocs(spark, docs, lmDir)),
+      TextOps.ccnetBucketsFrom(docs, dd => LmIndex.scoreDocs(spark, dd, lmDir)),
       surv4 => {
         // survivor-relative rep + df-cap over the persisted per-text
         // fingerprints: selection is a pure function of the text, so

@@ -47,14 +47,22 @@ object LmIndex {
       spark: SparkSession, modelDir: String, epoch: Int, docs: DataFrame): Unit = {
     val root = new Path(modelDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for ((tab, df) <- Seq(
-        "pairs.parquet" -> pairCounts(docs),
-        "docs.parquet" -> docs.select(col("doc_id")).distinct())) {
-      AtomicPublish.stageAndRename(
-        spark, new Path(root, tab).toString, s".epoch-$epoch.tmp", s"epoch=$epoch") {
-        tmp => df.write.mode("overwrite").parquet(tmp.toString)
+    // prefix counts Σ_r cnt(l, r) ride the same epoch (round 9): they are
+    // additive like the pairs, and persisting them cuts one pairs-table
+    // read+aggregation from EVERY scoring call — the store serves its own
+    // smoothing denominators. One pair-count pass feeds both tables.
+    val pc = pairCounts(docs).persist()
+    try {
+      for ((tab, df) <- Seq(
+          "pairs.parquet" -> pc,
+          "prefix.parquet" -> pc.groupBy(col("l")).agg(sum(col("cnt")).as("c1")),
+          "docs.parquet" -> docs.select(col("doc_id")).distinct())) {
+        AtomicPublish.stageAndRename(
+          spark, new Path(root, tab).toString, s".epoch-$epoch.tmp", s"epoch=$epoch") {
+          tmp => df.write.mode("overwrite").parquet(tmp.toString)
+        }
       }
-    }
+    } finally { pc.unpersist(); () }
   }
 
   /** Train (overwrite) the model as epoch 0. */
@@ -73,6 +81,19 @@ object LmIndex {
   def appendToModel(spark: SparkSession, modelDir: String, batch: DataFrame): Unit = {
     val pairs = new Path(modelDir, "pairs.parquet")
     val fs = pairs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // v1→v2 migration: a store built before prefix.parquet existed gets a
+    // one-time catch-up epoch aggregated from ALL resident pairs, so
+    // epochs stay consistent (a partially-prefixed store would serve
+    // silently wrong denominators)
+    val prefix = new Path(modelDir, "prefix.parquet")
+    if (!fs.exists(prefix)) {
+      AtomicPublish.stageAndRename(
+        spark, prefix.toString, ".migrate.tmp", "epoch=0") { tmp =>
+        spark.read.parquet(pairs.toString)
+          .groupBy(col("l")).agg(sum(col("cnt")).as("c1"))
+          .write.mode("overwrite").parquet(tmp.toString)
+      }
+    }
     val next = fs.listStatus(pairs).map(_.getPath.getName)
       .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toInt).max + 1
     writeEpoch(spark, modelDir, next, batch)
@@ -88,6 +109,10 @@ object LmIndex {
   def compact(spark: SparkSession, modelDir: String): Unit = {
     EpochCompact.compactTable(spark, s"$modelDir/pairs.parquet",
       _.groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("cnt")))
+    val prefix = new Path(modelDir, "prefix.parquet")
+    if (prefix.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(prefix))
+      EpochCompact.compactTable(spark, prefix.toString,
+        _.groupBy(col("l")).agg(sum(col("c1")).as("c1")))
     EpochCompact.compactTable(spark, s"$modelDir/docs.parquet", _.distinct())
   }
 
@@ -98,7 +123,15 @@ object LmIndex {
   def scoreDocs(spark: SparkSession, docs: DataFrame, modelDir: String): DataFrame = {
     val model = spark.read.parquet(s"$modelDir/pairs.parquet")
       .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("c12"))
-    val cnt1 = model.groupBy(col("l")).agg(sum(col("c12")).as("c1"))
+    // prefix counts from their own table when the store has one (v2);
+    // v1 read-only stores fall back to re-aggregating the pairs — the
+    // sums are identical by arithmetic either way
+    val prefix = new Path(modelDir, "prefix.parquet")
+    val cnt1 =
+      if (prefix.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(prefix))
+        spark.read.parquet(prefix.toString)
+          .groupBy(col("l")).agg(sum(col("c1")).as("c1"))
+      else model.groupBy(col("l")).agg(sum(col("c12")).as("c1"))
     val d = docs.select(col("doc_id"), xxhash64(col("text")).as("tkey"), col("text"))
     val members = d.select(col("doc_id"), col("tkey"))
     val w = split(trim(col("text")), " ")
@@ -129,7 +162,8 @@ object LmIndex {
   // Trained on and scoring the same corpus, so it rides q_lm_bigram's
   // oracle unchanged: every model count equals the inline aggregation.
   private def modelDirFor(dir: String): String = {
-    val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "lm-v1"))
+    // v2: the store carries its own prefix-count table
+    val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "lm-v2"))
     s"${System.getProperty("java.io.tmpdir")}/graft-lm-model-$key"
   }
 
@@ -155,9 +189,9 @@ object LmIndex {
     * BIGINT-sum fit_score, same sampled-tercile cutoffs), so it rides the
     * same oracle. */
   private def qCcnetBucketsIndexed(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.table(spark, dir, "documents")
-    TextOps.ccnetBucketsFrom(docs,
-      scoreDocs(spark, docs, ensureModel(spark, dir)))
+    val modelDir = ensureModel(spark, dir)
+    TextOps.ccnetBucketsFrom(Tables.table(spark, dir, "documents"),
+      dd => scoreDocs(spark, dd, modelDir))
   }
 
   def queries: Seq[QueryDef] = Seq(

@@ -999,21 +999,53 @@ object TextOps {
   // ties at a cutoff bucket by value comparison, identical both sides.
   private val CcK = 64
 
-  private[operators] def qCcnetBuckets(spark: SparkSession, dir: String): DataFrame =
-    ccnetBucketsFrom(table(spark, dir, "documents"), qLmBigram(spark, dir))
+  private[operators] def qCcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    // inline subset scoring still trains on the FULL corpus (the model is
+    // corpus-level state); the cached `groups` frame inside qLmBigram
+    // keeps the cuts branch from re-exploding the whole corpus
+    val full = qLmBigram(spark, dir)
+    ccnetBucketsFrom(table(spark, dir, "documents"),
+      dd => full.join(dd.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+  }
 
-  /** The tercile-selection body, parameterized by where the LM fit scores
-    * come from — inline training ([[qCcnetBuckets]]) vs the persisted
-    * [[LmIndex]] model (`q_ccnet_buckets_indexed`). fit_score is one
-    * double division of exact BIGINT sums in both lanes, so the indexed
-    * twin is row-identical and rides the same oracle. */
-  private[operators] def ccnetBucketsFrom(docs: DataFrame, lmScored: DataFrame): DataFrame = {
+  /** The tercile-selection body, parameterized by HOW docs are LM-scored
+    * — inline training ([[qCcnetBuckets]]) vs the persisted [[LmIndex]]
+    * model (`q_ccnet_buckets_indexed`, the indexed funnel, the streaming
+    * funnel). fit_score is one double division of exact BIGINT sums in
+    * every lane, so all twins are row-identical and ride one oracle.
+    *
+    * One-scoring-pass shape (round 9): the sample MEMBERSHIP depends
+    * only on (h(doc_id), doc_id, source) and LM-eligibility (≥2 tokens —
+    * the scoring inner-join's exclusion, a pure per-doc predicate, so it
+    * needs no scores), never on the scores themselves. Ranking the
+    * sample BEFORE any scoring means the cutoff path calls `score` on
+    * only ≤ CcK×sources docs (a store-backed scorer then explodes only
+    * the sample's texts), and the full corpus is scored exactly ONCE for
+    * the final assignment — the previous shape referenced one scored
+    * frame in two plan branches and evaluated the whole per-text scoring
+    * pipeline twice per run (measured: q_ccnet_buckets_indexed
+    * 3.75 → 2.05 s at sf0.1; a narrowing join could not help because
+    * Catalyst does not push a doc_id semi-join through the per-text
+    * aggregates). At 100 TB this is also the right dependency order:
+    * the per-source rank window runs over narrow (doc_id, source, h)
+    * rows with WindowGroupLimit, not over scored rows. `score` maps a
+    * documents subset to its (doc_id, fit_score) rows. */
+  private[operators] def ccnetBucketsFrom(
+      docs: DataFrame, score: DataFrame => DataFrame): DataFrame = {
     val P = 1000000007L
-    val scored = lmScored.select(col("doc_id"), col("fit_score"))
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    // LM-eligible docs: ≥2 tokens ⇔ the doc has a bigram row (the model
+    // is trained on the same corpus — or its superset in the streaming
+    // lane — so every observed bigram joins)
+    val withH = docs
+      .filter(size(split(trim(col("text")), " ")) >= 2)
+      .select(col("doc_id"), col("source"))
       .withColumn("h", ((col("doc_id") % P) * 48271L + 11L) % P)
     val wS = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
-    val sample = scored.withColumn("r", row_number().over(wS)).filter(col("r") <= CcK)
+    val sampleIds = withH.withColumn("r", row_number().over(wS)).filter(col("r") <= CcK)
+      .select(col("doc_id"), col("source"), col("h"))
+    val sample = sampleIds
+      .join(score(docs.join(sampleIds.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+        .select(col("doc_id"), col("fit_score")), "doc_id")
     val m = sample.groupBy(col("source")).agg(count(lit(1)).as("m"))
     val wV = Window.partitionBy(col("source"))
       .orderBy(col("fit_score").desc, col("h"), col("doc_id"))
@@ -1023,7 +1055,9 @@ object TextOps {
       .agg(
         max(when(col("rv") === expr("(m + 2) div 3"), col("fit_score"))).as("t1"),
         max(when(col("rv") === expr("(2 * m + 2) div 3"), col("fit_score"))).as("t2"))
-    scored.join(broadcast(cuts), Seq("source"))
+    score(docs).select(col("doc_id"), col("fit_score"))
+      .join(withH.select(col("doc_id"), col("source")), "doc_id")
+      .join(broadcast(cuts), Seq("source"))
       .select(col("doc_id"), col("source"),
         when(col("fit_score") >= col("t1"), "head")
           .when(col("fit_score") >= col("t2"), "middle")
