@@ -32,6 +32,7 @@ object IndexCatalog {
     "labels.parquet" -> "cluster",
     "edges.parquet" -> "cluster",
     "shingle_df.parquet" -> "incremental-dedup",
+    "base.parquet" -> "pack",
     "counts.parquet" -> "classifier")
 
   final case class TableReport(

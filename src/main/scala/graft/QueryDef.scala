@@ -29,6 +29,7 @@ object QueryRegistry {
       operators.CurationFunnel.queries ++
       operators.GopherRules.queries ++
       operators.PackingOps.queries ++
+      operators.PackIndex.queries ++
       operators.CorpusOps.queries ++
       operators.DedupOps.queries ++
       operators.SpanDedup.queries ++

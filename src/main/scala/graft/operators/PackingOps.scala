@@ -50,8 +50,12 @@ object PackingOps {
 
   /** (doc_id, source, n_toks, start_tok, end_tok) via the two-level
     * scan: end_tok is the running total through this doc in (source,
-    * doc_id) order. */
-  private def offsets(docs: DataFrame): DataFrame = {
+    * doc_id) order. Shared with the pack-at-ingest lane
+    * ([[PackIndex]]), which adds each batch's scan onto the store's
+    * resident per-source totals — prefix sums associate, so the
+    * incremental manifest equals this one-shot scan for in-order
+    * arrival. */
+  private[operators] def offsets(docs: DataFrame): DataFrame = {
     val d = docs.select(col("doc_id"), col("source"),
       size(split(trim(col("text")), " ")).cast(LongType).as("n_toks"),
       expr(s"doc_id div ${Bucket}L").as("bucket"))
@@ -103,6 +107,9 @@ object PackingOps {
        |    SUM($tokSql) OVER (PARTITION BY source ORDER BY doc_id
        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS end_tok
        |  FROM documents)""".stripMargin
+
+  /** Shared with [[PackIndex]]'s serving lane (row-identical output). */
+  private[operators] def qPackChunksOracle: String = qPackChunksSql
 
   private val qPackChunksSql =
     s"""WITH $offsetsSql

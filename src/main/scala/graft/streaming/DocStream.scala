@@ -806,6 +806,58 @@ object DocStream {
     ()
   }
 
+  /** Streaming maintenance of the persisted pack manifest
+    * ([[graft.operators.PackIndex]]) — sequence packing at ingest, the
+    * continuous-training cadence: every micro-batch of arriving
+    * documents is assigned its absolute token offsets and training
+    * windows by running the batch's own two-level prefix scan and
+    * shifting by the store's resident per-source token totals (ONE
+    * additive counter per source — prefix sums associate, so in-order
+    * batches reproduce the one-shot [[graft.operators.PackingOps]]
+    * manifest exactly; out-of-order batches pack at the stream's tail,
+    * the as-of-arrival semantics a real loader has). Tenth
+    * stream-maintained index family; replay safety is the standard
+    * resident-ledger anti-join. */
+  def packMaintenanceStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      indexDir: String,
+      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery): StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processPackBatch(spark, indexDir, batch, compactEvery)
+      }
+      .start()
+
+  /** One micro-batch of [[packMaintenanceStream]] — factored out so the
+    * in-order ≡ one-shot contract is directly testable. */
+  private[graft] def processPackBatch(
+      spark: SparkSession, indexDir: String, batch: DataFrame,
+      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery): Unit = {
+    val docs = batch.select(col("doc_id"), col("source"), col("text")).distinct()
+    val manifest = new org.apache.hadoop.fs.Path(s"$indexDir/manifest.parquet")
+    val fs = manifest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(manifest)) {
+      if (!docs.isEmpty) graft.operators.PackIndex.buildIndex(spark, docs, indexDir)
+    } else {
+      val resident = graft.operators.PackIndex.residentDocIds(spark, indexDir)
+      val fresh = docs.join(resident, Seq("doc_id"), "left_anti").persist()
+      try {
+        if (!fresh.isEmpty) {
+          graft.operators.PackIndex.appendToIndex(spark, indexDir, fresh)
+          // policy: bound read amplification — self-compact at the
+          // epoch-count threshold (the read-merge, folded to one epoch)
+          graft.operators.IndexPolicy.maybeCompact(
+            spark, s"$indexDir/manifest.parquet", compactEvery) {
+            graft.operators.PackIndex.compact(spark, indexDir)
+          }
+          ()
+        }
+      } finally fresh.unpersist()
+    }
+    ()
+  }
+
   /** One micro-batch of [[classifierModelMaintenanceStream]]. */
   private[graft] def processClassifierModelBatch(
       spark: SparkSession, modelDir: String, batch: DataFrame,
