@@ -30,6 +30,7 @@ object QueryRegistry {
       operators.GopherRules.queries ++
       operators.PackingOps.queries ++
       operators.PackIndex.queries ++
+      operators.ShuffleOps.queries ++
       operators.CorpusOps.queries ++
       operators.DedupOps.queries ++
       operators.SpanDedup.queries ++

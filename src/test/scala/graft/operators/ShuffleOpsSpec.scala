@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{QueryRegistry, SparkTestSession}
+
+/** Loader-side shuffle/sampling ([[ShuffleOps]]): permutation and
+  * budget invariants the oracle's row hash can't articulate. */
+class ShuffleOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("shuffle shards: dense per-shard positions, full coverage, deterministic") {
+    val m = QueryRegistry.byName("q_shuffle_shards").run(spark, dir).cache()
+    try {
+      val docs = graft.Tables.table(spark, dir, "documents")
+      assert(m.count() === docs.count(), "every document is placed exactly once")
+      assert(m.select(col("doc_id")).distinct().count() === m.count())
+      // positions within a shard are exactly 1..n_shard
+      val bad = m.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), min(col("pos")).as("mn"),
+          max(col("pos")).as("mx"), countDistinct(col("pos")).as("nd"))
+        .filter(col("mn") =!= 1L || col("mx") =!= col("n") || col("nd") =!= col("n"))
+      assert(bad.count() === 0, "per-shard positions must tile 1..n densely")
+      // the hash spreads: all 16 shards occupied, none pathologically fat
+      val sizes = m.groupBy(col("shard")).count().select(col("count")).collect().map(_.getLong(0))
+      assert(sizes.length === 16, "all shards occupied")
+      assert(sizes.max <= 2 * (m.count() / 16), "no shard beyond 2x the mean")
+      // same seed replays bit for bit
+      val again = QueryRegistry.byName("q_shuffle_shards").run(spark, dir)
+      assert(m.exceptAll(again).isEmpty && again.exceptAll(m).isEmpty)
+    } finally { m.unpersist(); () }
+  }
+
+  test("epoch sample: budget respected per source and selection is a hash-order prefix") {
+    val sel = QueryRegistry.byName("q_epoch_sample").run(spark, dir).cache()
+    try {
+      // recompute targets independently (the q_temperature_mix arithmetic)
+      val toks = graft.Tables.table(spark, dir, "documents")
+        .select(col("source"), size(split(trim(col("text")), " ")).cast("long").as("n"))
+      val per = toks.groupBy(col("source")).agg(sum(col("n")).as("tokens"))
+        .withColumn("w", floor(sqrt(col("tokens").cast("double"))).cast("long"))
+      val tgt = per.crossJoin(
+          per.agg(sum(col("tokens")).as("total"), sum(col("w")).as("sum_w")))
+        .select(col("source"), expr("(total * w) div sum_w").as("target"))
+      // every selected doc STARTS inside the budget...
+      val joined = sel.join(tgt, "source")
+      assert(joined.filter(col("cum_toks") - col("n_toks") >= col("target")).count() === 0)
+      // ...and the selection saturates it: the last selected doc per source
+      // ends at or past the target (or the source was exhausted short of it)
+      val last = joined.groupBy(col("source"))
+        .agg(max(col("cum_toks")).as("sel_end"), first(col("target")).as("target"))
+        .join(per.select(col("source"), col("tokens")), "source")
+      assert(last.filter(col("sel_end") < col("target") &&
+        col("sel_end") =!= col("tokens")).count() === 0,
+        "selection must consume the budget unless the source ran out")
+      // temperature effect: every source is represented
+      assert(sel.select(col("source")).distinct().count() === per.count())
+    } finally { sel.unpersist(); () }
+  }
+}
