@@ -93,23 +93,33 @@ object CurationFunnel {
     * lang, source). */
   private[graft] def storesLedger(
       spark: SparkSession, docs: DataFrame,
-      clfDir: String, lmDir: String, winDir: String): DataFrame =
-    ledgerOver(spark, docs,
-      ClassifyOps.scoreDocs(docs, ClassifyIndex.modelCounts(spark, clfDir)),
-      TextOps.ccnetBucketsFrom(docs, dd => LmIndex.scoreDocs(spark, dd, lmDir)),
-      surv4 => {
-        // survivor-relative rep + df-cap over the persisted per-text
-        // fingerprints: selection is a pure function of the text, so
-        // restricting the store's rows to survivor tids reproduces
-        // fpRows(surv4) exactly (modulo rep, re-derived here)
-        val survRep = surv4
-          .select(xxhash64(col("text")).as("tid"), col("doc_id"))
-          .groupBy(col("tid")).agg(min(col("doc_id")).as("rep"))
-        WinnowIndex.fpRowsFromIndex(spark, winDir)
-          .select(col("tid"), col("nfp"), col("gh"))
-          .join(survRep, "tid")
-          .select(col("rep"), col("nfp"), col("gh"))
-      })
+      clfDir: String, lmDir: String, winDir: String): DataFrame = {
+    val (preds, buckets, fps) = storeSignals(spark, docs, clfDir, lmDir, winDir)
+    ledgerOver(spark, docs, preds, buckets, fps)
+  }
+
+  /** The three model-backed funnel signals read from their persisted
+    * stores — shared by the indexed ledger and the curated-corpus
+    * materializer. */
+  private def storeSignals(
+      spark: SparkSession, docs: DataFrame,
+      clfDir: String, lmDir: String, winDir: String)
+      : (DataFrame, DataFrame, DataFrame => DataFrame) = (
+    ClassifyOps.scoreDocs(docs, ClassifyIndex.modelCounts(spark, clfDir)),
+    TextOps.ccnetBucketsFrom(docs, dd => LmIndex.scoreDocs(spark, dd, lmDir)),
+    surv4 => {
+      // survivor-relative rep + df-cap over the persisted per-text
+      // fingerprints: selection is a pure function of the text, so
+      // restricting the store's rows to survivor tids reproduces
+      // fpRows(surv4) exactly (modulo rep, re-derived here)
+      val survRep = surv4
+        .select(xxhash64(col("text")).as("tid"), col("doc_id"))
+        .groupBy(col("tid")).agg(min(col("doc_id")).as("rep"))
+      WinnowIndex.fpRowsFromIndex(spark, winDir)
+        .select(col("tid"), col("nfp"), col("gh"))
+        .join(survRep, "tid")
+        .select(col("rep"), col("nfp"), col("gh"))
+    })
 
   /** The funnel body: gate columns + attrition aggregate over `d`, with
     * the three model-backed signals supplied by the caller (inline
@@ -118,6 +128,18 @@ object CurationFunnel {
       spark: SparkSession, d: DataFrame,
       predsIn: DataFrame, bucketsIn: DataFrame,
       survFpsFor: DataFrame => DataFrame): DataFrame = {
+    val (full, cleanup) = gatedOver(d, predsIn, bucketsIn, survFpsFor)
+    ledgerFrom(spark, full, cleanup)
+  }
+
+  /** The staged gate frame (one row per document, cumulative s2..s6
+    * booleans) + the cleanup that releases its cache — the funnel body
+    * shared by the ledger aggregate and the curated-corpus
+    * materializer. */
+  private def gatedOver(
+      d: DataFrame,
+      predsIn: DataFrame, bucketsIn: DataFrame,
+      survFpsFor: DataFrame => DataFrame): (DataFrame, () => Unit) = {
     val nToks = size(split(trim(col("text")), " ")).cast(LongType)
 
     // per-distinct-text char-diversity signals (the q_char_diversity
@@ -172,11 +194,7 @@ object CurationFunnel {
       .withColumn("s6", col("s5") &&
         pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(100L)) < 80)
 
-    // one total aggregate, materialized HERE (12 longs) so `staged` can
-    // be unpersisted before returning — a lazy result frame would either
-    // leak the cached full-corpus frame per invocation or recompute the
-    // whole funnel twice on unpersist; the ledger is 6 driver-built rows
-    ledgerFrom(spark, full, () => { staged.unpersist(); () })
+    (full, () => { staged.unpersist(); () })
   }
 
   /** Aggregate the staged gate frame to the 6-row attrition ledger:
@@ -203,10 +221,13 @@ object CurationFunnel {
       .toDF("stage", "n_docs", "n_tokens")
   }
 
-  private val qCuration2Sql: String = {
+  /** The oracle's WITH-chain through `g4` (per-document cumulative gate
+    * flags) — shared by the ledger oracle and the curated-pack oracle so
+    * the composition is nested, not re-stated. */
+  private def funnelCtesSql: String = {
     val winnowOnSurvivors =
       WinnowOps.qWinnowMatchesSql.replace("FROM documents", "FROM s4docs")
-    s"""WITH cdiv AS (
+    s"""cdiv AS (
        |  SELECT text,
        |    CAST(COUNT(DISTINCT c) AS BIGINT) AS nd,
        |    (MAX(cnt) * 1000) // SUM(cnt) AS tp
@@ -242,7 +263,11 @@ object CurationFunnel {
        |  FROM g2 LEFT JOIN keepers k USING (text)),
        |g4 AS (SELECT *,
        |    (s5f AND (doc_id * 2654435761) % 4294967296 % 100 < 80) AS s6f
-       |  FROM g3)
+       |  FROM g3)""".stripMargin
+  }
+
+  private val qCuration2Sql: String =
+    s"""WITH $funnelCtesSql
        |SELECT '1_total' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  COALESCE(CAST(SUM(n_toks) AS BIGINT), 0) AS n_tokens FROM g4
        |UNION ALL SELECT '2_quality', COUNT(*),
@@ -255,9 +280,70 @@ object CurationFunnel {
        |  COALESCE(CAST(SUM(n_toks) AS BIGINT), 0) FROM g4 WHERE s5f
        |UNION ALL SELECT '6_train', COUNT(*),
        |  COALESCE(CAST(SUM(n_toks) AS BIGINT), 0) FROM g4 WHERE s6f""".stripMargin
+
+  // --- q_pack_curated: the funnel's output packed for training ----------
+  // The real pipeline order end to end: curate → MATERIALIZE the curated
+  // corpus → sequence-pack it. The curated corpus is a first-class
+  // artifact (memoized by corpus identity like the index stores, built
+  // from the PERSISTED funnel models at production cadence, published
+  // atomically), so warm runs read the curated parquet and pay only the
+  // pack scan. The oracle nests the funnel's g4 chain and the pack's
+  // naive running-sum window in ONE statement — the composition across
+  // the two subsystems is itself hash-gated.
+
+  private def curatedDirFor(dir: String): String = {
+    val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "curated-v1"))
+    s"${System.getProperty("java.io.tmpdir")}/graft-curated-$key"
   }
+
+  /** Materialize-if-absent the 6_train curated corpus (doc_id, source,
+    * text) from the persisted funnel stores; returns the artifact dir. */
+  private[graft] def ensureCurated(spark: SparkSession, dir: String): String = {
+    val cdir = curatedDirFor(dir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$cdir/docs.parquet"))) {
+      val d = table(spark, dir, "documents")
+      val (preds, buckets, fps) = storeSignals(spark, d,
+        ClassifyIndex.ensureModel(spark, dir),
+        LmIndex.ensureModel(spark, dir),
+        WinnowIndex.ensureIndex(spark, dir))
+      val (full, cleanup) = gatedOver(d, preds, buckets, fps)
+      try {
+        val curated = full.filter(col("s6"))
+          .join(d.select(col("doc_id"), col("source")), "doc_id")
+          .select(col("doc_id"), col("source"), col("text"))
+        AtomicPublish.stageAndRename(spark, cdir, ".curated.tmp", "docs.parquet") {
+          tmp => curated.write.mode("overwrite").parquet(tmp.toString)
+        }
+      } finally cleanup()
+    }
+    cdir
+  }
+
+  private def qPackCurated(spark: SparkSession, dir: String): DataFrame =
+    PackingOps.chunksOver(
+      spark.read.parquet(s"${ensureCurated(spark, dir)}/docs.parquet"))
+
+  private val qPackCuratedSql: String =
+    s"""WITH $funnelCtesSql,
+       |curated AS (
+       |  SELECT g4.doc_id, d.source, g4.n_toks
+       |  FROM g4 JOIN documents d ON g4.doc_id = d.doc_id
+       |  WHERE s6f),
+       |o AS (
+       |  SELECT doc_id, source, n_toks,
+       |    SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING)::BIGINT AS end_tok
+       |  FROM curated)
+       |SELECT doc_id, source, n_toks,
+       |  end_tok - n_toks AS start_tok,
+       |  (end_tok - n_toks) // ${PackingOps.WinTokensVal} AS first_win,
+       |  (end_tok - 1) // ${PackingOps.WinTokensVal} AS last_win,
+       |  (end_tok - 1) // ${PackingOps.WinTokensVal}
+       |    - (end_tok - n_toks) // ${PackingOps.WinTokensVal} + 1 AS n_wins
+       |FROM o""".stripMargin
 
   def queries: Seq[QueryDef] = Seq(
     QueryDef("q_curation2", qCuration2, Some(qCuration2Sql), headline = true),
-    QueryDef("q_curation2_indexed", qCuration2Indexed, Some(qCuration2Sql)))
+    QueryDef("q_curation2_indexed", qCuration2Indexed, Some(qCuration2Sql)),
+    QueryDef("q_pack_curated", qPackCurated, Some(qPackCuratedSql)))
 }

@@ -77,12 +77,21 @@ object PackingOps {
         (col("cum_in") + col("boff")).as("end_tok"))
   }
 
-  private def qPackChunks(spark: SparkSession, dir: String): DataFrame =
-    offsets(table(spark, dir, "documents"))
+  /** [[WinTokens]] for oracle builders that nest the pack arithmetic. */
+  private[operators] def WinTokensVal: Long = WinTokens
+
+  /** The q_pack_chunks shape over an arbitrary (doc_id, source, text)
+    * frame — shared with the curated-pack composition
+    * ([[CurationFunnel]]'s `q_pack_curated`). */
+  private[operators] def chunksOver(docs: DataFrame): DataFrame =
+    offsets(docs)
       .select(col("doc_id"), col("source"), col("n_toks"), col("start_tok"),
         expr(s"start_tok div ${WinTokens}L").as("first_win"),
         expr(s"(end_tok - 1) div ${WinTokens}L").as("last_win"))
       .withColumn("n_wins", col("last_win") - col("first_win") + 1L)
+
+  private def qPackChunks(spark: SparkSession, dir: String): DataFrame =
+    chunksOver(table(spark, dir, "documents"))
 
   private def qPackWindows(spark: SparkSession, dir: String): DataFrame =
     offsets(table(spark, dir, "documents"))

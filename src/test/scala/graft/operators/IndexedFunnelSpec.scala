@@ -32,6 +32,27 @@ class IndexedFunnelSpec extends AnyFunSuite {
     bothEqual("q_curation2", "q_curation2_indexed")
   }
 
+  test("q_pack_curated: packs exactly the 6_train survivors, artifact memoized, no leak") {
+    spark.sharedState.cacheManager.clearCache()
+    val packed = QueryRegistry.byName("q_pack_curated").run(spark, dir)
+    import org.apache.spark.sql.functions._
+    // doc set == the ledger's 6_train count; per-source streams tile [0, total)
+    val n6 = QueryRegistry.byName("q_curation2_indexed").run(spark, dir)
+      .filter(col("stage") === "6_train").head().getLong(1)
+    assert(packed.count() === n6, "packed docs must be exactly the 6_train survivors")
+    val bad = packed.groupBy(col("source"))
+      .agg(min(col("start_tok")).as("mn"), sum(col("n_toks")).as("tot"),
+        max(col("start_tok") + col("n_toks")).as("end"))
+      .filter(col("mn") =!= 0L || col("end") =!= col("tot"))
+    assert(bad.count() === 0, "curated pack must tile [0, total) per source")
+    // memoized artifact: a second call serves the same rows (and the
+    // materializer's staged frame was released)
+    val again = QueryRegistry.byName("q_pack_curated").run(spark, dir)
+    assert(packed.exceptAll(again).isEmpty && again.exceptAll(packed).isEmpty)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "curated materializer must unpersist its staged frame")
+  }
+
   test("indexed funnel leaves no cached frames behind (leak fix)") {
     // both lanes collect their one-row aggregate eagerly and unpersist
     // the staged frame before returning — repeated invocation must not
