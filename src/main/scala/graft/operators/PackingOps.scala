@@ -93,8 +93,11 @@ object PackingOps {
   private def qPackChunks(spark: SparkSession, dir: String): DataFrame =
     chunksOver(table(spark, dir, "documents"))
 
-  private def qPackWindows(spark: SparkSession, dir: String): DataFrame =
-    offsets(table(spark, dir, "documents"))
+  /** The q_pack_windows shape over an arbitrary (doc_id, source, text)
+    * frame — shared with the window-shuffle composition
+    * ([[ShuffleOps]]'s `q_shuffle_windows`). */
+  private[operators] def windowsOver(docs: DataFrame): DataFrame =
+    offsets(docs)
       .select(col("source"), col("start_tok"), col("end_tok"),
         explode(sequence(
           expr(s"start_tok div ${WinTokens}L"),
@@ -105,6 +108,9 @@ object PackingOps {
           least(col("end_tok"), (col("win_id") + 1L) * WinTokens)
             - greatest(col("start_tok"), col("win_id") * WinTokens))
           .as("n_tokens"))
+
+  private def qPackWindows(spark: SparkSession, dir: String): DataFrame =
+    windowsOver(table(spark, dir, "documents"))
 
   private val tokSql = "len(string_split(trim(text), ' '))::BIGINT"
 
@@ -128,6 +134,10 @@ object PackingOps {
        |  (end_tok - 1) // $WinTokens AS last_win,
        |  (end_tok - 1) // $WinTokens - (end_tok - n_toks) // $WinTokens + 1 AS n_wins
        |FROM o""".stripMargin
+
+  /** Shared with [[ShuffleOps]]'s window-shuffle oracle (nested as a
+    * derived table). */
+  private[operators] def qPackWindowsOracle: String = qPackWindowsSql
 
   private val qPackWindowsSql =
     s"""WITH $offsetsSql,

@@ -150,7 +150,64 @@ object ShuffleOps {
        |FROM cum JOIN tgt ON cum.source = tgt.source
        |WHERE cum_toks - n_toks < target_tokens""".stripMargin
 
+  // --- q_shuffle_windows: WINDOW-level shuffle (pack ∘ shuffle) ----------
+  // What the training loader actually permutes is sequences, not
+  // documents: the pack windows (q_pack_windows) get the epoch
+  // permutation. The window key mixes (portable source-string hash,
+  // win_id) through the same multiplicative hash — the string fold is
+  // the suite's polynomial (acc·31 + ascii) mod-P convention, per
+  // window row over short source names, codegen'd HOF, no global
+  // window anywhere; shard and position derive exactly as in
+  // q_shuffle_shards (two-level key-range rank). The oracle nests the
+  // pack-windows oracle as a derived table, so the pack→shuffle
+  // composition is hash-gated end to end.
+  private val HashP = graft.functions.PolyMinHash.P
+
+  private def srcHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(
+      transform(split(c, ""), ch => ascii(ch).cast(LongType)),
+      lit(0L),
+      (acc, ch) => (acc * 31 + ch) % HashP)
+
+  private def qShuffleWindows(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = PackingOps.windowsOver(table(spark, dir, "documents"))
+      .withColumn("srch", srcHash(col("source")))
+      .withColumn("skey", expr(
+        s"(((srch + win_id) % 2147483648L) * 2654435761L" +
+          s" + ${Seed}L * 40503L) % ${KeySpace}L"))
+      .withColumn("shard", expr(s"skey % ${NumShards}L"))
+      .withColumn("bucket", expr(s"skey div ${BucketWidth}L"))
+    val w1 = Window.partitionBy(col("shard"), col("bucket"))
+      .orderBy(col("skey"), col("source"), col("win_id"))
+    val within = keyed.withColumn("rn_in", row_number().over(w1).cast(LongType))
+    val w2 = Window.partitionBy(col("shard")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boff = keyed.groupBy(col("shard"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("boff", coalesce(sum(col("bn")).over(w2), lit(0L)))
+      .select(col("shard"), col("bucket"), col("boff"))
+    within.join(broadcast(boff), Seq("shard", "bucket"))
+      .select(col("source"), col("win_id"), col("n_tokens"),
+        col("shard"), (col("rn_in") + col("boff")).as("pos"))
+  }
+
+  private val qShuffleWindowsSql =
+    s"""WITH w AS (SELECT * FROM (${PackingOps.qPackWindowsOracle})),
+       |k AS (
+       |  SELECT source, win_id, n_tokens,
+       |    (((list_reduce(list_prepend(0::BIGINT,
+       |        [ascii(substring(source, i, 1))::BIGINT
+       |         FOR i IN range(1, length(source)+1)]),
+       |        (acc, c) -> (acc*31 + c) % $HashP) + win_id) % 2147483648)
+       |      * 2654435761 + $Seed * 40503) % $KeySpace AS skey
+       |  FROM w)
+       |SELECT source, win_id, n_tokens, skey % $NumShards AS shard,
+       |  ROW_NUMBER() OVER (PARTITION BY skey % $NumShards
+       |    ORDER BY skey, source, win_id) AS pos
+       |FROM k""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef("q_shuffle_shards", qShuffleShards, Some(qShuffleShardsSql)),
-    QueryDef("q_epoch_sample", qEpochSample, Some(qEpochSampleSql)))
+    QueryDef("q_epoch_sample", qEpochSample, Some(qEpochSampleSql)),
+    QueryDef("q_shuffle_windows", qShuffleWindows, Some(qShuffleWindowsSql)))
 }

@@ -32,6 +32,20 @@ class ShuffleOpsSpec extends AnyFunSuite {
     } finally { m.unpersist(); () }
   }
 
+  test("shuffle windows: every pack window placed once with dense per-shard positions") {
+    val m = QueryRegistry.byName("q_shuffle_windows").run(spark, dir).cache()
+    try {
+      val wins = QueryRegistry.byName("q_pack_windows").run(spark, dir)
+      assert(m.count() === wins.count(), "every training window placed exactly once")
+      assert(m.select(col("source"), col("win_id")).distinct().count() === m.count())
+      val bad = m.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), min(col("pos")).as("mn"),
+          max(col("pos")).as("mx"), countDistinct(col("pos")).as("nd"))
+        .filter(col("mn") =!= 1L || col("mx") =!= col("n") || col("nd") =!= col("n"))
+      assert(bad.count() === 0, "per-shard positions must tile 1..n densely")
+    } finally { m.unpersist(); () }
+  }
+
   test("epoch sample: budget respected per source and selection is a hash-order prefix") {
     val sel = QueryRegistry.byName("q_epoch_sample").run(spark, dir).cache()
     try {
