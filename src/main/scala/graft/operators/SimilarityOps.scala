@@ -1147,14 +1147,49 @@ object SimilarityOps {
     * placeholder no code can reference). */
   private[operators] def pqAdcTables(
       queries: DataFrame, cb: Seq[((Int, Long), Seq[Double])]): DataFrame = {
-    def sv(mm: Int) = slice(col("nv"), mm * PqSub + 1, PqSub)
-    def dtFor(mm: Int): Column = array((0L until PqK.toLong).map { j =>
-      cb.find(c => c._1._1 == mm && c._1._2 == j)
-        .map { case (_, cv) => dist2(sv(mm), array(cv.map(lit): _*)) }
-        .getOrElse(lit(0.0))
-    }: _*)
-    queries.select(Seq(col("vec_id").as("query_id")) ++
-      (0 until pqMOf(cb)).map(mm => dtFor(mm).as(s"dt$mm")): _*)
+    // Driver-side table build (round 9): the expression formulation
+    // embedded mCount × PqK × PqSub literal nodes PER PLAN — ~200k
+    // expression nodes at 96 subspaces, multi-MB task binaries, and the
+    // dominant fixed cost of every ADC probe at production width. The
+    // tables are DATA, not logic: `queries` is NumQueries-bounded at
+    // every call site, so collect the query vectors (the suite's
+    // standard bounded collect) and emit queries × mCount × PqK doubles
+    // as a local relation. The arithmetic replicates dist2's left fold
+    // bit for bit ((acc + d·d) in index order from 0.0), so the lanes'
+    // oracle-pinned outputs are unchanged.
+    val spark = queries.sparkSession
+    val mCount = pqMOf(cb)
+    val cbm: Map[(Int, Long), Seq[Double]] = cb.toMap
+    val rows: Seq[org.apache.spark.sql.Row] =
+      queries.select(col("vec_id"), col("nv")).collect().toSeq.map { r =>
+        val nv = r.getSeq[Double](1)
+        val dts = (0 until mCount).map { mm =>
+          val sv = nv.slice(mm * PqSub, mm * PqSub + PqSub)
+          (0L until PqK.toLong).map { j =>
+            cbm.get((mm, j)).fold(0.0) { cv =>
+              var acc = 0.0
+              var i = 0
+              while (i < sv.length) {
+                val d = sv(i) - cv(i)
+                acc = acc + d * d
+                i += 1
+              }
+              acc
+            }
+          }
+        }
+        org.apache.spark.sql.Row.fromSeq(r.getLong(0) +: dts)
+      }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(
+        "query_id", org.apache.spark.sql.types.LongType, nullable = false) +:
+        (0 until mCount).map(mm => org.apache.spark.sql.types.StructField(
+          s"dt$mm",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false),
+          nullable = false)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
   }
 
   /** The mCount-lookup fixed-parenthesization ADC sum over (dt_m, c_m).
