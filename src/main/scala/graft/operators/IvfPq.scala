@@ -58,8 +58,14 @@ object IvfPq {
         assignExpr(centRows, col("v")).as("cluster")) ++
         (0 until pqMOf(cb)).map(mm => pqCodeFor(cb, mm,
           slice(col("nv"), mm * PqSub + 1, PqSub)).as(s"c$mm")): _*)
+    // two skinny broadcasts, not one fat one: joining the distance
+    // tables onto the probe list FIRST replicates each query's
+    // subspaces×256-double tables once per probed cell (~nprobe× the
+    // bytes) before broadcasting — route candidates through the
+    // (query_id, cluster) pairs, then attach tables per query_id
     val cand = codesWithCell
-      .join(broadcast(probes.join(pqAdcTables(queries, cb), "query_id")), Seq("cluster"))
+      .join(broadcast(probes), Seq("cluster"))
+      .join(broadcast(pqAdcTables(queries, cb)), Seq("query_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), pqAdcApprox(pqMOf(cb)).as("approx"))
     pqProposeRescore(cand, queries, en)
@@ -82,7 +88,8 @@ object IvfPq {
     val queries = pqNormalize(
       Tables.table(spark, dir, "embeddings").filter(col("vec_id") < NumQueries))
     val cand = codes
-      .join(broadcast(probes.join(pqAdcTables(queries, cb), "query_id")), Seq("cluster"))
+      .join(broadcast(probes), Seq("cluster"))
+      .join(broadcast(pqAdcTables(queries, cb)), Seq("query_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), pqAdcApprox(pqMOf(cb)).as("approx"))
       // double-append / compaction-window duplicates are value-identical
