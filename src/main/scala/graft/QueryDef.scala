@@ -50,6 +50,8 @@ object QueryRegistry {
       operators.IvfIndex.queries ++
       operators.IvfPq.queries ++
       operators.LmIndex.queries ++
+      operators.SelectOps.queries ++
+      operators.HeavyHitters.queries ++
       operators.EventOps.queries ++
       operators.MultimodalOps.queries ++
       operators.ProfileOps.queries ++

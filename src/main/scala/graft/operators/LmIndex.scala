@@ -120,18 +120,27 @@ object LmIndex {
     * (n_bigrams, Σc12, Σc1, fit_score, n_hapax) with model counts summed
     * across epochs — the corpus is scanned only to produce the scored
     * docs' own bigrams, never to train. */
-  def scoreDocs(spark: SparkSession, docs: DataFrame, modelDir: String): DataFrame = {
-    val model = spark.read.parquet(s"$modelDir/pairs.parquet")
+  /** Bigram totals (l, r, c12) summed across the store's epochs — the
+    * model every reader scores against. Shared with the cross-entropy-
+    * difference selection lane ([[SelectOps]]), which merges two stores. */
+  private[operators] def pairTotals(spark: SparkSession, modelDir: String): DataFrame =
+    spark.read.parquet(s"$modelDir/pairs.parquet")
       .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("c12"))
-    // prefix counts from their own table when the store has one (v2);
-    // v1 read-only stores fall back to re-aggregating the pairs — the
-    // sums are identical by arithmetic either way
+
+  /** Prefix totals (l, c1): from the store's own prefix table when it has
+    * one (v2); v1 read-only stores fall back to re-aggregating the pairs —
+    * the sums are identical by arithmetic either way. */
+  private[operators] def prefixTotals(spark: SparkSession, modelDir: String): DataFrame = {
     val prefix = new Path(modelDir, "prefix.parquet")
-    val cnt1 =
-      if (prefix.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(prefix))
-        spark.read.parquet(prefix.toString)
-          .groupBy(col("l")).agg(sum(col("c1")).as("c1"))
-      else model.groupBy(col("l")).agg(sum(col("c12")).as("c1"))
+    if (prefix.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(prefix))
+      spark.read.parquet(prefix.toString)
+        .groupBy(col("l")).agg(sum(col("c1")).as("c1"))
+    else pairTotals(spark, modelDir).groupBy(col("l")).agg(sum(col("c12")).as("c1"))
+  }
+
+  def scoreDocs(spark: SparkSession, docs: DataFrame, modelDir: String): DataFrame = {
+    val model = pairTotals(spark, modelDir)
+    val cnt1 = prefixTotals(spark, modelDir)
     val d = docs.select(col("doc_id"), xxhash64(col("text")).as("tkey"), col("text"))
     val members = d.select(col("doc_id"), col("tkey"))
     val w = split(trim(col("text")), " ")

@@ -1,0 +1,210 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Cross-entropy-difference data selection (Moore & Lewis 2010,
+  * "Intelligent Selection of Language Model Training Data"): score every
+  * document by how much better the IN-DOMAIN language model predicts it
+  * than the GENERAL (out-of-domain) model, and select the documents the
+  * in-domain model prefers. The classic recipe for bootstrapping a
+  * domain-targeted training corpus from a large general crawl — the
+  * selection signal two LMs give that one LM (the CCNet shape,
+  * `q_ccnet_buckets`) cannot.
+  *
+  * Graft adaptation, hash-gate-exact like the rest of the LM family
+  * (`TextOps.qLmBigram`): both models are copy-weighted bigram count
+  * tables; a document's fit under a model is Σc(l,r)/Σc(l) over its own
+  * bigrams — BIGINT sums, ONE double division per model, and the margin
+  * is their single subtraction (a float Σlog p would differ between libm
+  * implementations; this rank-equivalent form is bit-identical in both
+  * engines). The in-domain slice is the corpus' lexicographically-first
+  * source — a deterministic, oracle-expressible stand-in for the "seed
+  * domain corpus" of the paper. `selected` = the paper's score>0 rule
+  * (in-model fit strictly above out-model fit), emitted as 1/0.
+  *
+  * Scale shape: model counts are two wordcount-style aggs (map-side
+  * combine, vocabulary-bounded output); scoring is dedup-first (all
+  * per-text work once per DISTINCT text) and joins the bigram tables on
+  * their natural keys — no window, no driver-side state, nothing
+  * proportional to corpus size except the two scans.
+  *
+  * The `_indexed` twin is the production cadence: both models live as
+  * persisted [[LmIndex]] stores (in-domain / out-of-domain splits of the
+  * corpus), trained once and maintained by O(batch) appends; serving
+  * merges the two stores' count tables (a full-outer join of two
+  * vocabulary-bounded frames) and runs the identical scoring join —
+  * row-identical to the inline lane, so it rides the same oracle.
+  */
+object SelectOps {
+  import Tables.table
+
+  /** (cnt2(l, r, c12_in, c12_out), cnt1(l, c1_in, c1_out)) trained
+    * inline from the flagged corpus — copy-weighted via per-distinct-text
+    * counts, exactly the `q_lm_bigram` training move split by domain. */
+  private def inlineCounts(d: DataFrame): (DataFrame, DataFrame) = {
+    val w = split(trim(col("text")), " ")
+    val pairs = transform(
+      slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+      (x, i) => struct(x.as("l"), element_at(w, i + 2).as("r")))
+    val byDom = d.groupBy(col("tkey"), col("indom"))
+      .agg(count(lit(1)).as("n_copies"), first(col("text")).as("text"))
+      .select(col("indom"), col("n_copies"), explode(pairs).as("p"))
+      .select(col("indom"), col("n_copies"),
+        col("p.l").as("l"), col("p.r").as("r"))
+    val cnt2 = byDom.groupBy(col("l"), col("r")).agg(
+      sum(when(col("indom"), col("n_copies")).otherwise(0L)).as("c12_in"),
+      sum(when(col("indom"), lit(0L)).otherwise(col("n_copies"))).as("c12_out"))
+    val cnt1 = byDom.groupBy(col("l")).agg(
+      sum(when(col("indom"), col("n_copies")).otherwise(0L)).as("c1_in"),
+      sum(when(col("indom"), lit(0L)).otherwise(col("n_copies"))).as("c1_out"))
+    (cnt2, cnt1)
+  }
+
+  /** Score every document against the merged count tables. Every corpus
+    * bigram appears in cnt2/cnt1 (the models are trained on the same
+    * corpus), so the joins are total; a bigram unseen in ONE domain rides
+    * with a 0 count there, and a doc whose prefixes never occur in a
+    * domain gets fit 0.0 under that model — never a null, never a crash. */
+  private def scoreAgainst(
+      d: DataFrame, cnt2: DataFrame, cnt1: DataFrame): DataFrame = {
+    val w = split(trim(col("text")), " ")
+    val pairs = transform(
+      slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+      (x, i) => struct(x.as("l"), element_at(w, i + 2).as("r")))
+    val texts = d.groupBy(col("tkey")).agg(first(col("text")).as("text"))
+      .select(col("tkey"), explode(pairs).as("p"))
+      .select(col("tkey"), col("p.l").as("l"), col("p.r").as("r"))
+    val perText = texts.join(cnt2, Seq("l", "r")).join(cnt1, Seq("l"))
+      .groupBy(col("tkey"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("c12_in")).as("sum_c12_in"),
+        sum(col("c1_in")).as("sum_c1_in"),
+        sum(col("c12_out")).as("sum_c12_out"),
+        sum(col("c1_out")).as("sum_c1_out"))
+    val mlIn = when(col("sum_c1_in") > 0,
+      col("sum_c12_in").cast(DoubleType) / col("sum_c1_in")).otherwise(lit(0.0))
+    val mlOut = when(col("sum_c1_out") > 0,
+      col("sum_c12_out").cast(DoubleType) / col("sum_c1_out")).otherwise(lit(0.0))
+    d.select(col("doc_id"), col("tkey")).join(perText, "tkey")
+      .select(col("doc_id"), col("n_bigrams"),
+        col("sum_c12_in"), col("sum_c1_in"),
+        col("sum_c12_out"), col("sum_c1_out"),
+        (mlIn - mlOut).as("ml_margin"),
+        when(mlIn > mlOut, 1L).otherwise(0L).as("selected"))
+  }
+
+  /** Corpus flagged with its in-domain membership: the lexicographically
+    * first source, joined in as a broadcast scalar (never a driver-side
+    * constant baked into the plan). */
+  private def flagged(base: DataFrame): DataFrame = {
+    val minSrc = base.agg(min(col("source")).as("min_src"))
+    base.select(col("doc_id"), col("source"),
+        xxhash64(col("text")).as("tkey"), col("text"))
+      .crossJoin(broadcast(minSrc))
+      .select(col("doc_id"), col("tkey"), col("text"),
+        (col("source") === col("min_src")).as("indom"))
+  }
+
+  private[operators] def mooreLewisFrom(base: DataFrame): DataFrame = {
+    val d = flagged(base)
+    val (cnt2, cnt1) = inlineCounts(d)
+    scoreAgainst(d, cnt2, cnt1)
+  }
+
+  private def qMooreLewis(spark: SparkSession, dir: String): DataFrame =
+    mooreLewisFrom(table(spark, dir, "documents"))
+
+  // --- q_moore_lewis_indexed: both models from persisted LmIndex stores -
+  // Built lazily on first use (in-domain / out-of-domain corpus splits →
+  // two stores), keyed by the documents parquet's identity; repeat runs —
+  // the production cadence — pay only the scoring joins. Trained on and
+  // scoring the same corpus, so it rides q_moore_lewis's oracle.
+  private def mlModelDirs(dir: String): (String, String) = {
+    val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "ml-v1"))
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-ml-model-$key"
+    (s"$base-in", s"$base-out")
+  }
+
+  /** Build-if-absent: split the corpus on the in-domain source and train
+    * one [[LmIndex]] store per side. Returns (inDir, outDir). */
+  private[operators] def ensureMlModels(
+      spark: SparkSession, dir: String): (String, String) = {
+    val (inDir, outDir) = mlModelDirs(dir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$inDir/pairs.parquet"))) {
+      val base = table(spark, dir, "documents")
+      // build-time only, 1 row: the split predicate the stores are keyed by
+      val minSrc = base.agg(min(col("source"))).head.getString(0)
+      LmIndex.buildModel(spark, base.filter(col("source") === minSrc), inDir)
+      LmIndex.buildModel(spark, base.filter(col("source") =!= minSrc), outDir)
+    }
+    (inDir, outDir)
+  }
+
+  /** Merged per-domain count tables from two stores: full-outer on the
+    * natural keys, absent side = 0 — together the two stores partition
+    * the corpus, so the merged tables equal the inline aggregation. */
+  private[operators] def storeCounts(
+      spark: SparkSession, inDir: String, outDir: String): (DataFrame, DataFrame) = {
+    val cnt2 = LmIndex.pairTotals(spark, inDir).withColumnRenamed("c12", "c12_in")
+      .join(LmIndex.pairTotals(spark, outDir).withColumnRenamed("c12", "c12_out"),
+        Seq("l", "r"), "full_outer")
+      .na.fill(0L, Seq("c12_in", "c12_out"))
+    val cnt1 = LmIndex.prefixTotals(spark, inDir).withColumnRenamed("c1", "c1_in")
+      .join(LmIndex.prefixTotals(spark, outDir).withColumnRenamed("c1", "c1_out"),
+        Seq("l"), "full_outer")
+      .na.fill(0L, Seq("c1_in", "c1_out"))
+    (cnt2, cnt1)
+  }
+
+  private def qMooreLewisIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val (inDir, outDir) = ensureMlModels(spark, dir)
+    val (cnt2, cnt1) = storeCounts(spark, inDir, outDir)
+    scoreAgainst(flagged(table(spark, dir, "documents")), cnt2, cnt1)
+  }
+
+  private val qMooreLewisSql =
+    """WITH ms AS (SELECT min(source) AS min_src FROM documents),
+      |toks AS (
+      |  SELECT doc_id, source = (SELECT min_src FROM ms) AS indom,
+      |         string_split(trim(text), ' ') AS w FROM documents),
+      |bg AS (
+      |  SELECT doc_id, indom, w[g] AS l, w[g + 1] AS r
+      |  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS i(g)),
+      |cnt2 AS (SELECT l, r,
+      |    sum(CASE WHEN indom THEN 1 ELSE 0 END) AS c12_in,
+      |    sum(CASE WHEN indom THEN 0 ELSE 1 END) AS c12_out
+      |  FROM bg GROUP BY l, r),
+      |cnt1 AS (SELECT l,
+      |    sum(CASE WHEN indom THEN 1 ELSE 0 END) AS c1_in,
+      |    sum(CASE WHEN indom THEN 0 ELSE 1 END) AS c1_out
+      |  FROM bg GROUP BY l),
+      |per AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |    CAST(sum(c12_in) AS BIGINT) AS sum_c12_in,
+      |    CAST(sum(c1_in) AS BIGINT) AS sum_c1_in,
+      |    CAST(sum(c12_out) AS BIGINT) AS sum_c12_out,
+      |    CAST(sum(c1_out) AS BIGINT) AS sum_c1_out
+      |  FROM bg JOIN cnt2 USING (l, r) JOIN cnt1 USING (l)
+      |  GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams,
+      |  sum_c12_in, sum_c1_in, sum_c12_out, sum_c1_out,
+      |  (CASE WHEN sum_c1_in > 0
+      |        THEN sum_c12_in::DOUBLE / sum_c1_in ELSE 0.0 END)
+      |  - (CASE WHEN sum_c1_out > 0
+      |          THEN sum_c12_out::DOUBLE / sum_c1_out ELSE 0.0 END)
+      |    AS ml_margin,
+      |  CAST(CASE WHEN (CASE WHEN sum_c1_in > 0
+      |                       THEN sum_c12_in::DOUBLE / sum_c1_in ELSE 0.0 END)
+      |               > (CASE WHEN sum_c1_out > 0
+      |                       THEN sum_c12_out::DOUBLE / sum_c1_out ELSE 0.0 END)
+      |            THEN 1 ELSE 0 END AS BIGINT) AS selected
+      |FROM per""".stripMargin
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_moore_lewis", qMooreLewis, Some(qMooreLewisSql)),
+    QueryDef("q_moore_lewis_indexed", qMooreLewisIndexed, Some(qMooreLewisSql)))
+}
