@@ -35,9 +35,9 @@ import org.apache.spark.sql.functions._
   */
 object PackIndex {
 
-  /** Training window length — [[PackingOps.WinTokens]]'s value; kept in
-    * one place there. */
-  private val WinTokens = 256L
+  /** Training window length — [[PackingOps.WinTokens]], the single
+    * source of truth for the pack arithmetic. */
+  private def WinTokens: Long = PackingOps.WinTokensVal
 
   private def writeEpoch(
       spark: SparkSession, indexDir: String, epoch: Int, manifest: DataFrame): Unit = {

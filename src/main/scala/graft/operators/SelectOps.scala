@@ -130,11 +130,18 @@ object SelectOps {
   }
 
   /** Build-if-absent: split the corpus on the in-domain source and train
-    * one [[LmIndex]] store per side. Returns (inDir, outDir). */
+    * one [[LmIndex]] store per side. The pair is gated on BOTH stores'
+    * markers — a crash between the two builds leaves a half-built pair,
+    * and gating on the in-domain store alone would skip the rebuild
+    * forever and serve a missing/torn out-store. Each [[LmIndex.buildModel]]
+    * deletes-then-publishes atomically, so rebuilding both when either
+    * marker is absent is idempotent. Returns (inDir, outDir). */
   private[operators] def ensureMlModels(
       spark: SparkSession, dir: String): (String, String) = {
     val (inDir, outDir) = mlModelDirs(dir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$inDir/pairs.parquet"))) {
+    val complete = Seq(inDir, outDir).forall(d =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/pairs.parquet")))
+    if (!complete) {
       val base = table(spark, dir, "documents")
       // build-time only, 1 row: the split predicate the stores are keyed by
       val minSrc = base.agg(min(col("source"))).head.getString(0)

@@ -40,9 +40,11 @@ import org.apache.spark.sql.types.LongType
   * naive single-window DuckDB oracles bit for bit.
   *
   * Determinism: all arithmetic is BIGINT; doc_id folds through mod 2^31
-  * before the multiply so every intermediate stays below 2^63 in both
-  * engines (DuckDB errors on overflow; Spark wraps — neither is
-  * reached).
+  * before the multiply, and the mixture target uses the reduce-before-
+  * multiply form (w·(total div Σw) + (w·(total mod Σw)) div Σw) instead
+  * of total·w div Σw, so every intermediate stays below 2^63 in both
+  * engines at 100 TB token counts (DuckDB errors on overflow; Spark
+  * wraps — neither is reached).
   */
 object ShuffleOps {
   import Tables.table
@@ -108,7 +110,11 @@ object ShuffleOps {
     val targets = perSource
       .crossJoin(broadcast(perSource.agg(
         sum(col("tokens")).as("total"), sum(col("w")).as("sum_w"))))
-      .select(col("source"), expr("(total * w) div sum_w").as("target_tokens"))
+      // reduce-before-multiply (q_temperature_mix's overflow-safe form):
+      // total·w would pass 2^63 at 100 TB; this is the same integer
+      .select(col("source"),
+        expr("w * (total div sum_w) + (w * (total % sum_w)) div sum_w")
+          .as("target_tokens"))
     // two-level running token total in (skey, doc_id) order per source
     val w1 = Window.partitionBy(col("source"), col("bucket"))
       .orderBy(col("skey"), col("doc_id"))
@@ -140,7 +146,9 @@ object ShuffleOps {
        |  FROM toks GROUP BY 1),
        |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total,
        |               CAST(SUM(w) AS BIGINT) AS sum_w FROM per),
-       |tgt AS (SELECT source, (total * w) // sum_w AS target_tokens FROM per, tot),
+       |tgt AS (SELECT source,
+       |  w * (total // sum_w) + (w * (total % sum_w)) // sum_w AS target_tokens
+       |  FROM per, tot),
        |cum AS (
        |  SELECT doc_id, source, n_toks,
        |    SUM(n_toks) OVER (PARTITION BY source ORDER BY skey, doc_id

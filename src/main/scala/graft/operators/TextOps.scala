@@ -825,9 +825,15 @@ object TextOps {
       .withColumn("w", floor(sqrt(col("tokens").cast(DoubleType))).cast(LongType))
     val totals = perSource.agg(
       sum(col("tokens")).as("total"), sum(col("w")).as("sum_w"))
+    // reduce before multiplying: total·w can pass 2^63 at 100 TB scale
+    // (total≈2.5e13 tokens × w≈5e6), where Spark would wrap silently and
+    // DuckDB would error; w·(total div Σw) + (w·(total mod Σw)) div Σw is
+    // the same integer for non-negative operands with every intermediate
+    // bounded by max(total, w·Σw)
     perSource.crossJoin(broadcast(totals))
       .select(col("source"), col("tokens"), col("w"),
-        expr("(total * w) div sum_w").as("target_tokens"))
+        expr("w * (total div sum_w) + (w * (total % sum_w)) div sum_w")
+          .as("target_tokens"))
       .withColumn("sample_permille",
         expr("(target_tokens * 1000) div tokens"))
   }
@@ -842,8 +848,9 @@ object TextOps {
       |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total,
       |               CAST(SUM(w) AS BIGINT) AS sum_w FROM per)
       |SELECT source, tokens, w,
-      |  (total * w) // sum_w AS target_tokens,
-      |  (((total * w) // sum_w) * 1000) // tokens AS sample_permille
+      |  w * (total // sum_w) + (w * (total % sum_w)) // sum_w AS target_tokens,
+      |  ((w * (total // sum_w) + (w * (total % sum_w)) // sum_w) * 1000)
+      |    // tokens AS sample_permille
       |FROM per, tot""".stripMargin
 
   private val qMixtureRebalanceSql =

@@ -789,7 +789,22 @@ object DocStream {
           docs.join(spark.read.parquet(corpusDir).select(col("doc_id")),
             Seq("doc_id"), "left_anti")
         else docs
-      if (!fresh.isEmpty) fresh.write.mode("append").parquet(corpusDir)
+      if (!fresh.isEmpty) {
+        // epoch-partitioned stage-and-rename, the same discipline as every
+        // model store: a crash mid-write leaves only dot-prefixed staging
+        // residue, so the replay anti-join and the emitted cumulative
+        // ledger never see a partially committed batch
+        val next =
+          if (!exists) 0
+          else fs.listStatus(p).map(_.getPath.getName)
+            .filter(_.startsWith("epoch="))
+            .map(_.stripPrefix("epoch=").toInt)
+            .foldLeft(-1)(math.max) + 1
+        graft.operators.AtomicPublish.stageAndRename(
+          spark, corpusDir, s".epoch-$next.tmp", s"epoch=$next") { tmp =>
+          fresh.write.mode("overwrite").parquet(tmp.toString)
+        }
+      }
       // the three stores the funnel reads, each maintained by its own
       // replay-safe processor (anti-join ledgers + auto-compaction)
       processClassifierModelBatch(spark, s"$baseDir/clf", docs, compactEvery)
@@ -800,7 +815,8 @@ object DocStream {
         fs.exists(new org.apache.hadoop.fs.Path(s"$baseDir/lm/pairs.parquet")) &&
         fs.exists(new org.apache.hadoop.fs.Path(s"$baseDir/winnow/fps.parquet")))
         emit(graft.operators.CurationFunnel.storesLedger(
-          spark, spark.read.parquet(corpusDir),
+          spark, spark.read.parquet(corpusDir)
+            .select(col("doc_id"), col("lang"), col("source"), col("text")),
           s"$baseDir/clf", s"$baseDir/lm", s"$baseDir/winnow"))
     } finally docs.unpersist()
     ()

@@ -337,17 +337,25 @@ object EmbedStream {
     * store's own compact rewrite ([[graft.operators.IvfIndex.compactExcluding]]:
     * publish-before-delete, so readers never see a torn store), and
     * appends the evicted ids to `$indexDir/reconcile_audit.parquet`.
-    * Because the rewrite IS a compaction, the epoch count folds to one
-    * and the policy trigger re-arms. Idempotent: the rule over an
-    * already-reconciled store evicts nothing (a second pass is a plain
-    * compact). Returns the number of evicted vectors.
+    * When `decisionsDir` is given (the stream's policy path always
+    * passes it), each eviction ALSO appends a superseding kept=0 row to
+    * the decisions ledger, so the ledger alone yields the effective
+    * keep set: a vec_id is effectively kept iff it has no kept=0 row
+    * (min(kept) per vec_id). Post-eviction re-deliveries re-decide
+    * kept=0 — the dominator that caused the eviction is resident — so
+    * the superseding row is never contradicted. Because the rewrite IS
+    * a compaction, the epoch count folds to one and the policy trigger
+    * re-arms. Idempotent: the rule over an already-reconciled store
+    * evicts nothing (a second pass is a plain compact). Returns the
+    * number of evicted vectors.
     *
     * Cost: the same cluster-bounded pair join as the batch operator —
     * O(Σ per-cell members²), the SemDeDup tractability bound — which is
     * why it is a PERIODIC policy action (`reconcileEvery` epochs), not a
     * per-batch one. */
   def reconcileSemanticDedup(
-      spark: SparkSession, indexDir: String, tau: Double): Long = {
+      spark: SparkSession, indexDir: String, tau: Double,
+      decisionsDir: Option[String] = None): Long = {
     val m = spark.read.parquet(s"$indexDir/cells.parquet")
       .select(col("vec_id"), col("cl").as("cluster"), col("d2c"),
         transform(col("v"),
@@ -364,12 +372,20 @@ object EmbedStream {
       .persist()
     try {
       val n = evicted.count()
-      if (n > 0)
+      if (n > 0) {
         // audit BEFORE the rewrite: a crash in between re-runs the
         // deterministic rule and re-audits the same rows (consumers
         // dedupe by vec_id); the reverse order could evict silently
         evicted.withColumn("evicted", lit(1L))
           .write.mode("append").parquet(s"$indexDir/reconcile_audit.parquet")
+        // supersede the ledger's kept=1 rows so decisionsDir alone
+        // yields the effective keep set (min(kept) per vec_id)
+        decisionsDir.foreach { dd =>
+          evicted.select(col("vec_id"),
+              col("cluster").cast(LongType).as("cluster"), lit(0L).as("kept"))
+            .write.mode("append").parquet(dd)
+        }
+      }
       // fold epochs even when nothing was evicted — the trigger fires on
       // epoch count, so the rewrite must re-arm it either way
       graft.operators.IvfIndex.compactExcluding(spark, indexDir,
@@ -442,7 +458,7 @@ object EmbedStream {
             if (reconcileEvery > 0)
               graft.operators.IndexPolicy.maybeCompact(
                 spark, s"$indexDir/cells.parquet", reconcileEvery) {
-                reconcileSemanticDedup(spark, indexDir, tau)
+                reconcileSemanticDedup(spark, indexDir, tau, Some(decisionsDir))
                 ()
               }
             graft.operators.IndexPolicy.maybeCompact(

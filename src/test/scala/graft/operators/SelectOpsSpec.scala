@@ -67,6 +67,29 @@ class SelectOpsSpec extends AnyFunSuite {
     assert(a.nonEmpty && a === b)
   }
 
+  test("half-built model pair self-repairs: missing out-store triggers a rebuild") {
+    val dir = writeCorpus(Seq(
+      (1L, "p q p q", "srcA"),
+      (2L, "p r p r", "srcB")))
+    val (inDir, outDir) = SelectOps.ensureMlModels(spark, dir)
+    // simulate a crash between the two builds: in-store present, out-store gone
+    def rmrf(p: java.io.File): Unit = {
+      Option(p.listFiles).foreach(_.foreach(rmrf)); p.delete(); ()
+    }
+    rmrf(new java.io.File(outDir))
+    assert(!new java.io.File(s"$outDir/pairs.parquet").exists())
+    val (in2, out2) = SelectOps.ensureMlModels(spark, dir)
+    assert((in2, out2) === ((inDir, outDir)))
+    assert(new java.io.File(s"$outDir/pairs.parquet").exists(),
+      "rebuild must fire when either store's marker is absent")
+    // and the repaired pair serves the same scores as the inline lane
+    val a = QueryRegistry.byName("q_moore_lewis").run(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val b = QueryRegistry.byName("q_moore_lewis_indexed").run(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
   test("single-source corpus: everything in-domain, out-model fit 0") {
     val dir = writeCorpus(Seq(
       (1L, "x y x y", "only"),

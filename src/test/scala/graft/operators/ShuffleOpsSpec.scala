@@ -72,4 +72,25 @@ class ShuffleOpsSpec extends AnyFunSuite {
       assert(sel.select(col("source")).distinct().count() === per.count())
     } finally { sel.unpersist(); () }
   }
+
+  test("mixture target arithmetic survives 100 TB magnitudes (no 2^63 wrap)") {
+    import spark.implicits._
+    // total ≈ 2.5e13 tokens, w ≈ √(source tokens) up to 5e6: total·w ≈ 1.2e20
+    // would wrap past 2^63; the reduce-before-multiply form must equal the
+    // exact BigInt quotient on every row
+    val rows = Seq(
+      (25_000_000_000_000L, 5_000_000L, 6_000_000L),
+      (25_000_000_000_000L, 999_983L, 6_000_000L),
+      (9_223_372_036_854_775L, 3_037_000L, 3_037_001L),
+      (1_000_000L, 1_000L, 1_001L)) // small regime sanity
+    val got = rows.toDF("total", "w", "sum_w")
+      .select(col("total"), col("w"), col("sum_w"),
+        expr("w * (total div sum_w) + (w * (total % sum_w)) div sum_w").as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    for ((total, w, sumW) <- rows) {
+      val exact = (BigInt(total) * BigInt(w) / BigInt(sumW)).toLong
+      assert(got((total, w, sumW)) === exact, s"($total,$w,$sumW)")
+    }
+  }
 }

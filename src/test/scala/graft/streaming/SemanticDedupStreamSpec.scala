@@ -87,7 +87,7 @@ class SemanticDedupStreamSpec extends AnyFunSuite {
     EmbedStream.processSemanticDedupBatch(spark, indexDir, decisionsDir, Tau, vdf(d, e))
     assert(storedIds(indexDir) === Set(10L, 12L, 14L), "eager state before reconcile")
 
-    val n = EmbedStream.reconcileSemanticDedup(spark, indexDir, Tau)
+    val n = EmbedStream.reconcileSemanticDedup(spark, indexDir, Tau, Some(decisionsDir))
     assert(n === 1L)
     assert(storedIds(indexDir) === Set(10L, 14L),
       "store must equal the batch keep-rule's survivor set")
@@ -95,6 +95,20 @@ class SemanticDedupStreamSpec extends AnyFunSuite {
     val audit = spark.read.parquet(s"$indexDir/reconcile_audit.parquet")
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
     assert(audit === Set(12L))
+    // the ledger got a superseding kept=0 row: effective keep (min(kept)
+    // per vec_id) now matches the store without joining the audit table
+    val effective = spark.read.parquet(decisionsDir)
+      .groupBy(col("vec_id")).agg(min(col("kept")).as("kept"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(effective === Map(11L -> 0L, 12L -> 0L, 13L -> 0L, 14L -> 1L), effective.toString)
+    // a post-eviction redelivery of the evicted id re-decides kept=0
+    // (its dominator is resident), never contradicting the superseding row
+    EmbedStream.processSemanticDedupBatch(spark, indexDir, decisionsDir, Tau, vdf(c))
+    val cRows = spark.read.parquet(decisionsDir)
+      .filter(col("vec_id") === 12L).select(col("kept")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(cRows === Set(0L, 1L) || cRows === Set(0L), cRows.toString)
+    assert(storedIds(indexDir) === Set(10L, 14L), "redelivered evicted id stays out")
     val epochs = new java.io.File(s"$indexDir/cells.parquet").listFiles()
       .map(_.getName).count(_.startsWith("epoch="))
     assert(epochs === 1, "reconcile rewrite is itself a compaction")
