@@ -33,6 +33,7 @@ object IndexCatalog {
     "edges.parquet" -> "cluster",
     "shingle_df.parquet" -> "incremental-dedup",
     "base.parquet" -> "pack",
+    "postings.parquet" -> "search",
     "counts.parquet" -> "classifier")
 
   final case class TableReport(

@@ -51,6 +51,8 @@ object QueryRegistry {
       operators.IvfPq.queries ++
       operators.LmIndex.queries ++
       operators.SelectOps.queries ++
+      operators.RetrievalOps.queries ++
+      operators.SearchIndex.queries ++
       operators.HeavyHitters.queries ++
       operators.EventOps.queries ++
       operators.MultimodalOps.queries ++

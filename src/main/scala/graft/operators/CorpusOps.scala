@@ -315,8 +315,10 @@ object CorpusOps {
   // to the query terms BEFORE any shuffle (predicate on the scan), df and
   // the corpus count are broadcast, and the final top-k is
   // TakeOrderedAndProject — never a corpus-wide sort.
-  private val QueryTerms = Seq("spark", "window", "merge")
-  private val SearchTopK = 20
+  // shared with the persisted-postings serving lane ([[SearchIndex]]) —
+  // single source of truth, the PackIndex/PackingOps constant lesson
+  private[operators] val QueryTerms = Seq("spark", "window", "merge")
+  private[operators] val SearchTopK = 20
 
   private def qKeywordSearch(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
@@ -341,7 +343,7 @@ object CorpusOps {
         .orderBy(col("score").desc, col("doc_id"))).cast(LongType))
   }
 
-  private val qKeywordSearchSql = {
+  private[operators] val qKeywordSearchSql = {
     val terms = QueryTerms.map("'" + _ + "'").mkString(", ")
     s"""WITH tf AS (
        |  SELECT doc_id, term, COUNT(*) AS tf

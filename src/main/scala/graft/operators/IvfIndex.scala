@@ -365,7 +365,8 @@ object IvfIndex {
     * serve-time input vectors a production caller would pass directly. */
   def topKIndexed(
       spark: SparkSession, indexDir: String,
-      nprobe: Int = 0): DataFrame = {
+      nprobe: Int = 0,
+      memberFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import spark.implicits._
     val cents = readCentroids(spark, indexDir)
     // nprobe ≤ 0 = auto: derived from the PERSISTED cell count, so the
@@ -393,10 +394,13 @@ object IvfIndex {
       p = s"$cellsDir/$e/cluster=$c"
       if f.exists(new Path(p))
     } yield p
-    val cand =
+    val cand0 =
       if (dirs.isEmpty) spark.emptyDataset[(Long, Seq[Double], Double, Long)]
         .toDF("vec_id", "v", "norm", "cl")
       else spark.read.parquet(dirs: _*).select(col("vec_id"), col("v"), col("norm"), col("cl"))
+    // candidate-stage metadata filter (filtered vector search): prunes the
+    // probed-cell read BEFORE the rescore — pushed into the parquet scan
+    val cand = memberFilter.map(cand0.filter).getOrElse(cand0)
     val scored = cand
       .join(broadcast(probesDf), Seq("cl"))
       .filter(col("vec_id") =!= col("query_id"))

@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Persisted inverted index (postings store) — the production twin of
+  * the inline `q_keyword_search`/`q_hybrid_search` lanes, which re-build
+  * the term table from raw text per query: at 100 TB the corpus is
+  * tokenized ONCE per document at ingest, term postings are maintained
+  * by O(batch) appends, and a keyword query is a pruned read of the
+  * query terms' buckets — never a corpus scan. Eleventh member of the
+  * persisted-index family.
+  *
+  * State is additive under the family's read-merge rules:
+  *  - posting rows (doc_id, term, tf) are keyed by (doc_id, term); a
+  *    re-delivered document contributes the identical rows, so the merge
+  *    is dedup (MIN over the equal tf values — crash-window duplicate
+  *    epochs are invariant, the SketchIndex discipline);
+  *  - df and n_docs are DERIVED at read time from the merged postings
+  *    and the docs ledger — never persisted, so they can't drift.
+  *
+  * Scale layout: postings are hash-bucketed by term
+  * (`tbucket = xxhash64(term) mod 64`) INSIDE each epoch partition, so a
+  * query for k terms reads ≤ k buckets of each epoch — directory-pruned
+  * by Spark's partition discovery, the [[IvfIndex]] probed-cells
+  * contract applied to text. A 64-bucket layout keeps per-epoch file
+  * counts bounded while making the worst-case keyword read 1/64 of the
+  * store (typical: k buckets).
+  *
+  * Layout under `indexDir` (family conventions: epoch-partitioned,
+  * dot-prefixed staging, one rename per table per publish):
+  *  - `postings.parquet/epoch=K/tbucket=B`: (doc_id, term, tf)
+  *  - `docs.parquet/epoch=K`: (doc_id) — replay-safe membership ledger
+  */
+object SearchIndex {
+
+  /** Term-hash buckets per epoch — the keyword read's pruning unit. */
+  private val TBuckets = 64L
+
+  private def postingsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(split(trim(col("text")), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tbucket", pmod(xxhash64(col("term")), lit(TBuckets)))
+
+  private def writeEpoch(
+      spark: SparkSession, indexDir: String, epoch: Int, docs: DataFrame): Unit = {
+    val root = new Path(indexDir)
+    AtomicPublish.stageAndRename(
+      spark, new Path(root, "postings.parquet").toString,
+      s".epoch-$epoch.tmp", s"epoch=$epoch") { tmp =>
+      postingsOf(docs).write.mode("overwrite")
+        .partitionBy("tbucket").parquet(tmp.toString)
+    }
+    AtomicPublish.stageAndRename(
+      spark, new Path(root, "docs.parquet").toString,
+      s".epoch-$epoch.tmp", s"epoch=$epoch") { tmp =>
+      docs.select(col("doc_id")).distinct()
+        .write.mode("overwrite").parquet(tmp.toString)
+    }
+  }
+
+  /** Build (overwrite) the index as epoch 0. */
+  def buildIndex(spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
+    val root = new Path(indexDir)
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(root, true)
+    writeEpoch(spark, indexDir, 0, docs)
+  }
+
+  /** Fold a batch of new documents in: tokenization is a pure per-doc
+    * function, so the batch's postings land as a fresh epoch with no
+    * resident row touched — O(batch). Caller dedupes batches against
+    * [[residentDocIds]]. */
+  def appendToIndex(spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+    val postings = new Path(indexDir, "postings.parquet")
+    val fs = postings.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = fs.listStatus(postings).map(_.getPath.getName)
+      .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toInt).max + 1
+    writeEpoch(spark, indexDir, next, batch)
+  }
+
+  /** Doc_ids already folded in (the streaming anti-join target). */
+  def residentDocIds(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/docs.parquet").select(col("doc_id")).distinct()
+
+  /** Fold all epochs into one — the read-merge, made durable. */
+  def compact(spark: SparkSession, indexDir: String): Unit = {
+    EpochCompact.compactTable(spark, s"$indexDir/postings.parquet", mergePostings)
+    EpochCompact.compactTable(spark, s"$indexDir/docs.parquet", _.distinct())
+  }
+
+  /** The family's read-merge: dedupe (doc_id, term) — duplicate rows from
+    * a crash-window replay carry the identical tf, so MIN is invariance,
+    * not arithmetic. `tbucket` is a function of term; MIN is a no-op. */
+  private def mergePostings(raw: DataFrame): DataFrame =
+    raw.groupBy(col("doc_id"), col("term"))
+      .agg(min(col("tf")).as("tf"), min(col("tbucket")).as("tbucket"))
+
+  /** Merged postings for a bounded term set — the PRUNED read: the term
+    * filter restricts partition discovery to the query terms' buckets
+    * before any row is materialized. */
+  private def termPostings(
+      spark: SparkSession, indexDir: String, terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val buckets = terms.toDS()
+      .select(pmod(xxhash64(col("value")), lit(TBuckets)))
+      .collect().map(_.getLong(0)).distinct.toSeq
+    mergePostings(
+      spark.read.parquet(s"$indexDir/postings.parquet")
+        .filter(col("tbucket").isin(buckets: _*))
+        .filter(col("term").isin(terms: _*)))
+  }
+
+  /** Keyword retrieval from index files only — the same fixed-point
+    * tf·N·1e6 div df scoring as the inline `q_keyword_search`
+    * ([[CorpusOps]]), so the two are one algorithm by construction. */
+  def searchFromIndex(
+      spark: SparkSession, indexDir: String,
+      terms: Seq[String], topK: Int): DataFrame = {
+    val tf = termPostings(spark, indexDir, terms)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = residentDocIds(spark, indexDir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+      .withColumn("term_score", expr("(tf * n_docs * 1000000) div df"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), sum(col("term_score")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+    scored.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("score") * lit(0L))
+        .orderBy(col("score").desc, col("doc_id"))).cast(LongType))
+  }
+
+  /** The lexical candidate list for hybrid fusion, from index files only:
+    * shared distinct-term counts between each query document and the
+    * resident corpus. Posting rows ARE the distinct terms (one row per
+    * (doc, term)), so `shared` is a row count over the term join — the
+    * same integer the inline lane computes from raw text. The query side
+    * is a bounded broadcast; the corpus side never re-tokenizes. */
+  def sharedTermRanks(
+      spark: SparkSession, indexDir: String,
+      queryMax: Long, candK: Int): DataFrame = {
+    val postings = mergePostings(
+      spark.read.parquet(s"$indexDir/postings.parquet"))
+    val qt = postings.filter(col("doc_id") < queryMax)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val wLex = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("shared").desc, col("doc_id"))
+    postings.join(broadcast(qt), "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("lex_rank", row_number().over(wLex).cast(LongType))
+      .filter(col("lex_rank") <= candK)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+  }
+
+  // --- the oracle-gate lanes ----------------------------------------------
+  private def indexDirFor(dir: String): String = {
+    val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "search-v1"))
+    s"${System.getProperty("java.io.tmpdir")}/graft-search-index-$key"
+  }
+
+  /** Build-if-absent against the corpus at `dir`; returns the index dir. */
+  private[operators] def ensureIndex(spark: SparkSession, dir: String): String = {
+    val indexDir = indexDirFor(dir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$indexDir/postings.parquet")))
+      buildIndex(spark, Tables.table(spark, dir, "documents"), indexDir)
+    indexDir
+  }
+
+  /** Identical output to `q_keyword_search` (same scoring, same corpus,
+    * tf/df/n_docs reconstructed exactly from the store) — rides its
+    * oracle, the `_indexed`-twin discipline. */
+  private def qKeywordSearchIndexed(spark: SparkSession, dir: String): DataFrame =
+    searchFromIndex(spark, ensureIndex(spark, dir),
+      CorpusOps.QueryTerms, CorpusOps.SearchTopK)
+
+  /** Hybrid RRF with the LEXICAL side served from the postings store
+    * (the vector side stays the exact brute list — fusing an
+    * approximate ANN list would change results and needs its own
+    * oracle; [[RetrievalOps]] documents the trade). Identical output to
+    * `q_hybrid_search`. */
+  private def qHybridSearchIndexed(spark: SparkSession, dir: String): DataFrame =
+    RetrievalOps.hybridWithLexical(spark, dir,
+      sharedTermRanks(spark, ensureIndex(spark, dir),
+        RetrievalOps.HybridQueryMax, RetrievalOps.HybridCandK))
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_keyword_search_indexed", qKeywordSearchIndexed,
+      Some(CorpusOps.qKeywordSearchSql)),
+    QueryDef("q_hybrid_search_indexed", qHybridSearchIndexed,
+      Some(RetrievalOps.qHybridOracle)))
+}

@@ -817,7 +817,8 @@ object SimilarityOps {
   }
 
   private[graft] def ivfLearnedTopK(
-      spark: SparkSession, dir: String, nprobe: Int = IvfNProbe): DataFrame = {
+      spark: SparkSession, dir: String, nprobe: Int = IvfNProbe,
+      memberFilter: Option[Column] = None): DataFrame = {
     val rows = learnedCentRows(spark, dir)
     import spark.implicits._
     val cent = rows.toDF("cluster", "cv")
@@ -832,7 +833,10 @@ object SimilarityOps {
         .orderBy(dist2(col("qv"), col("cv")), col("cluster"))))
       .filter(col("cr") <= nprobe)
       .select(col("query_id"), col("qv"), col("qnorm"), col("cluster"))
-    val scored = e
+    // candidate-stage metadata filter (filtered vector search): applied to
+    // the member side BEFORE scoring, so it prunes the scan, not the top-k
+    val members = memberFilter.map(e.filter).getOrElse(e)
+    val scored = members
       .join(broadcast(probes), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -889,7 +893,13 @@ object SimilarityOps {
     * the inline learned lane and rides this oracle unchanged. */
   private[operators] def qIvfLearnedOracle: String = qIvfLearnedSql
 
-  private def qIvfLearnedSql: String = {
+  private def qIvfLearnedSql: String = qIvfLearnedSqlWith("TRUE")
+
+  /** The learned-cell probe oracle with a member-side predicate — the
+    * filtered-search twin ([[RetrievalOps]]) rides the same unrolled
+    * training CTEs with its metadata filter in the scored stage, exactly
+    * where the Spark lane applies it. */
+  private[operators] def qIvfLearnedSqlWith(memberPred: String): String = {
     val d2qc = s"list_reduce(list_prepend(0.0, [(q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]) FOR i IN range(1, 65)]), (acc,d) -> acc+d)"
     s"""WITH ${ivfLearnedCtes},
        |probes AS (
@@ -904,7 +914,7 @@ object SimilarityOps {
        |      / (p.qnorm * e.norm) AS cosine
        |  FROM e JOIN a$IvfIters cells ON e.vec_id = cells.vec_id
        |  JOIN probes p ON cells.cluster = p.cluster
-       |  WHERE e.vec_id != p.query_id)
+       |  WHERE e.vec_id != p.query_id AND ($memberPred))
        |SELECT query_id, neighbor_id, cosine, rank FROM (
        |  SELECT query_id, neighbor_id, cosine,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank

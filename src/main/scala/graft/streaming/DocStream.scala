@@ -616,6 +616,54 @@ object DocStream {
     ()
   }
 
+  /** Streaming maintenance of the persisted inverted index
+    * ([[graft.operators.SearchIndex]]): every micro-batch tokenizes its
+    * own distinct documents in isolation (tokenization is a pure per-doc
+    * function — no resident posting is touched) and lands as a fresh
+    * term-bucketed epoch; df and n_docs derive at read time from the
+    * merged postings and the ledger, so the streamed index serves the
+    * EXACT one-shot retrieval scores. Eleventh stream-maintained index
+    * family; replay safety is the standard resident-ledger anti-join. */
+  def searchIndexMaintenanceStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      indexDir: String,
+      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery): StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processSearchIndexBatch(spark, indexDir, batch, compactEvery)
+      }
+      .start()
+
+  /** One micro-batch of [[searchIndexMaintenanceStream]] — factored out
+    * so the streamed ≡ one-shot contract is directly testable. */
+  private[graft] def processSearchIndexBatch(
+      spark: SparkSession, indexDir: String, batch: DataFrame,
+      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery): Unit = {
+    val docs = batch.select(col("doc_id"), col("text")).distinct()
+    val postings = new org.apache.hadoop.fs.Path(s"$indexDir/postings.parquet")
+    val fs = postings.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(postings)) {
+      if (!docs.isEmpty) graft.operators.SearchIndex.buildIndex(spark, docs, indexDir)
+    } else {
+      val resident = graft.operators.SearchIndex.residentDocIds(spark, indexDir)
+      val fresh = docs.join(resident, Seq("doc_id"), "left_anti").persist()
+      try {
+        if (!fresh.isEmpty) {
+          graft.operators.SearchIndex.appendToIndex(spark, indexDir, fresh)
+          // policy: bound read amplification — self-compact at the
+          // epoch-count threshold (the read-merge, folded to one epoch)
+          graft.operators.IndexPolicy.maybeCompact(
+            spark, s"$indexDir/postings.parquet", compactEvery) {
+            graft.operators.SearchIndex.compact(spark, indexDir)
+          }
+          ()
+        }
+      } finally fresh.unpersist()
+    }
+    ()
+  }
+
   /** Streaming maintenance of the persisted winnowed-fingerprint store
     * ([[graft.operators.WinnowIndex]]): every micro-batch winnows its own
     * distinct texts in isolation (selection is a pure per-text function —

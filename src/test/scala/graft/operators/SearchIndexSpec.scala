@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{QueryRegistry, SparkTestSession}
+
+/** The persisted inverted index ([[SearchIndex]]): indexed ≡ inline,
+  * append ≡ rebuild, replay/compaction invariance, and the pruned-read
+  * contract (a keyword query touches only its terms' buckets). */
+class SearchIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  private def corpus(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("indexed keyword lane ≡ inline lane on the sf0.001 corpus") {
+    val a = QueryRegistry.byName("q_keyword_search").run(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val b = QueryRegistry.byName("q_keyword_search_indexed").run(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(a.nonEmpty && a === b)
+  }
+
+  test("indexed hybrid lane ≡ inline lane on the sf0.001 corpus") {
+    val a = QueryRegistry.byName("q_hybrid_search").run(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val b = QueryRegistry.byName("q_hybrid_search_indexed").run(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(a.nonEmpty && a === b)
+  }
+
+  test("append ≡ rebuild; duplicate-epoch replay and compaction are invariant") {
+    val base = java.nio.file.Files.createTempDirectory("graft-searchidx").toString
+    val all = corpus(
+      (1L, "spark window merge fast"),
+      (2L, "spark spark table scan"),
+      (3L, "window row group sort"),
+      (4L, "merge join spark window"))
+    val terms = Seq("spark", "window", "merge")
+
+    val oneShot = s"$base/oneshot"
+    SearchIndex.buildIndex(spark, all, oneShot)
+    val want = SearchIndex.searchFromIndex(spark, oneShot, terms, 10)
+      .collect().map(_.toSeq).toSet
+
+    val inc = s"$base/incremental"
+    SearchIndex.buildIndex(spark, all.filter(col("doc_id") <= 2L), inc)
+    SearchIndex.appendToIndex(spark, inc, all.filter(col("doc_id") > 2L))
+    def got() = SearchIndex.searchFromIndex(spark, inc, terms, 10)
+      .collect().map(_.toSeq).toSet
+    assert(got() === want, "append must equal the one-shot rebuild")
+
+    // crash-window duplicate: the same batch lands twice as two epochs —
+    // the read-merge dedupes (doc_id, term), scores unchanged...
+    SearchIndex.appendToIndex(spark, inc, all.filter(col("doc_id") > 2L))
+    // ...except n_docs derives from the ledger, which must also dedupe
+    assert(SearchIndex.residentDocIds(spark, inc).count() === 4L)
+    assert(got() === want, "duplicated epoch must not change scores")
+
+    // compaction folds epochs to one and serves the same rows
+    SearchIndex.compact(spark, inc)
+    val epochs = new java.io.File(s"$inc/postings.parquet").listFiles()
+      .map(_.getName).count(_.startsWith("epoch="))
+    assert(epochs === 1)
+    assert(got() === want, "compaction must be read-invariant")
+  }
+
+  test("pruned read: a keyword query touches only the query terms' buckets") {
+    val base = java.nio.file.Files.createTempDirectory("graft-searchprune").toString
+    // 40 docs over a wide vocabulary so many tbuckets are occupied
+    val docs = corpus((1L to 40L).map(i =>
+      (i, s"term$i term${i + 1} term${i + 2} common")): _*)
+    val idx = s"$base/idx"
+    SearchIndex.buildIndex(spark, docs, idx)
+    val allFiles = spark.read.parquet(s"$idx/postings.parquet").inputFiles.length
+    val df = SearchIndex.searchFromIndex(spark, idx, Seq("term5"), 10)
+    df.collect()
+    // the tbucket predicate must land as a PARTITION filter on the
+    // postings scan (directory pruning), and the executed scan must have
+    // read strictly fewer files than the store holds
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val here = p match {
+        case f: FileSourceScanExec => Seq(f)
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+        case r: ReusedExchangeExec => scans(r.child)
+        case _ => Seq.empty
+      }
+      here ++ p.children.flatMap(scans)
+    }
+    val postingScans = scans(df.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("postings.parquet")))
+    assert(postingScans.nonEmpty, "no postings scan in the executed plan")
+    assert(postingScans.forall(_.partitionFilters.exists(_.toString.contains("tbucket"))),
+      "tbucket must appear as a partition filter on the postings scan")
+    val touched = postingScans.map(_.metrics("numFiles").value).max
+    assert(touched < allFiles,
+      s"single-term read must prune buckets: touched $touched of $allFiles")
+  }
+
+  test("streamed maintenance ≡ one-shot build, with re-delivery absorbed") {
+    val base = java.nio.file.Files.createTempDirectory("graft-searchstream").toString
+    val idx = s"$base/idx"
+    val b1 = corpus((1L, "spark window merge"), (2L, "spark table"))
+    val b2 = corpus((3L, "window window merge"), (2L, "spark table")) // 2 re-delivered
+    val b3 = corpus((4L, "merge spark spark window"))
+    Seq(b1, b2, b3).foreach { b =>
+      graft.streaming.DocStream.processSearchIndexBatch(spark, idx, b)
+    }
+    val oneShot = s"$base/oneshot"
+    SearchIndex.buildIndex(spark,
+      corpus((1L, "spark window merge"), (2L, "spark table"),
+        (3L, "window window merge"), (4L, "merge spark spark window")), oneShot)
+    val terms = Seq("spark", "window", "merge")
+    val a = SearchIndex.searchFromIndex(spark, idx, terms, 10)
+      .collect().map(_.toSeq).toSet
+    val b = SearchIndex.searchFromIndex(spark, oneShot, terms, 10)
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+    assert(SearchIndex.residentDocIds(spark, idx).count() === 4L)
+  }
+}
