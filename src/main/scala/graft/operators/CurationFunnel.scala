@@ -142,17 +142,12 @@ object CurationFunnel {
       survFpsFor: DataFrame => DataFrame): (DataFrame, () => Unit) = {
     val nToks = size(split(trim(col("text")), " ")).cast(LongType)
 
-    // per-distinct-text char-diversity signals (the q_char_diversity
-    // body) — pure per-text arithmetic, no trainable state to persist
-    val perText = d.select(col("text")).distinct()
-      .filter(length(col("text")) > 0)
-      .select(xxhash64(col("text")).as("tid"),
-        explode(split(col("text"), "")).as("c"))
-      .groupBy(col("tid"), col("c")).agg(count(lit(1)).as("cnt"))
-      .groupBy(col("tid"))
-      .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("nd"), max(col("cnt")).as("top"))
-      .select(col("tid"), col("nd"), expr("(top * 1000) div tot").as("tp"))
-
+    // per-document char-diversity signals (the q_char_diversity body) —
+    // the native single-pass counters ([[graft.functions.CharDiversity]])
+    // make this a MAP-ONLY projection, so the round-8 dedup-first
+    // explode+groupBy+tid-join (two corpus-char exchanges) is gone;
+    // empty text yields [0,0,0] → nd=0, tp=1000, the composed shape's
+    // null-fill values
     val preds = predsIn.select(col("doc_id"), col("is_correct"))
     val buckets = bucketsIn.select(col("doc_id"), col("bucket"))
 
@@ -162,14 +157,18 @@ object CurationFunnel {
     // bench clears the cache between queries)
     val staged = d
       .select(col("doc_id"), col("text"), nToks.as("n_toks"),
-        xxhash64(col("text")).as("tid"))
-      .join(perText, Seq("tid"), "left")
+        graft.functions.CharDiversity.stats(col("text")).as("cst"))
+      .select(col("doc_id"), col("text"), col("n_toks"),
+        element_at(col("cst"), 2).as("nd"),
+        expr("CASE WHEN element_at(cst, 1) > 0" +
+          " THEN (element_at(cst, 3) * 1000) div element_at(cst, 1)" +
+          " ELSE 1000 END").as("tp"))
       .join(preds, Seq("doc_id"), "left")
       .join(buckets, Seq("doc_id"), "left")
       .withColumn("s2",
         col("n_toks") >= MinToks &&
-          coalesce(col("nd"), lit(0L)) >= MinDistinctChars &&
-          coalesce(col("tp"), lit(1000L)) <= MaxTopCharPermille)
+          col("nd") >= MinDistinctChars &&
+          col("tp") <= MaxTopCharPermille)
       .withColumn("s3", col("s2") && coalesce(col("is_correct"), lit(0L)) === 1L)
       .withColumn("s4", col("s3") && col("bucket").isin("head", "middle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -66,31 +66,23 @@ object TextOps {
   // cross-engine hazard of a float entropy (Σ p·ln p differs in final
   // ulps between libm implementations): distinct-character count and the
   // top character's permille share — a near-constant doc ("aaaa…") shows
-  // top_char_permille → 1000, low n_distinct_chars. Dedup-first
-  // wordcount-at-char-granularity shape: chars explode once per DISTINCT
-  // text, the count shuffle carries (text-hash, one char); per-doc rows
-  // attach through the narrow tid join.
-  private def qCharDiversity(spark: SparkSession, dir: String): DataFrame = {
-    val d = table(spark, dir, "documents")
-    val perText = d.select(col("text")).distinct()
-      .filter(length(col("text")) > 0)
-      .select(xxhash64(col("text")).as("tid"),
-        explode(split(col("text"), "")).as("c"))
-      .groupBy(col("tid"), col("c")).agg(count(lit(1)).as("cnt"))
-      .groupBy(col("tid"))
-      .agg(sum(col("cnt")).as("n_chars_total"),
-        count(lit(1)).as("n_distinct_chars"),
-        max(col("cnt")).as("top_char_count"))
-      .withColumn("top_char_permille",
-        expr("(top_char_count * 1000) div n_chars_total"))
-    d.select(col("doc_id"), xxhash64(col("text")).as("tid"))
-      .join(perText, Seq("tid"), "left")
+  // top_char_permille → 1000, low n_distinct_chars. Round-10 shape: the
+  // counters come from the native single-pass expression
+  // ([[graft.functions.CharDiversity]], bit-parity vs the composed
+  // explode+groupBy pinned in NativeVsComposedSpec), so the signal is
+  // MAP-ONLY — the previous per-character explode pushed ~250 shuffled
+  // rows per document through two exchanges; this pushes zero.
+  private def qCharDiversity(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
       .select(col("doc_id"),
-        coalesce(col("n_chars_total"), lit(0L)).as("n_chars_total"),
-        coalesce(col("n_distinct_chars"), lit(0L)).as("n_distinct_chars"),
-        coalesce(col("top_char_count"), lit(0L)).as("top_char_count"),
-        coalesce(col("top_char_permille"), lit(0L)).as("top_char_permille"))
-  }
+        graft.functions.CharDiversity.stats(col("text")).as("st"))
+      .select(col("doc_id"),
+        element_at(col("st"), 1).as("n_chars_total"),
+        element_at(col("st"), 2).as("n_distinct_chars"),
+        element_at(col("st"), 3).as("top_char_count"))
+      .withColumn("top_char_permille",
+        expr("CASE WHEN n_chars_total > 0" +
+          " THEN (top_char_count * 1000) div n_chars_total ELSE 0 END"))
 
   private val qCharDiversitySql =
     """WITH cc AS (

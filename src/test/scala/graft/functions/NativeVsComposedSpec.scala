@@ -245,6 +245,38 @@ class NativeVsComposedSpec extends AnyFunSuite {
     }
   }
 
+  test("char diversity: native expression == composed explode-shaped formulation") {
+    import org.apache.spark.sql.types.LongType
+    val chars = split(col("text"), "")
+    val total = length(col("text")).cast(LongType)
+    val nd = size(array_distinct(chars)).cast(LongType)
+    val top = array_max(transform(array_distinct(chars),
+      c => size(filter(chars, x => x === c)).cast(LongType)))
+    val composedSt = when(length(col("text")) > 0, array(total, nd, top))
+      .otherwise(array(lit(0L), lit(0L), lit(0L)))
+    val inline = Seq(
+      (0L, "abcabc"),
+      (1L, "aaaaaaa"), // single-char text: top == total, nd == 1
+      (2L, "a"),
+      (3L, ""), // empty → [0,0,0] (the funnel's null-fill branch)
+      (4L, "a b  c"), // spaces are characters too
+      (5L, "ü ü ö"), // non-ASCII BMP
+      (6L, "the quick brown fox")).toDF("doc_id", "text")
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    for (docs <- Seq(inline, real)) {
+      val composed = docs.select(col("doc_id"), composedSt.as("st"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val native = docs.select(col("doc_id"),
+        graft.functions.CharDiversity.stats(col("text")).as("st"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(native.keySet === composed.keySet)
+      native.foreach { case (id, st) =>
+        assert(st === composed(id), s"char-diversity counters mismatch for doc $id")
+      }
+    }
+  }
+
   test("repetition stats + shingle hashes: property — random BMP corpora agree") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import org.apache.spark.sql.types.LongType

@@ -103,6 +103,26 @@ class SearchIndexSpec extends AnyFunSuite {
       s"single-term read must prune buckets: touched $touched of $allFiles")
   }
 
+  test("searchIndexMaintenanceStream wiring folds batches through the query") {
+    val base = java.nio.file.Files.createTempDirectory("graft-searchwire").toString
+    val idx = s"$base/idx"
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStream.searchIndexMaintenanceStream(
+      spark, input.toDF().toDF("doc_id", "text"), idx)
+    try {
+      input.addData((1L, "spark window merge"), (2L, "spark table"))
+      q.processAllAvailable()
+      input.addData((3L, "window merge merge"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(SearchIndex.residentDocIds(spark, idx).count() === 3L)
+    val hits = SearchIndex.searchFromIndex(spark, idx, Seq("merge"), 10)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(hits === Set(1L, 3L))
+  }
+
   test("streamed maintenance ≡ one-shot build, with re-delivery absorbed") {
     val base = java.nio.file.Files.createTempDirectory("graft-searchstream").toString
     val idx = s"$base/idx"
