@@ -38,6 +38,11 @@ import org.apache.spark.sql.types._
   *                                 centroid), the drift reference
   *  - `stats.parquet/epoch=K/`:    (n, sum_d2) per APPENDED epoch — O(1)
   *                                 rows, written on the same batch pass
+  *  - `tombstones.parquet/epoch=K/`: (vec_id) — deletions pending
+  *                                 compaction ([[deleteFromIndex]]):
+  *                                 every read path anti-joins this set,
+  *                                 the next compact folds the rows out
+  *                                 and retires it
   *
   * Append is O(batch): assignment against the frozen centroids is MAP-ONLY
   * (k×64 doubles as a literal, [[SimilarityOps.assignExpr]]), the batch
@@ -229,6 +234,59 @@ object IvfIndex {
       readCodebook(spark, indexDir), batch)
   }
 
+  // --- Deletion (tombstones) ----------------------------------------------
+  // The lifecycle gap between append and retrain: a retention sweep or a
+  // takedown request must remove vectors WITHOUT a store rewrite.
+  // Deletion is an O(ids) tombstone epoch; every serve/read path
+  // anti-joins the tombstone set, so the vector disappears from results
+  // immediately; the next compaction folds the tombstoned rows out of
+  // the cells and CLEARS the tombstone table (publish-before-delete: a
+  // crash between the two leaves tombstones shadowing already-removed
+  // rows — a harmless no-op the next compact clears). Within a
+  // tombstone's lifetime the id is dead even if re-appended; after the
+  // compaction that makes the deletion durable, a fresh append of the
+  // same id is a normal insert. Retrain rebuilds from the resident set
+  // MINUS tombstones, and the whole-dir swap drops the tombstone table
+  // with the old store.
+
+  /** Tombstone a set of (vec_id) rows — O(ids), one atomic rename. */
+  def deleteFromIndex(spark: SparkSession, indexDir: String, ids: DataFrame): Unit = {
+    val tsDir = s"$indexDir/tombstones.parquet"
+    val tsPath = new Path(tsDir)
+    val f = fs(spark, indexDir)
+    val next =
+      if (!f.exists(tsPath)) 0
+      else f.listStatus(tsPath).map(_.getPath.getName)
+        .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toInt)
+        .foldLeft(-1)(math.max) + 1
+    publish(spark, tsDir, s".epoch-$next.tmp", s"epoch=$next") { tmp =>
+      ids.select(col("vec_id")).distinct()
+        .write.mode("overwrite").parquet(tmp.toString)
+    }
+  }
+
+  /** The current tombstone set, if any. */
+  private def tombstoneIds(
+      spark: SparkSession, indexDir: String): Option[DataFrame] = {
+    val tsPath = new Path(s"$indexDir/tombstones.parquet")
+    if (fs(spark, indexDir).exists(tsPath) &&
+      fs(spark, indexDir).listStatus(tsPath).exists(_.getPath.getName.startsWith("epoch=")))
+      Some(spark.read.parquet(tsPath.toString).select(col("vec_id")).distinct())
+    else None
+  }
+
+  /** Anti-join `df` (carrying vec_id) against the tombstone set — the
+    * read-path half of deletion, applied by every serve/read surface. */
+  private[operators] def minusTombstones(
+      spark: SparkSession, indexDir: String, df: DataFrame): DataFrame =
+    tombstoneIds(spark, indexDir)
+      .fold(df)(ts => df.join(ts, Seq("vec_id"), "left_anti"))
+
+  private def clearTombstones(spark: SparkSession, indexDir: String): Unit = {
+    fs(spark, indexDir).delete(new Path(s"$indexDir/tombstones.parquet"), true)
+    ()
+  }
+
   /** Drift-triggered RETRAIN from the store itself (round 8 — the last
     * policy gap: [[driftReport]] detected decay but nothing acted on it,
     * and a long-lived stream has no corpus dir to rebuild from): read
@@ -242,9 +300,13 @@ object IvfIndex {
     * copy. The retrained store's epoch-0 stats become the NEW drift
     * baseline, so the detector re-arms automatically. */
   def retrain(spark: SparkSession, indexDir: String): Unit = {
-    val corpus = spark.read.parquet(s"$indexDir/cells.parquet")
-      .select(col("vec_id"), col("v").as("embedding"))
-      .dropDuplicates("vec_id")
+    // resident MINUS tombstones: a deleted vector must neither train the
+    // new quantizer nor survive the rebuild; the whole-dir swap drops the
+    // old tombstone table with the old store
+    val corpus = minusTombstones(spark, indexDir,
+      spark.read.parquet(s"$indexDir/cells.parquet")
+        .select(col("vec_id"), col("v").as("embedding"))
+        .dropDuplicates("vec_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = corpus.count()
@@ -315,15 +377,19 @@ object IvfIndex {
       // the composed lane); only the epoch/cluster partition dirs fold
       val raw = spark.read.option("basePath", cellsDir)
         .parquet(eps.map(e => s"$cellsDir/$e"): _*)
-      val folded = raw
+      val folded = minusTombstones(spark, indexDir, raw
         .select(raw.columns.filter(c => c != "epoch" && c != "cluster").map(col): _*)
-        .dropDuplicates()
+        .dropDuplicates())
       dropIds.fold(folded)(ids =>
         folded.join(ids.select(col("vec_id")), Seq("vec_id"), "left_anti"))
         .withColumn("cluster", col("cl"))
         .write.partitionBy("cluster").mode("overwrite").parquet(tmp.toString)
     }
     eps.foreach(e => fs(spark, indexDir).delete(new Path(s"$cellsDir/$e"), true))
+    // deletion is now durable in the folded epoch — retire the tombstones
+    // (crash before this line: tombstones shadow already-removed rows, a
+    // no-op the next compact clears)
+    clearTombstones(spark, indexDir)
     val statsPath = new Path(s"$indexDir/stats.parquet")
     if (fs(spark, indexDir).exists(statsPath)) {
       val seps = fs(spark, indexDir).listStatus(statsPath).map(_.getPath.getName)
@@ -374,9 +440,9 @@ object IvfIndex {
     // at the gate SFs, ~k/32 of √N at production sizes)
     val np = if (nprobe > 0) nprobe else SimilarityOps.autoNProbe(cents.size)
     val cellsDir = s"$indexDir/cells.parquet"
-    val qRows = spark.read.parquet(cellsDir)
+    val qRows = minusTombstones(spark, indexDir, spark.read.parquet(cellsDir)
       .filter(col("vec_id") < NumQueries)
-      .select(col("vec_id"), col("v"), col("norm"))
+      .select(col("vec_id"), col("v"), col("norm")))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .toSeq.sortBy(_._1).distinct // double-append safe: queries are value-identical dups
@@ -397,7 +463,8 @@ object IvfIndex {
     val cand0 =
       if (dirs.isEmpty) spark.emptyDataset[(Long, Seq[Double], Double, Long)]
         .toDF("vec_id", "v", "norm", "cl")
-      else spark.read.parquet(dirs: _*).select(col("vec_id"), col("v"), col("norm"), col("cl"))
+      else minusTombstones(spark, indexDir,
+        spark.read.parquet(dirs: _*).select(col("vec_id"), col("v"), col("norm"), col("cl")))
     // candidate-stage metadata filter (filtered vector search): prunes the
     // probed-cell read BEFORE the rescore — pushed into the parquet scan
     val cand = memberFilter.map(cand0.filter).getOrElse(cand0)
@@ -451,9 +518,9 @@ object IvfIndex {
     val cents = readCentroids(spark, indexDir)
     val np = if (nprobe > 0) nprobe else SimilarityOps.autoNProbe(cents.size)
     val cellsDir = s"$indexDir/cells.parquet"
-    val qRows = spark.read.parquet(cellsDir)
+    val qRows = minusTombstones(spark, indexDir, spark.read.parquet(cellsDir)
       .filter(col("vec_id") < NumQueries)
-      .select(col("vec_id"), col("v"))
+      .select(col("vec_id"), col("v")))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .toSeq.sortBy(_._1).distinct
@@ -471,8 +538,8 @@ object IvfIndex {
     } yield p
     val members =
       if (dirs.isEmpty) spark.emptyDataset[(Long, Long)].toDF("vec_id", "cluster")
-      else spark.read.parquet(dirs: _*)
-        .select(col("vec_id"), col("cl").as("cluster")).distinct()
+      else minusTombstones(spark, indexDir, spark.read.parquet(dirs: _*)
+        .select(col("vec_id"), col("cl").as("cluster")).distinct())
     (probesDf, members)
   }
 
@@ -496,11 +563,11 @@ object IvfIndex {
     if (dirs.isEmpty)
       spark.emptyDataset[(Long, Long, Double, Seq[Double])]
         .toDF("vec_id", "cluster", "d2c", "nv")
-    else spark.read.parquet(dirs: _*)
+    else minusTombstones(spark, indexDir, spark.read.parquet(dirs: _*)
       .select(col("vec_id"), col("cl").as("cluster"), col("d2c"),
         transform(col("v"),
           x => when(col("norm") > 0.0, x / col("norm")).otherwise(0.0)).as("nv"))
-      .dropDuplicates("vec_id")
+      .dropDuplicates("vec_id"))
   }
 
   /** The probed directory list for the current probe set — shared by the
@@ -512,9 +579,9 @@ object IvfIndex {
     val cents = readCentroids(spark, indexDir)
     val np = if (nprobe > 0) nprobe else SimilarityOps.autoNProbe(cents.size)
     val cellsDir = s"$indexDir/cells.parquet"
-    val qRows = spark.read.parquet(cellsDir)
+    val qRows = minusTombstones(spark, indexDir, spark.read.parquet(cellsDir)
       .filter(col("vec_id") < NumQueries)
-      .select(col("vec_id"), col("v"))
+      .select(col("vec_id"), col("v")))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .toSeq.sortBy(_._1).distinct
@@ -559,13 +626,13 @@ object IvfIndex {
         .toDF("vec_id", "v", "norm")
       (probesDf, codes, rescore)
     } else {
-      val codes = spark.read.parquet(dirs: _*)
+      val codes = minusTombstones(spark, indexDir, spark.read.parquet(dirs: _*)
         .select(Seq(col("vec_id"), col("cl").as("cluster")) ++
           (0 until mCount).map(mm => col(s"c$mm")): _*)
-        .dropDuplicates("vec_id", "cluster")
-      val rescore = spark.read.parquet(dirs: _*)
+        .dropDuplicates("vec_id", "cluster"))
+      val rescore = minusTombstones(spark, indexDir, spark.read.parquet(dirs: _*)
         .select(col("vec_id"), col("v"), col("norm"))
-        .dropDuplicates("vec_id")
+        .dropDuplicates("vec_id"))
       (probesDf, codes, rescore)
     }
   }
