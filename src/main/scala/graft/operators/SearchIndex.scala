@@ -83,14 +83,86 @@ object SearchIndex {
     writeEpoch(spark, indexDir, next, batch)
   }
 
-  /** Doc_ids already folded in (the streaming anti-join target). */
+  /** Doc_ids already folded in (the streaming anti-join target). NOTE:
+    * tombstoned docs stay in this ledger until compaction — a deleted
+    * doc re-arriving before the compact is dropped by the replay
+    * anti-join AND stays hidden by the tombstone, the IVF-family
+    * shadowing semantics. */
   def residentDocIds(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/docs.parquet").select(col("doc_id")).distinct()
 
-  /** Fold all epochs into one — the read-merge, made durable. */
+  // --- Deletion (tombstones) — the [[IvfIndex.deleteFromIndex]] pattern
+  // applied to the text store: a takedown request must remove a
+  // document's postings WITHOUT rewriting the term buckets. O(ids)
+  // tombstone epoch; the read-merge anti-joins it (so df and scores
+  // exclude the doc immediately); compaction folds the rows out of the
+  // postings AND the ledger, then retires the table.
+
+  /** Tombstone a set of (doc_id) rows — O(ids), one atomic rename. */
+  def deleteFromIndex(spark: SparkSession, indexDir: String, ids: DataFrame): Unit = {
+    val tsDir = new Path(indexDir, "tombstones.parquet")
+    val fs = tsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next =
+      if (!fs.exists(tsDir)) 0
+      else fs.listStatus(tsDir).map(_.getPath.getName)
+        .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toInt)
+        .foldLeft(-1)(math.max) + 1
+    AtomicPublish.stageAndRename(
+      spark, tsDir.toString, s".epoch-$next.tmp", s"epoch=$next") { tmp =>
+      ids.select(col("doc_id")).distinct()
+        .write.mode("overwrite").parquet(tmp.toString)
+    }
+  }
+
+  private def tombstoneIds(
+      spark: SparkSession, indexDir: String): Option[DataFrame] = {
+    val tsDir = new Path(indexDir, "tombstones.parquet")
+    val fs = tsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tsDir) &&
+      fs.listStatus(tsDir).exists(_.getPath.getName.startsWith("epoch=")))
+      Some(spark.read.parquet(tsDir.toString).select(col("doc_id")).distinct())
+    else None
+  }
+
+  private def minusTombstones(
+      spark: SparkSession, indexDir: String, df: DataFrame): DataFrame =
+    tombstoneIds(spark, indexDir)
+      .fold(df)(ts => df.join(ts, Seq("doc_id"), "left_anti"))
+
+  /** Fold all epochs into one — the read-merge, made durable; tombstoned
+    * documents fold out of the postings AND the ledger, and the
+    * tombstone table retires. The fold runs whenever there are MULTIPLE
+    * epochs OR pending tombstones (a one-epoch store with tombstones
+    * still needs the rewrite — only after it may the table retire), and
+    * the postings rewrite preserves the tbucket directory layout so the
+    * pruned-read contract survives compaction. */
   def compact(spark: SparkSession, indexDir: String): Unit = {
-    EpochCompact.compactTable(spark, s"$indexDir/postings.parquet", mergePostings)
-    EpochCompact.compactTable(spark, s"$indexDir/docs.parquet", _.distinct())
+    val haveTombstones = tombstoneIds(spark, indexDir).isDefined
+    val postings = new Path(indexDir, "postings.parquet")
+    val fs = postings.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def epochsOf(p: Path): Int =
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(_.getPath.getName.startsWith("epoch="))
+    if (epochsOf(postings) > 1 || haveTombstones) {
+      val merged = minusTombstones(spark, indexDir,
+        mergePostings(spark.read.parquet(postings.toString).drop("epoch")))
+      AtomicPublish.swapDir(spark, postings.toString) { tmp =>
+        merged.write.partitionBy("tbucket").parquet(s"$tmp/epoch=0")
+      }
+    }
+    val docsT = new Path(indexDir, "docs.parquet")
+    if (epochsOf(docsT) > 1 || haveTombstones) {
+      val merged = minusTombstones(spark, indexDir,
+        spark.read.parquet(docsT.toString).drop("epoch").distinct())
+      AtomicPublish.swapDir(spark, docsT.toString) { tmp =>
+        merged.write.parquet(s"$tmp/epoch=0")
+      }
+    }
+    // deletions are durable in the folded tables — retire the tombstones
+    // (publish-before-delete: a crash before this line leaves tombstones
+    // shadowing already-removed rows, a no-op the next compact clears)
+    fs.delete(new Path(indexDir, "tombstones.parquet"), true)
+    ()
   }
 
   /** The family's read-merge: dedupe (doc_id, term) — duplicate rows from
@@ -109,10 +181,10 @@ object SearchIndex {
     val buckets = terms.toDS()
       .select(pmod(xxhash64(col("value")), lit(TBuckets)))
       .collect().map(_.getLong(0)).distinct.toSeq
-    mergePostings(
+    minusTombstones(spark, indexDir, mergePostings(
       spark.read.parquet(s"$indexDir/postings.parquet")
         .filter(col("tbucket").isin(buckets: _*))
-        .filter(col("term").isin(terms: _*)))
+        .filter(col("term").isin(terms: _*))))
   }
 
   /** Keyword retrieval from index files only — the same fixed-point
@@ -123,7 +195,10 @@ object SearchIndex {
       terms: Seq[String], topK: Int): DataFrame = {
     val tf = termPostings(spark, indexDir, terms)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = residentDocIds(spark, indexDir).agg(count(lit(1)).as("n_docs"))
+    // n_docs excludes tombstoned docs — the score a rebuild-without-them
+    // would produce (df already excludes them through termPostings)
+    val n = minusTombstones(spark, indexDir, residentDocIds(spark, indexDir))
+      .agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
       .withColumn("term_score", expr("(tf * n_docs * 1000000) div df"))
       .groupBy(col("doc_id"))
@@ -145,8 +220,8 @@ object SearchIndex {
   def sharedTermRanks(
       spark: SparkSession, indexDir: String,
       queryMax: Long, candK: Int): DataFrame = {
-    val postings = mergePostings(
-      spark.read.parquet(s"$indexDir/postings.parquet"))
+    val postings = minusTombstones(spark, indexDir, mergePostings(
+      spark.read.parquet(s"$indexDir/postings.parquet")))
     val qt = postings.filter(col("doc_id") < queryMax)
       .select(col("doc_id").as("query_id"), col("term"))
     val wLex = org.apache.spark.sql.expressions.Window

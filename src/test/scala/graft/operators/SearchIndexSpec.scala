@@ -103,6 +103,42 @@ class SearchIndexSpec extends AnyFunSuite {
       s"single-term read must prune buckets: touched $touched of $allFiles")
   }
 
+  test("tombstone delete: immediate exclusion, score parity with a rebuild, compaction retires") {
+    val base = java.nio.file.Files.createTempDirectory("graft-searchdel").toString
+    val all = corpus(
+      (1L, "spark window merge fast"),
+      (2L, "spark spark table scan"),
+      (3L, "window row group sort"),
+      (4L, "merge join spark window"))
+    val idx = s"$base/idx"
+    SearchIndex.buildIndex(spark, all, idx)
+    val terms = Seq("spark", "window", "merge")
+    SearchIndex.deleteFromIndex(spark, idx, Seq(2L).toDF("doc_id"))
+
+    // the deleted doc's postings vanish from results AND from df/n_docs:
+    // scores equal a one-shot rebuild over the corpus without the doc
+    val rebuilt = s"$base/rebuilt"
+    SearchIndex.buildIndex(spark, all.filter(col("doc_id") =!= 2L), rebuilt)
+    def rows(d: String) = SearchIndex.searchFromIndex(spark, d, terms, 10)
+      .collect().map(_.toSeq).toSet
+    assert(rows(idx) === rows(rebuilt),
+      "tombstoned store must score exactly like the rebuild without the doc")
+
+    // compaction (forced by pending tombstones even at one epoch) makes
+    // it durable, retires the table, and keeps the tbucket layout
+    SearchIndex.compact(spark, idx)
+    assert(!new java.io.File(s"$idx/tombstones.parquet").exists())
+    assert(rows(idx) === rows(rebuilt))
+    val ep0 = new java.io.File(s"$idx/postings.parquet/epoch=0")
+    assert(ep0.listFiles().exists(_.getName.startsWith("tbucket=")),
+      "compaction must preserve the term-bucket directory layout")
+    // after durability, re-adding the doc is a normal insert
+    SearchIndex.appendToIndex(spark, idx, all.filter(col("doc_id") === 2L))
+    val full = s"$base/oneshot2"
+    SearchIndex.buildIndex(spark, all, full)
+    assert(rows(idx) === rows(full))
+  }
+
   test("searchIndexMaintenanceStream wiring folds batches through the query") {
     val base = java.nio.file.Files.createTempDirectory("graft-searchwire").toString
     val idx = s"$base/idx"
