@@ -78,6 +78,25 @@ class AnnScaledGeometrySpec extends AnyFunSuite {
     assert(r >= 0.8, s"ivf-indexed recall@5 $r")
   }
 
+  test("filtered probe holds recall at the √N production geometry") {
+    // the candidate-stage filter (vec_id % 2 = 0) is orthogonal to the
+    // hash-init cells, so filtered search exercises the general case:
+    // roughly half of every probed cell survives the predicate, and the
+    // probe must still recover the filtered truth
+    val truth = graft.QueryRegistry.byName("q_ann_filtered").run(spark, corpusDir)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = IvfIndex.topKIndexed(spark, indexDir,
+        memberFilter = Some(col("vec_id") % 2 === 0))
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    assert(approx.filter(col("neighbor_id") % 2 =!= 0).count() === 0)
+    val r = truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1)))
+        .as("recall"))
+      .agg(avg(col("recall"))).head().getDouble(0)
+    assert(r >= 0.8, s"filtered ivf-indexed recall@5 $r")
+  }
+
   test("probe touches only the probed cells, not the corpus") {
     val cents = spark.read.parquet(s"$indexDir/centroids.parquet").count()
     val (probes, members) = IvfIndex.probedMembers(spark, indexDir)

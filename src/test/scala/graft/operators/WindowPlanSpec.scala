@@ -39,4 +39,15 @@ class WindowPlanSpec extends AnyFunSuite {
     val plan = planOf("q_quantile_sketch")
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
+
+  test("q_hybrid_search: both candidate lists and the fusion rank keep WindowGroupLimit") {
+    // three rank windows (lexical top-CandK, vector top-CandK, fused
+    // top-K) — each must plan per-partition group limits BEFORE its
+    // exchange, or a corpus-sized candidate set sorts in one task
+    val plan = planOf("q_hybrid_search")
+    val hits = "WindowGroupLimit".r.findAllIn(plan).size
+    assert(hits >= 3, s"expected >=3 WindowGroupLimit, got $hits in:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"query sides must broadcast, plan:\n$plan")
+  }
 }
