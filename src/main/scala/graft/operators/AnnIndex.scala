@@ -120,14 +120,23 @@ object AnnIndex {
       // dirs. dropDuplicates: epochs are a row set; dedup here both
       // absorbs double-appended batches and makes a crash-rerun (which
       // unions olds + the already-published consolidated epoch) converge.
+      // Tombstoned vectors fold out here (the family deletion contract).
       AtomicPublish.publishThenDelete(
         spark, dir.toString, ".compact.tmp", s"epoch=$next", live.toSeq) { tmp =>
-        spark.read.parquet(live.map(_.toString): _*)
-          .dropDuplicates()
+        Tombstones.minus(spark, indexDir,
+            spark.read.parquet(live.map(_.toString): _*).dropDuplicates(), "vec_id")
           .write.mode("overwrite").parquet(tmp.toString)
       }
     }
+    // deletions are durable in both folded tables — retire the tombstones
+    Tombstones.clear(spark, indexDir)
   }
+
+  /** Tombstone a set of (vec_id) rows — O(ids); [[topKIndexed]] excludes
+    * them immediately, [[compact]] makes the deletion durable
+    * ([[Tombstones]] family contract). */
+  def deleteFromIndex(spark: SparkSession, indexDir: String, ids: DataFrame): Unit =
+    Tombstones.delete(spark, indexDir, ids, "vec_id")
 
   /** Top-k per query over the persisted index. Queries are index members
     * (`vec_id < NumQueries`, the suite's fixed probe set); their band keys
@@ -135,10 +144,12 @@ object AnnIndex {
     * store, so the WHOLE plan reads index files only — the embeddings
     * table is structurally absent (spec-pinned). */
   def topKIndexed(spark: SparkSession, indexDir: String): DataFrame = {
-    val bands = spark.read.parquet(s"$indexDir/bands.parquet")
-      .select(col("vec_id"), col("band"), col("bkey"))
-    val vectors = spark.read.parquet(s"$indexDir/vectors.parquet")
-      .select(col("vec_id"), col("v"), col("norm"))
+    val bands = Tombstones.minus(spark, indexDir,
+      spark.read.parquet(s"$indexDir/bands.parquet")
+        .select(col("vec_id"), col("band"), col("bkey")), "vec_id")
+    val vectors = Tombstones.minus(spark, indexDir,
+      spark.read.parquet(s"$indexDir/vectors.parquet")
+        .select(col("vec_id"), col("v"), col("norm")), "vec_id")
     val q = vectors.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
     val qBands = q.select(col("query_id"), explode(array((0 until AxisBands).map(b =>

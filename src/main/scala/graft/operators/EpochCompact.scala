@@ -27,16 +27,18 @@ object EpochCompact {
 
   /** Consolidate every epoch of `tableDir` into one `epoch=0` via
     * `consolidate` (a sum/distinct over the epoch-union). No-op when the
-    * table already has ≤1 epoch. */
+    * table already has ≤1 epoch — unless `force` (a family with pending
+    * tombstones must fold even a single epoch before retiring them). */
   def compactTable(
       spark: SparkSession, tableDir: String,
-      consolidate: DataFrame => DataFrame): Unit = {
+      consolidate: DataFrame => DataFrame,
+      force: Boolean = false): Unit = {
     val live = new Path(tableDir)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(live)) return
     val epochs = fs.listStatus(live).map(_.getPath.getName)
       .filter(_.startsWith("epoch="))
-    if (epochs.length <= 1) return
+    if (epochs.length <= 1 && !force) return
     val merged = consolidate(spark.read.parquet(tableDir).drop("epoch"))
     AtomicPublish.swapDir(spark, tableDir) { tmp =>
       merged.write.parquet(s"$tmp/epoch=0")

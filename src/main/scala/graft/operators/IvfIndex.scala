@@ -250,42 +250,14 @@ object IvfIndex {
   // with the old store.
 
   /** Tombstone a set of (vec_id) rows — O(ids), one atomic rename. */
-  def deleteFromIndex(spark: SparkSession, indexDir: String, ids: DataFrame): Unit = {
-    val tsDir = s"$indexDir/tombstones.parquet"
-    val tsPath = new Path(tsDir)
-    val f = fs(spark, indexDir)
-    val next =
-      if (!f.exists(tsPath)) 0
-      else f.listStatus(tsPath).map(_.getPath.getName)
-        .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toInt)
-        .foldLeft(-1)(math.max) + 1
-    publish(spark, tsDir, s".epoch-$next.tmp", s"epoch=$next") { tmp =>
-      ids.select(col("vec_id")).distinct()
-        .write.mode("overwrite").parquet(tmp.toString)
-    }
-  }
-
-  /** The current tombstone set, if any. */
-  private def tombstoneIds(
-      spark: SparkSession, indexDir: String): Option[DataFrame] = {
-    val tsPath = new Path(s"$indexDir/tombstones.parquet")
-    if (fs(spark, indexDir).exists(tsPath) &&
-      fs(spark, indexDir).listStatus(tsPath).exists(_.getPath.getName.startsWith("epoch=")))
-      Some(spark.read.parquet(tsPath.toString).select(col("vec_id")).distinct())
-    else None
-  }
+  def deleteFromIndex(spark: SparkSession, indexDir: String, ids: DataFrame): Unit =
+    Tombstones.delete(spark, indexDir, ids, "vec_id")
 
   /** Anti-join `df` (carrying vec_id) against the tombstone set — the
     * read-path half of deletion, applied by every serve/read surface. */
   private[operators] def minusTombstones(
       spark: SparkSession, indexDir: String, df: DataFrame): DataFrame =
-    tombstoneIds(spark, indexDir)
-      .fold(df)(ts => df.join(ts, Seq("vec_id"), "left_anti"))
-
-  private def clearTombstones(spark: SparkSession, indexDir: String): Unit = {
-    fs(spark, indexDir).delete(new Path(s"$indexDir/tombstones.parquet"), true)
-    ()
-  }
+    Tombstones.minus(spark, indexDir, df, "vec_id")
 
   /** Drift-triggered RETRAIN from the store itself (round 8 — the last
     * policy gap: [[driftReport]] detected decay but nothing acted on it,
@@ -389,7 +361,7 @@ object IvfIndex {
     // deletion is now durable in the folded epoch — retire the tombstones
     // (crash before this line: tombstones shadow already-removed rows, a
     // no-op the next compact clears)
-    clearTombstones(spark, indexDir)
+    Tombstones.clear(spark, indexDir)
     val statsPath = new Path(s"$indexDir/stats.parquet")
     if (fs(spark, indexDir).exists(statsPath)) {
       val seps = fs(spark, indexDir).listStatus(statsPath).map(_.getPath.getName)

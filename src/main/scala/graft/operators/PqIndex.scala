@@ -91,15 +91,34 @@ object PqIndex {
   /** Vec_ids already folded into the index. */
   def residentVecIds(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/ids.parquet").select(col("vec_id")).distinct()
+  // NOTE: tombstoned ids stay in this ledger until compaction — the
+  // IVF-family shadowing semantics (a deleted id re-appended before the
+  // compact is dropped by the replay anti-join AND hidden by the
+  // tombstone; after the durable compact it re-inserts normally).
 
   /** Fold all epochs into one: code/vector rows dedup (identical by
     * frozen-codebook determinism) — exactly the merge every read already
-    * performs ([[EpochCompact]] swap safety). */
+    * performs ([[EpochCompact]] swap safety). Tombstoned vectors fold
+    * out of all three tables, then the tombstone table retires; pending
+    * tombstones FORCE the fold even at one epoch (the ≤1-epoch no-op
+    * must not retire unapplied deletions). */
   def compact(spark: SparkSession, indexDir: String): Unit = {
-    EpochCompact.compactTable(spark, s"$indexDir/codes.parquet", _.distinct())
-    EpochCompact.compactTable(spark, s"$indexDir/vecs.parquet", _.distinct())
-    EpochCompact.compactTable(spark, s"$indexDir/ids.parquet", _.distinct())
+    val force = Tombstones.pending(spark, indexDir)
+    def minus(df: DataFrame) = Tombstones.minus(spark, indexDir, df, "vec_id")
+    EpochCompact.compactTable(spark, s"$indexDir/codes.parquet",
+      raw => minus(raw.distinct()), force)
+    EpochCompact.compactTable(spark, s"$indexDir/vecs.parquet",
+      raw => minus(raw.distinct()), force)
+    EpochCompact.compactTable(spark, s"$indexDir/ids.parquet",
+      raw => minus(raw.distinct()), force)
+    Tombstones.clear(spark, indexDir)
   }
+
+  /** Tombstone a set of (vec_id) rows — O(ids); every read excludes them
+    * immediately, [[compact]] makes the deletion durable
+    * ([[Tombstones]] family contract). */
+  def deleteFromIndex(spark: SparkSession, indexDir: String, ids: DataFrame): Unit =
+    Tombstones.delete(spark, indexDir, ids, "vec_id")
 
   /** ADC top-k from the persisted store: the propose scan reads ONLY
     * `codes.parquet`; raw vectors are read for the rescore join and the
@@ -127,14 +146,18 @@ object PqIndex {
     indexDir
   }
 
-  /** The merged code store (vec_id, c0..c{PqM-1}) — double-append safe. */
+  /** The merged code store (vec_id, c0..c{PqM-1}) — double-append safe,
+    * tombstone-excluded. */
   private[operators] def codesFromIndex(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/codes.parquet").drop("epoch").distinct()
+    Tombstones.minus(spark, indexDir,
+      spark.read.parquet(s"$indexDir/codes.parquet").drop("epoch").distinct(), "vec_id")
 
-  /** The raw rescore vectors (vec_id, v, norm) persisted beside the codes. */
+  /** The raw rescore vectors (vec_id, v, norm) persisted beside the
+    * codes — tombstone-excluded. */
   private[operators] def rescoreFromIndex(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/vecs.parquet")
-      .select(col("vec_id"), col("v"), col("norm")).distinct()
+    Tombstones.minus(spark, indexDir,
+      spark.read.parquet(s"$indexDir/vecs.parquet")
+        .select(col("vec_id"), col("v"), col("norm")).distinct(), "vec_id")
 
   private def qAnnPqIndexed(spark: SparkSession, dir: String): DataFrame = {
     val indexDir = ensureIndex(spark, dir)

@@ -99,35 +99,12 @@ object SearchIndex {
   // postings AND the ledger, then retires the table.
 
   /** Tombstone a set of (doc_id) rows — O(ids), one atomic rename. */
-  def deleteFromIndex(spark: SparkSession, indexDir: String, ids: DataFrame): Unit = {
-    val tsDir = new Path(indexDir, "tombstones.parquet")
-    val fs = tsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val next =
-      if (!fs.exists(tsDir)) 0
-      else fs.listStatus(tsDir).map(_.getPath.getName)
-        .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toInt)
-        .foldLeft(-1)(math.max) + 1
-    AtomicPublish.stageAndRename(
-      spark, tsDir.toString, s".epoch-$next.tmp", s"epoch=$next") { tmp =>
-      ids.select(col("doc_id")).distinct()
-        .write.mode("overwrite").parquet(tmp.toString)
-    }
-  }
-
-  private def tombstoneIds(
-      spark: SparkSession, indexDir: String): Option[DataFrame] = {
-    val tsDir = new Path(indexDir, "tombstones.parquet")
-    val fs = tsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(tsDir) &&
-      fs.listStatus(tsDir).exists(_.getPath.getName.startsWith("epoch=")))
-      Some(spark.read.parquet(tsDir.toString).select(col("doc_id")).distinct())
-    else None
-  }
+  def deleteFromIndex(spark: SparkSession, indexDir: String, ids: DataFrame): Unit =
+    Tombstones.delete(spark, indexDir, ids, "doc_id")
 
   private def minusTombstones(
       spark: SparkSession, indexDir: String, df: DataFrame): DataFrame =
-    tombstoneIds(spark, indexDir)
-      .fold(df)(ts => df.join(ts, Seq("doc_id"), "left_anti"))
+    Tombstones.minus(spark, indexDir, df, "doc_id")
 
   /** Fold all epochs into one — the read-merge, made durable; tombstoned
     * documents fold out of the postings AND the ledger, and the
@@ -137,7 +114,7 @@ object SearchIndex {
     * the postings rewrite preserves the tbucket directory layout so the
     * pruned-read contract survives compaction. */
   def compact(spark: SparkSession, indexDir: String): Unit = {
-    val haveTombstones = tombstoneIds(spark, indexDir).isDefined
+    val haveTombstones = Tombstones.pending(spark, indexDir)
     val postings = new Path(indexDir, "postings.parquet")
     val fs = postings.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def epochsOf(p: Path): Int =
@@ -161,7 +138,7 @@ object SearchIndex {
     // deletions are durable in the folded tables — retire the tombstones
     // (publish-before-delete: a crash before this line leaves tombstones
     // shadowing already-removed rows, a no-op the next compact clears)
-    fs.delete(new Path(indexDir, "tombstones.parquet"), true)
+    Tombstones.clear(spark, indexDir)
     ()
   }
 

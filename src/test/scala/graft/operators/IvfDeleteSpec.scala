@@ -62,6 +62,49 @@ class IvfDeleteSpec extends AnyFunSuite {
     assert(neighborsOf(idx, 1L) === Set(2L, 3L, 30L))
   }
 
+  test("AnnIndex (LSH store): delete excludes, compact retires, re-append revives") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-anndel").toString + "/idx"
+    val emb = graft.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    AnnIndex.buildIndex(spark, emb, idx)
+    val before = AnnIndex.topKIndexed(spark, idx)
+      .select(col("neighbor_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val victim = before.head
+    AnnIndex.deleteFromIndex(spark, idx, Seq(victim).toDF("vec_id"))
+    def neighbors() = AnnIndex.topKIndexed(spark, idx)
+      .select(col("neighbor_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(!neighbors().contains(victim))
+    AnnIndex.compact(spark, idx)
+    assert(!new java.io.File(s"$idx/tombstones.parquet").exists())
+    assert(!neighbors().contains(victim))
+    AnnIndex.appendToIndex(spark, idx, emb.filter(col("vec_id") === victim))
+    assert(neighbors().contains(victim), "post-compact re-append is a normal insert")
+  }
+
+  test("PqIndex (code store): delete excludes, forced one-epoch compact retires") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-pqdel").toString + "/idx"
+    val emb = graft.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    PqIndex.buildIndex(spark, emb, idx)
+    val queries = emb.filter(col("vec_id") < 20)
+    val before = PqIndex.topKIndexed(spark, queries, idx)
+      .select(col("neighbor_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val victim = before.head
+    PqIndex.deleteFromIndex(spark, idx, Seq(victim).toDF("vec_id"))
+    def neighbors() = PqIndex.topKIndexed(spark, queries, idx)
+      .select(col("neighbor_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(!neighbors().contains(victim))
+    // one-epoch store + pending tombstones: the fold must still run
+    PqIndex.compact(spark, idx)
+    assert(!new java.io.File(s"$idx/tombstones.parquet").exists())
+    assert(!neighbors().contains(victim))
+    val resident = PqIndex.residentVecIds(spark, idx)
+      .collect().map(_.getLong(0)).toSet
+    assert(!resident.contains(victim), "ledger must drop the id at compact")
+  }
+
   test("retrain rebuilds from the resident set minus tombstones") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivfdelrt").toString + "/idx"
     IvfIndex.buildIndex(spark, idx, cents, vdf(a, b, c, d))
