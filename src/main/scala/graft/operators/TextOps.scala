@@ -433,6 +433,92 @@ object TextOps {
           / col("n_shingles").cast(DoubleType)).as("contamination"))
   }
 
+  // --- q_decontaminate: eval-leak SPAN REMOVAL from the train split ------
+  // The rewrite counterpart of q_contamination's report (the q_block_dedup
+  // → q_block_rewrite move): the open decontamination convention (Brown
+  // et al. 2020 removed leaked 13-gram windows from training data; this
+  // suite's shingle width is 3) — a train document keeps every token
+  // EXCEPT those covered by some 3-gram that also appears anywhere in the
+  // eval split. Output is the cleaned train corpus itself (doc_id,
+  // n_toks, n_removed, clean_text), hash-gated, so the rewrite — not
+  // just a leak count — is verified cross-engine.
+  //
+  // Scale shape: the eval shingle vocabulary is the bounded side
+  // (q_contamination_bloom's own argument), so the leak join is
+  // train-shingles × a broadcastable distinct set; leaked POSITIONS fold
+  // to one sorted array per distinct text, and the rewrite is a pure
+  // per-row HOF (filter positions, re-join tokens) — no second corpus
+  // shuffle. Single-pass semantics, documented: re-joining tokens across
+  // a removed gap can CREATE a new shingle (".. x [leak] z .." → "x .. z");
+  // the standard practice ships the single pass, and the spec pins that
+  // no ORIGINAL-position leaked shingle survives.
+  private def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(100L))
+    val t = table(spark, dir, "documents")
+      .select(col("doc_id"), xxhash64(col("text")).as("tkey"), col("text"))
+    val members = t.select(col("doc_id"), col("tkey"), bucket.as("bucket"))
+    val tw = t.groupBy(col("tkey")).agg(first(col("text")).as("text"))
+      .select(col("tkey"), split(trim(col("text")), " ").as("w"))
+    val testKeys = members.filter(col("bucket") >= 90).select(col("tkey")).distinct()
+    val evalSh = tw.join(testKeys, "tkey")
+      .filter(size(col("w")) >= 3)
+      .select(explode(array_distinct(
+        transform(sequence(lit(1), size(col("w")) - 2),
+          i => concat_ws(" ", element_at(col("w"), i),
+            element_at(col("w"), i + 1), element_at(col("w"), i + 2))))).as("shingle"))
+      .distinct()
+    val trainKeys = members.filter(col("bucket") < 80).select(col("tkey")).distinct()
+    val trainW = tw.join(trainKeys, "tkey")
+    // leaked shingle START positions per distinct train text
+    val hits = trainW.filter(size(col("w")) >= 3)
+      .select(col("tkey"), explode(
+        transform(sequence(lit(1), size(col("w")) - 2),
+          i => struct(i.as("i"), concat_ws(" ", element_at(col("w"), i),
+            element_at(col("w"), i + 1), element_at(col("w"), i + 2)).as("shingle"))))
+        .as("p"))
+      .select(col("tkey"), col("p.i").as("i"), col("p.shingle").as("shingle"))
+      .join(evalSh, "shingle")
+      .groupBy(col("tkey")).agg(sort_array(collect_set(col("i"))).as("hs"))
+    val cleaned = trainW.join(hits, Seq("tkey"), "left")
+      .withColumn("hs", coalesce(col("hs"), expr("CAST(array() AS array<int>)")))
+      .withColumn("kept", expr(
+        "filter(sequence(1, size(w)), p -> NOT exists(hs, h -> h <= p AND p <= h + 2))"))
+      .select(col("tkey"),
+        size(col("w")).cast(LongType).as("n_toks"),
+        (size(col("w")) - size(col("kept"))).cast(LongType).as("n_removed"),
+        expr("concat_ws(' ', transform(kept, p -> element_at(w, p)))").as("clean_text"))
+    members.filter(col("bucket") < 80)
+      .join(cleaned, "tkey")
+      .select(col("doc_id"), col("n_toks"), col("n_removed"), col("clean_text"))
+  }
+
+  private val qDecontaminateSql =
+    """WITH t AS (
+      |  SELECT doc_id, (doc_id * 2654435761) % 4294967296 % 100 AS bucket,
+      |    string_split(trim(text), ' ') AS w
+      |  FROM documents),
+      |test_sh AS (
+      |  SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |  FROM t, UNNEST(range(1, len(w) - 1)) AS r(i)
+      |  WHERE bucket >= 90 AND len(w) >= 3),
+      |train AS (SELECT doc_id, w FROM t WHERE bucket < 80),
+      |hits AS (
+      |  SELECT doc_id, list(i ORDER BY i) AS hs FROM (
+      |    SELECT tr.doc_id, r.i
+      |    FROM train tr, UNNEST(range(1, len(tr.w) - 1)) AS r(i)
+      |    WHERE len(tr.w) >= 3
+      |      AND (tr.w[r.i] || ' ' || tr.w[r.i+1] || ' ' || tr.w[r.i+2])
+      |        IN (SELECT shingle FROM test_sh))
+      |  GROUP BY 1)
+      |SELECT doc_id, n_toks, n_toks - len(kept) AS n_removed,
+      |  COALESCE(array_to_string(kept, ' '), '') AS clean_text
+      |FROM (
+      |  SELECT tr.doc_id, len(tr.w)::BIGINT AS n_toks,
+      |    [tr.w[p] FOR p IN range(1, len(tr.w) + 1)
+      |      IF len(list_filter(COALESCE(h.hs, []),
+      |        x -> x <= p AND p <= x + 2)) = 0] AS kept
+      |  FROM train tr LEFT JOIN hits h USING (doc_id)) c""".stripMargin
+
   // --- q_dsir_vote: DSIR-shaped data selection via hashed-feature voting -
   // Importance-resampling selection in the shape of DSIR (Xie et al. 2023,
   // "Data Selection for Language Models via Importance Resampling"):
@@ -1133,6 +1219,7 @@ object TextOps {
     QueryDef("q_stratified_sample", qStratifiedSample, Some(qStratifiedSampleSql)),
     QueryDef("q_tfidf", qTfIdf, Some(qTfIdfSql)),
     QueryDef("q_contamination", qContamination, Some(qContaminationSql)),
+    QueryDef("q_decontaminate", qDecontaminate, Some(qDecontaminateSql)),
     QueryDef("q_contamination_bloom", qContaminationBloom, Some(qContaminationSql)),
     QueryDef("q_dsir_vote", qDsirVote, Some(qDsirVoteSql)),
     QueryDef("q_bpe_tokens", qBpeTokens, Some(qBpeTokensSql)),
