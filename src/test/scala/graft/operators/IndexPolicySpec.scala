@@ -98,5 +98,16 @@ class IndexPolicySpec extends AnyFunSuite {
     assert(ri.family === "ivf")
     assert(ri.drift.isDefined)
     assert(ri.drift.get.appendedRows > 0)
+    // pending deletions are inspectable: a tombstoned store's catalog row
+    // shows the tombstone table with its id count, and it disappears
+    // after the durable compact
+    IvfIndex.deleteFromIndex(spark, ivfDir, Seq(2L, 4L).toDF("vec_id"))
+    val rt = graft.IndexCatalog.report(spark, ivfDir)
+    val ts = rt.tables.find(_.name == "tombstones.parquet")
+    assert(ts.isDefined && ts.get.rows === 2L,
+      "catalog must surface pending deletions")
+    IvfIndex.compact(spark, ivfDir)
+    assert(!graft.IndexCatalog.report(spark, ivfDir).tables
+      .exists(_.name == "tombstones.parquet"))
   }
 }
