@@ -53,6 +53,7 @@ object QueryRegistry {
       operators.SelectOps.queries ++
       operators.RetrievalOps.queries ++
       operators.SearchIndex.queries ++
+      operators.EvalIndex.queries ++
       operators.HeavyHitters.queries ++
       operators.EventOps.queries ++
       operators.MultimodalOps.queries ++

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted eval-shingle vocabulary — the decontamination twin of the
+  * model stores: at 100 TB the eval suites are a curated, slowly-growing
+  * artifact, and re-shingling them on every decontamination pass (the
+  * inline `q_decontaminate` shape) re-reads the eval corpus per run.
+  * This store shingles each eval document ONCE at ingest and serves the
+  * distinct leak vocabulary to every cleaning pass. Twelfth member of
+  * the persisted-index family.
+  *
+  * State is a plain row set (distinct shingles per epoch): append is
+  * O(batch) over NEW eval docs only (ledger anti-join), the read-merge
+  * is `distinct`, duplicate epochs are invariant by construction, and
+  * compaction folds to one epoch with [[EpochCompact]]'s swap. The
+  * shingle definition is [[TextOps.evalShinglesOf]] — the SAME builder
+  * the inline lane uses, so "what counts as a leak" cannot drift
+  * between the batch, indexed, and streaming lanes.
+  *
+  * Layout under `indexDir` (family conventions):
+  *  - `shingles.parquet/epoch=K`: (shingle) — the epoch's distinct set
+  *  - `docs.parquet/epoch=K`:     (doc_id) — replay-safe ledger
+  */
+object EvalIndex {
+
+  private def writeEpoch(
+      spark: SparkSession, indexDir: String, epoch: Int, docs: DataFrame): Unit = {
+    val root = new Path(indexDir)
+    for ((tab, df) <- Seq(
+        "shingles.parquet" -> TextOps.evalShinglesOf(docs),
+        "docs.parquet" -> docs.select(col("doc_id")).distinct())) {
+      AtomicPublish.stageAndRename(
+        spark, new Path(root, tab).toString, s".epoch-$epoch.tmp", s"epoch=$epoch") {
+        tmp => df.write.mode("overwrite").parquet(tmp.toString)
+      }
+    }
+  }
+
+  /** Build (overwrite) the vocabulary as epoch 0. */
+  def buildIndex(spark: SparkSession, evalDocs: DataFrame, indexDir: String): Unit = {
+    val root = new Path(indexDir)
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(root, true)
+    writeEpoch(spark, indexDir, 0, evalDocs)
+  }
+
+  /** Fold a batch of new eval documents in — O(batch); caller dedupes
+    * against [[residentDocIds]]. */
+  def appendToIndex(spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+    val sh = new Path(indexDir, "shingles.parquet")
+    val fs = sh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = fs.listStatus(sh).map(_.getPath.getName)
+      .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toInt).max + 1
+    writeEpoch(spark, indexDir, next, batch)
+  }
+
+  /** Eval doc_ids already folded in (the streaming anti-join target). */
+  def residentDocIds(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/docs.parquet").select(col("doc_id")).distinct()
+
+  /** The served leak vocabulary — the read-merge is distinct, so
+    * duplicate epochs and the compaction publish window change nothing. */
+  def shingles(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/shingles.parquet")
+      .select(col("shingle")).distinct()
+
+  /** Fold all epochs into one — the read-merge, made durable. */
+  def compact(spark: SparkSession, indexDir: String): Unit = {
+    EpochCompact.compactTable(spark, s"$indexDir/shingles.parquet", _.distinct())
+    EpochCompact.compactTable(spark, s"$indexDir/docs.parquet", _.distinct())
+  }
+
+  // --- q_decontaminate_indexed: the persisted-vocabulary lane ------------
+  private def indexDirFor(dir: String): String = {
+    val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "eval-v1"))
+    s"${System.getProperty("java.io.tmpdir")}/graft-eval-index-$key"
+  }
+
+  /** Build-if-absent from the corpus's test split; returns the dir. */
+  private[operators] def ensureIndex(spark: SparkSession, dir: String): String = {
+    val indexDir = indexDirFor(dir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$indexDir/shingles.parquet")))
+      buildIndex(spark,
+        Tables.table(spark, dir, "documents")
+          .filter(TextOps.splitBucket >= 90).select(col("doc_id"), col("text")),
+        indexDir)
+    indexDir
+  }
+
+  /** Identical output to `q_decontaminate` (same split, same shingle
+    * builder, same cleaning body) — rides its oracle, the `_indexed`
+    * twin discipline. */
+  private def qDecontaminateIndexed(spark: SparkSession, dir: String): DataFrame =
+    TextOps.cleanAgainst(
+      Tables.table(spark, dir, "documents")
+        .filter(TextOps.splitBucket < 80).select(col("doc_id"), col("text")),
+      shingles(spark, ensureIndex(spark, dir)))
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_decontaminate_indexed", qDecontaminateIndexed,
+      Some(TextOps.qDecontaminateOracle)))
+}

@@ -452,25 +452,31 @@ object TextOps {
   // a removed gap can CREATE a new shingle (".. x [leak] z .." → "x .. z");
   // the standard practice ships the single pass, and the spec pins that
   // no ORIGINAL-position leaked shingle survives.
-  private def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(100L))
-    val t = table(spark, dir, "documents")
-      .select(col("doc_id"), xxhash64(col("text")).as("tkey"), col("text"))
-    val members = t.select(col("doc_id"), col("tkey"), bucket.as("bucket"))
-    val tw = t.groupBy(col("tkey")).agg(first(col("text")).as("text"))
-      .select(col("tkey"), split(trim(col("text")), " ").as("w"))
-    val testKeys = members.filter(col("bucket") >= 90).select(col("tkey")).distinct()
-    val evalSh = tw.join(testKeys, "tkey")
+  /** The 3-gram shingle set of `docs` (doc_id, text) — the eval-side
+    * vocabulary builder, shared by the inline lane and the persisted
+    * [[EvalIndex]] store so "what counts as a leak" is one definition. */
+  private[operators] def evalShinglesOf(docs: DataFrame): DataFrame =
+    docs.select(split(trim(col("text")), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(explode(array_distinct(
         transform(sequence(lit(1), size(col("w")) - 2),
           i => concat_ws(" ", element_at(col("w"), i),
             element_at(col("w"), i + 1), element_at(col("w"), i + 2))))).as("shingle"))
       .distinct()
-    val trainKeys = members.filter(col("bucket") < 80).select(col("tkey")).distinct()
-    val trainW = tw.join(trainKeys, "tkey")
-    // leaked shingle START positions per distinct train text
-    val hits = trainW.filter(size(col("w")) >= 3)
+
+  /** Span-removal body: clean `docs` (doc_id, text) against an eval
+    * shingle vocabulary — (doc_id, n_toks, n_removed, clean_text).
+    * Shared by the inline lane (vocabulary from the corpus's own test
+    * split), the indexed lane (vocabulary from the persisted
+    * [[EvalIndex]]), and the at-ingest stream, so all three are one
+    * algorithm. Dedup-first: positions and rewrites compute once per
+    * DISTINCT text and expand through the narrow tkey join. */
+  private[graft] def cleanAgainst(docs: DataFrame, evalSh: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), xxhash64(col("text")).as("tkey"), col("text"))
+    val tw = t.groupBy(col("tkey")).agg(first(col("text")).as("text"))
+      .select(col("tkey"), split(trim(col("text")), " ").as("w"))
+    // leaked shingle START positions per distinct text
+    val hits = tw.filter(size(col("w")) >= 3)
       .select(col("tkey"), explode(
         transform(sequence(lit(1), size(col("w")) - 2),
           i => struct(i.as("i"), concat_ws(" ", element_at(col("w"), i),
@@ -479,7 +485,7 @@ object TextOps {
       .select(col("tkey"), col("p.i").as("i"), col("p.shingle").as("shingle"))
       .join(evalSh, "shingle")
       .groupBy(col("tkey")).agg(sort_array(collect_set(col("i"))).as("hs"))
-    val cleaned = trainW.join(hits, Seq("tkey"), "left")
+    val cleaned = tw.join(hits, Seq("tkey"), "left")
       .withColumn("hs", coalesce(col("hs"), expr("CAST(array() AS array<int>)")))
       .withColumn("kept", expr(
         "filter(sequence(1, size(w)), p -> NOT exists(hs, h -> h <= p AND p <= h + 2))"))
@@ -487,10 +493,23 @@ object TextOps {
         size(col("w")).cast(LongType).as("n_toks"),
         (size(col("w")) - size(col("kept"))).cast(LongType).as("n_removed"),
         expr("concat_ws(' ', transform(kept, p -> element_at(w, p)))").as("clean_text"))
-    members.filter(col("bucket") < 80)
-      .join(cleaned, "tkey")
+    t.select(col("doc_id"), col("tkey")).join(cleaned, "tkey")
       .select(col("doc_id"), col("n_toks"), col("n_removed"), col("clean_text"))
   }
+
+  private[operators] def splitBucket =
+    pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(100L))
+
+  private def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    cleanAgainst(
+      d.filter(splitBucket < 80).select(col("doc_id"), col("text")),
+      evalShinglesOf(d.filter(splitBucket >= 90).select(col("doc_id"), col("text"))))
+  }
+
+  /** Exposed to [[EvalIndex]]: the persisted-vocabulary lane is
+    * row-identical and rides this oracle unchanged. */
+  private[operators] def qDecontaminateOracle: String = qDecontaminateSql
 
   private val qDecontaminateSql =
     """WITH t AS (

@@ -616,6 +616,73 @@ object DocStream {
     ()
   }
 
+  /** Streaming maintenance of the persisted eval-shingle vocabulary
+    * ([[graft.operators.EvalIndex]]): every micro-batch of arriving EVAL
+    * documents shingles in isolation (a pure per-doc function) and lands
+    * as a fresh epoch; the served vocabulary is the distinct union, so
+    * the streamed store equals the one-shot build. Twelfth
+    * stream-maintained family; replay safety is the standard
+    * resident-ledger anti-join. */
+  def evalIndexMaintenanceStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      indexDir: String,
+      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery): StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processEvalIndexBatch(spark, indexDir, batch, compactEvery)
+      }
+      .start()
+
+  /** One micro-batch of [[evalIndexMaintenanceStream]]. */
+  private[graft] def processEvalIndexBatch(
+      spark: SparkSession, indexDir: String, batch: DataFrame,
+      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery): Unit = {
+    val docs = batch.select(col("doc_id"), col("text")).distinct()
+    val sh = new org.apache.hadoop.fs.Path(s"$indexDir/shingles.parquet")
+    val fs = sh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(sh)) {
+      if (!docs.isEmpty) graft.operators.EvalIndex.buildIndex(spark, docs, indexDir)
+    } else {
+      val resident = graft.operators.EvalIndex.residentDocIds(spark, indexDir)
+      val fresh = docs.join(resident, Seq("doc_id"), "left_anti").persist()
+      try {
+        if (!fresh.isEmpty) {
+          graft.operators.EvalIndex.appendToIndex(spark, indexDir, fresh)
+          graft.operators.IndexPolicy.maybeCompact(
+            spark, s"$indexDir/shingles.parquet", compactEvery) {
+            graft.operators.EvalIndex.compact(spark, indexDir)
+          }
+          ()
+        }
+      } finally fresh.unpersist()
+    }
+    ()
+  }
+
+  /** Decontamination AT INGEST: every micro-batch of arriving TRAIN
+    * documents is cleaned against the persisted eval vocabulary
+    * ([[graft.operators.TextOps.cleanAgainst]] — the same body as the
+    * batch and indexed lanes, so all three are one algorithm) and the
+    * cleaned rows are emitted. Stateless given the store (cleaning is a
+    * pure function of (doc, vocabulary)); the vocabulary is maintained
+    * by [[evalIndexMaintenanceStream]], and the as-of semantics are the
+    * family's eager discipline: a batch is cleaned against the
+    * vocabulary AS OF its trigger — an eval doc arriving later does not
+    * retro-clean earlier batches (the one-shot `q_decontaminate` over
+    * the final corpus is the batch reference). */
+  def decontaminateStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      evalIndexDir: String)(emit: DataFrame => Unit): StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        emit(graft.operators.TextOps.cleanAgainst(
+          batch.select(col("doc_id"), col("text")).distinct(),
+          graft.operators.EvalIndex.shingles(spark, evalIndexDir)))
+      }
+      .start()
+
   /** Streaming maintenance of the persisted inverted index
     * ([[graft.operators.SearchIndex]]): every micro-batch tokenizes its
     * own distinct documents in isolation (tokenization is a pure per-doc
