@@ -34,7 +34,9 @@ object IndexCatalog {
     "shingle_df.parquet" -> "incremental-dedup",
     "base.parquet" -> "pack",
     "postings.parquet" -> "search",
-    "counts.parquet" -> "classifier")
+    "counts.parquet" -> "classifier",
+    "merges.parquet" -> "tokenizer",
+    "shingles.parquet" -> "eval-vocab")
 
   final case class TableReport(
       name: String, epochs: Int, rows: Long, residue: Seq[String]) {

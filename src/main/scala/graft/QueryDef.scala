@@ -54,6 +54,7 @@ object QueryRegistry {
       operators.RetrievalOps.queries ++
       operators.SearchIndex.queries ++
       operators.EvalIndex.queries ++
+      operators.TokenizerIndex.queries ++
       operators.HeavyHitters.queries ++
       operators.EventOps.queries ++
       operators.MultimodalOps.queries ++

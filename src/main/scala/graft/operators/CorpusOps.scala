@@ -172,7 +172,7 @@ object CorpusOps {
   // collected to the driver (the k-row k-medians model move), and a
   // map-only rewrite. Corpus passes = merge budget, independent of data;
   // 100× replicated data re-pairs the same distinct texts.
-  private val BpeTrainSteps = 4
+  private[operators] val BpeTrainSteps = 4
   private val WordToken = "^[A-Za-z0-9_]+$"
 
   private def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
@@ -195,7 +195,14 @@ object CorpusOps {
       bpeTrainMergesUncached(spark, dir))
 
   private def bpeTrainMergesUncached(
-      spark: SparkSession, dir: String): Seq[(Long, String, String, Long)] = {
+      spark: SparkSession, dir: String): Seq[(Long, String, String, Long)] =
+    trainMerges(table(spark, dir, "documents"))
+
+  /** The BPE training loop over an arbitrary (doc_id, text) frame —
+    * shared by the inline lanes and the persisted [[TokenizerIndex]]
+    * store, so the trained artifact cannot drift between them. */
+  private[operators] def trainMerges(
+      docs: DataFrame): Seq[(Long, String, String, Long)] = {
     // each iteration's argmax is an ACTION, so the working corpus is
     // persisted per rewrite (what any real BPE trainer materializes) —
     // without it, iteration k replays the dedup + k rewrites from the
@@ -203,7 +210,7 @@ object CorpusOps {
     // filters on the GROUP KEY, so it commutes to after the pair agg —
     // two regex evals per distinct pair (≤ vocab²), not per occurrence.
     val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    var cur = table(spark, dir, "documents")
+    var cur = docs
       .groupBy(col("text")).agg(count(lit(1)).as("n_copies"))
       .select(col("n_copies"), col("text").as("t"))
       .persist()
@@ -278,18 +285,29 @@ object CorpusOps {
   // centroids do (a bounded model artifact, not data). The DuckDB oracle
   // chains the identical training stages and applies the same nested
   // rewrite, so training AND application are hash-gated together.
-  private def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
-    val merges = bpeTrainMerges(spark, dir)
+  private def qBpeEncode(spark: SparkSession, dir: String): DataFrame =
+    encodeWith(bpeTrainMerges(spark, dir), table(spark, dir, "documents"))
+
+  /** Apply an ordered merge table to a (doc_id, text) frame — the encode
+    * half of the lifecycle, shared by the inline lane and the persisted
+    * [[TokenizerIndex]] serving paths. Map-only: the merges ride the
+    * driver as a bounded model artifact, like the k-medians centroids. */
+  private[operators] def encodeWith(
+      merges: Seq[(Long, String, String, Long)], docs: DataFrame): DataFrame = {
     val enc = merges.foldLeft(col("text")) { case (c, (_, a, b, _)) =>
       regexp_replace(c, s"\\b$a $b\\b", s"${a}_$b")
     }
-    table(spark, dir, "documents").select(
+    docs.select(
       col("doc_id"),
       size(split(trim(col("text")), " ")).cast(LongType).as("n_tokens_raw"),
       size(split(trim(enc), " ")).cast(LongType).as("n_tokens_bpe"),
       (size(split(trim(col("text")), " ")) - size(split(trim(enc), " ")))
         .cast(LongType).as("n_merged"))
   }
+
+  /** Exposed to [[TokenizerIndex]]: the persisted-tokenizer lane is
+    * row-identical and rides this oracle unchanged. */
+  private[operators] def qBpeEncodeOracle: String = qBpeEncodeSql
 
   private val qBpeEncodeSql = {
     val stages = (1 to BpeTrainSteps).map(bpeStageSql).mkString(",\n")

@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted BPE tokenizer — the production twin of the inline
+  * `q_bpe_encode` (which re-trains the merge table in every fresh JVM):
+  * at 100 TB the tokenizer is trained ONCE, frozen, and applied to every
+  * arriving document forever — encode passes must never pay training.
+  * Thirteenth member of the persisted-index family, and the first whose
+  * model is NOT additive: a BPE merge table is a corpus-global argmax
+  * SEQUENCE, so there is no sound O(batch) append to the model itself
+  * (interleaving two merge tables is not BPE — each step's argmax
+  * depends on every earlier rewrite). The family disciplines adapt:
+  *
+  *  - the MODEL is frozen at build time: `merges.parquet` holds exactly
+  *    one epoch, trained by [[CorpusOps.trainMerges]] — the SAME body
+  *    the inline lanes run, so the artifact cannot drift between lanes
+  *  - MAINTENANCE is observation, not mutation: the serving stream
+  *    records each batch's merge-rate counters — those ARE additive, so
+  *    their epochs append/compact with the usual arithmetic — and drift
+  *    is declared when the served merge rate decays below the training
+  *    baseline by the policy factor (the learned merges fire less and
+  *    less often on the arriving corpus: the vocabulary went stale).
+  *    This is the tokenizer's analogue of [[IvfIndex.driftReport]]'s
+  *    assignment-tightness decay.
+  *  - RETRAIN is the [[IvfIndex.retrain]] two-rename swap, but from a
+  *    caller-supplied corpus: unlike the IVF cells, this store
+  *    intentionally holds no text (a tokenizer store carrying its
+  *    training corpus would BE the corpus, not an index), so the
+  *    retrain input is an argument. The rebuilt epoch-0 stats become
+  *    the new baseline — the detector re-arms automatically.
+  *
+  * Layout under `indexDir` (family conventions: dot-prefixed staging,
+  * one rename per table per publish):
+  *  - `merges.parquet/epoch=0`: (merge_step, pair_left, pair_right, cnt)
+  *    — the frozen ordered merge table
+  *  - `stats.parquet/epoch=K`:  (is_baseline, n_raw, n_merged) — epoch 0
+  *    is the training-corpus baseline; later epochs are per-batch
+  *    serving observations (the drift signal)
+  *  - `docs.parquet/epoch=K`:   (doc_id) — observation ledger, the
+  *    replay-safe streaming anti-join target
+  */
+object TokenizerIndex {
+
+  /** One (is_baseline, n_raw, n_merged) counter row: the merge-rate
+    * accounting of encoding `docs` with `merges`. */
+  private def statsRowOf(
+      spark: SparkSession, merges: Seq[(Long, String, String, Long)],
+      docs: DataFrame, isBaseline: Boolean): DataFrame = {
+    import spark.implicits._
+    val r = CorpusOps.encodeWith(merges, docs)
+      .agg(sum(col("n_tokens_raw")), sum(col("n_merged"))).head()
+    val (n, m) = if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+    Seq((isBaseline, n, m)).toDF("is_baseline", "n_raw", "n_merged")
+  }
+
+  /** Train (overwrite) the tokenizer as epoch 0 of every table; the
+    * training corpus's own merge rate is the drift baseline. */
+  def buildIndex(spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
+    import spark.implicits._
+    val root = new Path(indexDir)
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(root, true)
+    val merges = CorpusOps.trainMerges(docs)
+    for ((tab, df) <- Seq(
+        "merges.parquet" -> merges
+          .toDF("merge_step", "pair_left", "pair_right", "cnt").coalesce(1),
+        "stats.parquet" -> statsRowOf(spark, merges, docs, isBaseline = true),
+        "docs.parquet" -> docs.select(col("doc_id")).distinct())) {
+      AtomicPublish.stageAndRename(
+        spark, new Path(root, tab).toString, ".epoch-0.tmp", "epoch=0") {
+        tmp => df.write.mode("overwrite").parquet(tmp.toString)
+      }
+    }
+  }
+
+  /** The frozen ordered merge table — bounded by the merge budget
+    * ([[CorpusOps.BpeTrainSteps]] rows), a model artifact that rides the
+    * driver like the k-medians centroids. */
+  def readMerges(
+      spark: SparkSession, indexDir: String): Seq[(Long, String, String, Long)] =
+    spark.read.parquet(s"$indexDir/merges.parquet")
+      .select(col("merge_step"), col("pair_left"), col("pair_right"), col("cnt"))
+      .orderBy(col("merge_step"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+
+  /** Encode documents against the persisted tokenizer — the q_bpe_encode
+    * output shape, one map-only pass, never training. */
+  def encodeDocs(spark: SparkSession, docs: DataFrame, indexDir: String): DataFrame =
+    CorpusOps.encodeWith(readMerges(spark, indexDir), docs)
+
+  /** Fold one served batch's merge-rate counters in as a fresh epoch —
+    * O(batch); the MODEL is untouched. Caller dedupes against
+    * [[residentDocIds]] (the streaming lane anti-joins). */
+  def observeBatch(spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+    val stats = new Path(indexDir, "stats.parquet")
+    val fs = stats.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = fs.listStatus(stats).map(_.getPath.getName)
+      .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toInt).max + 1
+    val merges = readMerges(spark, indexDir)
+    for ((tab, df) <- Seq(
+        "stats.parquet" -> statsRowOf(spark, merges, batch, isBaseline = false),
+        "docs.parquet" -> batch.select(col("doc_id")).distinct())) {
+      AtomicPublish.stageAndRename(
+        spark, new Path(new Path(indexDir), tab).toString,
+        s".epoch-$next.tmp", s"epoch=$next") {
+        tmp => df.write.mode("overwrite").parquet(tmp.toString)
+      }
+    }
+  }
+
+  /** Doc_ids whose counters are already folded in (the streaming
+    * anti-join target). */
+  def residentDocIds(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/docs.parquet").select(col("doc_id")).distinct()
+
+  /** Fold the observation epochs into one (counters sum within their
+    * baseline/served split; the ledger dedups). `merges.parquet` is one
+    * frozen epoch by construction — nothing to fold. */
+  def compact(spark: SparkSession, indexDir: String): Unit = {
+    EpochCompact.compactTable(spark, s"$indexDir/stats.parquet",
+      _.groupBy(col("is_baseline")).agg(
+        sum(col("n_raw")).as("n_raw"), sum(col("n_merged")).as("n_merged")))
+    EpochCompact.compactTable(spark, s"$indexDir/docs.parquet", _.distinct())
+  }
+
+  /** Served merge rate vs the training baseline — the staleness
+    * detector. `retrain` fires when the served rate has decayed below
+    * baseline/`factor` (the learned merges stop firing on the arriving
+    * corpus); no observations → no drift. */
+  final case class MergeRateReport(
+      baselineRate: Double, servedRate: Double, servedTokens: Long,
+      factor: Double, retrain: Boolean)
+
+  def mergeRateReport(
+      spark: SparkSession, indexDir: String, factor: Double = 1.5): MergeRateReport = {
+    val s = spark.read.parquet(s"$indexDir/stats.parquet")
+      .select(col("is_baseline"), col("n_raw"), col("n_merged"))
+    def sums(df: DataFrame): (Long, Long) = {
+      val r = df.agg(sum(col("n_raw")), sum(col("n_merged"))).head()
+      if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+    }
+    val (bn, bm) = sums(s.filter(col("is_baseline")))
+    val (an, am) = sums(s.filter(!col("is_baseline")))
+    val bRate = if (bn > 0) bm.toDouble / bn else 0.0
+    val aRate = if (an > 0) am.toDouble / an else 0.0
+    MergeRateReport(bRate, aRate, an, factor,
+      retrain = an > 0 && bn > 0 && aRate * factor < bRate)
+  }
+
+  /** Drift-triggered retrain from a caller-supplied corpus (see the
+    * class doc for why the corpus is an argument here and not resident
+    * state): stage a COMPLETE fresh store beside the live one and swap
+    * with the two-rename discipline — readers see the old tokenizer or
+    * the new one, never a half-built mix. */
+  def retrain(spark: SparkSession, indexDir: String, corpus: DataFrame): Unit =
+    AtomicPublish.swapDir(spark, indexDir,
+      tmpSuffix = ".retrain-tmp", bakSuffix = ".retrain-bak") { tmp =>
+      buildIndex(spark, corpus, tmp.toString)
+    }
+
+  /** Policy hook: retrain iff [[mergeRateReport]] says the vocabulary
+    * went stale. Returns whether a retrain ran. */
+  def maybeRetrain(
+      spark: SparkSession, indexDir: String, corpus: DataFrame,
+      factor: Double = 1.5): Boolean =
+    if (mergeRateReport(spark, indexDir, factor).retrain) {
+      retrain(spark, indexDir, corpus)
+      true
+    } else false
+
+  // --- q_bpe_encode_indexed: the persisted-tokenizer lane ----------------
+  // Store built lazily on first use, keyed by the documents parquet's
+  // identity — repeat runs (the production cadence) pay one map-only
+  // rewrite pass. Trained on and encoding the same corpus with the same
+  // training body, so it rides q_bpe_encode's oracle unchanged.
+  private def indexDirFor(dir: String): String = {
+    val key = IndexStamp.dirKey(IndexStamp.identity(
+      dir, "documents.parquet", s"tok-v1-${CorpusOps.BpeTrainSteps}"))
+    s"${System.getProperty("java.io.tmpdir")}/graft-tok-index-$key"
+  }
+
+  /** Build-if-absent against the corpus at `dir`; returns the store dir. */
+  private[operators] def ensureStore(spark: SparkSession, dir: String): String = {
+    val indexDir = indexDirFor(dir)
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$indexDir/merges.parquet")))
+      buildIndex(spark, Tables.table(spark, dir, "documents"), indexDir)
+    indexDir
+  }
+
+  private def qBpeEncodeIndexed(spark: SparkSession, dir: String): DataFrame =
+    encodeDocs(spark, Tables.table(spark, dir, "documents"),
+      ensureStore(spark, dir))
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_bpe_encode_indexed", qBpeEncodeIndexed,
+      Some(CorpusOps.qBpeEncodeOracle)))
+}

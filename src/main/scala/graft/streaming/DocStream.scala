@@ -683,6 +683,51 @@ object DocStream {
       }
       .start()
 
+  /** BPE encoding AT INGEST against the persisted tokenizer
+    * ([[graft.operators.TokenizerIndex]]): every micro-batch of arriving
+    * documents is encoded with the FROZEN merge table
+    * ([[graft.operators.CorpusOps.encodeWith]] — the same body as the
+    * batch lanes) and the encoded rows are emitted; as a byproduct of
+    * serving, the batch's merge-rate counters fold into the store's
+    * observation epochs — the drift signal
+    * [[graft.operators.TokenizerIndex.mergeRateReport]] reads. Emission
+    * is at-least-once under re-delivery (like the other at-ingest
+    * lanes); the COUNTERS are exactly-once via the ledger anti-join, so
+    * replays cannot skew the drift statistics. */
+  def bpeEncodeStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      indexDir: String,
+      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery)(
+      emit: DataFrame => Unit): StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBpeEncodeBatch(spark, indexDir, batch, compactEvery)(emit)
+      }
+      .start()
+
+  /** One micro-batch of [[bpeEncodeStream]]. */
+  private[graft] def processBpeEncodeBatch(
+      spark: SparkSession, indexDir: String, batch: DataFrame,
+      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery)(
+      emit: DataFrame => Unit): Unit = {
+    val docs = batch.select(col("doc_id"), col("text")).distinct()
+    emit(graft.operators.TokenizerIndex.encodeDocs(spark, docs, indexDir))
+    val resident = graft.operators.TokenizerIndex.residentDocIds(spark, indexDir)
+    val fresh = docs.join(resident, Seq("doc_id"), "left_anti").persist()
+    try {
+      if (!fresh.isEmpty) {
+        graft.operators.TokenizerIndex.observeBatch(spark, indexDir, fresh)
+        graft.operators.IndexPolicy.maybeCompact(
+          spark, s"$indexDir/stats.parquet", compactEvery) {
+          graft.operators.TokenizerIndex.compact(spark, indexDir)
+        }
+        ()
+      }
+    } finally fresh.unpersist()
+    ()
+  }
+
   /** Streaming maintenance of the persisted inverted index
     * ([[graft.operators.SearchIndex]]): every micro-batch tokenizes its
     * own distinct documents in isolation (tokenization is a pure per-doc
