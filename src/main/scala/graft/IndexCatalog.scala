@@ -36,7 +36,8 @@ object IndexCatalog {
     "postings.parquet" -> "search",
     "counts.parquet" -> "classifier",
     "merges.parquet" -> "tokenizer",
-    "shingles.parquet" -> "eval-vocab")
+    "shingles.parquet" -> "eval-vocab",
+    "buckets.parquet" -> "dsir")
 
   final case class TableReport(
       name: String, epochs: Int, rows: Long, residue: Seq[String]) {

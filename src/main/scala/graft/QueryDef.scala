@@ -55,6 +55,7 @@ object QueryRegistry {
       operators.SearchIndex.queries ++
       operators.EvalIndex.queries ++
       operators.TokenizerIndex.queries ++
+      operators.DsirIndex.queries ++
       operators.HeavyHitters.queries ++
       operators.EventOps.queries ++
       operators.MultimodalOps.queries ++

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted DSIR distribution estimate — the production twin of the
+  * inline `q_dsir_vote` (which re-estimates the target and raw corpus
+  * distributions on every invocation): at 100 TB the hashed-bucket
+  * statistics are estimated ONCE, maintained by O(batch) appends as the
+  * corpus grows, and selection scoring reads the 512-row model — never
+  * re-aggregates the corpus. Fourteenth member of the persisted-index
+  * family, and arithmetically the simplest since [[LmIndex]]: the model
+  * is two counters per hash bucket (target-language hits, all hits),
+  * both ADDITIVE over disjoint document batches, so `append ≡ rebuild`
+  * holds exactly — integer addition is the whole merge. The hashed
+  * feature space is FIXED (that is DSIR's point), so unlike every other
+  * text-model store there is no vocabulary table to maintain: the
+  * word→bucket map is a pure function the serve path recomputes from
+  * the scored documents' own words.
+  *
+  * Layout under `indexDir` (family conventions):
+  *  - `buckets.parquet/epoch=K`: (b, c_t, c_r) — the epoch's counters
+  *  - `docs.parquet/epoch=K`:    (doc_id) — replay-safe ledger
+  */
+object DsirIndex {
+
+  private def writeEpoch(
+      spark: SparkSession, indexDir: String, epoch: Int, docs: DataFrame): Unit = {
+    val root = new Path(indexDir)
+    for ((tab, df) <- Seq(
+        "buckets.parquet" ->
+          TextOps.dsirBucketStats(docs.select(col("text"), col("lang"))),
+        "docs.parquet" -> docs.select(col("doc_id")).distinct())) {
+      AtomicPublish.stageAndRename(
+        spark, new Path(root, tab).toString, s".epoch-$epoch.tmp", s"epoch=$epoch") {
+        tmp => df.write.mode("overwrite").parquet(tmp.toString)
+      }
+    }
+  }
+
+  /** Estimate (overwrite) the distributions as epoch 0. */
+  def buildIndex(spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
+    val root = new Path(indexDir)
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(root, true)
+    writeEpoch(spark, indexDir, 0, docs)
+  }
+
+  /** Fold a batch of new documents in — O(batch); counters sum across
+    * epochs at read time, so this is EXACTLY the rebuild. Caller dedupes
+    * against [[residentDocIds]] (the streaming lane anti-joins). */
+  def appendToIndex(spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+    val buckets = new Path(indexDir, "buckets.parquet")
+    val fs = buckets.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = fs.listStatus(buckets).map(_.getPath.getName)
+      .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toInt).max + 1
+    writeEpoch(spark, indexDir, next, batch)
+  }
+
+  /** Doc_ids already folded in (the streaming anti-join target). */
+  def residentDocIds(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/docs.parquet").select(col("doc_id")).distinct()
+
+  /** The served model: per-bucket counters summed across epochs —
+    * bounded by the hashed feature space (512 rows). */
+  def bucketTotals(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/buckets.parquet")
+      .groupBy(col("b"))
+      .agg(sum(col("c_t")).as("c_t"), sum(col("c_r")).as("c_r"))
+
+  /** Score documents against the persisted distributions — the
+    * q_dsir_vote output; the corpus is scanned only to featurize the
+    * scored docs, never to estimate. */
+  def scoreDocs(spark: SparkSession, docs: DataFrame, indexDir: String): DataFrame =
+    TextOps.dsirScoreAgainst(docs, bucketTotals(spark, indexDir))
+
+  /** Fold all epochs into one: counters sum, ledger dedups — exactly the
+    * merge every read already performs. */
+  def compact(spark: SparkSession, indexDir: String): Unit = {
+    EpochCompact.compactTable(spark, s"$indexDir/buckets.parquet",
+      _.groupBy(col("b")).agg(sum(col("c_t")).as("c_t"), sum(col("c_r")).as("c_r")))
+    EpochCompact.compactTable(spark, s"$indexDir/docs.parquet", _.distinct())
+  }
+
+  // --- q_dsir_vote_indexed: the persisted-distribution lane --------------
+  // Store built lazily on first use, keyed by the documents parquet's
+  // identity; estimated on and scoring the same corpus with the same
+  // bodies, so it rides q_dsir_vote's oracle unchanged.
+  private def indexDirFor(dir: String): String = {
+    val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "dsir-v1"))
+    s"${System.getProperty("java.io.tmpdir")}/graft-dsir-index-$key"
+  }
+
+  /** Build-if-absent against the corpus at `dir`; returns the store dir. */
+  private[operators] def ensureStore(spark: SparkSession, dir: String): String = {
+    val indexDir = indexDirFor(dir)
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$indexDir/buckets.parquet")))
+      buildIndex(spark, Tables.table(spark, dir, "documents"), indexDir)
+    indexDir
+  }
+
+  private def qDsirVoteIndexed(spark: SparkSession, dir: String): DataFrame =
+    scoreDocs(spark,
+      Tables.table(spark, dir, "documents").select(col("doc_id"), col("text")),
+      ensureStore(spark, dir))
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_dsir_vote_indexed", qDsirVoteIndexed,
+      Some(TextOps.qDsirVoteOracle)))
+}

@@ -567,39 +567,65 @@ object TextOps {
       lit(0L),
       (acc, c) => (acc * 31 + c) % graft.functions.PolyMinHash.P)
 
-  private def qDsirVote(spark: SparkSession, dir: String): DataFrame = {
-    val d = table(spark, dir, "documents")
-    // dedup-first (the classifier-family discipline): bucket statistics
-    // explode once per DISTINCT (text, lang) with copy weights, and the
-    // per-document score — a pure function of the text — is computed once
-    // per DISTINCT text and attributed to doc_ids by an internal hash
-    // join; 100×-replicated corpora re-weight the same distinct texts
-    val tl = d.groupBy(col("text"), col("lang")).agg(count(lit(1)).as("n_copies"))
+  /** Hashed-bucket distribution counters of a (text, lang) frame —
+    * (b, c_t, c_r), the DSIR model tables. Shared by the inline lane and
+    * the persisted [[DsirIndex]] store, so the distribution estimate
+    * cannot drift between them. Dedup-first (the classifier-family
+    * discipline): statistics explode once per DISTINCT (text, lang) with
+    * copy weights, so each document INSTANCE in the frame counts once —
+    * which is exactly what makes the counters additive across disjoint
+    * document batches (append ≡ rebuild by integer addition). */
+  private[operators] def dsirBucketStats(docs: DataFrame): DataFrame = {
+    val tl = docs.groupBy(col("text"), col("lang")).agg(count(lit(1)).as("n_copies"))
       .select(col("n_copies"), col("lang"),
         explode(split(trim(col("text")), " ")).as("word"))
     val wb = tl.select(col("word")).distinct()
       .select(col("word"), pmod(polyWordHash(col("word")), lit(DsirBuckets)).as("b"))
-    val bs = tl.join(wb, "word")
+    tl.join(wb, "word")
       .groupBy(col("b"))
       .agg(
         sum(when(col("lang") === DsirTargetLang, col("n_copies")).otherwise(0L)).as("c_t"),
         sum(col("n_copies")).as("c_r"))
+  }
+
+  /** Score (doc_id, text) docs against bucket counters (b, c_t, c_r) —
+    * the q_dsir_vote output shape. The word→bucket map is a pure hash,
+    * so the serve path recomputes it from the scored docs' OWN
+    * vocabulary (no stored vocabulary needed — the fixed feature space
+    * is the point of hashed features); the per-document score is
+    * computed once per DISTINCT text and attributed through the narrow
+    * tkey join. Shared by the inline and indexed lanes. */
+  private[operators] def dsirScoreAgainst(docs: DataFrame, bs: DataFrame): DataFrame = {
     val tot = bs.agg(sum(col("c_t")).as("n_t"), sum(col("c_r")).as("n_r"))
     val votes = bs.crossJoin(broadcast(tot))
       .select(col("b"),
         when(col("c_t") * col("n_r") > col("c_r") * col("n_t"), 1L)
           .when(col("c_t") * col("n_r") < col("c_r") * col("n_t"), -1L)
           .otherwise(0L).as("vote"))
-    val perText = d.select(col("text")).distinct()
+    val tw = docs.select(col("text")).distinct()
       .select(xxhash64(col("text")).as("tkey"),
         explode(split(trim(col("text")), " ")).as("word"))
+    val wb = tw.select(col("word")).distinct()
+      .select(col("word"), pmod(polyWordHash(col("word")), lit(DsirBuckets)).as("b"))
+    val perText = tw
       .join(broadcast(wb), "word").join(broadcast(votes), "b")
       .groupBy(col("tkey"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("vote")).as("dsir_vote"))
-    d.select(col("doc_id"), xxhash64(col("text")).as("tkey"))
+    docs.select(col("doc_id"), xxhash64(col("text")).as("tkey"))
       .join(perText, "tkey")
       .select(col("doc_id"), col("n_tokens"), col("dsir_vote"))
   }
+
+  private def qDsirVote(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    dsirScoreAgainst(
+      d.select(col("doc_id"), col("text")),
+      dsirBucketStats(d.select(col("text"), col("lang"))))
+  }
+
+  /** Exposed to [[DsirIndex]]: the persisted-distribution lane is
+    * row-identical and rides this oracle unchanged. */
+  private[operators] def qDsirVoteOracle: String = qDsirVoteSql
 
   private val qDsirVoteSql = {
     val ph = s"list_reduce(list_prepend(0::BIGINT, [ascii(substring(word, i, 1))::BIGINT FOR i IN range(1, length(word)+1)]), (acc, c) -> (acc*31 + c) % ${graft.functions.PolyMinHash.P})"

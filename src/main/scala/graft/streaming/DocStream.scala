@@ -683,6 +683,49 @@ object DocStream {
       }
       .start()
 
+  /** Streaming maintenance of the persisted DSIR distribution estimate
+    * ([[graft.operators.DsirIndex]]): every micro-batch's hashed-bucket
+    * counters land as a fresh epoch; counters are additive, so the
+    * streamed store equals the one-shot build over the union.
+    * Fourteenth stream-maintained family; replay safety is the standard
+    * resident-ledger anti-join. */
+  def dsirIndexMaintenanceStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      indexDir: String,
+      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery): StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processDsirIndexBatch(spark, indexDir, batch, compactEvery)
+      }
+      .start()
+
+  /** One micro-batch of [[dsirIndexMaintenanceStream]]. */
+  private[graft] def processDsirIndexBatch(
+      spark: SparkSession, indexDir: String, batch: DataFrame,
+      compactEvery: Int = graft.operators.IndexPolicy.CompactEvery): Unit = {
+    val docs = batch.select(col("doc_id"), col("text"), col("lang")).distinct()
+    val buckets = new org.apache.hadoop.fs.Path(s"$indexDir/buckets.parquet")
+    val fs = buckets.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(buckets)) {
+      if (!docs.isEmpty) graft.operators.DsirIndex.buildIndex(spark, docs, indexDir)
+    } else {
+      val resident = graft.operators.DsirIndex.residentDocIds(spark, indexDir)
+      val fresh = docs.join(resident, Seq("doc_id"), "left_anti").persist()
+      try {
+        if (!fresh.isEmpty) {
+          graft.operators.DsirIndex.appendToIndex(spark, indexDir, fresh)
+          graft.operators.IndexPolicy.maybeCompact(
+            spark, s"$indexDir/buckets.parquet", compactEvery) {
+            graft.operators.DsirIndex.compact(spark, indexDir)
+          }
+          ()
+        }
+      } finally fresh.unpersist()
+    }
+    ()
+  }
+
   /** BPE encoding AT INGEST against the persisted tokenizer
     * ([[graft.operators.TokenizerIndex]]): every micro-batch of arriving
     * documents is encoded with the FROZEN merge table
