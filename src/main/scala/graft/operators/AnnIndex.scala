@@ -110,6 +110,9 @@ object AnnIndex {
   def compact(spark: SparkSession, indexDir: String): Unit = {
     val root = new Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // frozen tombstone epoch set: fold out exactly these, retire exactly
+    // these — a takedown racing this compact stays pending for the next
+    val ts = Tombstones.snapshot(spark, indexDir)
     for (tab <- Seq("bands.parquet", "vectors.parquet")) {
       val dir = new Path(root, tab)
       val live = fs.listStatus(dir).map(_.getPath)
@@ -123,13 +126,14 @@ object AnnIndex {
       // Tombstoned vectors fold out here (the family deletion contract).
       AtomicPublish.publishThenDelete(
         spark, dir.toString, ".compact.tmp", s"epoch=$next", live.toSeq) { tmp =>
-        Tombstones.minus(spark, indexDir,
+        ts.minus(spark,
             spark.read.parquet(live.map(_.toString): _*).dropDuplicates(), "vec_id")
           .write.mode("overwrite").parquet(tmp.toString)
       }
     }
-    // deletions are durable in both folded tables — retire the tombstones
-    Tombstones.clear(spark, indexDir)
+    // deletions durable in both folded tables — retire the SNAPSHOT's
+    // epochs only; a takedown that raced this compact stays pending
+    ts.clear(spark)
   }
 
   /** Tombstone a set of (vec_id) rows — O(ids); [[topKIndexed]] excludes

@@ -26,6 +26,10 @@ import org.apache.spark.sql.functions._
   */
 object DsirIndex {
 
+  // counters FIRST, ledger SECOND — the docs.parquet rename is the
+  // commit point of the [[EpochLedger]] protocol (a crash in between
+  // leaves counter residue the next append reconciles away and reads
+  // already skip)
   private def writeEpoch(
       spark: SparkSession, indexDir: String, epoch: Int, docs: DataFrame): Unit = {
     val root = new Path(indexDir)
@@ -48,13 +52,15 @@ object DsirIndex {
   }
 
   /** Fold a batch of new documents in — O(batch); counters sum across
-    * epochs at read time, so this is EXACTLY the rebuild. Caller dedupes
-    * against [[residentDocIds]] (the streaming lane anti-joins). */
+    * epochs at read time, so this is EXACTLY the rebuild, including
+    * across the append crash window: the epoch number derives from the
+    * LEDGER and any orphaned counter epoch (counters renamed, ledger
+    * not) is reconciled away before the rewrite, so a replayed batch
+    * lands exactly once ([[EpochLedger]]). Caller dedupes against
+    * [[residentDocIds]] (the streaming lane anti-joins). */
   def appendToIndex(spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
-    val buckets = new Path(indexDir, "buckets.parquet")
-    val fs = buckets.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val next = fs.listStatus(buckets).map(_.getPath.getName)
-      .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toInt).max + 1
+    val next = EpochLedger.reconciledNext(
+      spark, s"$indexDir/docs.parquet", Seq(s"$indexDir/buckets.parquet"))
     writeEpoch(spark, indexDir, next, batch)
   }
 
@@ -62,10 +68,13 @@ object DsirIndex {
   def residentDocIds(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/docs.parquet").select(col("doc_id")).distinct()
 
-  /** The served model: per-bucket counters summed across epochs —
+  /** The served model: per-bucket counters summed across COMMITTED
+    * epochs (uncommitted crash residue is partition-pruned out) —
     * bounded by the hashed feature space (512 rows). */
   def bucketTotals(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/buckets.parquet")
+      .filter(col("epoch") <=
+        EpochLedger.committedMax(spark, s"$indexDir/docs.parquet"))
       .groupBy(col("b"))
       .agg(sum(col("c_t")).as("c_t"), sum(col("c_r")).as("c_r"))
 
@@ -76,7 +85,10 @@ object DsirIndex {
     TextOps.dsirScoreAgainst(docs, bucketTotals(spark, indexDir))
 
   /** Fold all epochs into one: counters sum, ledger dedups — exactly the
-    * merge every read already performs. */
+    * merge every read already performs. Order is the [[EpochLedger]]
+    * contract: counters fold BEFORE the ledger, so a crash in between
+    * leaves counter epochs ≤ ledger epochs (tolerated) rather than a
+    * folded counter table the next append would mistake for residue. */
   def compact(spark: SparkSession, indexDir: String): Unit = {
     EpochCompact.compactTable(spark, s"$indexDir/buckets.parquet",
       _.groupBy(col("b")).agg(sum(col("c_t")).as("c_t"), sum(col("c_r")).as("c_r")))
@@ -95,8 +107,11 @@ object DsirIndex {
   /** Build-if-absent against the corpus at `dir`; returns the store dir. */
   private[operators] def ensureStore(spark: SparkSession, dir: String): String = {
     val indexDir = indexDirFor(dir)
+    // probe the LEDGER (last-written in build): its presence implies the
+    // counters committed too; a crash mid-build leaves it absent and the
+    // whole store rebuilds
     if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$indexDir/buckets.parquet")))
+        java.nio.file.Paths.get(s"$indexDir/docs.parquet")))
       buildIndex(spark, Tables.table(spark, dir, "documents"), indexDir)
     indexDir
   }

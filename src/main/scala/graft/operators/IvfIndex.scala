@@ -339,6 +339,10 @@ object IvfIndex {
   private[graft] def compactExcluding(
       spark: SparkSession, indexDir: String,
       dropIds: Option[DataFrame]): Unit = {
+    // freeze the tombstone epoch set BEFORE the fold-read: a takedown
+    // racing this compact lands a later epoch that must survive the
+    // clear (Tombstones.Snapshot contract)
+    val ts = Tombstones.snapshot(spark, indexDir)
     val eps = epochDirs(spark, indexDir)
     val next = eps.map(_.stripPrefix("epoch=").toInt).max + 1
     val cellsDir = s"$indexDir/cells.parquet"
@@ -349,19 +353,20 @@ object IvfIndex {
       // the composed lane); only the epoch/cluster partition dirs fold
       val raw = spark.read.option("basePath", cellsDir)
         .parquet(eps.map(e => s"$cellsDir/$e"): _*)
-      val folded = minusTombstones(spark, indexDir, raw
+      val folded = ts.minus(spark, raw
         .select(raw.columns.filter(c => c != "epoch" && c != "cluster").map(col): _*)
-        .dropDuplicates())
+        .dropDuplicates(), "vec_id")
       dropIds.fold(folded)(ids =>
         folded.join(ids.select(col("vec_id")), Seq("vec_id"), "left_anti"))
         .withColumn("cluster", col("cl"))
         .write.partitionBy("cluster").mode("overwrite").parquet(tmp.toString)
     }
     eps.foreach(e => fs(spark, indexDir).delete(new Path(s"$cellsDir/$e"), true))
-    // deletion is now durable in the folded epoch — retire the tombstones
-    // (crash before this line: tombstones shadow already-removed rows, a
-    // no-op the next compact clears)
-    Tombstones.clear(spark, indexDir)
+    // deletion is now durable in the folded epoch — retire the SNAPSHOT's
+    // tombstone epochs only (a takedown that raced this compact stays
+    // pending and forces the next one; crash before this line: tombstones
+    // shadow already-removed rows, a no-op the next compact clears)
+    ts.clear(spark)
     val statsPath = new Path(s"$indexDir/stats.parquet")
     if (fs(spark, indexDir).exists(statsPath)) {
       val seps = fs(spark, indexDir).listStatus(statsPath).map(_.getPath.getName)

@@ -103,15 +103,17 @@ object PqIndex {
     * tombstones FORCE the fold even at one epoch (the ≤1-epoch no-op
     * must not retire unapplied deletions). */
   def compact(spark: SparkSession, indexDir: String): Unit = {
-    val force = Tombstones.pending(spark, indexDir)
-    def minus(df: DataFrame) = Tombstones.minus(spark, indexDir, df, "vec_id")
+    // frozen tombstone epoch set: fold out exactly these, retire exactly
+    // these — a takedown racing this compact stays pending for the next
+    val ts = Tombstones.snapshot(spark, indexDir)
+    def minus(df: DataFrame) = ts.minus(spark, df, "vec_id")
     EpochCompact.compactTable(spark, s"$indexDir/codes.parquet",
-      raw => minus(raw.distinct()), force)
+      raw => minus(raw.distinct()), ts.nonEmpty)
     EpochCompact.compactTable(spark, s"$indexDir/vecs.parquet",
-      raw => minus(raw.distinct()), force)
+      raw => minus(raw.distinct()), ts.nonEmpty)
     EpochCompact.compactTable(spark, s"$indexDir/ids.parquet",
-      raw => minus(raw.distinct()), force)
-    Tombstones.clear(spark, indexDir)
+      raw => minus(raw.distinct()), ts.nonEmpty)
+    ts.clear(spark)
   }
 
   /** Tombstone a set of (vec_id) rows — O(ids); every read excludes them

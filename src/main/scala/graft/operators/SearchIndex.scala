@@ -114,31 +114,35 @@ object SearchIndex {
     * the postings rewrite preserves the tbucket directory layout so the
     * pruned-read contract survives compaction. */
   def compact(spark: SparkSession, indexDir: String): Unit = {
-    val haveTombstones = Tombstones.pending(spark, indexDir)
+    // frozen tombstone epoch set: fold out exactly these, retire exactly
+    // these — a takedown racing this compact stays pending for the next
+    val ts = Tombstones.snapshot(spark, indexDir)
+    val haveTombstones = ts.nonEmpty
     val postings = new Path(indexDir, "postings.parquet")
     val fs = postings.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def epochsOf(p: Path): Int =
       if (!fs.exists(p)) 0
       else fs.listStatus(p).count(_.getPath.getName.startsWith("epoch="))
     if (epochsOf(postings) > 1 || haveTombstones) {
-      val merged = minusTombstones(spark, indexDir,
-        mergePostings(spark.read.parquet(postings.toString).drop("epoch")))
+      val merged = ts.minus(spark,
+        mergePostings(spark.read.parquet(postings.toString).drop("epoch")), "doc_id")
       AtomicPublish.swapDir(spark, postings.toString) { tmp =>
         merged.write.partitionBy("tbucket").parquet(s"$tmp/epoch=0")
       }
     }
     val docsT = new Path(indexDir, "docs.parquet")
     if (epochsOf(docsT) > 1 || haveTombstones) {
-      val merged = minusTombstones(spark, indexDir,
-        spark.read.parquet(docsT.toString).drop("epoch").distinct())
+      val merged = ts.minus(spark,
+        spark.read.parquet(docsT.toString).drop("epoch").distinct(), "doc_id")
       AtomicPublish.swapDir(spark, docsT.toString) { tmp =>
         merged.write.parquet(s"$tmp/epoch=0")
       }
     }
-    // deletions are durable in the folded tables — retire the tombstones
-    // (publish-before-delete: a crash before this line leaves tombstones
+    // deletions durable in the folded tables — retire the SNAPSHOT's
+    // epochs only (a takedown that raced this compact stays pending;
+    // publish-before-delete: a crash before this line leaves tombstones
     // shadowing already-removed rows, a no-op the next compact clears)
-    Tombstones.clear(spark, indexDir)
+    ts.clear(spark)
     ()
   }
 

@@ -73,9 +73,18 @@ object TextOps {
   // MAP-ONLY — the previous per-character explode pushed ~250 shuffled
   // rows per document through two exchanges; this pushes zero.
   private def qCharDiversity(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents")
+    charDiversityOf(table(spark, dir, "documents"))
+
+  /** The q_char_diversity body over any (doc_id, text) frame — exposed
+    * to the spec so the NULL-text contract is pinned directly. */
+  private[operators] def charDiversityOf(docs: DataFrame): DataFrame =
+    docs
+      // coalesce to the empty-doc counters: the native expression is
+      // null-propagating, but the lane's contract (and the COUNT-based
+      // oracle) null-FILLS — a NULL text must score as [0,0,0], not NULL
       .select(col("doc_id"),
-        graft.functions.CharDiversity.stats(col("text")).as("st"))
+        coalesce(graft.functions.CharDiversity.stats(col("text")),
+          array(lit(0L), lit(0L), lit(0L))).as("st"))
       .select(col("doc_id"),
         element_at(col("st"), 1).as("n_chars_total"),
         element_at(col("st"), 2).as("n_distinct_chars"),
@@ -607,10 +616,16 @@ object TextOps {
         explode(split(trim(col("text")), " ")).as("word"))
     val wb = tw.select(col("word")).distinct()
       .select(col("word"), pmod(polyWordHash(col("word")), lit(DsirBuckets)).as("b"))
+    // LEFT join to the votes: a word hashing to a bucket absent from the
+    // persisted distribution (possible only in the DsirIndex serving
+    // path, on out-of-distribution docs) still counts toward n_tokens
+    // with a NEUTRAL vote — an inner join silently dropped it, making
+    // n_tokens diverge from the doc's true token count
     val perText = tw
-      .join(broadcast(wb), "word").join(broadcast(votes), "b")
+      .join(broadcast(wb), "word").join(broadcast(votes), Seq("b"), "left")
       .groupBy(col("tkey"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("vote")).as("dsir_vote"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("vote"), lit(0L))).as("dsir_vote"))
     docs.select(col("doc_id"), xxhash64(col("text")).as("tkey"))
       .join(perText, "tkey")
       .select(col("doc_id"), col("n_tokens"), col("dsir_vote"))

@@ -97,10 +97,11 @@ object TokenizerIndex {
     * O(batch); the MODEL is untouched. Caller dedupes against
     * [[residentDocIds]] (the streaming lane anti-joins). */
   def observeBatch(spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
-    val stats = new Path(indexDir, "stats.parquet")
-    val fs = stats.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val next = fs.listStatus(stats).map(_.getPath.getName)
-      .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toInt).max + 1
+    // ledger-derived epoch + orphan reconcile ([[EpochLedger]]): a crash
+    // between the stats rename and the docs rename must not let the
+    // replayed batch double-count the drift counters
+    val next = EpochLedger.reconciledNext(
+      spark, s"$indexDir/docs.parquet", Seq(s"$indexDir/stats.parquet"))
     val merges = readMerges(spark, indexDir)
     for ((tab, df) <- Seq(
         "stats.parquet" -> statsRowOf(spark, merges, batch, isBaseline = false),
@@ -120,7 +121,8 @@ object TokenizerIndex {
 
   /** Fold the observation epochs into one (counters sum within their
     * baseline/served split; the ledger dedups). `merges.parquet` is one
-    * frozen epoch by construction — nothing to fold. */
+    * frozen epoch by construction — nothing to fold. Stats fold BEFORE
+    * the ledger (the [[EpochLedger]] compact ordering contract). */
   def compact(spark: SparkSession, indexDir: String): Unit = {
     EpochCompact.compactTable(spark, s"$indexDir/stats.parquet",
       _.groupBy(col("is_baseline")).agg(
@@ -138,7 +140,11 @@ object TokenizerIndex {
 
   def mergeRateReport(
       spark: SparkSession, indexDir: String, factor: Double = 1.5): MergeRateReport = {
+    // committed epochs only: an observeBatch crash residue (stats
+    // renamed, ledger not) must not skew the drift signal
     val s = spark.read.parquet(s"$indexDir/stats.parquet")
+      .filter(col("epoch") <=
+        EpochLedger.committedMax(spark, s"$indexDir/docs.parquet"))
       .select(col("is_baseline"), col("n_raw"), col("n_merged"))
     def sums(df: DataFrame): (Long, Long) = {
       val r = df.agg(sum(col("n_raw")), sum(col("n_merged"))).head()
@@ -187,8 +193,11 @@ object TokenizerIndex {
   /** Build-if-absent against the corpus at `dir`; returns the store dir. */
   private[operators] def ensureStore(spark: SparkSession, dir: String): String = {
     val indexDir = indexDirFor(dir)
+    // probe the LEDGER (last-written in build): its presence implies
+    // merges and stats committed too; a crash mid-build leaves it
+    // absent and the whole store rebuilds
     if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$indexDir/merges.parquet")))
+        java.nio.file.Paths.get(s"$indexDir/docs.parquet")))
       buildIndex(spark, Tables.table(spark, dir, "documents"), indexDir)
     indexDir
   }

@@ -33,7 +33,13 @@ object Tombstones {
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Append an O(ids) tombstone epoch of `ids`'s `keyCol` values. */
+  /** Append an O(ids) tombstone epoch of `ids`'s `keyCol` values.
+    *
+    * Epoch numbering assumes a SINGLE deletion writer (the same
+    * single-writer discipline every family pins for append/compact):
+    * two concurrent deletes could both scan max-epoch and race the same
+    * `epoch=K` rename — one would fail its publish. Takedowns from
+    * outside the maintenance loop must be serialized by the caller. */
   def delete(
       spark: SparkSession, indexDir: String, ids: DataFrame, keyCol: String): Unit = {
     val ts = dirOf(indexDir)
@@ -74,10 +80,51 @@ object Tombstones {
     fs.exists(ts) && fs.listStatus(ts).exists(_.getPath.getName.startsWith("epoch="))
   }
 
-  /** Retire the table after a compact made the deletions durable. */
-  def clear(spark: SparkSession, indexDir: String): Unit = {
+  /** A compact-scoped view of the tombstone table with the epoch set
+    * FROZEN at construction. The compact folds out exactly this set and
+    * [[Snapshot.clear]] retires exactly this set — a tombstone epoch
+    * written between the compact's fold-read and its clear (takedowns
+    * via `deleteFromIndex` may race the maintenance loop) is neither
+    * folded nor destroyed; it stays pending and forces the next compact,
+    * which applies it then. Before this, `clear` deleted the whole
+    * table, silently dropping any concurrently-written epoch and
+    * resurrecting the supposedly taken-down key. */
+  final case class Snapshot(indexDir: String, epochs: Seq[String]) {
+    def nonEmpty: Boolean = epochs.nonEmpty
+    private def paths = epochs.map(e => s"${dirOf(indexDir)}/$e")
+
+    /** Distinct tombstoned keys of the frozen epoch set. */
+    def ids(spark: SparkSession, keyCol: String): Option[DataFrame] =
+      if (epochs.isEmpty) None
+      else Some(spark.read.parquet(paths: _*).select(col(keyCol)).distinct())
+
+    /** Anti-join `df` against the frozen epoch set's keys. */
+    def minus(spark: SparkSession, df: DataFrame, keyCol: String): DataFrame =
+      ids(spark, keyCol).fold(df)(ts => df.join(ts, Seq(keyCol), "left_anti"))
+
+    /** Retire the frozen epochs after the compact made their deletions
+      * durable; the table dir itself goes only once no later-arriving
+      * epoch remains. */
+    def clear(spark: SparkSession): Unit = {
+      val ts = dirOf(indexDir)
+      val fs = fsOf(spark, ts)
+      epochs.foreach(e => fs.delete(new Path(ts, e), true))
+      if (fs.exists(ts) &&
+          !fs.listStatus(ts).exists(_.getPath.getName.startsWith("epoch=")))
+        fs.delete(ts, true)
+      ()
+    }
+  }
+
+  /** Freeze the current epoch set. Compacts MUST read/fold/clear through
+    * the snapshot, never the live table (see [[Snapshot]]). */
+  def snapshot(spark: SparkSession, indexDir: String): Snapshot = {
     val ts = dirOf(indexDir)
-    fsOf(spark, ts).delete(ts, true)
-    ()
+    val fs = fsOf(spark, ts)
+    val eps =
+      if (!fs.exists(ts)) Seq.empty[String]
+      else fs.listStatus(ts).map(_.getPath.getName)
+        .filter(_.startsWith("epoch=")).toSeq.sorted
+    Snapshot(indexDir, eps)
   }
 }

@@ -973,6 +973,41 @@ object DocStream {
       }
       .start()
 
+  /** Layout migration for a resident corpus written by the pre-round-10
+    * code (flat mode-append part files at the table root): the epoch=
+    * write path would otherwise create a MIXED flat+partitioned layout
+    * whose partition discovery fails on every subsequent read, wedging
+    * the curation stream. The flat files move into `epoch=0` via whole-
+    * dir renames (never per-file — a per-file crash window would itself
+    * leave the mixed layout): root → `.flat-legacy`, fresh root,
+    * `.flat-legacy` → `root/epoch=0`. A crash between renames leaves the
+    * `.flat-legacy` dir, which the recovery branch completes first. */
+  private def migrateFlatCorpus(
+      fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): Unit = {
+    val legacy = new org.apache.hadoop.fs.Path(
+      p.getParent, p.getName + ".flat-legacy")
+    val epoch0 = new org.apache.hadoop.fs.Path(p, "epoch=0")
+    if (fs.exists(legacy)) {
+      // resume a crashed migration; if epoch=0 somehow already exists,
+      // leave the legacy copy in place for operator recovery
+      if (!fs.exists(p)) fs.mkdirs(p)
+      if (!fs.exists(epoch0)) fs.rename(legacy, epoch0)
+      ()
+    } else if (fs.exists(p)) {
+      val children = fs.listStatus(p)
+      val hasEpochs = children.exists(_.getPath.getName.startsWith("epoch="))
+      val hasFlatData = children.exists(st =>
+        st.isFile && !st.getPath.getName.startsWith(".") &&
+          !st.getPath.getName.startsWith("_"))
+      if (!hasEpochs && hasFlatData) {
+        fs.rename(p, legacy)
+        fs.mkdirs(p)
+        fs.rename(legacy, epoch0)
+        ()
+      }
+    }
+  }
+
   /** One micro-batch of [[curationFunnelStream]] — factored out so the
     * cumulative-equals-batch contract is directly testable. */
   private[graft] def processCurationFunnelBatch(
@@ -985,6 +1020,7 @@ object DocStream {
       val corpusDir = s"$baseDir/corpus.parquet"
       val p = new org.apache.hadoop.fs.Path(corpusDir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      migrateFlatCorpus(fs, p)
       val exists = fs.exists(p)
       // replay-safe corpus fold: append only docs not already resident
       val fresh =

@@ -92,4 +92,52 @@ class DsirIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq === Seq((10L, 2L, 2L)))
   }
+
+  test("append crash window: counters without their ledger twin neither " +
+      "skew reads nor double-count on replay (EpochLedger protocol)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-dsircrash").toString
+    val idx = s"$base/idx"
+    DsirIndex.buildIndex(spark, corpusA, idx)
+    def totals(d: String) = DsirIndex.bucketTotals(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val before = totals(idx)
+    val batch = Seq((3L, "epsilon zeta", "en")).toDF("doc_id", "text", "lang")
+    DsirIndex.appendToIndex(spark, idx, batch)
+    // simulate the crash BETWEEN the two renames: the counter epoch
+    // committed, the ledger rename never happened
+    val orphanLedger = new org.apache.hadoop.fs.Path(s"$idx/docs.parquet/epoch=1")
+    orphanLedger.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(orphanLedger, true)
+    // reads skip the uncommitted residue — the served model is unchanged
+    assert(totals(idx) === before)
+    assert(DsirIndex.residentDocIds(spark, idx).count() === 2L)
+    // the replayed batch (the ledger says it is absent) lands exactly
+    // once: the reconcile deletes the orphaned counter epoch first
+    DsirIndex.appendToIndex(spark, idx, batch)
+    val oneShot = s"$base/oneshot"
+    DsirIndex.buildIndex(spark, corpusA.union(batch), oneShot)
+    assert(totals(idx) === totals(oneShot))
+    assert(DsirIndex.residentDocIds(spark, idx).count() === 3L)
+  }
+
+  test("serving out-of-distribution words: an unseen-bucket word counts " +
+      "toward n_tokens with a neutral vote") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-dsirood").toString + "/idx"
+    DsirIndex.buildIndex(spark, corpusA, idx)
+    // replicate the word→bucket hash (fold (acc*31 + ascii) mod P, then
+    // mod 512) to pick a probe word whose bucket is EMPTY in the store
+    val P = graft.functions.PolyMinHash.P
+    def bucketOf(w: String): Long =
+      math.floorMod(w.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P), 512L)
+    val occupied = DsirIndex.bucketTotals(spark, idx)
+      .collect().map(_.getLong(0)).toSet
+    val ood = Iterator.from(0).map(i => s"ood$i")
+      .find(w => !occupied(bucketOf(w))).get
+    val got = DsirIndex.scoreDocs(
+      spark, Seq((40L, s"alpha $ood")).toDF("doc_id", "text"), idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // alpha is target-exclusive (+1); the unseen word votes 0 but MUST
+    // count toward n_tokens — the old inner join dropped it entirely
+    assert(got.toSeq === Seq((40L, 2L, 1L)))
+  }
 }

@@ -94,6 +94,28 @@ class TokenizerIndexSpec extends AnyFunSuite {
     assert(TokenizerIndex.mergeRateReport(spark, idx) === once)
   }
 
+  test("observe crash window: stats without their ledger twin neither " +
+      "skew the drift signal nor double-count on replay (EpochLedger protocol)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-tokcrash").toString
+    val idx = s"$base/idx"
+    TokenizerIndex.buildIndex(spark, corpusA, idx)
+    val batch = Seq((5L, "a b a b")).toDF("doc_id", "text")
+    TokenizerIndex.observeBatch(spark, idx, batch)
+    // simulate the crash BETWEEN the two renames: the stats epoch
+    // committed, the ledger rename never happened
+    val orphanLedger = new org.apache.hadoop.fs.Path(s"$idx/docs.parquet/epoch=1")
+    orphanLedger.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(orphanLedger, true)
+    // the drift signal skips the uncommitted residue entirely
+    val mid = TokenizerIndex.mergeRateReport(spark, idx)
+    assert(mid.servedTokens === 0L)
+    // the replayed batch lands exactly once: the reconcile deletes the
+    // orphaned stats epoch before the rewrite
+    TokenizerIndex.observeBatch(spark, idx, batch)
+    val after = TokenizerIndex.mergeRateReport(spark, idx)
+    assert(after.servedTokens === 4L && after.servedRate === 0.75)
+  }
+
   test("bpeEncodeStream wiring emits encoded batches through the query") {
     val base = java.nio.file.Files.createTempDirectory("graft-tokwire").toString
     val idx = s"$base/idx"

@@ -69,6 +69,29 @@ class DocStreamCurationSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/corpus.parquet").count() === corpusBefore)
   }
 
+  test("a pre-round-10 FLAT resident corpus migrates into epoch=0 on the " +
+      "first post-upgrade batch instead of wedging partition discovery") {
+    val base = java.nio.file.Files.createTempDirectory("graft-cumigrate").toString
+    // the legacy layout: flat mode-append part files at the table root
+    batchOf(0L, 300L).write.mode("append").parquet(s"$base/corpus.parquet")
+    var emitted: Map[String, (Long, Long)] = Map.empty
+    DocStream.processCurationFunnelBatch(spark, base, batchOf(300L, 600L),
+      graft.operators.IndexPolicy.CompactEvery,
+      df => emitted = toMap(df.collect()))
+    // the mixed flat+epoch= layout would fail this read outright; after
+    // migration the resident corpus is the union of legacy + fresh docs
+    val corpus = spark.read.parquet(s"$base/corpus.parquet")
+    assert(corpus.count() === batchOf(0L, 600L).count())
+    assert(new java.io.File(s"$base/corpus.parquet/epoch=0").isDirectory)
+    assert(!new java.io.File(s"$base/corpus.parquet.flat-legacy").exists())
+    // replay safety survives the migration: legacy docs are resident, so
+    // a re-delivered overlapping batch folds nothing twice
+    DocStream.processCurationFunnelBatch(spark, base, batchOf(0L, 600L),
+      graft.operators.IndexPolicy.CompactEvery, _ => ())
+    assert(spark.read.parquet(s"$base/corpus.parquet").count()
+      === batchOf(0L, 600L).count())
+  }
+
   test("curationFunnelStream wiring emits through the streaming query") {
     val base = java.nio.file.Files.createTempDirectory("graft-custream2").toString
     var emitted: Map[String, (Long, Long)] = Map.empty
