@@ -361,6 +361,101 @@ object CorpusOps {
         .orderBy(col("score").desc, col("doc_id"))).cast(LongType))
   }
 
+  // --- q_bm25_search: Okapi BM25 over the same query set -----------------
+  // Robertson & Walker's saturation (k1 = 1.2, b = 0.75) kept FIXED-POINT
+  // so the lane hash-gates (the suite's established move): with
+  // r = dl/avgdl in ppm, norm = 1 − b + b·r and den = tf + k1·norm are
+  // ppm integers, sat = tf·(k1+1)/den a ppm ratio, and the idf is the
+  // RSJ log ARGUMENT (2N−2df+1)/(2df+1) in milli — the log itself is
+  // libm-dependent and would not cross-engine hash; the rational
+  // surrogate is documented, monotone in df the same direction, and
+  // integer-exact. Reduce-before-multiply keeps every intermediate under
+  // Long range at N = 1e9, dl = 1e5 (idf_milli ≤ 2e12, sat_ppm ≤ 2.2e6,
+  // product ≤ 4.4e18 < 2^63). Doc length dl is the doc's TOTAL token
+  // count (all terms, not just query terms) — the indexed twin serves it
+  // from the postings store's ledger, written at ingest from the batch's
+  // own tf sums, so BM25 length normalization never re-scans the corpus.
+  private[operators] val Bm25K1Ppm = 1200000L
+  private[operators] val Bm25BPpm = 750000L
+
+  /** The shared BM25 scoring body: `tf` (doc_id, term, tf) restricted to
+    * the query terms, `df` (term, df), `dl` (doc_id, dl), `totals` a
+    * 1-row (n_docs, t_tokens). Inline and [[SearchIndex]] lanes feed it
+    * from raw text and from the postings store respectively — one
+    * arithmetic by construction. */
+  private[operators] def bm25Score(
+      tf: DataFrame, df: DataFrame, dl: DataFrame, totals: DataFrame,
+      topK: Int): DataFrame = {
+    val scored = tf.join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("avgdl_milli", expr("(t_tokens * 1000) div n_docs"))
+      .withColumn("r_ppm", expr("(dl * 1000000000) div avgdl_milli"))
+      .withColumn("norm_ppm",
+        expr(s"1000000 - $Bm25BPpm + ($Bm25BPpm * r_ppm) div 1000000"))
+      .withColumn("den_ppm",
+        expr(s"tf * 1000000 + ($Bm25K1Ppm * norm_ppm) div 1000000"))
+      .withColumn("sat_ppm",
+        expr(s"(tf * ${1000000L + Bm25K1Ppm} * 1000000) div den_ppm"))
+      .withColumn("idf_milli",
+        expr("((2 * n_docs - 2 * df + 1) * 1000) div (2 * df + 1)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        sum(expr("idf_milli * sat_ppm")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+    scored.withColumn("rank",
+      row_number().over(Window.partitionBy(col("score") * lit(0L))
+        .orderBy(col("score").desc, col("doc_id"))).cast(LongType))
+  }
+
+  private def qBm25Search(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val allTf = docs
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = allTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
+    val tf = allTf.filter(col("term").isin(QueryTerms: _*))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    bm25Score(tf, df, dl, totals, SearchTopK)
+  }
+
+  private[operators] val qBm25SearchSql = {
+    val terms = QueryTerms.map("'" + _ + "'").mkString(", ")
+    s"""WITH alltf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+       |        FROM documents) t
+       |  GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM alltf GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS t_tokens FROM dl),
+       |tf AS (SELECT * FROM alltf WHERE term IN ($terms)),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |s AS (
+       |  SELECT tf.doc_id, tf.tf, df.df, dl.dl, tot.n_docs,
+       |    (tot.t_tokens * 1000) // tot.n_docs AS avgdl_milli
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN tot),
+       |s2 AS (
+       |  SELECT doc_id, tf, df, n_docs,
+       |    1000000 - $Bm25BPpm + ($Bm25BPpm * ((dl * 1000000000) // avgdl_milli)) // 1000000 AS norm_ppm
+       |  FROM s),
+       |s3 AS (
+       |  SELECT doc_id,
+       |    ((2 * n_docs - 2 * df + 1) * 1000) // (2 * df + 1) AS idf_milli,
+       |    (tf * ${1000000L + Bm25K1Ppm} * 1000000)
+       |      // (tf * 1000000 + ($Bm25K1Ppm * norm_ppm) // 1000000) AS sat_ppm
+       |  FROM s2)
+       |SELECT doc_id, n_hits, score,
+       |  ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+       |FROM (
+       |  SELECT doc_id, COUNT(*) AS n_hits,
+       |    CAST(SUM(idf_milli * sat_ppm) AS BIGINT) AS score
+       |  FROM s3 GROUP BY 1) f
+       |ORDER BY score DESC, doc_id LIMIT $SearchTopK""".stripMargin
+  }
+
   private[operators] val qKeywordSearchSql = {
     val terms = QueryTerms.map("'" + _ + "'").mkString(", ")
     s"""WITH tf AS (
@@ -736,6 +831,7 @@ object CorpusOps {
     QueryDef("q_bpe_train", qBpeTrain, Some(qBpeTrainSql)),
     QueryDef("q_bpe_encode", qBpeEncode, Some(qBpeEncodeSql)),
     QueryDef("q_keyword_search", qKeywordSearch, Some(qKeywordSearchSql)),
+    QueryDef("q_bm25_search", qBm25Search, Some(qBm25SearchSql)),
     QueryDef("q_doc_rarity", qDocRarity, Some(qDocRaritySql)),
     QueryDef("q_source_similarity", qSourceSimilarity, Some(qSourceSimilaritySql)),
     QueryDef("q_kmv_distinct", qKmvDistinct, Some(qKmvDistinctSql)),

