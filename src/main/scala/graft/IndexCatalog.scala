@@ -51,7 +51,13 @@ object IndexCatalog {
 
   final case class IndexReport(
       dir: String, family: String, tables: Seq[TableReport],
-      drift: Option[operators.IvfIndex.DriftReport])
+      drift: Option[operators.IvfIndex.DriftReport],
+      /** Keys awaiting the deletion-applying compact: tombstoned ids
+        * ([[operators.Tombstones]] families) or the negative-epoch
+        * deletion ledger ([[operators.NegEpochs]] count families). None
+        * when the store has no pending deletions — every family now has
+        * one of the two takedown paths. */
+      pendingDeletes: Option[Long] = None)
 
   /** Structured report for one index dir (spec-callable). */
   def report(spark: SparkSession, dir: String): IndexReport = {
@@ -77,8 +83,18 @@ object IndexCatalog {
         try Some(operators.IvfIndex.driftReport(spark, dir))
         catch { case _: Throwable => None }
       else None
+    // pending deletions, whichever discipline the family uses: the
+    // tombstone table (doc/vector-keyed stores) or the NegEpochs dels
+    // ledger (count models) — both retire at the next compact
+    val pendingDeletes = Seq("tombstones.parquet", "dels.parquet")
+      .filter(tables.contains)
+      .map(t => try spark.read.parquet(new Path(root, t).toString)
+        .dropDuplicates().count()
+      catch { case _: Throwable => 0L })
+      .reduceOption(_ + _).filter(_ > 0)
     IndexReport(dir, family,
-      reports ++ residue.map(r => TableReport(r, 0, -1L, Seq(r))), drift)
+      reports ++ residue.map(r => TableReport(r, 0, -1L, Seq(r))), drift,
+      pendingDeletes)
   }
 
   /** Render one report as the CLI's output lines. */
@@ -95,7 +111,9 @@ object IndexCatalog {
       f"[catalog]   drift: baseline=${d.baselineMean}%.4f appended=${d.appendedMean}%.4f " +
         s"rows=${d.appendedRows} retrain=${d.retrain}"
     }
-    (head +: tabs) ++ drift
+    val dels = r.pendingDeletes.map(n =>
+      s"[catalog]   PENDING DELETES: $n key(s) — next compact applies them")
+    (head +: tabs) ++ drift ++ dels
   }
 
   def main(args: Array[String]): Unit = {

@@ -49,8 +49,11 @@ object ClassifyIndex {
 
   /** Fold a batch of labeled documents into the model: O(batch) work;
     * readers sum counts across epochs, so the result is EXACTLY the
-    * rebuild. Caller dedupes batches against [[residentDocIds]]. */
-  def appendToModel(spark: SparkSession, modelDir: String, batch: DataFrame): Unit = {
+    * rebuild. Caller dedupes batches against [[residentDocIds]]. A doc
+    * with a pending deletion stays dead ([[NegEpochs]] shadow
+    * semantics) until the deletion-applying compact. */
+  def appendToModel(spark: SparkSession, modelDir: String, batch0: DataFrame): Unit = {
+    val batch = NegEpochs.minus(spark, modelDir, batch0)
     val counts = new Path(modelDir, "counts.parquet")
     val fs = counts.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val next = fs.listStatus(counts).map(_.getPath.getName)
@@ -58,23 +61,53 @@ object ClassifyIndex {
     writeEpoch(spark, modelDir, next, batch)
   }
 
-  /** Doc_ids already folded into the model. */
+  /** Doc_ids already folded into the model — pending deletions excluded. */
   def residentDocIds(spark: SparkSession, modelDir: String): DataFrame =
-    spark.read.parquet(s"$modelDir/docs.parquet").select(col("doc_id")).distinct()
+    NegEpochs.minus(spark, modelDir,
+      spark.read.parquet(s"$modelDir/docs.parquet").select(col("doc_id")).distinct())
+
+  /** Takedown: subtract the victim documents' own train-split token
+    * counts as a negative epoch ([[NegEpochs]] — the additive arithmetic
+    * reversed); needs the doc ROWS, the counter table is not
+    * doc-attributed. A holdout-split victim contributes zero counts but
+    * still leaves the ledger. O(victims). */
+  def deleteFromModel(spark: SparkSession, modelDir: String, docRows: DataFrame): Unit = {
+    val v = NegEpochs.victims(spark, modelDir, docRows,
+      spark.read.parquet(s"$modelDir/docs.parquet")).persist()
+    try {
+      if (!v.isEmpty)
+        NegEpochs.writeDeletion(spark, modelDir,
+          Seq("counts.parquet" -> ClassifyOps.trainCounts(v)),
+          v.select(col("doc_id")))
+    } finally { v.unpersist(); () }
+  }
 
   /** Fold all epochs into one: counts sum, ledger dedups — exactly the
-    * merge every read already performs ([[EpochCompact]] swap safety). */
+    * merge every read already performs ([[EpochCompact]] swap safety).
+    * PENDING DELETIONS are applied with a whole-store swap instead (the
+    * [[NegEpochs]] cross-table-atomic retire; see [[LmIndex.compact]]). */
   def compact(spark: SparkSession, modelDir: String): Unit = {
+    if (NegEpochs.pending(spark, modelDir)) {
+      val mc = modelCounts(spark, modelDir).persist()
+      val rd = residentDocIds(spark, modelDir).persist()
+      try NegEpochs.applyWithSwap(spark, modelDir) { tmp =>
+        mc.write.parquet(s"$tmp/counts.parquet/epoch=0")
+        rd.write.parquet(s"$tmp/docs.parquet/epoch=0")
+      } finally { mc.unpersist(); rd.unpersist(); () }
+      return
+    }
     EpochCompact.compactTable(spark, s"$modelDir/counts.parquet",
       _.groupBy(col("word"), col("lang")).agg(sum(col("c")).as("c")))
     EpochCompact.compactTable(spark, s"$modelDir/docs.parquet", _.distinct())
   }
 
-  /** The served counts table: summed across ALL epochs — every smoothing
-    * denominator downstream derives from this one aggregate. */
+  /** The served counts table: summed across ALL epochs, net of committed
+    * deletions — every smoothing denominator downstream derives from
+    * this one aggregate. */
   def modelCounts(spark: SparkSession, modelDir: String): DataFrame =
-    spark.read.parquet(s"$modelDir/counts.parquet")
-      .groupBy(col("word"), col("lang")).agg(sum(col("c")).as("c"))
+    NegEpochs.netTotals(spark, modelDir, "counts.parquet",
+      Seq("word", "lang"), Seq("c"),
+      spark.read.parquet(s"$modelDir/counts.parquet"))
 
   /** Classify the holdout split of `docs` against the persisted model:
     * the q_classify_freq output shape, training corpus never re-read. */

@@ -233,6 +233,69 @@ object ClusterIndex {
     }
   }
 
+  /** Takedown: remove `ids` so the index equals a full rebuild over
+    * resident − ids — the append maintenance run in reverse, and the
+    * verdict's "re-cluster affected components" case. The df cap makes
+    * deletion non-monotone too: pulling a shingle back UNDER the cap
+    * can create old×old edges (n rises… it joins intersections again)
+    * or remove them (n grows → jaccard falls), so components can MERGE
+    * and SPLIT; the affected-subgraph machinery is the same one the
+    * append path spec-pinned. Victim-proportional plus narrow scans;
+    * whole-dir swap; idempotent (a replayed takedown finds no members). */
+  def deleteFromIndex(spark: SparkSession, indexDir: String, ids: DataFrame): Unit = {
+    val m = IncrementalDedup.mergeDelete(spark, indexDir, ids)
+    if (m.members eq null) return
+    val oldEdges = spark.read.schema(EdgesSchema).parquet(s"$indexDir/edges.parquet")
+    val oldLabels = spark.read.schema(LabelsSchema).parquet(s"$indexDir/labels.parquet")
+    val oldMeta = spark.read.schema(MetaSchema).parquet(s"$indexDir/doc_meta.parquet")
+
+    val touched = m.droppedTkeys.unionByName(m.raisedTkeys).distinct().cache()
+    val newEdges = touchedEdges(m.sh, m.df, m.texts, touched).cache()
+    val keptEdges = oldEdges
+      .join(touched.withColumnRenamed("tkey", "t1"), Seq("t1"), "left_anti")
+      .join(touched.withColumnRenamed("tkey", "t2"), Seq("t2"), "left_anti")
+
+    val oldAffectedEdges = oldEdges
+      .join(touched.withColumnRenamed("tkey", "t1"), Seq("t1"), "left_semi")
+      .unionByName(oldEdges
+        .join(touched.withColumnRenamed("tkey", "t2"), Seq("t2"), "left_semi"))
+    val changedTkeys = touched
+      .unionByName(newEdges.select(col("t1").as("tkey")))
+      .unionByName(newEdges.select(col("t2").as("tkey")))
+      .unionByName(oldAffectedEdges.select(col("t1").as("tkey")))
+      .unionByName(oldAffectedEdges.select(col("t2").as("tkey")))
+      .distinct()
+    val affected = oldLabels.join(changedTkeys, "tkey").select("label").distinct()
+    val subNodes = oldLabels.join(affected, "label").select("tkey")
+    val subEdges = keptEdges
+      .join(subNodes.withColumnRenamed("tkey", "t1"), Seq("t1"), "left_semi")
+      .unionByName(newEdges)
+    val subLabels = DedupOps.connectedComponents(
+      subEdges.select(col("t1").as("d1"), col("t2").as("d2")))
+      .select(col("id").as("tkey"), col("label"))
+    val finalLabels = oldLabels.join(affected, Seq("label"), "left_anti")
+      .unionByName(subLabels)
+      .select(col("tkey"), col("label"))
+    val finalEdges = keptEdges.unionByName(newEdges)
+      .select(col("t1"), col("t2"))
+    val finalMeta = oldMeta.join(
+      ids.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+
+    AtomicPublish.swapDir(spark, indexDir,
+      tmpSuffix = ".delete-tmp", bakSuffix = ".delete-bak") { tmp =>
+      m.sh.write.mode(SaveMode.Overwrite).parquet(s"$tmp/text_shingles.parquet")
+      m.df.write.mode(SaveMode.Overwrite).parquet(s"$tmp/shingle_df.parquet")
+      m.texts.write.mode(SaveMode.Overwrite).parquet(s"$tmp/texts.parquet")
+      m.members.write.mode(SaveMode.Overwrite).parquet(s"$tmp/members.parquet")
+      finalEdges.write.mode(SaveMode.Overwrite).parquet(s"$tmp/edges.parquet")
+      finalLabels.write.mode(SaveMode.Overwrite).parquet(s"$tmp/labels.parquet")
+      finalMeta.write.mode(SaveMode.Overwrite).parquet(s"$tmp/doc_meta.parquet")
+      touched.unpersist()
+      newEdges.unpersist()
+      ()
+    }
+  }
+
   /** q_dedup_clusters from index tables only (labels ⋈ members ⋈ texts):
     * edge components expand to member docs; texts with ≥ 2 copies, ≥ 1
     * capped shingle, and no edge form their own intra-copy component —

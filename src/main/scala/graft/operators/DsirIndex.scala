@@ -58,25 +58,47 @@ object DsirIndex {
     * not) is reconciled away before the rewrite, so a replayed batch
     * lands exactly once ([[EpochLedger]]). Caller dedupes against
     * [[residentDocIds]] (the streaming lane anti-joins). */
-  def appendToIndex(spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+  def appendToIndex(spark: SparkSession, indexDir: String, batch0: DataFrame): Unit = {
+    // a doc with a pending deletion stays dead until the deletion-
+    // applying compact ([[NegEpochs]] shadow semantics)
+    val batch = NegEpochs.minus(spark, indexDir, batch0)
     val next = EpochLedger.reconciledNext(
       spark, s"$indexDir/docs.parquet", Seq(s"$indexDir/buckets.parquet"))
     writeEpoch(spark, indexDir, next, batch)
   }
 
-  /** Doc_ids already folded in (the streaming anti-join target). */
+  /** Doc_ids already folded in (the streaming anti-join target) —
+    * pending deletions excluded. */
   def residentDocIds(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/docs.parquet").select(col("doc_id")).distinct()
+    NegEpochs.minus(spark, indexDir,
+      spark.read.parquet(s"$indexDir/docs.parquet").select(col("doc_id")).distinct())
+
+  /** Takedown: subtract the victim documents' own hashed-bucket counters
+    * as a negative epoch ([[NegEpochs]] — the additive arithmetic
+    * reversed); needs the doc ROWS (text, lang), the 512-row model is
+    * not doc-attributed. O(victims). */
+  def deleteFromIndex(spark: SparkSession, indexDir: String, docRows: DataFrame): Unit = {
+    val v = NegEpochs.victims(spark, indexDir, docRows,
+      spark.read.parquet(s"$indexDir/docs.parquet")).persist()
+    try {
+      if (!v.isEmpty)
+        NegEpochs.writeDeletion(spark, indexDir,
+          Seq("buckets.parquet" ->
+            TextOps.dsirBucketStats(v.select(col("text"), col("lang")))),
+          v.select(col("doc_id")))
+    } finally { v.unpersist(); () }
+  }
 
   /** The served model: per-bucket counters summed across COMMITTED
-    * epochs (uncommitted crash residue is partition-pruned out) —
-    * bounded by the hashed feature space (512 rows). */
+    * epochs (uncommitted crash residue is partition-pruned out), net of
+    * committed deletions — bounded by the hashed feature space
+    * (512 rows). */
   def bucketTotals(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/buckets.parquet")
-      .filter(col("epoch") <=
-        EpochLedger.committedMax(spark, s"$indexDir/docs.parquet"))
-      .groupBy(col("b"))
-      .agg(sum(col("c_t")).as("c_t"), sum(col("c_r")).as("c_r"))
+    NegEpochs.netTotals(spark, indexDir, "buckets.parquet",
+      Seq("b"), Seq("c_t", "c_r"),
+      spark.read.parquet(s"$indexDir/buckets.parquet")
+        .filter(col("epoch") <=
+          EpochLedger.committedMax(spark, s"$indexDir/docs.parquet")))
 
   /** Score documents against the persisted distributions — the
     * q_dsir_vote output; the corpus is scanned only to featurize the
@@ -88,8 +110,19 @@ object DsirIndex {
     * merge every read already performs. Order is the [[EpochLedger]]
     * contract: counters fold BEFORE the ledger, so a crash in between
     * leaves counter epochs ≤ ledger epochs (tolerated) rather than a
-    * folded counter table the next append would mistake for residue. */
+    * folded counter table the next append would mistake for residue.
+    * PENDING DELETIONS are applied with a whole-store swap instead (the
+    * [[NegEpochs]] cross-table-atomic retire; see [[LmIndex.compact]]). */
   def compact(spark: SparkSession, indexDir: String): Unit = {
+    if (NegEpochs.pending(spark, indexDir)) {
+      val bt = bucketTotals(spark, indexDir).persist()
+      val rd = residentDocIds(spark, indexDir).persist()
+      try NegEpochs.applyWithSwap(spark, indexDir) { tmp =>
+        bt.write.parquet(s"$tmp/buckets.parquet/epoch=0")
+        rd.write.parquet(s"$tmp/docs.parquet/epoch=0")
+      } finally { bt.unpersist(); rd.unpersist(); () }
+      return
+    }
     EpochCompact.compactTable(spark, s"$indexDir/buckets.parquet",
       _.groupBy(col("b")).agg(sum(col("c_t")).as("c_t"), sum(col("c_r")).as("c_r")))
     EpochCompact.compactTable(spark, s"$indexDir/docs.parquet", _.distinct())

@@ -31,7 +31,10 @@ object EvalIndex {
       spark: SparkSession, indexDir: String, epoch: Int, docs: DataFrame): Unit = {
     val root = new Path(indexDir)
     for ((tab, df) <- Seq(
-        "shingles.parquet" -> TextOps.evalShinglesOf(docs),
+        // v2: shingles carry their contributing doc_id, so a takedown can
+        // remove exactly one eval doc's contribution while shingles other
+        // eval docs still carry survive (the read distinct()s them away)
+        "shingles.parquet" -> TextOps.evalDocShinglesOf(docs),
         "docs.parquet" -> docs.select(col("doc_id")).distinct())) {
       AtomicPublish.stageAndRename(
         spark, new Path(root, tab).toString, s".epoch-$epoch.tmp", s"epoch=$epoch") {
@@ -57,25 +60,43 @@ object EvalIndex {
     writeEpoch(spark, indexDir, next, batch)
   }
 
-  /** Eval doc_ids already folded in (the streaming anti-join target). */
+  /** Eval doc_ids already folded in (the streaming anti-join target) —
+    * tombstoned docs stay here until compaction, the family's shadowing
+    * semantics (a deleted eval doc re-arriving stays dead). */
   def residentDocIds(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/docs.parquet").select(col("doc_id")).distinct()
 
-  /** The served leak vocabulary — the read-merge is distinct, so
-    * duplicate epochs and the compaction publish window change nothing. */
+  /** Takedown: tombstone the eval doc — O(ids). Its shingle rows vanish
+    * from the served vocabulary immediately, but a shingle ANOTHER eval
+    * doc also carries survives the doc-attributed anti-join — exactly
+    * the vocabulary a rebuild without the doc produces. */
+  def deleteFromIndex(spark: SparkSession, indexDir: String, ids: DataFrame): Unit =
+    Tombstones.delete(spark, indexDir, ids, "doc_id")
+
+  /** The served leak vocabulary — tombstone-excluded rows, then the
+    * distinct read-merge, so duplicate epochs and the compaction publish
+    * window change nothing. */
   def shingles(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/shingles.parquet")
+    Tombstones.minus(spark, indexDir,
+      spark.read.parquet(s"$indexDir/shingles.parquet")
+        .select(col("doc_id"), col("shingle")), "doc_id")
       .select(col("shingle")).distinct()
 
-  /** Fold all epochs into one — the read-merge, made durable. */
+  /** Fold all epochs into one — the read-merge, made durable; tombstoned
+    * docs fold out of both tables, then the SNAPSHOT's tombstone epochs
+    * retire (a takedown racing the compact stays pending). */
   def compact(spark: SparkSession, indexDir: String): Unit = {
-    EpochCompact.compactTable(spark, s"$indexDir/shingles.parquet", _.distinct())
-    EpochCompact.compactTable(spark, s"$indexDir/docs.parquet", _.distinct())
+    val ts = Tombstones.snapshot(spark, indexDir)
+    EpochCompact.compactTable(spark, s"$indexDir/shingles.parquet",
+      raw => ts.minus(spark, raw.distinct(), "doc_id"), ts.nonEmpty)
+    EpochCompact.compactTable(spark, s"$indexDir/docs.parquet",
+      raw => ts.minus(spark, raw.distinct(), "doc_id"), ts.nonEmpty)
+    ts.clear(spark)
   }
 
   // --- q_decontaminate_indexed: the persisted-vocabulary lane ------------
   private def indexDirFor(dir: String): String = {
-    val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "eval-v1"))
+    val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "eval-v2"))
     s"${System.getProperty("java.io.tmpdir")}/graft-eval-index-$key"
   }
 

@@ -161,6 +161,98 @@ object IncrementalDedup {
     fs.delete(bak, true)
   }
 
+  /** The deletion analog of [[MergedBatch]]: the four tables with the
+    * victims' contribution subtracted, plus the text sets a derived-
+    * table maintainer ([[ClusterIndex]]) needs — texts that vanished
+    * entirely (no copies left) and texts whose capped shingle count
+    * ROSE because a deletion pulled one of their shingles back under
+    * the df cap (the append correction in reverse). */
+  private[operators] final case class MergedDelete(
+      sh: DataFrame, df: DataFrame, texts: DataFrame, members: DataFrame,
+      droppedTkeys: DataFrame, raisedTkeys: DataFrame)
+
+  /** Takedown: subtract `ids` from the index so that afterwards it is
+    * EXACTLY `buildIndex(resident − ids)` — from the index alone (the
+    * victims' shingle sets are resident by tkey, so no text is needed),
+    * in victim-proportional work plus narrow index scans, applied with
+    * the same whole-dir swap as [[appendToIndex]]. Idempotent: a
+    * replayed takedown finds no members and rewrites nothing. The
+    * reverse of the append merge:
+    *
+    *  - members: drop the victims' (doc_id, tkey) rows;
+    *  - texts: n_copies falls by the victim count; a text at zero copies
+    *    drops, and its shingle rows leave text_shingles;
+    *  - shingle_df: cdf falls copy-weighted; cdf = 0 rows drop (only
+    *    shingles of fully-dropped texts can reach 0 — any surviving
+    *    containing text keeps cdf ≥ 1);
+    *  - n0: texts containing a shingle the deletion pulled back UNDER
+    *    the cap gain +1 per such shingle (the cap correction reversed);
+    *    fully-dropped texts lose their row outright. */
+  def deleteFromIndex(spark: SparkSession, indexDir: String, ids: DataFrame): Unit = {
+    val m = mergeDelete(spark, indexDir, ids)
+    if (m.members eq null) return // nothing resident to delete
+    AtomicPublish.swapDir(spark, indexDir,
+      tmpSuffix = ".delete-tmp", bakSuffix = ".delete-bak") { tmp =>
+      m.sh.write.mode(SaveMode.Overwrite).parquet(s"$tmp/text_shingles.parquet")
+      m.df.write.mode(SaveMode.Overwrite).parquet(s"$tmp/shingle_df.parquet")
+      m.texts.write.mode(SaveMode.Overwrite).parquet(s"$tmp/texts.parquet")
+      m.members.write.mode(SaveMode.Overwrite).parquet(s"$tmp/members.parquet")
+    }
+  }
+
+  /** The subtraction behind [[deleteFromIndex]], exposed so
+    * [[ClusterIndex]] can extend it with its derived tables and swap
+    * once. Returns null members when no victim is resident (no-op). */
+  private[operators] def mergeDelete(
+      spark: SparkSession, indexDir: String, ids: DataFrame): MergedDelete = {
+    val corpusSh = spark.read.schema(ShSchema).parquet(s"$indexDir/text_shingles.parquet")
+    val corpusTexts = spark.read.schema(TextsSchema).parquet(s"$indexDir/texts.parquet")
+    val corpusDf = spark.read.schema(DfSchema).parquet(s"$indexDir/shingle_df.parquet")
+    val members = spark.read.schema(MembersSchema).parquet(s"$indexDir/members.parquet")
+
+    // not cached: the victim set is takedown-sized, and callers hold the
+    // returned plans across a dir swap where an unpersist window would
+    // be easy to get wrong
+    val victims = members.join(ids.select(col("doc_id")).distinct(), "doc_id")
+    if (victims.isEmpty)
+      return MergedDelete(null, null, null, null, null, null)
+    // copy loss per text = number of deleted member docs carrying it
+    val vcopies = victims.groupBy(col("tkey")).agg(count(lit(1)).as("vcopies"))
+    val newTexts0 = corpusTexts.join(vcopies, Seq("tkey"), "left")
+      .select(col("tkey"),
+        (col("n_copies") - coalesce(col("vcopies"), lit(0L))).as("n_copies"),
+        col("n0"))
+    val droppedTkeys = newTexts0.filter(col("n_copies") <= 0L).select("tkey")
+
+    // copy-weighted df loss per shingle of any victim text
+    val ddf = corpusSh.join(vcopies, "tkey")
+      .groupBy(col("sh")).agg(sum(col("vcopies")).as("ddf"))
+    val mergedDf = corpusDf.join(ddf, Seq("sh"), "left")
+      .select(col("sh"), (col("cdf") - coalesce(col("ddf"), lit(0L))).as("cdf"))
+      .filter(col("cdf") > 0L)
+
+    // shingles the deletion pulled back UNDER the cap — victim-
+    // proportional (a subset of the victims' own shingles)
+    val newlyUnder = corpusDf.join(ddf, "sh")
+      .filter(col("cdf") > MaxShingleDf && col("cdf") - col("ddf") <= MaxShingleDf)
+      .select("sh")
+    // n0 raise: one narrow scan of the shingle index against the
+    // broadcast newly-under set (the append drop-correction reversed)
+    val raises = corpusSh.join(broadcast(newlyUnder), "sh")
+      .groupBy(col("tkey")).agg(count(lit(1)).as("raise"))
+
+    val mergedTexts = newTexts0.filter(col("n_copies") > 0L)
+      .join(raises, Seq("tkey"), "left")
+      .select(col("tkey"), col("n_copies"),
+        (col("n0") + coalesce(col("raise"), lit(0L))).as("n0"))
+    val mergedSh = corpusSh.join(droppedTkeys, Seq("tkey"), "left_anti")
+    val mergedMembers = members.join(
+      victims.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+
+    MergedDelete(mergedSh, mergedDf, mergedTexts, mergedMembers,
+      droppedTkeys, raises.select("tkey"))
+  }
+
   /** The merge computation behind [[appendToIndex]], exposed so other
     * index maintainers ([[ClusterIndex]]) can extend the same exact merge
     * with their own derived tables and swap once atomically. */

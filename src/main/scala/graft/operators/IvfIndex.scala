@@ -423,20 +423,11 @@ object IvfIndex {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .toSeq.sortBy(_._1).distinct // double-append safe: queries are value-identical dups
-    val probes = qRows.flatMap { case (qid, qv, qnorm) =>
-      probeCells(cents, qv, np).map(c => (qid, qv, qnorm, c))
-    }
+    val probes = probePlan(spark, indexDir, cents, qRows, np, memberFilter)
     val probesDf = probes.toDF("query_id", "qv", "qnorm", "cl")
     // explicit probed-directory paths: union of probed cells × epochs,
     // existence-checked (a cell can be empty in an epoch)
-    val f = fs(spark, indexDir)
-    val probedCells = probes.map(_._4).distinct
-    val dirs = for {
-      e <- epochDirs(spark, indexDir)
-      c <- probedCells
-      p = s"$cellsDir/$e/cluster=$c"
-      if f.exists(new Path(p))
-    } yield p
+    val dirs = probedDirPaths(spark, indexDir, probes.map(_._4).distinct)
     val cand0 =
       if (dirs.isEmpty) spark.emptyDataset[(Long, Seq[Double], Double, Long)]
         .toDF("vec_id", "v", "norm", "cl")
@@ -488,6 +479,117 @@ object IvfIndex {
     * directories — the [[topKIndexed]] partition-pruning contract, minus
     * its exact-cosine scoring (the composed IVF-PQ lane scores members by
     * ADC codes instead). */
+  /** Probed cells × epochs as explicit directory paths, existence-checked
+    * (a cell can be empty in an epoch). */
+  private def probedDirPaths(
+      spark: SparkSession, indexDir: String, cells: Seq[Long]): Seq[String] = {
+    val cellsDir = s"$indexDir/cells.parquet"
+    val f = fs(spark, indexDir)
+    for {
+      e <- epochDirs(spark, indexDir)
+      c <- cells
+      p = s"$cellsDir/$e/cluster=$c"
+      if f.exists(new Path(p))
+    } yield p
+  }
+
+  /** The (query, cell) probe set — SELECTIVITY-ADAPTIVE for filtered
+    * search (the big-ann filtered-track convention): with a fixed nprobe
+    * a rare-attribute predicate (license class, rare language — 1–5%
+    * selectivity, the common audit case) under-fills the candidate set
+    * and recall collapses. A query whose probed cells hold fewer than
+    * K+1 FILTERED candidates escalates — its probe list doubles toward
+    * the next-nearest cells — until it is fed or the max-probe cap
+    * (every cell) is reached. Unfiltered queries keep the fixed plan
+    * (exactly `np` cells — the pruned-read contract is per query), and a
+    * filtered query that is already fed never escalates, so the gate
+    * lanes' 0.5-selectivity plans are bit-identical to the fixed ones.
+    * The escalation's counting passes read only probed directories,
+    * column-pruned to the filter columns. */
+  private[operators] def probePlan(
+      spark: SparkSession, indexDir: String,
+      cents: Seq[(Long, Seq[Double])],
+      qRows: Seq[(Long, Seq[Double], Double)],
+      np: Int,
+      memberFilter: Option[org.apache.spark.sql.Column]): Seq[(Long, Seq[Double], Double, Long)] = {
+    val base = qRows.flatMap { case (qid, qv, qnorm) =>
+      probeCells(cents, qv, np).map(c => (qid, qv, qnorm, c))
+    }
+    memberFilter match {
+      case None => base
+      case Some(filter) =>
+        val cap = cents.size
+        // each query's cells in probe order, escalated as a prefix length
+        val ordered = qRows.map { case (qid, qv, qnorm) =>
+          (qid, qv, qnorm, probeCells(cents, qv, cap))
+        }
+        var depth = qRows.map(q => q._1 -> np).toMap
+        var rounds = 0
+        var starving = true
+        while (starving && rounds < 16) {
+          rounds += 1
+          val probed = ordered.flatMap { case (qid, _, _, cs) =>
+            cs.take(depth(qid))
+          }.distinct
+          val dirs = probedDirPaths(spark, indexDir, probed)
+          // one column-pruned pass over the probed dirs: filtered AND
+          // total members per cell — the ratio is the query's measured
+          // local selectivity ŝ
+          val counts: Map[Long, (Long, Long)] =
+            if (dirs.isEmpty) Map.empty
+            else minusTombstones(spark, indexDir,
+              spark.read.parquet(dirs: _*)
+                .select(col("vec_id"), col("cl"),
+                  when(filter, 1L).otherwise(0L).as("ok")))
+              .groupBy(col("cl"))
+              .agg(sum(col("ok")).as("f"), count(lit(1)).as("t"))
+              .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+          // starvation target: a filtered k-NN at local selectivity ŝ sits
+          // at roughly the unfiltered (k/ŝ)-NN distance, so the candidate
+          // pool must oversample by ~1/ŝ (×2 safety) before the rescore
+          // can rank the true filtered neighbors — a bare k+1 candidates
+          // satisfies the arithmetic but probes far too shallow
+          val starved = ordered.filter { case (qid, _, _, cs) =>
+            if (depth(qid) >= cap) false
+            else {
+              val probedCs = cs.take(depth(qid))
+              val f = probedCs.map(counts.get(_).fold(0L)(_._1)).sum
+              val t = probedCs.map(counts.get(_).fold(0L)(_._2)).sum
+              val target =
+                if (f >= t) (K + 1).toLong // ŝ = 1: the fixed plan feeds k
+                else 2L * (K + 1) * t / math.max(f, 1L)
+              f < target
+            }
+          }
+          starving = starved.nonEmpty
+          depth = depth ++ starved.map { case (qid, _, _, _) =>
+            qid -> math.min(cap, depth(qid) * 2)
+          }
+        }
+        ordered.flatMap { case (qid, qv, qnorm, cs) =>
+          cs.take(depth(qid)).map(c => (qid, qv, qnorm, c))
+        }
+    }
+  }
+
+  /** Spec probe: the per-query planned probe depth under `memberFilter`
+    * — asserts the adaptive plan grows ONLY under starvation. */
+  private[operators] def plannedProbeCounts(
+      spark: SparkSession, indexDir: String,
+      memberFilter: Option[org.apache.spark.sql.Column]): Map[Long, Int] = {
+    val cents = readCentroids(spark, indexDir)
+    val np = SimilarityOps.autoNProbe(cents.size)
+    val qRows = minusTombstones(spark, indexDir,
+      spark.read.parquet(s"$indexDir/cells.parquet")
+        .filter(col("vec_id") < NumQueries)
+        .select(col("vec_id"), col("v"), col("norm")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .toSeq.sortBy(_._1).distinct
+    probePlan(spark, indexDir, cents, qRows, np, memberFilter)
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._4).distinct.size }
+  }
+
   private[operators] def probedMembers(
       spark: SparkSession, indexDir: String,
       nprobe: Int = 0): (DataFrame, DataFrame) = {

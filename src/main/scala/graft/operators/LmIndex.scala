@@ -77,8 +77,11 @@ object LmIndex {
     * batch's own counts land as a fresh epoch, published by one rename
     * per table; readers sum across epochs, so the result is EXACTLY the
     * rebuild (addition is the whole merge). Caller dedupes batches
-    * against `residentDocIds` (the streaming lane anti-joins). */
-  def appendToModel(spark: SparkSession, modelDir: String, batch: DataFrame): Unit = {
+    * against `residentDocIds` (the streaming lane anti-joins). A doc
+    * with a pending deletion stays dead ([[NegEpochs]] shadow
+    * semantics) until the deletion-applying compact. */
+  def appendToModel(spark: SparkSession, modelDir: String, batch0: DataFrame): Unit = {
+    val batch = NegEpochs.minus(spark, modelDir, batch0)
     val pairs = new Path(modelDir, "pairs.parquet")
     val fs = pairs.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // v1→v2 migration: a store built before prefix.parquet existed gets a
@@ -100,13 +103,50 @@ object LmIndex {
   }
 
   /** Doc_ids already folded into the model (the streaming anti-join
-    * target). */
+    * target) — pending deletions excluded. */
   def residentDocIds(spark: SparkSession, modelDir: String): DataFrame =
-    spark.read.parquet(s"$modelDir/docs.parquet").select(col("doc_id")).distinct()
+    NegEpochs.minus(spark, modelDir,
+      spark.read.parquet(s"$modelDir/docs.parquet").select(col("doc_id")).distinct())
+
+  /** Takedown: subtract the victim documents' own copy-weighted bigram
+    * and prefix counts as negative epochs — the additive arithmetic run
+    * in reverse ([[NegEpochs]]); needs the doc ROWS (text), since the
+    * counter tables are not doc-attributed. O(victims); scores exclude
+    * the docs immediately; [[compact]] makes the deletion durable. */
+  def deleteFromModel(spark: SparkSession, modelDir: String, docRows: DataFrame): Unit = {
+    val v = NegEpochs.victims(spark, modelDir, docRows,
+      spark.read.parquet(s"$modelDir/docs.parquet")).persist()
+    try {
+      if (!v.isEmpty) {
+        val pc = pairCounts(v)
+        NegEpochs.writeDeletion(spark, modelDir, Seq(
+          "pairs.parquet" -> pc,
+          "prefix.parquet" -> pc.groupBy(col("l")).agg(sum(col("cnt")).as("c1"))),
+          v.select(col("doc_id")))
+      }
+    } finally { v.unpersist(); () }
+  }
 
   /** Fold all epochs into one: counts sum, ledger dedups — exactly the
-    * merge every read already performs ([[EpochCompact]] swap safety). */
+    * merge every read already performs ([[EpochCompact]] swap safety).
+    * PENDING DELETIONS are applied with a whole-store swap instead: the
+    * staged store serves pos−neg with the deletion state gone — the
+    * only cross-table-atomic way to retire negative epochs (a per-table
+    * fold could crash between subtracting and clearing and subtract
+    * twice on the re-run). */
   def compact(spark: SparkSession, modelDir: String): Unit = {
+    if (NegEpochs.pending(spark, modelDir)) {
+      val pt = pairTotals(spark, modelDir).persist()
+      val px = prefixTotals(spark, modelDir).persist()
+      val rd = residentDocIds(spark, modelDir).persist()
+      try NegEpochs.applyWithSwap(spark, modelDir) { tmp =>
+        pt.select(col("l"), col("r"), col("c12").as("cnt"))
+          .write.parquet(s"$tmp/pairs.parquet/epoch=0")
+        px.write.parquet(s"$tmp/prefix.parquet/epoch=0")
+        rd.write.parquet(s"$tmp/docs.parquet/epoch=0")
+      } finally { pt.unpersist(); px.unpersist(); rd.unpersist(); () }
+      return
+    }
     EpochCompact.compactTable(spark, s"$modelDir/pairs.parquet",
       _.groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("cnt")))
     val prefix = new Path(modelDir, "prefix.parquet")
@@ -124,8 +164,10 @@ object LmIndex {
     * model every reader scores against. Shared with the cross-entropy-
     * difference selection lane ([[SelectOps]]), which merges two stores. */
   private[operators] def pairTotals(spark: SparkSession, modelDir: String): DataFrame =
-    spark.read.parquet(s"$modelDir/pairs.parquet")
-      .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("c12"))
+    NegEpochs.netTotals(spark, modelDir, "pairs.parquet",
+        Seq("l", "r"), Seq("cnt"),
+        spark.read.parquet(s"$modelDir/pairs.parquet"))
+      .select(col("l"), col("r"), col("cnt").as("c12"))
 
   /** Prefix totals (l, c1): from the store's own prefix table when it has
     * one (v2); v1 read-only stores fall back to re-aggregating the pairs —
@@ -133,8 +175,8 @@ object LmIndex {
   private[operators] def prefixTotals(spark: SparkSession, modelDir: String): DataFrame = {
     val prefix = new Path(modelDir, "prefix.parquet")
     if (prefix.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(prefix))
-      spark.read.parquet(prefix.toString)
-        .groupBy(col("l")).agg(sum(col("c1")).as("c1"))
+      NegEpochs.netTotals(spark, modelDir, "prefix.parquet",
+        Seq("l"), Seq("c1"), spark.read.parquet(prefix.toString))
     else pairTotals(spark, modelDir).groupBy(col("l")).agg(sum(col("c12")).as("c1"))
   }
 

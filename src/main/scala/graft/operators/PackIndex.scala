@@ -83,23 +83,44 @@ object PackIndex {
     writeEpoch(spark, indexDir, next, shifted)
   }
 
-  /** Doc_ids already packed (the streaming anti-join target). */
+  /** Doc_ids already packed (the streaming anti-join target) —
+    * tombstoned docs stay here until compaction, the family's shadowing
+    * semantics (a deleted doc re-arriving stays dead). */
   def residentDocIds(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/docs.parquet").select(col("doc_id")).distinct()
 
+  /** Takedown: MANIFEST HOLES. The tombstoned documents' windows vanish
+    * from every read immediately (the training loader skips the hole);
+    * later documents' absolute offsets are deliberately UNCHANGED — the
+    * pack positions are already consumed downstream, and re-basing them
+    * would re-shuffle every shard after the hole. The per-source `base`
+    * totals therefore keep counting retired tokens: base is the STREAM
+    * TAIL POSITION, not the resident token sum, and deletion makes the
+    * two diverge by exactly the holes' n_toks. O(ids). */
+  def deleteFromIndex(spark: SparkSession, indexDir: String, ids: DataFrame): Unit =
+    Tombstones.delete(spark, indexDir, ids, "doc_id")
+
   /** Fold all epochs into one — manifests union (offsets are absolute,
-    * rows dedupe), base totals sum ([[EpochCompact]] swap safety). */
+    * rows dedupe), base totals sum ([[EpochCompact]] swap safety);
+    * tombstoned docs fold out of the manifest and the ledger (base keeps
+    * the tail position — see [[deleteFromIndex]]), then the tombstones
+    * retire. Pending tombstones force the fold even at one epoch. */
   def compact(spark: SparkSession, indexDir: String): Unit = {
-    EpochCompact.compactTable(spark, s"$indexDir/manifest.parquet", _.distinct())
+    val ts = Tombstones.snapshot(spark, indexDir)
+    EpochCompact.compactTable(spark, s"$indexDir/manifest.parquet",
+      raw => ts.minus(spark, raw.distinct(), "doc_id"), ts.nonEmpty)
     EpochCompact.compactTable(spark, s"$indexDir/base.parquet",
       _.groupBy(col("source")).agg(sum(col("btot")).as("btot")))
-    EpochCompact.compactTable(spark, s"$indexDir/docs.parquet", _.distinct())
+    EpochCompact.compactTable(spark, s"$indexDir/docs.parquet",
+      raw => ts.minus(spark, raw.distinct(), "doc_id"), ts.nonEmpty)
+    ts.clear(spark)
   }
 
   /** The served per-document manifest: the q_pack_chunks shape (window
-    * spans derived from the stored absolute offsets). */
+    * spans derived from the stored absolute offsets), tombstone-excluded. */
   def chunksFromIndex(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/manifest.parquet")
+    Tombstones.minus(spark, indexDir,
+      spark.read.parquet(s"$indexDir/manifest.parquet"), "doc_id")
       .select(col("doc_id"), col("source"), col("n_toks"), col("start_tok"),
         expr(s"start_tok div ${WinTokens}L").as("first_win"),
         expr(s"(end_tok - 1) div ${WinTokens}L").as("last_win"))

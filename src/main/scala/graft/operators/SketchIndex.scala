@@ -71,7 +71,10 @@ object SketchIndex {
   /** Fold a batch in: its own bottom-K sample + counts land as a fresh
     * epoch — O(batch), no resident row touched. Caller dedupes batches
     * against [[residentDocIds]]. */
-  def appendToIndex(spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+  def appendToIndex(spark: SparkSession, indexDir: String, batch0: DataFrame): Unit = {
+    // a doc with a pending deletion stays dead until the deletion-
+    // applying compact ([[NegEpochs]] shadow semantics)
+    val batch = NegEpochs.minus(spark, indexDir, batch0)
     val sample = new Path(indexDir, "sample.parquet")
     val fs = sample.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val next = fs.listStatus(sample).map(_.getPath.getName)
@@ -79,16 +82,46 @@ object SketchIndex {
     writeEpoch(spark, indexDir, next, batch)
   }
 
-  /** Doc_ids already folded in (the streaming anti-join target). */
+  /** Doc_ids already folded in (the streaming anti-join target) —
+    * pending deletions excluded. */
   def residentDocIds(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/docs.parquet").select(col("doc_id")).distinct()
+    NegEpochs.minus(spark, indexDir,
+      spark.read.parquet(s"$indexDir/docs.parquet").select(col("doc_id")).distinct())
+
+  /** Takedown — the HONEST sketch contract. The victims' sample rows
+    * vanish and the exact per-source counts decrement (their xor digest
+    * subtracts perfectly: xor is its own inverse, so the netted
+    * batch_key remains the digest of exactly the surviving counted
+    * docs). But a bottom-K sample is LOSSY: rows pruned at append time
+    * cannot be recovered, so after deleting a doc that was IN a source's
+    * sample, the store serves a bottom-(K−d) sketch of the survivors —
+    * still a correct KMV sketch, at slightly reduced resolution — where
+    * a rebuild would serve bottom-K. Bit-parity with the rebuild holds
+    * exactly when no victim occupied a sample slot (the overwhelmingly
+    * common case: K slots out of the whole source). Needs the doc ROWS
+    * (doc_id, source) — the ledger is not source-attributed. */
+  def deleteFromIndex(spark: SparkSession, indexDir: String, docRows: DataFrame): Unit = {
+    val v = NegEpochs.victims(spark, indexDir, docRows,
+      spark.read.parquet(s"$indexDir/docs.parquet")).persist()
+    try {
+      if (!v.isEmpty)
+        NegEpochs.writeDeletion(spark, indexDir,
+          Seq("counts.parquet" -> v.groupBy(col("source"))
+            .agg(count(lit(1)).as("n_docs"),
+              expr("bit_xor(xxhash64(doc_id))").as("batch_key"))),
+          v.select(col("doc_id")))
+    } finally { v.unpersist(); () }
+  }
 
   /** The family's read-merges, both idempotent under epoch duplication
-    * (see the crash-idempotence note above). */
-  private def mergeSample(raw: DataFrame): DataFrame =
+    * (see the crash-idempotence note above); the sample additionally
+    * excludes deleted docs, the counts net committed deletions. */
+  private def mergeSample(
+      spark: SparkSession, indexDir: String, raw: DataFrame): DataFrame =
     QuantileSketch.bottomK(
-      raw.select(col("source"), col("doc_id"), col("n_chars"), col("h"))
-        .dropDuplicates("source", "doc_id"))
+      NegEpochs.minus(spark, indexDir,
+        raw.select(col("source"), col("doc_id"), col("n_chars"), col("h"))
+          .dropDuplicates("source", "doc_id")))
 
   private def mergeCounts(raw: DataFrame): DataFrame =
     raw.dropDuplicates("source", "n_docs", "batch_key")
@@ -96,23 +129,54 @@ object SketchIndex {
       .agg(sum(col("n_docs")).as("n_docs"),
         expr("bit_xor(batch_key)").as("batch_key"))
 
+  /** Counts net of committed deletions: n_docs subtracts, batch_key
+    * XOR-folds (self-inverse — the digest of exactly the survivors). */
+  private def nettedCounts(spark: SparkSession, indexDir: String): DataFrame = {
+    val pos = mergeCounts(spark.read.parquet(s"$indexDir/counts.parquet"))
+    val nd = NegEpochs.negDir(indexDir, "counts.parquet")
+    val committed = EpochLedger.committedMax(spark, s"$indexDir/dels.parquet")
+    val negEps = EpochLedger.epochs(spark, nd)
+    if (negEps.isEmpty) pos
+    else pos.unionByName(
+      spark.read.parquet(nd)
+        .filter(col("epoch") <= committed)
+        .select(col("source"), (-col("n_docs")).as("n_docs"), col("batch_key")))
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        expr("bit_xor(batch_key)").as("batch_key"))
+      .filter(col("n_docs") > 0L)
+  }
+
   /** Fold all epochs into one — each table's merge is exactly what every
-    * read performs, so reads are identical before and after
-    * ([[EpochCompact]] swap safety). */
+    * read performs ([[EpochCompact]] swap safety). PENDING DELETIONS are
+    * applied with a whole-store swap instead (the [[NegEpochs]]
+    * cross-table-atomic retire; see [[LmIndex.compact]]). */
   def compact(spark: SparkSession, indexDir: String): Unit = {
-    EpochCompact.compactTable(spark, s"$indexDir/sample.parquet", mergeSample)
+    if (NegEpochs.pending(spark, indexDir)) {
+      val sm = mergeSample(spark, indexDir,
+        spark.read.parquet(s"$indexDir/sample.parquet")).persist()
+      val ct = nettedCounts(spark, indexDir).persist()
+      val rd = residentDocIds(spark, indexDir).persist()
+      try NegEpochs.applyWithSwap(spark, indexDir) { tmp =>
+        sm.write.parquet(s"$tmp/sample.parquet/epoch=0")
+        ct.write.parquet(s"$tmp/counts.parquet/epoch=0")
+        rd.write.parquet(s"$tmp/docs.parquet/epoch=0")
+      } finally { sm.unpersist(); ct.unpersist(); rd.unpersist(); () }
+      return
+    }
+    EpochCompact.compactTable(spark, s"$indexDir/sample.parquet",
+      raw => mergeSample(spark, indexDir, raw))
     EpochCompact.compactTable(spark, s"$indexDir/counts.parquet", mergeCounts)
     EpochCompact.compactTable(spark, s"$indexDir/docs.parquet", _.distinct())
   }
 
   /** Quantile estimates from store files only: re-rank the merged
-    * samples, sum the deduplicated counts, then the shared estimation
+    * samples, net the deduplicated counts, then the shared estimation
     * arithmetic. */
   def estimatesFromIndex(spark: SparkSession, indexDir: String): DataFrame =
     QuantileSketch.estimateFrom(
-      mergeSample(spark.read.parquet(s"$indexDir/sample.parquet")),
-      mergeCounts(spark.read.parquet(s"$indexDir/counts.parquet"))
-        .select(col("source"), col("n_docs")))
+      mergeSample(spark, indexDir, spark.read.parquet(s"$indexDir/sample.parquet")),
+      nettedCounts(spark, indexDir).select(col("source"), col("n_docs")))
 
   // --- q_quantile_sketch_indexed: the persisted lane on the oracle gate --
   private def indexDirFor(dir: String): String = {

@@ -54,7 +54,10 @@ object SpanIndex {
     * rename per table. Readers sum across epochs before the duplicate
     * filter, so the result is EXACTLY the rebuild (addition is the whole
     * merge). Caller dedupes batches against [[residentDocIds]]. */
-  def appendToIndex(spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+  def appendToIndex(spark: SparkSession, indexDir: String, batch0: DataFrame): Unit = {
+    // a doc with a pending deletion stays dead until the deletion-
+    // applying compact ([[NegEpochs]] shadow semantics)
+    val batch = NegEpochs.minus(spark, indexDir, batch0)
     val grams = new Path(indexDir, "grams.parquet")
     val fs = grams.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val next = fs.listStatus(grams).map(_.getPath.getName)
@@ -63,23 +66,56 @@ object SpanIndex {
   }
 
   /** Doc_ids already folded into the index (the streaming anti-join
-    * target). */
+    * target) — pending deletions excluded. */
   def residentDocIds(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/docs.parquet").select(col("doc_id")).distinct()
+    NegEpochs.minus(spark, indexDir,
+      spark.read.parquet(s"$indexDir/docs.parquet").select(col("doc_id")).distinct())
+
+  /** Takedown: subtract the victim documents' own copy-weighted window
+    * counts as a negative epoch ([[NegEpochs]] — the additive arithmetic
+    * reversed); needs the doc ROWS, the gram table is not doc-attributed.
+    * A window duplicated ONLY because of the victim drops below the ≥2
+    * filter immediately — the score a rebuild without the doc produces. */
+  def deleteFromIndex(spark: SparkSession, indexDir: String, docRows: DataFrame): Unit = {
+    val v = NegEpochs.victims(spark, indexDir, docRows,
+      spark.read.parquet(s"$indexDir/docs.parquet")).persist()
+    try {
+      if (!v.isEmpty)
+        NegEpochs.writeDeletion(spark, indexDir,
+          Seq("grams.parquet" -> SpanDedup.gramCounts(v)),
+          v.select(col("doc_id")))
+    } finally { v.unpersist(); () }
+  }
 
   /** Fold all epochs into one: counts sum, ledger dedups — exactly the
-    * merge every read already performs ([[EpochCompact]] swap safety). */
+    * merge every read already performs ([[EpochCompact]] swap safety).
+    * PENDING DELETIONS are applied with a whole-store swap instead (the
+    * [[NegEpochs]] cross-table-atomic retire; see [[LmIndex.compact]]). */
   def compact(spark: SparkSession, indexDir: String): Unit = {
+    if (NegEpochs.pending(spark, indexDir)) {
+      val g = netGramTotals(spark, indexDir).persist()
+      val rd = residentDocIds(spark, indexDir).persist()
+      try NegEpochs.applyWithSwap(spark, indexDir) { tmp =>
+        g.write.parquet(s"$tmp/grams.parquet/epoch=0")
+        rd.write.parquet(s"$tmp/docs.parquet/epoch=0")
+      } finally { g.unpersist(); rd.unpersist(); () }
+      return
+    }
     EpochCompact.compactTable(spark, s"$indexDir/grams.parquet",
       _.groupBy(col("gh1"), col("gh2")).agg(sum(col("cnt")).as("cnt")))
     EpochCompact.compactTable(spark, s"$indexDir/docs.parquet", _.distinct())
   }
 
+  private def netGramTotals(spark: SparkSession, indexDir: String): DataFrame =
+    NegEpochs.netTotals(spark, indexDir, "grams.parquet",
+      Seq("gh1", "gh2"), Seq("cnt"),
+      spark.read.parquet(s"$indexDir/grams.parquet"))
+
   /** The duplicated-gram set served by the index: counts summed across
-    * ALL epochs, then filtered — never per-epoch. */
+    * ALL epochs (net of committed deletions), then filtered — never
+    * per-epoch. */
   def dupGrams(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/grams.parquet")
-      .groupBy(col("gh1"), col("gh2")).agg(sum(col("cnt")).as("cnt"))
+    netGramTotals(spark, indexDir)
       .filter(col("cnt") >= 2)
       .select(col("gh1"), col("gh2"))
 

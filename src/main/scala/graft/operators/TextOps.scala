@@ -465,13 +465,19 @@ object TextOps {
     * vocabulary builder, shared by the inline lane and the persisted
     * [[EvalIndex]] store so "what counts as a leak" is one definition. */
   private[operators] def evalShinglesOf(docs: DataFrame): DataFrame =
-    docs.select(split(trim(col("text")), " ").as("w"))
+    evalDocShinglesOf(docs).select(col("shingle")).distinct()
+
+  /** The doc-ATTRIBUTED eval shingles (doc_id, shingle) — one builder
+    * body with [[evalShinglesOf]], so "what counts as a leak" cannot
+    * drift; the attribution is what lets [[EvalIndex]] delete an eval
+    * doc without losing shingles other eval docs still carry. */
+  private[operators] def evalDocShinglesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(trim(col("text")), " ").as("w"))
       .filter(size(col("w")) >= 3)
-      .select(explode(array_distinct(
+      .select(col("doc_id"), explode(array_distinct(
         transform(sequence(lit(1), size(col("w")) - 2),
           i => concat_ws(" ", element_at(col("w"), i),
             element_at(col("w"), i + 1), element_at(col("w"), i + 2))))).as("shingle"))
-      .distinct()
 
   /** Span-removal body: clean `docs` (doc_id, text) against an eval
     * shingle vocabulary — (doc_id, n_toks, n_removed, clean_text).
@@ -504,6 +510,96 @@ object TextOps {
         expr("concat_ws(' ', transform(kept, p -> element_at(w, p)))").as("clean_text"))
     t.select(col("doc_id"), col("tkey")).join(cleaned, "tkey")
       .select(col("doc_id"), col("n_toks"), col("n_removed"), col("clean_text"))
+  }
+
+  /** Fixed pass budget of the fixpoint decontamination lane — unrolled
+    * identically in the DuckDB oracle, so it hash-gates. The gate
+    * corpora's tiny synthetic vocabulary is the CASCADE worst case
+    * (most 3-grams are eval shingles, so every removal re-joins into
+    * fresh leaks): measured fixpoint depth is 5 (sf0.001) and 6
+    * (sf0.01) passes; 8 leaves headroom, and the spec pins budget ≡
+    * budget+1 so a corpus that outruns it would fail loudly. */
+  private[operators] val DecontamPasses = 8
+
+  /** Iterated span removal: [[cleanAgainst]] documents that gap
+    * re-joining can CREATE new leaked shingles (removing "a b c" from
+    * "a b a b c c" re-joins the survivors into a fresh "a b c") — the
+    * single-pass lane is honest about its one-pass semantics; this lane
+    * re-cleans the cleaned text for a FIXED budget of passes. Each pass
+    * either removes ≥ 1 token or is the fixpoint, so the budget bounds
+    * work while the spec pins convergence on the gate corpus (pass 3 ≡
+    * pass 4, and no eval shingle survives). `n_toks` counts the ORIGINAL
+    * tokens; `n_removed` the total across passes. */
+  private[graft] def cleanToFixpoint(
+      docs: DataFrame, evalSh: DataFrame, passes: Int = DecontamPasses): DataFrame = {
+    val orig = docs.select(col("doc_id"),
+      size(split(trim(col("text")), " ")).cast(LongType).as("n_toks"))
+    var cur = docs.select(col("doc_id"), col("text"))
+    for (_ <- 1 to passes)
+      // localCheckpoint cuts the lineage between passes: each pass is a
+      // join/window subplan, and 8 of them NESTED make Catalyst's
+      // optimization of the composed tree blow up super-linearly (the
+      // standard iterative-algorithm hazard — connectedComponents does
+      // the same). Content is deterministic, so the gate hash is
+      // unaffected.
+      cur = cleanAgainst(cur, evalSh)
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .localCheckpoint()
+    orig.join(cur, "doc_id")
+      .select(col("doc_id"), col("n_toks"),
+        (col("n_toks") - when(col("text") === "", 0L)
+          .otherwise(size(split(col("text"), " ")).cast(LongType))).as("n_removed"),
+        col("text").as("clean_text"))
+  }
+
+  private def qDecontaminateFixpoint(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    cleanToFixpoint(
+      d.filter(splitBucket < 80).select(col("doc_id"), col("text")),
+      evalShinglesOf(d.filter(splitBucket >= 90).select(col("doc_id"), col("text"))))
+  }
+
+  private val qDecontaminateFixpointSql = {
+    // one cleaning pass as a CTE pair over a (doc_id, tx) relation; the
+    // kept tokens round-trip through a string join/split exactly like the
+    // Spark lane, so a fully-cleaned doc is [''] on both engines
+    def pass(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT d.doc_id,
+         |    COALESCE(array_to_string(
+         |      [d.w[p] FOR p IN range(1, len(d.w) + 1)
+         |        IF len(list_filter(COALESCE(h.hs, []),
+         |          x -> x <= p AND p <= x + 2)) = 0], ' '), '') AS tx
+         |  FROM (SELECT doc_id, string_split(tx, ' ') AS w FROM $prev) d
+         |  LEFT JOIN (
+         |    SELECT doc_id, list(i ORDER BY i) AS hs FROM (
+         |      SELECT d2.doc_id, r.i
+         |      FROM (SELECT doc_id, string_split(tx, ' ') AS w FROM $prev) d2,
+         |           UNNEST(range(1, len(d2.w) - 1)) AS r(i)
+         |      WHERE len(d2.w) >= 3
+         |        AND (d2.w[r.i] || ' ' || d2.w[r.i+1] || ' ' || d2.w[r.i+2])
+         |          IN (SELECT shingle FROM test_sh)) x
+         |    GROUP BY 1) h USING (doc_id))""".stripMargin
+    val passes = (1 to DecontamPasses)
+      .map(k => pass(s"tr${k - 1}", s"tr$k")).mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT doc_id, (doc_id * 2654435761) % 4294967296 % 100 AS bucket,
+       |    trim(text) AS tx
+       |  FROM documents),
+       |test_sh AS (
+       |  SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       |  FROM (SELECT string_split(tx, ' ') AS w FROM t WHERE bucket >= 90) s,
+       |       UNNEST(range(1, len(w) - 1)) AS r(i)
+       |  WHERE len(w) >= 3),
+       |tr0 AS (SELECT doc_id, tx FROM t WHERE bucket < 80),
+       |$passes
+       |SELECT f.doc_id,
+       |  len(string_split(o.tx, ' '))::BIGINT AS n_toks,
+       |  (len(string_split(o.tx, ' '))
+       |    - CASE WHEN f.tx = '' THEN 0 ELSE len(string_split(f.tx, ' ')) END)::BIGINT
+       |    AS n_removed,
+       |  f.tx AS clean_text
+       |FROM tr$DecontamPasses f JOIN tr0 o USING (doc_id)""".stripMargin
   }
 
   private[operators] def splitBucket =
@@ -1280,6 +1376,8 @@ object TextOps {
     QueryDef("q_tfidf", qTfIdf, Some(qTfIdfSql)),
     QueryDef("q_contamination", qContamination, Some(qContaminationSql)),
     QueryDef("q_decontaminate", qDecontaminate, Some(qDecontaminateSql)),
+    QueryDef("q_decontaminate_fixpoint", qDecontaminateFixpoint,
+      Some(qDecontaminateFixpointSql)),
     QueryDef("q_contamination_bloom", qContaminationBloom, Some(qContaminationSql)),
     QueryDef("q_dsir_vote", qDsirVote, Some(qDsirVoteSql)),
     QueryDef("q_bpe_tokens", qBpeTokens, Some(qBpeTokensSql)),

@@ -21,13 +21,19 @@ import org.apache.spark.sql.functions._
   *  - the df-cap is applied at READ time on the merged posting set —
   *    NEVER persisted — so a fingerprint crossing the cap because of a
   *    later epoch's texts is suppressed exactly as a rebuild would
-  *    (the SpanIndex ≥2-filter-at-read argument).
+  *    (the SpanIndex ≥2-filter-at-read argument);
+  *  - the text representative `rep` is DERIVED at read time as the MIN
+  *    surviving member doc_id (v2 — a persisted min cannot be reversed
+  *    when a takedown deletes the minimal doc, so the store keeps the
+  *    doc-attributed membership instead and every read re-derives).
   *
   * Layout under `indexDir` (family conventions: epoch-partitioned,
   * dot-prefixed staging, one rename per table per publish):
-  *  - `fps.parquet/epoch=K`:  (tid, rep, nfp, gh) — the epoch's distinct
+  *  - `fps.parquet/epoch=K`:     (tid, nfp, gh) — the epoch's distinct
   *    texts' selected fingerprints
-  *  - `docs.parquet/epoch=K`: (doc_id) — replay-safe membership ledger
+  *  - `members.parquet/epoch=K`: (tid, doc_id) — doc-attributed text
+  *    membership, the rep-derivation and deletion table
+  *  - `docs.parquet/epoch=K`:    (doc_id) — replay-safe membership ledger
   */
 object WinnowIndex {
 
@@ -36,7 +42,9 @@ object WinnowIndex {
     val root = new Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     for ((tab, df) <- Seq(
-        "fps.parquet" -> WinnowOps.fpRows(docs),
+        "fps.parquet" -> WinnowOps.fpRows(docs).select(col("tid"), col("nfp"), col("gh")),
+        "members.parquet" -> docs
+          .select(xxhash64(col("text")).as("tid"), col("doc_id")).distinct(),
         "docs.parquet" -> docs.select(col("doc_id")).distinct())) {
       AtomicPublish.stageAndRename(
         spark, new Path(root, tab).toString, s".epoch-$epoch.tmp", s"epoch=$epoch") {
@@ -65,9 +73,20 @@ object WinnowIndex {
     writeEpoch(spark, indexDir, next, batch)
   }
 
-  /** Doc_ids already folded in (the streaming anti-join target). */
+  /** Doc_ids already folded in (the streaming anti-join target) —
+    * tombstoned docs stay here until compaction, the family's shadowing
+    * semantics (a deleted doc re-arriving stays dead). */
   def residentDocIds(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/docs.parquet").select(col("doc_id")).distinct()
+
+  /** Takedown: tombstone the docs — O(ids). Every read re-derives each
+    * text's representative from the SURVIVING members, so a text whose
+    * minimal doc is deleted re-reports under the next-min member, and a
+    * text with no surviving member vanishes from the match report — the
+    * rows a rebuild without the docs produces. The df-cap re-evaluates
+    * on the surviving merge (the read-time-cap argument in reverse). */
+  def deleteFromIndex(spark: SparkSession, indexDir: String, ids: DataFrame): Unit =
+    Tombstones.delete(spark, indexDir, ids, "doc_id")
 
   /** Text identities already fingerprinted — the match stream's SECOND
     * anti-join target: a known text re-arriving under a brand-new doc_id
@@ -79,22 +98,45 @@ object WinnowIndex {
     spark.read.parquet(s"$indexDir/fps.parquet").select(col("tid")).distinct()
 
   /** Fold all epochs into one — exactly the merge every read performs
-    * ([[EpochCompact]] swap safety). */
+    * ([[EpochCompact]] swap safety); tombstoned members fold out, texts
+    * with no surviving member drop their fingerprint rows, and the
+    * SNAPSHOT's tombstone epochs retire (a takedown racing the compact
+    * stays pending). */
   def compact(spark: SparkSession, indexDir: String): Unit = {
-    EpochCompact.compactTable(spark, s"$indexDir/fps.parquet", mergeFps)
-    EpochCompact.compactTable(spark, s"$indexDir/docs.parquet", _.distinct())
+    val ts = Tombstones.snapshot(spark, indexDir)
+    EpochCompact.compactTable(spark, s"$indexDir/members.parquet",
+      raw => ts.minus(spark, raw.distinct(), "doc_id"), ts.nonEmpty)
+    EpochCompact.compactTable(spark, s"$indexDir/fps.parquet",
+      raw => mergeStoredFps(raw).join(
+        spark.read.parquet(s"$indexDir/members.parquet")
+          .select(col("tid")).distinct(), Seq("tid"), "left_semi"),
+      ts.nonEmpty)
+    EpochCompact.compactTable(spark, s"$indexDir/docs.parquet",
+      raw => ts.minus(spark, raw.distinct(), "doc_id"), ts.nonEmpty)
+    ts.clear(spark)
   }
 
-  /** The family's read-merge: dedupe (tid, gh), MIN-merge rep, nfp is a
-    * function of the text so min is a no-op tie-break. */
-  private def mergeFps(raw: DataFrame): DataFrame =
+  /** The family's read-merge over the stored rows: dedupe (tid, gh); nfp
+    * is a function of the text so min is a no-op tie-break. */
+  private def mergeStoredFps(raw: DataFrame): DataFrame =
     raw.groupBy(col("tid"), col("gh"))
-      .agg(min(col("rep")).as("rep"), min(col("nfp")).as("nfp"))
-      .select(col("tid"), col("rep"), col("nfp"), col("gh"))
+      .agg(min(col("nfp")).as("nfp"))
+      .select(col("tid"), col("nfp"), col("gh"))
 
-  /** Merged fingerprint rows served by the index. */
+  /** Each text's representative: MIN doc_id over the SURVIVING members
+    * (tombstone-excluded) — re-derived on every read, never persisted. */
+  private def survivingReps(spark: SparkSession, indexDir: String): DataFrame =
+    Tombstones.minus(spark, indexDir,
+      spark.read.parquet(s"$indexDir/members.parquet")
+        .select(col("tid"), col("doc_id")), "doc_id")
+      .groupBy(col("tid")).agg(min(col("doc_id")).as("rep"))
+
+  /** Merged fingerprint rows served by the index, rep re-derived from the
+    * surviving members (a fully-deleted text has none and drops out). */
   def fpRowsFromIndex(spark: SparkSession, indexDir: String): DataFrame =
-    mergeFps(spark.read.parquet(s"$indexDir/fps.parquet"))
+    mergeStoredFps(spark.read.parquet(s"$indexDir/fps.parquet"))
+      .join(survivingReps(spark, indexDir), "tid")
+      .select(col("tid"), col("rep"), col("nfp"), col("gh"))
 
   /** The match report, computed from index files only — same scoring
     * pipeline as the inline lane ([[WinnowOps.matchesFrom]]), so the two
@@ -146,7 +188,7 @@ object WinnowIndex {
 
   // --- q_winnow_matches_indexed: the persisted lane on the oracle gate --
   private def indexDirFor(dir: String): String = {
-    val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "winnow-v1"))
+    val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "winnow-v2"))
     s"${System.getProperty("java.io.tmpdir")}/graft-winnow-index-$key"
   }
 

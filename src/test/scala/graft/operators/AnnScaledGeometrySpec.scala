@@ -97,6 +97,52 @@ class AnnScaledGeometrySpec extends AnyFunSuite {
     assert(r >= 0.8, s"filtered ivf-indexed recall@5 $r")
   }
 
+  test("selectivity-adaptive probing: 5% filter escalates starved queries " +
+      "and holds recall; a fed filter keeps the fixed plan") {
+    // the rare-attribute audit case: vec_id % 20 = 0 keeps 5% of members,
+    // so a fixed nprobe's probed cells hold too few filtered candidates
+    val rare = col("vec_id") % 20 === 0
+    val e = Tables.table(spark, corpusDir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      .withColumn("norm", sqrt(aggregate(transform(col("v"), x => x * x),
+        lit(0.0), (a, x) => a + x)))
+    // filtered brute-force truth at k=5
+    val q = e.filter(col("vec_id") < SimilarityOps.NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val scored = e.filter(rare)
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (SimilarityOps.dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+          .as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    val truth = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = IvfIndex.topKIndexed(spark, indexDir, memberFilter = Some(rare))
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    assert(approx.filter(col("neighbor_id") % 20 =!= 0).count() === 0)
+    val r = truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1)))
+        .as("recall"))
+      .agg(avg(col("recall"))).head().getDouble(0)
+    assert(r >= 0.8, s"adaptive filtered ivf-indexed recall@5 $r")
+    // the plan grows ONLY under starvation: the rare filter escalates at
+    // least one query past the fixed depth; the 50%-selectivity filter
+    // (every probed cell still feeds k) keeps the fixed plan everywhere
+    val np = SimilarityOps.autoNProbe(
+      spark.read.parquet(s"$indexDir/centroids.parquet").count().toInt)
+    val rarePlan = IvfIndex.plannedProbeCounts(spark, indexDir, Some(rare))
+    assert(rarePlan.values.exists(_ > np),
+      s"5% selectivity must escalate some query past nprobe=$np")
+    val fedPlan = IvfIndex.plannedProbeCounts(
+      spark, indexDir, Some(col("vec_id") % 2 === 0))
+    assert(fedPlan.values.forall(_ === np),
+      "a fed filter must keep the fixed per-query plan")
+  }
+
   test("probe touches only the probed cells, not the corpus") {
     val cents = spark.read.parquet(s"$indexDir/centroids.parquet").count()
     val (probes, members) = IvfIndex.probedMembers(spark, indexDir)

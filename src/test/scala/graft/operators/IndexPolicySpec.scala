@@ -106,8 +106,24 @@ class IndexPolicySpec extends AnyFunSuite {
     val ts = rt.tables.find(_.name == "tombstones.parquet")
     assert(ts.isDefined && ts.get.rows === 2L,
       "catalog must surface pending deletions")
+    assert(rt.pendingDeletes === Some(2L))
+    assert(graft.IndexCatalog.render(rt).exists(_.contains("PENDING DELETES")))
     IvfIndex.compact(spark, ivfDir)
-    assert(!graft.IndexCatalog.report(spark, ivfDir).tables
-      .exists(_.name == "tombstones.parquet"))
+    val rc = graft.IndexCatalog.report(spark, ivfDir)
+    assert(!rc.tables.exists(_.name == "tombstones.parquet"))
+    assert(rc.pendingDeletes.isEmpty)
+  }
+
+  test("IndexCatalog surfaces NegEpochs pending deletions (count families)") {
+    val dir = tmpDir("graft-policy-catalog-lm") + "/lm"
+    val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    LmIndex.buildModel(spark, docs, dir)
+    LmIndex.deleteFromModel(spark, dir, docs.filter(col("doc_id") === 2L))
+    val r = graft.IndexCatalog.report(spark, dir)
+    assert(r.family === "lm-bigram")
+    assert(r.pendingDeletes === Some(1L))
+    assert(graft.IndexCatalog.render(r).exists(_.contains("PENDING DELETES")))
+    LmIndex.compact(spark, dir)
+    assert(graft.IndexCatalog.report(spark, dir).pendingDeletes.isEmpty)
   }
 }
