@@ -1,30 +1,78 @@
 #!/usr/bin/env python3
-"""Diff two per-query bench records and flag regressions.
+"""Diff two per-query bench records and flag regressions — with
+SELF-ADJUDICATION of noise flags (round-11): sub-second lanes bounce
+0.5-1.0s between identical-code runs on a shared host, and a human
+dismissing those flags in PERF.md prose does not scale. With
+--rerun-sf, every flagged lane is re-run 3x (SPARK_GRAFT_BENCH_ONLY
+subset through graft.Bench, each run itself min-of-2 passes) and the
+MEDIAN decides: still past threshold -> CONFIRMED regression; back
+under -> NOISE, adjudicated by measurement. The full adjudication
+record lands in --out as JSON, so the evidence is committed data, not
+narrative.
 
 Usage:
-    python3 scripts/bench_diff.py bench_queries_r08.json bench_queries_r09.json [threshold]
+    python3 scripts/bench_diff.py OLD.json NEW.json [threshold]
+        [--rerun-sf /root/testdata/sf0.1] [--out bench_diff_rN.json]
 
 Each input is the flat JSON map Bench writes to target/bench_queries.json
 ({"q_name": seconds, ...}; -1 = failed in both passes). A query is flagged
 when new >= threshold * old (default 1.5) AND the absolute growth exceeds
-0.2 s (sub-second queries bounce with host noise; a 0.1->0.2 s flip is not
-a regression worth a page). Exit code 1 iff anything is flagged, so the
-script can gate CI.
+0.2 s. Exit code 1 iff a CONFIRMED regression (or a failed lane) remains.
+NOTE: reruns overwrite target/bench_queries.json — pass committed copies
+as OLD/NEW, never the live target file.
 """
 import json
+import os
+import statistics
+import subprocess
 import sys
 
 
+def rerun_flagged(names, sf_dir, runs=3):
+    """Re-run `names` through graft.Bench `runs` times; per-lane medians."""
+    samples = {n: [] for n in names}
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "32"),
+               SPARK_GRAFT_BENCH_ONLY=",".join(sorted(names)))
+    for i in range(runs):
+        print(f"  [adjudicate] rerun {i + 1}/{runs} of {len(names)} flagged lane(s)...",
+              flush=True)
+        subprocess.run(
+            ["sbt", "-batch", "runMain graft.Bench"],
+            env=env, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        got = json.load(open("target/bench_queries.json"))
+        for n in names:
+            if n in got and got[n] is not None and got[n] >= 0:
+                samples[n].append(got[n])
+    return {n: (statistics.median(v) if v else float("inf"))
+            for n, v in samples.items()}
+
+
 def main() -> int:
-    if len(sys.argv) < 3:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = sys.argv[1:]
+    rerun_sf = None
+    out_file = None
+    for i, a in enumerate(opts):
+        if a == "--rerun-sf":
+            rerun_sf = opts[i + 1]
+        if a == "--out":
+            out_file = opts[i + 1]
+    # drop option values from positionals
+    vals = {opts[i + 1] for i, a in enumerate(opts) if a in ("--rerun-sf", "--out")}
+    args = [a for a in args if a not in vals]
+    if len(args) < 2:
         print(__doc__.strip())
         return 2
-    old = json.load(open(sys.argv[1]))
-    new = json.load(open(sys.argv[2]))
-    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    old = json.load(open(args[0]))
+    new = json.load(open(args[1]))
+    threshold = float(args[2]) if len(args) > 2 else 1.5
     min_abs_growth = 0.2
 
     flagged = []
+    failed = []
     for name in sorted(set(old) | set(new)):
         a, b = old.get(name), new.get(name)
         if a is None:
@@ -35,7 +83,7 @@ def main() -> int:
             continue
         if a < 0 or b < 0:
             if b < 0:
-                flagged.append((name, a, b, float("inf")))
+                failed.append(name)
                 print(f"  FAILED   {name} (was {a:.3f}s)")
             continue
         ratio = b / a if a > 0 else float("inf")
@@ -46,12 +94,51 @@ def main() -> int:
     tot_new = sum(v for v in new.values() if v is not None and v >= 0)
     print(f"total: {tot_old:.1f}s -> {tot_new:.1f}s "
           f"({len(old)} -> {len(new)} queries)")
-    if not flagged:
-        print(f"no per-query regressions >= {threshold}x")
+
+    record = {
+        "old": args[0], "new": args[1], "threshold": threshold,
+        "total_old_s": round(tot_old, 1), "total_new_s": round(tot_new, 1),
+        "failed": failed, "flags": [], "confirmed": [], "noise": [],
+    }
+    confirmed = list(flagged)
+    if flagged and rerun_sf:
+        medians = rerun_flagged([f[0] for f in flagged], rerun_sf)
+        confirmed = []
+        for name, a, b, ratio in flagged:
+            m = medians[name]
+            entry = {"query": name, "old_s": a, "flagged_s": b,
+                     "flagged_ratio": round(ratio, 2),
+                     "median_of_3_s": round(m, 3),
+                     "median_ratio": round(m / a, 2) if a > 0 else None}
+            if m >= threshold * a and m - a >= min_abs_growth:
+                entry["verdict"] = "confirmed"
+                record["confirmed"].append(entry)
+                confirmed.append((name, a, m, m / a if a > 0 else float("inf")))
+            else:
+                entry["verdict"] = "noise"
+                record["noise"].append(entry)
+                print(f"  NOISE    {name}: flagged {a:.3f}s -> {b:.3f}s, "
+                      f"median-of-3 {m:.3f}s — self-adjudicated")
+            record["flags"].append(entry)
+    elif flagged:
+        record["flags"] = [
+            {"query": n, "old_s": a, "flagged_s": b,
+             "flagged_ratio": round(r, 2), "verdict": "unadjudicated"}
+            for n, a, b, r in flagged]
+
+    if out_file:
+        json.dump(record, open(out_file, "w"), indent=1)
+        print(f"adjudication record -> {out_file}")
+
+    if not confirmed and not failed:
+        print(f"no per-query regressions >= {threshold}x"
+              + (" (after adjudication)" if flagged else ""))
         return 0
-    print(f"REGRESSIONS (>= {threshold}x and >= {min_abs_growth}s growth):")
-    for name, a, b, ratio in sorted(flagged, key=lambda f: -f[3]):
-        print(f"  {name}: {a:.3f}s -> {b:.3f}s ({ratio:.2f}x)")
+    if confirmed:
+        print(f"REGRESSIONS (>= {threshold}x and >= {min_abs_growth}s growth"
+              + (", median-of-3 confirmed" if rerun_sf else "") + "):")
+        for name, a, b, ratio in sorted(confirmed, key=lambda f: -f[3]):
+            print(f"  {name}: {a:.3f}s -> {b:.3f}s ({ratio:.2f}x)")
     return 1
 
 

@@ -42,6 +42,44 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(out(tr2) === ((4L, 0L, "p q r s")))
   }
 
+  test("fixpoint lane: gap re-joining creates a NEW leak that pass 1 " +
+      "provably leaves and pass 2 removes") {
+    val Seq(tr1) = idsFor(_ < 80, 1)
+    val Seq(te1) = idsFor(_ >= 90, 1)
+    // removing "a b c" (positions 3..5) from "a b a b c c" re-joins the
+    // survivors into a fresh "a b c" — the single-pass documented hazard
+    val dir = writeCorpus(Seq(
+      (te1, "a b c"),
+      (tr1, "a b a b c c")))
+    val onePass = QueryRegistry.byName("q_decontaminate").run(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(onePass(tr1) === "a b c", "pass 1 must re-join into a new leak")
+    val fixed = QueryRegistry.byName("q_decontaminate_fixpoint").run(spark, dir)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(fixed(tr1) === ((6L, 6L, "")), "pass 2 removes the re-joined leak")
+  }
+
+  test("fixpoint lane converges on the gate corpus: pass budget ≡ budget+1, " +
+      "and NO eval shingle survives in the cleaned text") {
+    val dir = "/root/testdata/sf0.001"
+    val d = graft.Tables.table(spark, dir, "documents")
+    val evalSh = TextOps.evalShinglesOf(
+      d.filter(TextOps.splitBucket >= 90).select(col("doc_id"), col("text")))
+    val train = d.filter(TextOps.splitBucket < 80).select(col("doc_id"), col("text"))
+    val atBudget = TextOps.cleanToFixpoint(train, evalSh)
+      .collect().map(_.toSeq).toSet
+    val onePast = TextOps.cleanToFixpoint(train, evalSh, TextOps.DecontamPasses + 1)
+      .collect().map(_.toSeq).toSet
+    assert(atBudget === onePast, "the budget must reach the fixpoint here")
+    // the cleaned corpus provably contains no eval 3-gram
+    val leaks = TextOps.evalShinglesOf(
+      QueryRegistry.byName("q_decontaminate_fixpoint").run(spark, dir)
+        .select(col("doc_id"), col("clean_text").as("text")))
+      .join(evalSh, "shingle")
+    assert(leaks.count() === 0L)
+  }
+
   test("overlapping leaks: union of covered positions, not double-removal") {
     val Seq(tr1) = idsFor(_ < 80, 1)
     val Seq(te1) = idsFor(_ >= 90, 1)
