@@ -22,17 +22,21 @@ import org.apache.spark.sql.functions._
   *    NEVER persisted — so a fingerprint crossing the cap because of a
   *    later epoch's texts is suppressed exactly as a rebuild would
   *    (the SpanIndex ≥2-filter-at-read argument);
-  *  - the text representative `rep` is DERIVED at read time as the MIN
-  *    surviving member doc_id (v2 — a persisted min cannot be reversed
-  *    when a takedown deletes the minimal doc, so the store keeps the
-  *    doc-attributed membership instead and every read re-derives).
+  *  - the text representative `rep`: persisted per epoch and MIN-merged
+  *    on the FAST path (no pending deletions — appends only add members,
+  *    so the min over epoch batch-mins is the global min), but a
+  *    persisted min cannot be reversed when a takedown deletes the
+  *    minimal doc — with tombstones PENDING, reads re-derive each rep
+  *    from the surviving members (v3: both, dispatched on pending()),
+  *    and the deletion-applying compact refreshes the persisted reps
+  *    from the survivors so the fast path resumes.
   *
   * Layout under `indexDir` (family conventions: epoch-partitioned,
   * dot-prefixed staging, one rename per table per publish):
-  *  - `fps.parquet/epoch=K`:     (tid, nfp, gh) — the epoch's distinct
-  *    texts' selected fingerprints
+  *  - `fps.parquet/epoch=K`:     (tid, rep, nfp, gh) — the epoch's
+  *    distinct texts' selected fingerprints
   *  - `members.parquet/epoch=K`: (tid, doc_id) — doc-attributed text
-  *    membership, the rep-derivation and deletion table
+  *    membership, the deletion and rep-recovery table
   *  - `docs.parquet/epoch=K`:    (doc_id) — replay-safe membership ledger
   */
 object WinnowIndex {
@@ -42,7 +46,7 @@ object WinnowIndex {
     val root = new Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     for ((tab, df) <- Seq(
-        "fps.parquet" -> WinnowOps.fpRows(docs).select(col("tid"), col("nfp"), col("gh")),
+        "fps.parquet" -> WinnowOps.fpRows(docs),
         "members.parquet" -> docs
           .select(xxhash64(col("text")).as("tid"), col("doc_id")).distinct(),
         "docs.parquet" -> docs.select(col("doc_id")).distinct())) {
@@ -106,37 +110,52 @@ object WinnowIndex {
     val ts = Tombstones.snapshot(spark, indexDir)
     EpochCompact.compactTable(spark, s"$indexDir/members.parquet",
       raw => ts.minus(spark, raw.distinct(), "doc_id"), ts.nonEmpty)
+    // the fps fold refreshes each surviving text's PERSISTED rep from the
+    // already-folded members (texts with no survivor drop out), so the
+    // fast read path resumes after a deletion-applying compact
     EpochCompact.compactTable(spark, s"$indexDir/fps.parquet",
       raw => mergeStoredFps(raw).join(
         spark.read.parquet(s"$indexDir/members.parquet")
-          .select(col("tid")).distinct(), Seq("tid"), "left_semi"),
+          .groupBy(col("tid")).agg(min(col("doc_id")).as("rep")), "tid")
+        .select(col("tid"), col("rep"), col("nfp"), col("gh")),
       ts.nonEmpty)
     EpochCompact.compactTable(spark, s"$indexDir/docs.parquet",
       raw => ts.minus(spark, raw.distinct(), "doc_id"), ts.nonEmpty)
     ts.clear(spark)
   }
 
-  /** The family's read-merge over the stored rows: dedupe (tid, gh); nfp
-    * is a function of the text so min is a no-op tie-break. */
+  /** The family's read-merge over the stored rows WITHOUT the rep:
+    * dedupe (tid, gh); nfp is a function of the text so min is a no-op
+    * tie-break. The deletion-aware path re-attaches survivor-derived
+    * reps to this. */
   private def mergeStoredFps(raw: DataFrame): DataFrame =
     raw.groupBy(col("tid"), col("gh"))
       .agg(min(col("nfp")).as("nfp"))
       .select(col("tid"), col("nfp"), col("gh"))
 
   /** Each text's representative: MIN doc_id over the SURVIVING members
-    * (tombstone-excluded) — re-derived on every read, never persisted. */
+    * (tombstone-excluded) — the deletion-aware slow path. */
   private def survivingReps(spark: SparkSession, indexDir: String): DataFrame =
     Tombstones.minus(spark, indexDir,
       spark.read.parquet(s"$indexDir/members.parquet")
         .select(col("tid"), col("doc_id")), "doc_id")
       .groupBy(col("tid")).agg(min(col("doc_id")).as("rep"))
 
-  /** Merged fingerprint rows served by the index, rep re-derived from the
-    * surviving members (a fully-deleted text has none and drops out). */
+  /** Merged fingerprint rows served by the index. FAST path (no pending
+    * deletions — the overwhelmingly common read): min-merge the persisted
+    * epoch reps, no members join. SLOW path (tombstones pending): reps
+    * re-derived from the surviving members, texts with no survivor drop
+    * out — bit-identical to a rebuild without the deleted docs. */
   def fpRowsFromIndex(spark: SparkSession, indexDir: String): DataFrame =
-    mergeStoredFps(spark.read.parquet(s"$indexDir/fps.parquet"))
-      .join(survivingReps(spark, indexDir), "tid")
-      .select(col("tid"), col("rep"), col("nfp"), col("gh"))
+    if (!Tombstones.pending(spark, indexDir))
+      spark.read.parquet(s"$indexDir/fps.parquet")
+        .groupBy(col("tid"), col("gh"))
+        .agg(min(col("rep")).as("rep"), min(col("nfp")).as("nfp"))
+        .select(col("tid"), col("rep"), col("nfp"), col("gh"))
+    else
+      mergeStoredFps(spark.read.parquet(s"$indexDir/fps.parquet"))
+        .join(survivingReps(spark, indexDir), "tid")
+        .select(col("tid"), col("rep"), col("nfp"), col("gh"))
 
   /** The match report, computed from index files only — same scoring
     * pipeline as the inline lane ([[WinnowOps.matchesFrom]]), so the two
@@ -188,7 +207,7 @@ object WinnowIndex {
 
   // --- q_winnow_matches_indexed: the persisted lane on the oracle gate --
   private def indexDirFor(dir: String): String = {
-    val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "winnow-v2"))
+    val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "winnow-v3"))
     s"${System.getProperty("java.io.tmpdir")}/graft-winnow-index-$key"
   }
 
