@@ -168,6 +168,32 @@ object PqIndex {
       indexDir)
   }
 
+  // --- q_ann_pq_wide_indexed: the persisted twin of the 128-dim lane ----
+  // The inline wide lane exists to put the pqM = dim/8 geometry on the
+  // hash gate, but it pays 16-subspace ENCODING of the whole corpus on
+  // every invocation even with the codebook cached — the board-topping
+  // cost at sf10. The store pays it once at build; warm serving is the
+  // code-store ADC propose + rescore, the production cadence. The store
+  // carries its own geometry (the codebook's m key), so topKIndexed
+  // serves 16 code columns with no width side-channel — row-identical to
+  // the inline lane (same trainer, same derived corpus), riding its
+  // oracle.
+  private def wideIndexDirFor(dir: String): String = {
+    val key = IndexStamp.dirKey(IndexStamp.identity(
+      dir, "embeddings.parquet", "pq-wide128-v1"))
+    s"${System.getProperty("java.io.tmpdir")}/graft-pq-wide-index-$key"
+  }
+
+  private def qAnnPqWideIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val indexDir = wideIndexDirFor(dir)
+    val wide = SimilarityOps.wideEmbeddings(spark, dir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$indexDir/codes.parquet")))
+      buildIndex(spark, wide, indexDir)
+    topKIndexed(spark, wide.filter(col("vec_id") < NumQueries), indexDir)
+  }
+
   def queries: Seq[QueryDef] = Seq(
-    QueryDef("q_ann_pq_indexed", qAnnPqIndexed, Some(SimilarityOps.qAnnPqOracle)))
+    QueryDef("q_ann_pq_indexed", qAnnPqIndexed, Some(SimilarityOps.qAnnPqOracle)),
+    QueryDef("q_ann_pq_wide_indexed", qAnnPqWideIndexed,
+      Some(SimilarityOps.qAnnPqWideOracle)))
 }

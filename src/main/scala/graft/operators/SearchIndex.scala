@@ -160,6 +160,21 @@ object SearchIndex {
     raw.groupBy(col("doc_id"), col("term"))
       .agg(min(col("tf")).as("tf"), min(col("tbucket")).as("tbucket"))
 
+  /** The read-merge SKIPPED when the layout already guarantees it: a
+    * freshly built or compacted store has ONE epoch whose rows are
+    * (doc_id, term)-unique by construction (`postingsOf` groups per
+    * batch; the fold rewrites the merged set), so the merge groupBy —
+    * which exists to absorb double-appended crash-window epochs —
+    * would shuffle the whole store to change nothing. Multi-epoch
+    * stores take the exact merge. Row-identical either way; at sf10
+    * this is the difference between the indexed hybrid lane re-merging
+    * 12M posting rows per query and reading them straight. */
+  private def mergedPostings(
+      spark: SparkSession, indexDir: String, raw: DataFrame): DataFrame =
+    if (IndexPolicy.epochCount(spark, s"$indexDir/postings.parquet") <= 1)
+      raw.select(col("doc_id"), col("term"), col("tf"), col("tbucket"))
+    else mergePostings(raw)
+
   /** Merged postings for a bounded term set — the PRUNED read: the term
     * filter restricts partition discovery to the query terms' buckets
     * before any row is materialized. */
@@ -169,7 +184,7 @@ object SearchIndex {
     val buckets = terms.toDS()
       .select(pmod(xxhash64(col("value")), lit(TBuckets)))
       .collect().map(_.getLong(0)).distinct.toSeq
-    minusTombstones(spark, indexDir, mergePostings(
+    minusTombstones(spark, indexDir, mergedPostings(spark, indexDir,
       spark.read.parquet(s"$indexDir/postings.parquet")
         .filter(col("tbucket").isin(buckets: _*))
         .filter(col("term").isin(terms: _*))))
@@ -240,7 +255,7 @@ object SearchIndex {
   def sharedTermRanks(
       spark: SparkSession, indexDir: String,
       queryMax: Long, candK: Int): DataFrame = {
-    val merged = minusTombstones(spark, indexDir, mergePostings(
+    val merged = minusTombstones(spark, indexDir, mergedPostings(spark, indexDir,
       spark.read.parquet(s"$indexDir/postings.parquet")))
     // BM25-style df cap before pair generation (the shared
     // [[RetrievalOps.dfCapTerms]] body — posting rows ARE the distinct

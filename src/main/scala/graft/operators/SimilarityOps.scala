@@ -1362,7 +1362,7 @@ object SimilarityOps {
   private val WideDims = 128
   private def wideM = pqMForDim(WideDims) // 16
 
-  private def wideEmbeddings(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def wideEmbeddings(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         concat(
