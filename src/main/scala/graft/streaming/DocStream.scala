@@ -683,6 +683,31 @@ object DocStream {
       }
       .start()
 
+  /** Takedown-at-ingest: a stream of deletion REQUESTS (doc_id, plus
+    * text/lang/source where the downstream stores need the rows — the
+    * count models reverse their arithmetic from them), each micro-batch
+    * fanned across `indexDirs` by [[graft.operators.Takedown.sweep]].
+    * Replay safety is the per-family idempotence the delete specs pin
+    * (victims = ids ∩ resident − already-deleted everywhere), so a
+    * re-delivered request batch is a no-op; `report` sees each batch's
+    * per-store outcome (at-least-once, idempotent content — the
+    * family's emit discipline). Deletions are immediate on every read
+    * path; durability rides the maintenance loop's compacts. */
+  def takedownStream(
+      spark: SparkSession,
+      requests: DataFrame,
+      indexDirs: Seq[String])(
+      report: Seq[graft.operators.Takedown.StoreResult] => Unit): StreamingQuery =
+    requests.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          if (!b.isEmpty)
+            report(graft.operators.Takedown.sweep(spark, b, indexDirs))
+        } finally { b.unpersist(); () }
+      }
+      .start()
+
   /** Streaming maintenance of the persisted DSIR distribution estimate
     * ([[graft.operators.DsirIndex]]): every micro-batch's hashed-bucket
     * counters land as a fresh epoch; counters are additive, so the

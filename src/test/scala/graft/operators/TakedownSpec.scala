@@ -73,4 +73,44 @@ class TakedownSpec extends AnyFunSuite {
     assert(LmIndex.scoreDocs(spark, probe, s"$base/lm").collect().map(_.toSeq).toSet
       === LmIndex.scoreDocs(spark, probe, rebuilt).collect().map(_.toSeq).toSet)
   }
+
+  test("takedownStream: requests fan out per micro-batch; a re-delivered " +
+      "batch is a no-op") {
+    val base = java.nio.file.Files.createTempDirectory("graft-tdstream").toString
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma", "en", "s0"),
+      (2L, "gamma delta epsilon zeta", "de", "s0"),
+      (3L, "alpha beta beta delta", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    SearchIndex.buildIndex(spark, docs, s"$base/search")
+    LmIndex.buildModel(spark, docs, s"$base/lm")
+
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, String, String, String)]
+    val reports = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val q = graft.streaming.DocStream.takedownStream(
+      spark, input.toDF().toDF("doc_id", "text", "lang", "source"),
+      Seq(s"$base/search", s"$base/lm")) { rs =>
+      reports ++= rs.map(r => r.family -> r.action); ()
+    }
+    try {
+      input.addData((2L, "gamma delta epsilon zeta", "de", "s0"))
+      q.processAllAvailable()
+      // the re-delivered request (crash-retry window)
+      input.addData((2L, "gamma delta epsilon zeta", "de", "s0"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(reports.toList === List(
+      "search" -> "deleted", "lm-bigram" -> "deleted",
+      "search" -> "deleted", "lm-bigram" -> "deleted"))
+    // exclusion held; the replayed batch subtracted nothing twice
+    assert(SearchIndex.searchFromIndex(spark, s"$base/search", Seq("gamma"), 10)
+      .filter(col("doc_id") === 2L).count() === 0L)
+    val rebuilt = s"$base/lm-rebuilt"
+    LmIndex.buildModel(spark, docs.filter(col("doc_id") =!= 2L), rebuilt)
+    val probe = Seq((9L, "alpha beta delta gamma")).toDF("doc_id", "text")
+    assert(LmIndex.scoreDocs(spark, probe, s"$base/lm").collect().map(_.toSeq).toSet
+      === LmIndex.scoreDocs(spark, probe, rebuilt).collect().map(_.toSeq).toSet)
+  }
 }
