@@ -21,6 +21,7 @@ when new >= threshold * old (default 1.5) AND the absolute growth exceeds
 NOTE: reruns overwrite target/bench_queries.json — pass committed copies
 as OLD/NEW, never the live target file.
 """
+import argparse
 import json
 import os
 import statistics
@@ -51,24 +52,26 @@ def rerun_flagged(names, sf_dir, runs=3):
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    opts = sys.argv[1:]
-    rerun_sf = None
-    out_file = None
-    for i, a in enumerate(opts):
-        if a == "--rerun-sf":
-            rerun_sf = opts[i + 1]
-        if a == "--out":
-            out_file = opts[i + 1]
-    # drop option values from positionals
-    vals = {opts[i + 1] for i, a in enumerate(opts) if a in ("--rerun-sf", "--out")}
-    args = [a for a in args if a not in vals]
-    if len(args) < 2:
+    ap = argparse.ArgumentParser(
+        description="Diff two per-query bench records; see module docstring.",
+        add_help=True)
+    ap.add_argument("old_file")
+    ap.add_argument("new_file")
+    ap.add_argument("threshold", nargs="?", type=float, default=1.5)
+    ap.add_argument("--rerun-sf", dest="rerun_sf", default=None,
+                    help="SF dir for median-of-3 self-adjudication reruns")
+    ap.add_argument("--out", dest="out_file", default=None,
+                    help="write the adjudication record JSON here")
+    try:
+        ns = ap.parse_args()
+    except SystemExit:
         print(__doc__.strip())
         return 2
-    old = json.load(open(args[0]))
-    new = json.load(open(args[1]))
-    threshold = float(args[2]) if len(args) > 2 else 1.5
+    rerun_sf, out_file = ns.rerun_sf, ns.out_file
+    args = [ns.old_file, ns.new_file]
+    old = json.load(open(ns.old_file))
+    new = json.load(open(ns.new_file))
+    threshold = ns.threshold
     min_abs_growth = 0.2
 
     flagged = []

@@ -88,9 +88,15 @@ object IndexCatalog {
     // ledger (count models) — both retire at the next compact
     val pendingDeletes = Seq("tombstones.parquet", "dels.parquet")
       .filter(tables.contains)
-      .map(t => try spark.read.parquet(new Path(root, t).toString)
-        .dropDuplicates().count()
-      catch { case _: Throwable => 0L })
+      .map(t => try {
+        // count distinct KEYS, not rows: the same key tombstoned in two
+        // epochs (a replay before the compact) is ONE pending deletion,
+        // and the epoch partition column must not split it
+        val df = spark.read.parquet(new Path(root, t).toString)
+        df.select(df.columns.filterNot(_ == "epoch").map(c =>
+          org.apache.spark.sql.functions.col(c)): _*)
+          .dropDuplicates().count()
+      } catch { case _: Throwable => 0L })
       .reduceOption(_ + _).filter(_ > 0)
     IndexReport(dir, family,
       reports ++ residue.map(r => TableReport(r, 0, -1L, Seq(r))), drift,

@@ -56,8 +56,9 @@ object ClassifyIndex {
     val batch = NegEpochs.minus(spark, modelDir, batch0)
     val counts = new Path(modelDir, "counts.parquet")
     val fs = counts.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val next = fs.listStatus(counts).map(_.getPath.getName)
-      .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toInt).max + 1
+    // ledger-derived epoch + orphan reconcile ([[EpochLedger]])
+    val next = EpochLedger.reconciledNext(
+      spark, s"$modelDir/docs.parquet", Seq(counts.toString))
     writeEpoch(spark, modelDir, next, batch)
   }
 
@@ -96,6 +97,9 @@ object ClassifyIndex {
       } finally { mc.unpersist(); rd.unpersist(); () }
       return
     }
+    // orphaned counter residue must not fold into the committed epoch=0
+    EpochLedger.dropOrphans(
+      spark, s"$modelDir/docs.parquet", Seq(s"$modelDir/counts.parquet"))
     EpochCompact.compactTable(spark, s"$modelDir/counts.parquet",
       _.groupBy(col("word"), col("lang")).agg(sum(col("c")).as("c")))
     EpochCompact.compactTable(spark, s"$modelDir/docs.parquet", _.distinct())
@@ -107,7 +111,9 @@ object ClassifyIndex {
   def modelCounts(spark: SparkSession, modelDir: String): DataFrame =
     NegEpochs.netTotals(spark, modelDir, "counts.parquet",
       Seq("word", "lang"), Seq("c"),
-      spark.read.parquet(s"$modelDir/counts.parquet"))
+      spark.read.parquet(s"$modelDir/counts.parquet")
+        .filter(col("epoch") <=
+          EpochLedger.committedMax(spark, s"$modelDir/docs.parquet")))
 
   /** Classify the holdout split of `docs` against the persisted model:
     * the q_classify_freq output shape, training corpus never re-read. */

@@ -123,6 +123,11 @@ object DsirIndex {
       } finally { bt.unpersist(); rd.unpersist(); () }
       return
     }
+    // orphaned counter residue must NOT fold into the committed epoch=0
+    // (it would stop being partition-prunable and the replayed batch
+    // would then double-count) — reconcile it away first
+    EpochLedger.dropOrphans(
+      spark, s"$indexDir/docs.parquet", Seq(s"$indexDir/buckets.parquet"))
     EpochCompact.compactTable(spark, s"$indexDir/buckets.parquet",
       _.groupBy(col("b")).agg(sum(col("c_t")).as("c_t"), sum(col("c_r")).as("c_r")))
     EpochCompact.compactTable(spark, s"$indexDir/docs.parquet", _.distinct())

@@ -58,4 +58,16 @@ private[operators] object EpochLedger {
     * partition column to ≤ this, skipping uncommitted residue. */
   def committedMax(spark: SparkSession, ledgerDir: String): Int =
     epochs(spark, ledgerDir).foldLeft(-1)(math.max)
+
+  /** Delete orphaned counter epochs without claiming the next number —
+    * a COMPACT must run this before folding: [[EpochCompact]] reads ALL
+    * epochs, and folding an uncommitted residue epoch into the
+    * committed epoch=0 would launder the double-count the protocol
+    * exists to prevent (the residue stops being partition-prunable and
+    * the replayed batch then lands a second time). */
+  def dropOrphans(
+      spark: SparkSession, ledgerDir: String, counterDirs: Seq[String]): Unit = {
+    reconciledNext(spark, ledgerDir, counterDirs)
+    ()
+  }
 }

@@ -97,8 +97,11 @@ object LmIndex {
           .write.mode("overwrite").parquet(tmp.toString)
       }
     }
-    val next = fs.listStatus(pairs).map(_.getPath.getName)
-      .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toInt).max + 1
+    // ledger-derived epoch + orphan reconcile ([[EpochLedger]]): a crash
+    // between the counter renames and the ledger rename must not let the
+    // replayed batch double-count the bigram/prefix counters
+    val next = EpochLedger.reconciledNext(spark, s"$modelDir/docs.parquet",
+      Seq(pairs.toString, prefix.toString))
     writeEpoch(spark, modelDir, next, batch)
   }
 
@@ -147,6 +150,9 @@ object LmIndex {
       } finally { pt.unpersist(); px.unpersist(); rd.unpersist(); () }
       return
     }
+    // orphaned counter residue must not fold into the committed epoch=0
+    EpochLedger.dropOrphans(spark, s"$modelDir/docs.parquet",
+      Seq(s"$modelDir/pairs.parquet", s"$modelDir/prefix.parquet"))
     EpochCompact.compactTable(spark, s"$modelDir/pairs.parquet",
       _.groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("cnt")))
     val prefix = new Path(modelDir, "prefix.parquet")
@@ -166,7 +172,9 @@ object LmIndex {
   private[operators] def pairTotals(spark: SparkSession, modelDir: String): DataFrame =
     NegEpochs.netTotals(spark, modelDir, "pairs.parquet",
         Seq("l", "r"), Seq("cnt"),
-        spark.read.parquet(s"$modelDir/pairs.parquet"))
+        spark.read.parquet(s"$modelDir/pairs.parquet")
+          .filter(col("epoch") <=
+            EpochLedger.committedMax(spark, s"$modelDir/docs.parquet")))
       .select(col("l"), col("r"), col("cnt").as("c12"))
 
   /** Prefix totals (l, c1): from the store's own prefix table when it has
@@ -176,7 +184,9 @@ object LmIndex {
     val prefix = new Path(modelDir, "prefix.parquet")
     if (prefix.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(prefix))
       NegEpochs.netTotals(spark, modelDir, "prefix.parquet",
-        Seq("l"), Seq("c1"), spark.read.parquet(prefix.toString))
+        Seq("l"), Seq("c1"), spark.read.parquet(prefix.toString)
+          .filter(col("epoch") <=
+            EpochLedger.committedMax(spark, s"$modelDir/docs.parquet")))
     else pairTotals(spark, modelDir).groupBy(col("l")).agg(sum(col("c12")).as("c1"))
   }
 

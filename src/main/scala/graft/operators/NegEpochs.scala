@@ -112,12 +112,17 @@ private[operators] object NegEpochs {
   }
 
   /** The rows of `docRows` that are resident and not already deleted —
-    * the replay-idempotence filter every takedown runs first. */
+    * the replay-idempotence filter every takedown runs first. Dedupes on
+    * doc_id: an at-least-once request stream can carry the same doc
+    * twice in ONE batch, and double rows would subtract the doc's counts
+    * twice (the cross-batch replay is caught by the dels anti-join; the
+    * intra-batch duplicate must be caught here). */
   def victims(
       spark: SparkSession, modelDir: String,
       docRows: DataFrame, resident: DataFrame): DataFrame =
     minus(spark, modelDir,
-      docRows.join(resident.select(col("doc_id")).distinct(), Seq("doc_id")))
+      docRows.dropDuplicates("doc_id")
+        .join(resident.select(col("doc_id")).distinct(), Seq("doc_id")))
 
   /** Whole-store deletion apply: stage a complete replacement under
     * `modelDir` via `stage` (which writes every table SERVING pos−neg,

@@ -156,7 +156,11 @@ object RetrievalOps {
     val docs = table(spark, dir, "documents")
     val dt0 = docs.select(col("doc_id"),
       explode(array_distinct(split(trim(col("text")), " "))).as("term"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // n_docs counts INDEXABLE docs (text non-NULL) so the cap cannot
+    // drift from the postings-store twin, whose ledger only ever sees
+    // docs that produced posting rows — a NULL text explodes to nothing
+    // on both paths
+    val nDocs = docs.filter(col("text").isNotNull).agg(count(lit(1)).as("n_docs"))
     val dt = dt0.join(broadcast(dfCapTerms(dt0, nDocs)), "term")
     hybridWithLexical(spark, dir, lexRanksOf(dt))
   }
@@ -184,6 +188,8 @@ object RetrievalOps {
   private def qHybridSearchZipf(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     val dt0 = zipfTerms(docs)
+    // zipf terms derive from doc_id arithmetic, not text — every doc
+    // carries terms, so n_docs counts them all
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val dt = dt0.join(broadcast(dfCapTerms(dt0, nDocs)), "term")
     hybridWithLexical(spark, dir, lexRanksOf(dt))
@@ -229,19 +235,23 @@ object RetrievalOps {
   private val qHybridSearchSql = hybridSqlWith(
     """SELECT DISTINCT doc_id, t.term
       |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents) d,
-      |       UNNEST(w) AS t(term)""".stripMargin)
+      |       UNNEST(w) AS t(term)""".stripMargin,
+    "SELECT COUNT(*) AS n_docs FROM documents WHERE text IS NOT NULL")
 
   private val qHybridSearchZipfSql = hybridSqlWith(
     s"""SELECT doc_id, 'z' || k::VARCHAR AS term
       |  FROM documents, UNNEST(range(1, ${ZipfVocab + 1})) AS r(k)
-      |  WHERE doc_id % k = 0""".stripMargin)
+      |  WHERE doc_id % k = 0""".stripMargin,
+    "SELECT COUNT(*) AS n_docs FROM documents")
 
   /** The hybrid-RRF oracle over any DISTINCT (doc_id, term) CTE, with
-    * the df cap applied identically to the Spark lanes. */
-  private def hybridSqlWith(dtCte: String): String =
+    * the df cap applied identically to the Spark lanes; `ndCte` matches
+    * each lane's n_docs definition (indexable docs for the text lane,
+    * all docs for the id-derived zipf lane). */
+  private def hybridSqlWith(dtCte: String, ndCte: String): String =
     s"""WITH dt0 AS (
        |  $dtCte),
-       |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |nd AS ($ndCte),
        |keep AS (
        |  SELECT term
        |  FROM (SELECT term, COUNT(*) AS df FROM dt0 GROUP BY 1) f, nd

@@ -60,8 +60,9 @@ object SpanIndex {
     val batch = NegEpochs.minus(spark, indexDir, batch0)
     val grams = new Path(indexDir, "grams.parquet")
     val fs = grams.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val next = fs.listStatus(grams).map(_.getPath.getName)
-      .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toInt).max + 1
+    // ledger-derived epoch + orphan reconcile ([[EpochLedger]])
+    val next = EpochLedger.reconciledNext(
+      spark, s"$indexDir/docs.parquet", Seq(grams.toString))
     writeEpoch(spark, indexDir, next, batch)
   }
 
@@ -101,6 +102,9 @@ object SpanIndex {
       } finally { g.unpersist(); rd.unpersist(); () }
       return
     }
+    // orphaned counter residue must not fold into the committed epoch=0
+    EpochLedger.dropOrphans(
+      spark, s"$indexDir/docs.parquet", Seq(s"$indexDir/grams.parquet"))
     EpochCompact.compactTable(spark, s"$indexDir/grams.parquet",
       _.groupBy(col("gh1"), col("gh2")).agg(sum(col("cnt")).as("cnt")))
     EpochCompact.compactTable(spark, s"$indexDir/docs.parquet", _.distinct())
@@ -109,7 +113,9 @@ object SpanIndex {
   private def netGramTotals(spark: SparkSession, indexDir: String): DataFrame =
     NegEpochs.netTotals(spark, indexDir, "grams.parquet",
       Seq("gh1", "gh2"), Seq("cnt"),
-      spark.read.parquet(s"$indexDir/grams.parquet"))
+      spark.read.parquet(s"$indexDir/grams.parquet")
+        .filter(col("epoch") <=
+          EpochLedger.committedMax(spark, s"$indexDir/docs.parquet")))
 
   /** The duplicated-gram set served by the index: counts summed across
     * ALL epochs (net of committed deletions), then filtered — never

@@ -46,6 +46,28 @@ object Takedown {
       indexDirs: Seq[String]): Seq[StoreResult] = {
     val ids = docRows.select(col("doc_id")).distinct()
     val vecIds = ids.select(col("doc_id").as("vec_id"))
+    // a replayed request (at-least-once stream) or a never-resident id
+    // must not append PHANTOM tombstone epochs: they would force a full
+    // one-epoch compact of every table on every maintenance cycle for a
+    // deletion that removes nothing (and keep tombstone-aware reads on
+    // their slow paths). Filter to ids the store can still see: present
+    // in its resident set (where the family keeps one) and not already
+    // tombstoned. The count families do this internally (NegEpochs
+    // victims); tombstone families get it here.
+    def live(keyed: DataFrame, keyCol: String,
+        resident: Option[DataFrame], dir: String): DataFrame = {
+      val r = resident.fold(keyed)(res =>
+        keyed.join(res.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi"))
+      Tombstones.minus(spark, dir, r, keyCol)
+    }
+    def tombDelete(dir: String, keyed: DataFrame, keyCol: String,
+        resident: Option[DataFrame]): String = {
+      val fresh = live(keyed, keyCol, resident, dir).persist()
+      try {
+        if (fresh.isEmpty) "noop"
+        else { Tombstones.delete(spark, dir, fresh, keyCol); "deleted" }
+      } finally { fresh.unpersist(); () }
+    }
     indexDirs.map { dir =>
       val family =
         if (has(spark, dir, "centroids.parquet")) "ivf"
@@ -64,14 +86,29 @@ object Takedown {
         else if (has(spark, dir, "shingles.parquet")) "eval-vocab"
         else if (has(spark, dir, "buckets.parquet")) "dsir"
         else "unknown"
+      def vecResident(table: String): Option[DataFrame] =
+        if (has(spark, dir, table))
+          Some(spark.read.parquet(s"$dir/$table").select(col("vec_id")))
+        else None
       val action = family match {
-        case "ivf" => IvfIndex.deleteFromIndex(spark, dir, vecIds); "deleted"
-        case "pq" => PqIndex.deleteFromIndex(spark, dir, vecIds); "deleted"
-        case "ann-lsh" => AnnIndex.deleteFromIndex(spark, dir, vecIds); "deleted"
-        case "search" => SearchIndex.deleteFromIndex(spark, dir, ids); "deleted"
-        case "winnow" => WinnowIndex.deleteFromIndex(spark, dir, ids); "deleted"
-        case "pack" => PackIndex.deleteFromIndex(spark, dir, ids); "deleted"
-        case "eval-vocab" => EvalIndex.deleteFromIndex(spark, dir, ids); "deleted"
+        case "ivf" =>
+          tombDelete(dir, vecIds, "vec_id", vecResident("cells.parquet"))
+        case "pq" =>
+          tombDelete(dir, vecIds, "vec_id", vecResident("ids.parquet"))
+        case "ann-lsh" =>
+          tombDelete(dir, vecIds, "vec_id", vecResident("vectors.parquet"))
+        case "search" =>
+          tombDelete(dir, ids, "doc_id",
+            Some(SearchIndex.residentDocIds(spark, dir)))
+        case "winnow" =>
+          tombDelete(dir, ids, "doc_id",
+            Some(WinnowIndex.residentDocIds(spark, dir)))
+        case "pack" =>
+          tombDelete(dir, ids, "doc_id",
+            Some(PackIndex.residentDocIds(spark, dir)))
+        case "eval-vocab" =>
+          tombDelete(dir, ids, "doc_id",
+            Some(EvalIndex.residentDocIds(spark, dir)))
         case "cluster" => ClusterIndex.deleteFromIndex(spark, dir, ids); "deleted"
         case "incremental-dedup" =>
           IncrementalDedup.deleteFromIndex(spark, dir, ids); "deleted"

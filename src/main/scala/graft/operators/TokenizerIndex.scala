@@ -124,6 +124,10 @@ object TokenizerIndex {
     * frozen epoch by construction — nothing to fold. Stats fold BEFORE
     * the ledger (the [[EpochLedger]] compact ordering contract). */
   def compact(spark: SparkSession, indexDir: String): Unit = {
+    // orphaned stats residue must not fold into the committed epoch=0
+    // (the replayed batch would then double-count the drift counters)
+    EpochLedger.dropOrphans(
+      spark, s"$indexDir/docs.parquet", Seq(s"$indexDir/stats.parquet"))
     EpochCompact.compactTable(spark, s"$indexDir/stats.parquet",
       _.groupBy(col("is_baseline")).agg(
         sum(col("n_raw")).as("n_raw"), sum(col("n_merged")).as("n_merged")))

@@ -1012,11 +1012,19 @@ object DocStream {
     val legacy = new org.apache.hadoop.fs.Path(
       p.getParent, p.getName + ".flat-legacy")
     val epoch0 = new org.apache.hadoop.fs.Path(p, "epoch=0")
+    // every rename must THROW on false (the AtomicPublish discipline): a
+    // silently failed move would fall through to the epoch write path and
+    // create exactly the mixed flat+partitioned layout this migration
+    // exists to prevent — with no recovery marker left behind
+    def renameOrThrow(from: org.apache.hadoop.fs.Path,
+        to: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"corpus migration rename failed: $from -> $to")
     if (fs.exists(legacy)) {
       // resume a crashed migration; if epoch=0 somehow already exists,
       // leave the legacy copy in place for operator recovery
       if (!fs.exists(p)) fs.mkdirs(p)
-      if (!fs.exists(epoch0)) fs.rename(legacy, epoch0)
+      if (!fs.exists(epoch0)) renameOrThrow(legacy, epoch0)
       ()
     } else if (fs.exists(p)) {
       val children = fs.listStatus(p)
@@ -1025,9 +1033,9 @@ object DocStream {
         st.isFile && !st.getPath.getName.startsWith(".") &&
           !st.getPath.getName.startsWith("_"))
       if (!hasEpochs && hasFlatData) {
-        fs.rename(p, legacy)
+        renameOrThrow(p, legacy)
         fs.mkdirs(p)
-        fs.rename(legacy, epoch0)
+        renameOrThrow(legacy, epoch0)
         ()
       }
     }

@@ -58,6 +58,49 @@ class CountDeleteSpec extends AnyFunSuite {
     assert(lmScores(full, probe) === lmScores(restored, probe))
   }
 
+  test("LmIndex: an intra-batch DUPLICATE victim row subtracts once (the " +
+      "at-least-once request stream can carry a doc twice in one batch)") {
+    val base = tmp("graft-lmdup")
+    val full = s"$base/full"
+    LmIndex.buildModel(spark, lmCorpus, full)
+    val rebuilt = s"$base/rebuilt"
+    LmIndex.buildModel(spark, lmCorpus.filter(col("doc_id") =!= 2L), rebuilt)
+    val dup = lmCorpus.filter(col("doc_id") === 2L)
+      .unionByName(lmCorpus.filter(col("doc_id") === 2L))
+    LmIndex.deleteFromModel(spark, full, dup)
+    val probe = Seq((10L, "a b a")).toDF("doc_id", "text")
+    assert(lmScores(full, probe) === lmScores(rebuilt, probe))
+  }
+
+  test("LmIndex: append crash window (counters without their ledger twin) " +
+      "neither skews reads nor double-counts on replay; a compact in the " +
+      "window reconciles the residue instead of folding it") {
+    val base = tmp("graft-lmcrash")
+    val idx = s"$base/idx"
+    LmIndex.buildModel(spark, lmCorpus.filter(col("doc_id") =!= 3L), idx)
+    def totals(d: String) = LmIndex.pairTotals(spark, d)
+      .collect().map(_.toSeq).toSet
+    val before = totals(idx)
+    val batch = lmCorpus.filter(col("doc_id") === 3L)
+    LmIndex.appendToModel(spark, idx, batch)
+    // simulate the crash BETWEEN the counter renames and the ledger
+    // rename: pairs/prefix epoch=1 committed, docs epoch=1 absent
+    for (t <- Seq("docs")) {
+      val p = new org.apache.hadoop.fs.Path(s"$idx/$t.parquet/epoch=1")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    // reads skip the uncommitted residue
+    assert(totals(idx) === before)
+    // a compact in the window must NOT fold the residue into epoch=0
+    LmIndex.compact(spark, idx)
+    assert(totals(idx) === before)
+    // the replayed batch lands exactly once
+    LmIndex.appendToModel(spark, idx, batch)
+    val oneShot = s"$base/oneshot"
+    LmIndex.buildModel(spark, lmCorpus, oneShot)
+    assert(totals(idx) === totals(oneShot))
+  }
+
   // --- ClassifyIndex -------------------------------------------------------
 
   test("ClassifyIndex: delete nets the victim's train counts out, parity with rebuild") {

@@ -111,8 +111,14 @@ class DsirIndexSpec extends AnyFunSuite {
     // reads skip the uncommitted residue — the served model is unchanged
     assert(totals(idx) === before)
     assert(DsirIndex.residentDocIds(spark, idx).count() === 2L)
+    // a COMPACT arriving before the replay must not fold the residue
+    // into the committed epoch=0 (that would launder the double-count:
+    // the residue stops being partition-prunable and the replayed batch
+    // then lands a second time) — it reconciles the orphan away instead
+    DsirIndex.compact(spark, idx)
+    assert(totals(idx) === before)
     // the replayed batch (the ledger says it is absent) lands exactly
-    // once: the reconcile deletes the orphaned counter epoch first
+    // once: the reconcile deletes any remaining orphaned counter epoch
     DsirIndex.appendToIndex(spark, idx, batch)
     val oneShot = s"$base/oneshot"
     DsirIndex.buildIndex(spark, corpusA.union(batch), oneShot)

@@ -107,6 +107,10 @@ class IndexPolicySpec extends AnyFunSuite {
     assert(ts.isDefined && ts.get.rows === 2L,
       "catalog must surface pending deletions")
     assert(rt.pendingDeletes === Some(2L))
+    // a REPLAYED delete before the compact (two tombstone epochs carrying
+    // the same key) is still ONE pending deletion — keys, not rows
+    IvfIndex.deleteFromIndex(spark, ivfDir, Seq(2L).toDF("vec_id"))
+    assert(graft.IndexCatalog.report(spark, ivfDir).pendingDeletes === Some(2L))
     assert(graft.IndexCatalog.render(rt).exists(_.contains("PENDING DELETES")))
     IvfIndex.compact(spark, ivfDir)
     val rc = graft.IndexCatalog.report(spark, ivfDir)

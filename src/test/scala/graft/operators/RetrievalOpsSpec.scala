@@ -72,6 +72,33 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(kept === Set("half", "rare"))
   }
 
+  test("df cap parity on a NULL-text corpus: inline n_docs counts " +
+      "INDEXABLE docs, matching the postings-store ledger") {
+    import spark.implicits._
+    // 4 indexable docs + 2 NULL-text docs; term "a" has df 3 —
+    // 3·2 = 6 > 4 (dropped against the indexable count) but 6 ≤ 6
+    // (kept against a raw COUNT(*)), so the two definitions diverge
+    // exactly here and the lanes would drift without the fix
+    val docs = Seq(
+      (1L, "a b"), (2L, "a c"), (3L, "a d"), (4L, "b c"),
+      (5L, null: String), (6L, null: String)).toDF("doc_id", "text")
+    val dt0 = docs.select(col("doc_id"),
+      explode(array_distinct(split(trim(col("text")), " "))).as("term"))
+    val inlineKept = RetrievalOps.dfCapTerms(dt0,
+      docs.filter(col("text").isNotNull).agg(count(lit(1)).as("n_docs")))
+      .collect().map(_.getString(0)).toSet
+    val idx = java.nio.file.Files.createTempDirectory("graft-nullcap").toString + "/idx"
+    SearchIndex.buildIndex(spark, docs, idx)
+    val storeKept = RetrievalOps.dfCapTerms(
+      spark.read.parquet(s"$idx/postings.parquet")
+        .select(col("doc_id"), col("term")),
+      SearchIndex.residentDocIds(spark, idx).agg(count(lit(1)).as("n_docs")))
+      .collect().map(_.getString(0)).toSet
+    assert(inlineKept === storeKept)
+    assert(!inlineKept("a"), "df=3 of 4 indexable docs must be capped")
+    assert(inlineKept === Set("b", "c", "d"))
+  }
+
   test("Zipfian lane: df(zK) = ceil(N/K), the cap drops exactly the z1 " +
       "stopword, and the capped lexical ranking stays rich") {
     val docs = graft.Tables.table(spark, dir, "documents")

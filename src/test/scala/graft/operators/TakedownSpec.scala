@@ -67,7 +67,21 @@ class TakedownSpec extends AnyFunSuite {
       === Some(1L))
     assert(graft.IndexCatalog.report(spark, s"$base/lm").pendingDeletes
       === Some(1L))
-    // a replayed sweep is a no-op everywhere (per-family idempotence)
+    // a replayed sweep BEFORE the compact writes no phantom tombstone
+    // epoch (the ids are already tombstoned → noop for tombstone
+    // families; the count families' victims filter makes theirs no-ops)
+    val replay = Takedown.sweep(spark, victims,
+      Seq(s"$base/search", s"$base/lm", s"$base/dsir"))
+    assert(replay.map(r => r.family -> r.action).toMap ===
+      Map("search" -> "noop", "lm-bigram" -> "deleted", "dsir" -> "deleted"))
+    assert(graft.IndexCatalog.report(spark, s"$base/search").pendingDeletes
+      === Some(1L), "a replayed takedown must not inflate pending count")
+    // and AFTER the durable compact a replay is a noop too — no phantom
+    // epoch forcing full one-epoch compacts forever
+    SearchIndex.compact(spark, s"$base/search")
+    val postCompact = Takedown.sweep(spark, victims, Seq(s"$base/search"))
+    assert(postCompact.head.action === "noop")
+    assert(!new java.io.File(s"$base/search/tombstones.parquet").exists())
     val again = Takedown.sweep(spark, victims, Seq(s"$base/lm", s"$base/dsir"))
     assert(again.forall(_.action == "deleted"))
     assert(LmIndex.scoreDocs(spark, probe, s"$base/lm").collect().map(_.toSeq).toSet
@@ -103,7 +117,10 @@ class TakedownSpec extends AnyFunSuite {
     } finally q.stop()
     assert(reports.toList === List(
       "search" -> "deleted", "lm-bigram" -> "deleted",
-      "search" -> "deleted", "lm-bigram" -> "deleted"))
+      // the replayed batch: already-tombstoned ids are filtered before
+      // the tombstone write (noop); the count family's victims filter
+      // makes its delete an internal no-op
+      "search" -> "noop", "lm-bigram" -> "deleted"))
     // exclusion held; the replayed batch subtracted nothing twice
     assert(SearchIndex.searchFromIndex(spark, s"$base/search", Seq("gamma"), 10)
       .filter(col("doc_id") === 2L).count() === 0L)
