@@ -20,8 +20,15 @@ object IndexCatalog {
     * first: cluster stores carry both `shingle_df.parquet` and
     * `edges.parquet` (and `labels.parquet`, unique to them) — keyed on
     * `labels.parquet` ahead of the shingle signature so they don't
-    * misreport as incremental-dedup. */
-  private val Families: Seq[(String, String)] = Seq(
+    * misreport as incremental-dedup; IVF-PQ stores carry `codebook
+    * .parquet` next to `centroids.parquet` (centroids first); sketch
+    * stores carry `counts.parquet` next to `sample.parquet` (sample
+    * first). THE single registry: [[report]] and
+    * [[operators.Takedown.sweep]] both dispatch off it, so a family
+    * added here is seen by the catalog AND the compliance sweep — the
+    * two maps drifting apart is exactly the one-store-missed failure
+    * the sweep exists to prevent. */
+  val Families: Seq[(String, String)] = Seq(
     "centroids.parquet" -> "ivf",
     "codebook.parquet" -> "pq",
     "bands.parquet" -> "ann-lsh",
@@ -38,6 +45,24 @@ object IndexCatalog {
     "merges.parquet" -> "tokenizer",
     "shingles.parquet" -> "eval-vocab",
     "buckets.parquet" -> "dsir")
+
+  /** Family of a store given its table names — pure half of detection,
+    * shared by [[report]] and the takedown sweep. */
+  def detectFamily(tables: Seq[String]): String =
+    Families.collectFirst {
+      case (sig, fam) if tables.contains(sig) => fam
+    }.getOrElse("unknown")
+
+  /** Family of the store at `dir` (one directory listing; dot-staging
+    * and bak residue excluded, as in [[report]]). A missing or empty
+    * dir is `unknown` — the sweep reports it rather than crashing. */
+  def detectFamily(spark: SparkSession, dir: String): String = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) "unknown"
+    else detectFamily(fs.listStatus(root).map(_.getPath.getName).toSeq
+      .filter(n => n.endsWith(".parquet") && !n.startsWith(".")))
+  }
 
   final case class TableReport(
       name: String, epochs: Int, rows: Long, residue: Seq[String]) {
@@ -65,9 +90,7 @@ object IndexCatalog {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val children = fs.listStatus(root).map(_.getPath.getName).toSeq.sorted
     val tables = children.filter(n => n.endsWith(".parquet") && !n.startsWith("."))
-    val family = Families.collectFirst {
-      case (sig, fam) if tables.contains(sig) => fam
-    }.getOrElse("unknown")
+    val family = detectFamily(tables)
     val reports = tables.map { t =>
       val tp = new Path(root, t)
       val sub = fs.listStatus(tp).map(_.getPath.getName).toSeq

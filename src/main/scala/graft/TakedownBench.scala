@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Takedown-at-scale measurement (round-12 verdict item 5): what a
+  * 1k-victim compliance sweep actually costs against large stores, per
+  * deletion-discipline class —
+  *
+  *  - TOMBSTONE (representative: [[operators.SearchIndex]], the heaviest
+  *    read surface): O(ids) sweep; reads pay an anti-join while
+  *    tombstones pend; the deletion-applying compact makes it durable;
+  *  - COUNT-MODEL (representative: [[operators.LmIndex]]): O(victims)
+  *    negative-epoch write; reads pay the pos−neg netting while the
+  *    deletion pends; the whole-store-swap compact retires it;
+  *  - SHINGLE-GRAPH (representative: [[operators.IncrementalDedup]]):
+  *    the delete IS an atomic store rewrite (copy-weighted subtraction)
+  *    — no pending state, so no read overhead and nothing for the
+  *    compact to apply.
+  *
+  * Prints one JSON line per (class, phase): build, read_clean,
+  * sweep, read_pending (and the overhead ratio), compact_apply,
+  * read_after. Run:
+  *
+  *   sbt "runMain graft.TakedownBench /tmp/sfstress/f10 /tmp/tdbench"
+  */
+object TakedownBench {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: TakedownBench <sfDir> <workDir>")
+    val (sfDir, workDir) = (args(0), args(1))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      .config("spark.ui.enabled", "false")
+    Tables.RequiredConf.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def timed[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def emit(cls: String, phase: String, sec: Double, extra: String = ""): Unit =
+      println(f"""{"class":"$cls","phase":"$phase","sec":$sec%.3f$extra,"sf":"$sfDir"}""")
+
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val nDocs = docs.count()
+    // ~1000 victims, spread across the id range
+    val stride = math.max(1L, nDocs / 1000L)
+    val victims = docs.filter(col("doc_id") % stride === 7L).cache()
+    val nVictims = victims.count()
+    println(s"""{"corpus":$nDocs,"victims":$nVictims,"sf":"$sfDir"}""")
+
+    val fs = new org.apache.hadoop.fs.Path(workDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(workDir), true)
+
+    // --- tombstone class: SearchIndex ------------------------------------
+    {
+      val idx = s"$workDir/search"
+      val (_, tb) = timed(operators.SearchIndex.buildIndex(spark, docs, idx))
+      emit("tombstone", "build", tb)
+      val terms = Seq("vector", "window", "merge", "scan")
+      def read(): Unit =
+        operators.SearchIndex.bm25FromIndex(spark, idx, terms, 10)
+          .write.mode("overwrite").format("noop").save()
+      val (_, w) = timed(read()); emit("tombstone", "read_warm", w)
+      val (_, r0) = timed(read()); emit("tombstone", "read_clean", r0)
+      val (_, s) = timed(
+        operators.Takedown.sweep(spark, victims, Seq(idx)))
+      emit("tombstone", "sweep_1k", s)
+      val (_, r1) = timed(read())
+      emit("tombstone", "read_pending", r1,
+        f""","overhead_vs_clean":${r1 / math.max(r0, 1e-9)}%.2f""")
+      val (_, c) = timed(operators.SearchIndex.compact(spark, idx))
+      emit("tombstone", "compact_apply", c)
+      val (_, r2) = timed(read()); emit("tombstone", "read_after", r2)
+    }
+
+    // --- count-model class: LmIndex ---------------------------------------
+    {
+      val idx = s"$workDir/lm"
+      val (_, tb) = timed(operators.LmIndex.buildModel(spark, docs, idx))
+      emit("count-model", "build", tb)
+      val probe = docs.filter(col("doc_id") % 97 === 3L)
+        .select(col("doc_id"), col("text"))
+      def read(): Unit =
+        operators.LmIndex.scoreDocs(spark, probe, idx)
+          .write.mode("overwrite").format("noop").save()
+      val (_, w) = timed(read()); emit("count-model", "read_warm", w)
+      val (_, r0) = timed(read()); emit("count-model", "read_clean", r0)
+      val (_, s) = timed(
+        operators.Takedown.sweep(spark, victims, Seq(idx)))
+      emit("count-model", "sweep_1k", s)
+      val (_, r1) = timed(read())
+      emit("count-model", "read_pending", r1,
+        f""","overhead_vs_clean":${r1 / math.max(r0, 1e-9)}%.2f""")
+      val (_, c) = timed(operators.LmIndex.compact(spark, idx))
+      emit("count-model", "compact_apply", c)
+      val (_, r2) = timed(read()); emit("count-model", "read_after", r2)
+    }
+
+    // --- shingle-graph class: IncrementalDedup ----------------------------
+    {
+      val idx = s"$workDir/incdedup"
+      val (_, tb) = timed(
+        operators.IncrementalDedup.buildIndex(
+          docs.select(col("doc_id"), col("text")), idx))
+      emit("shingle-graph", "build", tb)
+      // the delete IS the rewrite — one timed sweep, no pending state
+      val (_, s) = timed(
+        operators.Takedown.sweep(spark, victims, Seq(idx)))
+      emit("shingle-graph", "sweep_1k_rewrite", s)
+    }
+
+    victims.unpersist()
+    spark.stop()
+  }
+}

@@ -518,57 +518,74 @@ object IvfIndex {
     memberFilter match {
       case None => base
       case Some(filter) =>
-        val cap = cents.size
-        // each query's cells in probe order, escalated as a prefix length
-        val ordered = qRows.map { case (qid, qv, qnorm) =>
-          (qid, qv, qnorm, probeCells(cents, qv, cap))
-        }
-        var depth = qRows.map(q => q._1 -> np).toMap
-        var rounds = 0
-        var starving = true
-        while (starving && rounds < 16) {
-          rounds += 1
-          val probed = ordered.flatMap { case (qid, _, _, cs) =>
-            cs.take(depth(qid))
-          }.distinct
+        // counts provider: one column-pruned pass over the PROBED dirs
+        // per round — filtered AND total members per cell, the ratio is
+        // the query's measured local selectivity ŝ
+        def countsOf(probed: Seq[Long]): Map[Long, (Long, Long)] = {
           val dirs = probedDirPaths(spark, indexDir, probed)
-          // one column-pruned pass over the probed dirs: filtered AND
-          // total members per cell — the ratio is the query's measured
-          // local selectivity ŝ
-          val counts: Map[Long, (Long, Long)] =
-            if (dirs.isEmpty) Map.empty
-            else minusTombstones(spark, indexDir,
-              spark.read.parquet(dirs: _*)
-                .select(col("vec_id"), col("cl"),
-                  when(filter, 1L).otherwise(0L).as("ok")))
-              .groupBy(col("cl"))
-              .agg(sum(col("ok")).as("f"), count(lit(1)).as("t"))
-              .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-          // starvation target: a filtered k-NN at local selectivity ŝ sits
-          // at roughly the unfiltered (k/ŝ)-NN distance, so the candidate
-          // pool must oversample by ~1/ŝ (×2 safety) before the rescore
-          // can rank the true filtered neighbors — a bare k+1 candidates
-          // satisfies the arithmetic but probes far too shallow
-          val starved = ordered.filter { case (qid, _, _, cs) =>
-            if (depth(qid) >= cap) false
-            else {
-              val probedCs = cs.take(depth(qid))
-              val f = probedCs.map(counts.get(_).fold(0L)(_._1)).sum
-              val t = probedCs.map(counts.get(_).fold(0L)(_._2)).sum
-              val target =
-                if (f >= t) (K + 1).toLong // ŝ = 1: the fixed plan feeds k
-                else 2L * (K + 1) * t / math.max(f, 1L)
-              f < target
-            }
-          }
-          starving = starved.nonEmpty
-          depth = depth ++ starved.map { case (qid, _, _, _) =>
-            qid -> math.min(cap, depth(qid) * 2)
-          }
+          if (dirs.isEmpty) Map.empty
+          else minusTombstones(spark, indexDir,
+            spark.read.parquet(dirs: _*)
+              .select(col("vec_id"), col("cl"),
+                when(filter, 1L).otherwise(0L).as("ok")))
+            .groupBy(col("cl"))
+            .agg(sum(col("ok")).as("f"), count(lit(1)).as("t"))
+            .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
         }
-        ordered.flatMap { case (qid, qv, qnorm, cs) =>
-          cs.take(depth(qid)).map(c => (qid, qv, qnorm, c))
+        escalateProbes(cents, qRows, np, countsOf)
+    }
+  }
+
+  /** The starvation-escalation arithmetic alone, shared by the persisted
+    * lane ([[probePlan]], per-round pruned dir reads) and the inline
+    * learned lane ([[SimilarityOps.ivfLearnedTopK]], one whole-corpus
+    * count pass — it has no per-cell dirs to prune): same starvation
+    * math, same doubling, same cap, so the two lanes cannot drift.
+    * `countsOf(probedCells)` returns per-cell (filtered, total) member
+    * counts covering at least the probed set. */
+  private[operators] def escalateProbes(
+      cents: Seq[(Long, Seq[Double])],
+      qRows: Seq[(Long, Seq[Double], Double)],
+      np: Int,
+      countsOf: Seq[Long] => Map[Long, (Long, Long)]): Seq[(Long, Seq[Double], Double, Long)] = {
+    val cap = cents.size
+    // each query's cells in probe order, escalated as a prefix length
+    val ordered = qRows.map { case (qid, qv, qnorm) =>
+      (qid, qv, qnorm, probeCells(cents, qv, cap))
+    }
+    var depth = qRows.map(q => q._1 -> np).toMap
+    var rounds = 0
+    var starving = true
+    while (starving && rounds < 16) {
+      rounds += 1
+      val probed = ordered.flatMap { case (qid, _, _, cs) =>
+        cs.take(depth(qid))
+      }.distinct
+      val counts = countsOf(probed)
+      // starvation target: a filtered k-NN at local selectivity ŝ sits
+      // at roughly the unfiltered (k/ŝ)-NN distance, so the candidate
+      // pool must oversample by ~1/ŝ (×2 safety) before the rescore
+      // can rank the true filtered neighbors — a bare k+1 candidates
+      // satisfies the arithmetic but probes far too shallow
+      val starved = ordered.filter { case (qid, _, _, cs) =>
+        if (depth(qid) >= cap) false
+        else {
+          val probedCs = cs.take(depth(qid))
+          val f = probedCs.map(counts.get(_).fold(0L)(_._1)).sum
+          val t = probedCs.map(counts.get(_).fold(0L)(_._2)).sum
+          val target =
+            if (f >= t) (K + 1).toLong // ŝ = 1: the fixed plan feeds k
+            else 2L * (K + 1) * t / math.max(f, 1L)
+          f < target
         }
+      }
+      starving = starved.nonEmpty
+      depth = depth ++ starved.map { case (qid, _, _, _) =>
+        qid -> math.min(cap, depth(qid) * 2)
+      }
+    }
+    ordered.flatMap { case (qid, qv, qnorm, cs) =>
+      cs.take(depth(qid)).map(c => (qid, qv, qnorm, c))
     }
   }
 

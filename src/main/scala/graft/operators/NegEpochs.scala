@@ -95,21 +95,25 @@ private[operators] object NegEpochs {
     * already be resident-∩-not-deleted (use [[victims]]). */
   def writeDeletion(
       spark: SparkSession, modelDir: String,
-      negTables: Seq[(String, DataFrame)], victimIds: DataFrame): Unit = {
-    val d = delsDir(modelDir)
-    val next = EpochLedger.reconciledNext(
-      spark, d, negTables.map { case (t, _) => negDir(modelDir, t) })
-    for ((t, counts) <- negTables)
+      negTables: Seq[(String, DataFrame)], victimIds: DataFrame): Unit =
+    // serialized against the deletion-applying compact ([[applyWithSwap]]
+    // holds the same lock across its stage→swap window) — an unserialized
+    // write here would be destroyed with the compact's bak dir
+    StoreLock.withLock(modelDir, "neg-epoch-delete") {
+      val d = delsDir(modelDir)
+      val next = EpochLedger.reconciledNext(
+        spark, d, negTables.map { case (t, _) => negDir(modelDir, t) })
+      for ((t, counts) <- negTables)
+        AtomicPublish.stageAndRename(
+          spark, negDir(modelDir, t), s".epoch-$next.tmp", s"epoch=$next") { tmp =>
+          counts.write.mode("overwrite").parquet(tmp.toString)
+        }
       AtomicPublish.stageAndRename(
-        spark, negDir(modelDir, t), s".epoch-$next.tmp", s"epoch=$next") { tmp =>
-        counts.write.mode("overwrite").parquet(tmp.toString)
+        spark, d, s".epoch-$next.tmp", s"epoch=$next") { tmp =>
+        victimIds.select(col("doc_id")).distinct()
+          .write.mode("overwrite").parquet(tmp.toString)
       }
-    AtomicPublish.stageAndRename(
-      spark, d, s".epoch-$next.tmp", s"epoch=$next") { tmp =>
-      victimIds.select(col("doc_id")).distinct()
-        .write.mode("overwrite").parquet(tmp.toString)
     }
-  }
 
   /** The rows of `docRows` that are resident and not already deleted —
     * the replay-idempotence filter every takedown runs first. Dedupes on
@@ -128,9 +132,46 @@ private[operators] object NegEpochs {
     * `modelDir` via `stage` (which writes every table SERVING pos−neg,
     * with no neg-/dels state), then swap atomically — the only way to
     * retire deletions across multiple counter tables without a
-    * cross-table crash window. */
+    * cross-table crash window.
+    *
+    * Holds the store's [[StoreLock]] across the whole stage→swap window
+    * (the callers' stage DataFrames evaluate lazily inside `stage`, so
+    * their dels/neg reads happen under the lock): a takedown writing
+    * neg+dels epochs between the stage-read and the `live → bak` rename
+    * would otherwise be silently destroyed with the bak dir — a
+    * deletion reported applied, resurrected. As the loud backstop for
+    * writers the in-process lock cannot see (a second driver violating
+    * the single-writer contract), the dels epoch set is captured before
+    * staging and re-checked immediately before the rename: a mismatch
+    * aborts the swap (staged dir discarded, deletions stay pending and
+    * correct on every read path) and throws. */
   def applyWithSwap(
       spark: SparkSession, modelDir: String)(stage: Path => Unit): Unit =
-    AtomicPublish.swapDir(spark, modelDir,
-      tmpSuffix = ".apply-tmp", bakSuffix = ".apply-bak")(stage)
+    StoreLock.withLock(modelDir, "deletion-apply") {
+      val live = new Path(modelDir)
+      val f = fs(spark, modelDir)
+      val tmp = new Path(live.getParent, live.getName + ".apply-tmp")
+      val bak = new Path(live.getParent, live.getName + ".apply-bak")
+      val stagedDels = EpochLedger.epochs(spark, delsDir(modelDir)).toSet
+      f.delete(tmp, true)
+      stage(tmp)
+      val nowDels = EpochLedger.epochs(spark, delsDir(modelDir)).toSet
+      if (nowDels != stagedDels) {
+        f.delete(tmp, true)
+        throw new IllegalStateException(
+          s"deletion-apply on $modelDir raced a concurrent deletion write " +
+            s"(dels epochs $stagedDels -> $nowDels) despite the writer lock " +
+            "— a second process is writing this store; the swap was " +
+            "aborted and ALL deletions remain pending (reads stay correct)")
+      }
+      f.delete(bak, true)
+      if (!f.rename(live, bak))
+        throw new java.io.IOException(s"swap failed: $live -> $bak")
+      if (!f.rename(tmp, live)) {
+        f.rename(bak, live)
+        throw new java.io.IOException(s"swap failed: $tmp -> $live")
+      }
+      f.delete(bak, true)
+      ()
+    }
 }

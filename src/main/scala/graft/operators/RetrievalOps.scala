@@ -129,8 +129,15 @@ object RetrievalOps {
     * frame. Shared by the inline lane and the postings-store serving
     * twin ([[SearchIndex.sharedTermRanks]]) so the two cannot drift. */
   private[operators] def dfCapTerms(dt: DataFrame, nDocs: DataFrame): DataFrame =
-    dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(nDocs))
+    dfCapFilter(dt.groupBy(col("term")).agg(count(lit(1)).as("df")), nDocs)
+
+  /** The cap PREDICATE alone, over an already-aggregated (term, df)
+    * table — the one body both df sources flow through: the inline
+    * lane's read-derived df (above) and the postings store's persisted
+    * `term_df` summary ([[SearchIndex]]), so the served cap cannot
+    * drift from the computed one. */
+  private[operators] def dfCapFilter(termDf: DataFrame, nDocs: DataFrame): DataFrame =
+    termDf.crossJoin(broadcast(nDocs))
       .filter(col("df") * 2 <= col("n_docs"))
       .select(col("term"))
 

@@ -57,6 +57,16 @@ object SearchIndex {
         .partitionBy("tbucket").parquet(tmp.toString)
     }
     AtomicPublish.stageAndRename(
+      spark, new Path(root, "term_df.parquet").toString,
+      s".epoch-$epoch.tmp", s"epoch=$epoch") { tmp =>
+      // the batch's per-term doc counts — the persisted half of the
+      // hybrid lane's df cap, so serving never re-aggregates the whole
+      // postings store ([[termDfFromStore]] for merge + crash rules);
+      // written BEFORE the docs ledger, whose rename is the commit point
+      postingsOf(docs).groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(tmp.toString)
+    }
+    AtomicPublish.stageAndRename(
       spark, new Path(root, "docs.parquet").toString,
       s".epoch-$epoch.tmp", s"epoch=$epoch") { tmp =>
       // the ledger carries each doc's TOTAL token count (dl), derived
@@ -83,11 +93,52 @@ object SearchIndex {
     * resident row touched — O(batch). Caller dedupes batches against
     * [[residentDocIds]]. */
   def appendToIndex(spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+    // v1 stores migrate BEFORE the append so a mixed-schema ledger (old
+    // epochs without dl, new epochs with it) can never exist on disk
+    migrateDocsLedger(spark, indexDir)
     val postings = new Path(indexDir, "postings.parquet")
     val fs = postings.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val next = fs.listStatus(postings).map(_.getPath.getName)
       .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toInt).max + 1
     writeEpoch(spark, indexDir, next, batch)
+  }
+
+  /** v1→v2 docs-ledger migration (the LmIndex v1→v2 prefix discipline):
+    * v2 made the ledger carry (doc_id, dl), and BM25's length
+    * normalization reads it — but a store built by v1 code has doc_id
+    * only, and APPENDING v2 epochs to it would leave a mixed-schema
+    * table where reads throw or silently serve null dl depending on
+    * which footer Spark picks, and the compact's distinct() fold can
+    * drop dl for every doc. Each legacy epoch is rewritten in place
+    * (one staged rename, crash-idempotent — a re-run migrates whatever
+    * epochs still lack dl) with dl recomputed from the SAME epoch's
+    * postings, which carry per-doc tf: `postingsOf` writes every doc's
+    * full term rows into its arrival epoch, so `Σ tf` over that epoch
+    * is exactly the dl the v2 ingest would have persisted — migrated ≡
+    * rebuilt, bit for bit (spec: `SearchIndexSpec`). Runs on every
+    * mutation ([[appendToIndex]], [[compact]]); no-op (schema checks
+    * only) on v2 stores. */
+  def migrateDocsLedger(spark: SparkSession, indexDir: String): Unit = {
+    val docsT = new Path(indexDir, "docs.parquet")
+    val fs = docsT.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(docsT)) return
+    val legacy = fs.listStatus(docsT).map(_.getPath.getName)
+      .filter(_.startsWith("epoch="))
+      .filter(e => !spark.read.parquet(s"$docsT/$e").columns.contains("dl"))
+    for (e <- legacy) {
+      val k = e.stripPrefix("epoch=")
+      val dl = spark.read.parquet(s"$indexDir/postings.parquet/epoch=$k")
+        .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val ids = spark.read.parquet(s"$docsT/$e").select(col("doc_id")).distinct()
+      AtomicPublish.stageAndRename(
+        spark, docsT.toString, s".$e-migrate.tmp", e) { tmp =>
+        // left join + coalesce: a ledger row whose postings epoch was
+        // lost to a crash window keeps dl=0 rather than vanishing
+        ids.join(dl, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("dl"), lit(0L)).as("dl"))
+          .write.mode("overwrite").parquet(tmp.toString)
+      }
+    }
   }
 
   /** Doc_ids already folded in (the streaming anti-join target). NOTE:
@@ -121,6 +172,9 @@ object SearchIndex {
     * the postings rewrite preserves the tbucket directory layout so the
     * pruned-read contract survives compaction. */
   def compact(spark: SparkSession, indexDir: String): Unit = {
+    // a v1 ledger must gain dl BEFORE the fold — distinct() over a
+    // mixed-schema table would drop it for every doc
+    migrateDocsLedger(spark, indexDir)
     // frozen tombstone epoch set: fold out exactly these, retire exactly
     // these — a takedown racing this compact stays pending for the next
     val ts = Tombstones.snapshot(spark, indexDir)
@@ -130,12 +184,33 @@ object SearchIndex {
     def epochsOf(p: Path): Int =
       if (!fs.exists(p)) 0
       else fs.listStatus(p).count(_.getPath.getName.startsWith("epoch="))
-    if (epochsOf(postings) > 1 || haveTombstones) {
+    val foldPostings = epochsOf(postings) > 1 || haveTombstones
+    if (foldPostings) {
       val merged = ts.minus(spark,
         mergePostings(spark.read.parquet(postings.toString).drop("epoch")), "doc_id")
       AtomicPublish.swapDir(spark, postings.toString) { tmp =>
         merged.write.partitionBy("tbucket").parquet(s"$tmp/epoch=0")
       }
+    }
+    // the df summary rewrites from the (now-folded) postings —
+    // tombstone-excluded, orphan epochs deduped away — whenever the fold
+    // ran or the table is missing/multi-epoch; the missing case is the
+    // free migration path for stores from before the summary existed
+    val termDfT = new Path(indexDir, "term_df.parquet")
+    if (foldPostings || !fs.exists(termDfT) || epochsOf(termDfT) > 1) {
+      val folded = ts.minus(spark,
+        mergePostings(spark.read.parquet(postings.toString).drop("epoch")),
+        "doc_id")
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      if (fs.exists(termDfT))
+        AtomicPublish.swapDir(spark, termDfT.toString) { tmp =>
+          folded.write.parquet(s"$tmp/epoch=0")
+        }
+      else
+        AtomicPublish.stageAndRename(
+          spark, indexDir, ".term_df.tmp", "term_df.parquet") { tmp =>
+          folded.write.parquet(s"$tmp/epoch=0")
+        }
     }
     val docsT = new Path(indexDir, "docs.parquet")
     if (epochsOf(docsT) > 1 || haveTombstones) {
@@ -224,11 +299,19 @@ object SearchIndex {
   }
 
   /** The ledger with doc lengths (doc_id, dl), merged across epochs and
-    * tombstone-excluded — the BM25 normalization table. */
-  private def docLengths(spark: SparkSession, indexDir: String): DataFrame =
+    * tombstone-excluded — the BM25 normalization table. Refuses a v1
+    * (dl-less) ledger loudly: depending on which footer Spark picks, a
+    * mixed read would otherwise throw cryptically or serve null dl. */
+  private def docLengths(spark: SparkSession, indexDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$indexDir/docs.parquet")
+    if (!docs.columns.contains("dl"))
+      throw new IllegalStateException(
+        s"docs ledger at $indexDir/docs.parquet has no dl column (a v1 " +
+          "store) — run migrateDocsLedger (any append/compact does) " +
+          "before serving BM25 from it")
     minusTombstones(spark, indexDir,
-      spark.read.parquet(s"$indexDir/docs.parquet")
-        .select(col("doc_id"), col("dl")).distinct())
+      docs.select(col("doc_id"), col("dl")).distinct())
+  }
 
   /** Okapi BM25 from index files only: tf/df from the PRUNED term-bucket
     * read, dl/avgdl/n_docs from the small ledger — the arithmetic is the
@@ -246,6 +329,29 @@ object SearchIndex {
     CorpusOps.bm25Score(tf, df, dl, totals, topK)
   }
 
+  /** Corpus-wide (term, df) served from the persisted summary: per-epoch
+    * df rows sum — additive because committed batches are doc-disjoint
+    * (the resident anti-join contract), so Σ per-epoch df ≡ the per-term
+    * count over the merged postings, which the append≡rebuild spec pins.
+    * Crash rule: a term_df epoch is only summed if its DOCS epoch exists
+    * (the ledger rename is the commit point) — an orphaned term_df epoch
+    * from a crash window would otherwise double its batch's df when the
+    * replay lands the same batch under the next number. Returns None on
+    * stores from before this table existed (callers fall back to the
+    * read-derived aggregate; any compact writes the summary). */
+  private[operators] def termDfFromStore(
+      spark: SparkSession, indexDir: String): Option[DataFrame] = {
+    val td = new Path(indexDir, "term_df.parquet")
+    val fs = td.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(td)) None
+    else {
+      val committed = EpochLedger.epochs(spark, s"$indexDir/docs.parquet")
+      Some(spark.read.parquet(td.toString)
+        .filter(col("epoch").isInCollection(committed))
+        .groupBy(col("term")).agg(sum(col("df")).as("df")))
+    }
+  }
+
   /** The lexical candidate list for hybrid fusion, from index files only:
     * shared distinct-term counts between each query document and the
     * resident corpus. Posting rows ARE the distinct terms (one row per
@@ -258,16 +364,26 @@ object SearchIndex {
     val merged = minusTombstones(spark, indexDir, mergedPostings(spark, indexDir,
       spark.read.parquet(s"$indexDir/postings.parquet")))
     // BM25-style df cap before pair generation (the shared
-    // [[RetrievalOps.dfCapTerms]] body — posting rows ARE the distinct
-    // (doc, term) table, and n_docs is the tombstone-excluded ledger, so
-    // the served cap is the one a rebuild would compute): without it the
-    // high-df stopwords make every document a candidate of every query
-    // and the matched-pair volume grows with corpus size
+    // [[RetrievalOps.dfCapFilter]] predicate — posting rows ARE the
+    // distinct (doc, term) table, and n_docs is the tombstone-excluded
+    // ledger, so the served cap is the one a rebuild would compute):
+    // without it the high-df stopwords make every document a candidate
+    // of every query and the matched-pair volume grows with corpus size.
+    // FAST path: df comes from the persisted per-epoch summary — the
+    // read-derived aggregate re-shuffles the whole postings store per
+    // query, and at sf10 that aggregate WAS the indexed lane's remaining
+    // gap to the inline twin. Pending tombstones (rare, bounded by the
+    // next compact) or a summary-less legacy store fall back to deriving
+    // df from the tombstone-excluded merge.
     val nDocs = minusTombstones(spark, indexDir, residentDocIds(spark, indexDir))
       .agg(count(lit(1)).as("n_docs"))
-    val postings = merged.join(
-      broadcast(RetrievalOps.dfCapTerms(
-        merged.select(col("doc_id"), col("term")), nDocs)), "term")
+    val capTerms = termDfFromStore(spark, indexDir) match {
+      case Some(td) if !Tombstones.pending(spark, indexDir) =>
+        RetrievalOps.dfCapFilter(td, nDocs)
+      case _ =>
+        RetrievalOps.dfCapTerms(merged.select(col("doc_id"), col("term")), nDocs)
+    }
+    val postings = merged.join(broadcast(capTerms), "term")
     val qt = postings.filter(col("doc_id") < queryMax)
       .select(col("doc_id").as("query_id"), col("term"))
     val wLex = org.apache.spark.sql.expressions.Window
@@ -284,9 +400,12 @@ object SearchIndex {
 
   // --- the oracle-gate lanes ----------------------------------------------
   private def indexDirFor(dir: String): String = {
-    // v2: the docs ledger carries (doc_id, dl) — a layout change, so old
-    // stores must not be reused (the IndexStamp version-bump discipline)
-    val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "search-v2"))
+    // v3: adds the per-epoch term_df summary (v2 added dl to the docs
+    // ledger) — a layout change, so old stores must not be reused (the
+    // IndexStamp version-bump discipline); v1/v2 stores that ARE reused
+    // externally migrate via migrateDocsLedger + the compact's summary
+    // backfill
+    val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "search-v3"))
     s"${System.getProperty("java.io.tmpdir")}/graft-search-index-$key"
   }
 

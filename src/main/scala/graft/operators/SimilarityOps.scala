@@ -826,13 +826,39 @@ object SimilarityOps {
     // vectors — no assignment join, no second corpus pass
     val e = withNorm(table(spark, dir, "embeddings"))
       .withColumn("cluster", assignExpr(rows, col("v")))
-    val probes = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
-      .crossJoin(broadcast(cent))
-      .withColumn("cr", row_number().over(Window.partitionBy(col("query_id"))
-        .orderBy(dist2(col("qv"), col("cv")), col("cluster"))))
-      .filter(col("cr") <= nprobe)
-      .select(col("query_id"), col("qv"), col("qnorm"), col("cluster"))
+    // FILTERED queries take the selectivity-adaptive probe plan (the
+    // [[IvfIndex.escalateProbes]] starvation math, shared with the
+    // persisted lane so the two cannot drift): a rare filter starves the
+    // fixed-depth candidate pool and recall collapses. The counts come
+    // from ONE whole-corpus pass (the inline lane has no per-cell dirs
+    // to prune — it scans the corpus for assignment anyway); a fed
+    // filter never escalates, so the 0.5-selectivity gate lane keeps
+    // the fixed plan bit-identically (probeCells orders by (dist², id),
+    // exactly this window's orderBy). Unfiltered queries keep the
+    // distributed fixed-depth plan unchanged.
+    val probes = memberFilter match {
+      case Some(filter) =>
+        val qRows = e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id"), col("v"), col("norm"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+          .toSeq.sortBy(_._1)
+        val counts = e
+          .select(col("cluster"), when(filter, 1L).otherwise(0L).as("ok"))
+          .groupBy(col("cluster"))
+          .agg(sum(col("ok")).as("f"), count(lit(1)).as("t"))
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        IvfIndex.escalateProbes(rows, qRows, nprobe, _ => counts)
+          .toDF("query_id", "qv", "qnorm", "cluster")
+      case None =>
+        e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+          .crossJoin(broadcast(cent))
+          .withColumn("cr", row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(dist2(col("qv"), col("cv")), col("cluster"))))
+          .filter(col("cr") <= nprobe)
+          .select(col("query_id"), col("qv"), col("qnorm"), col("cluster"))
+    }
     // candidate-stage metadata filter (filtered vector search): applied to
     // the member side BEFORE scoring, so it prunes the scan, not the top-k
     val members = memberFilter.map(e.filter).getOrElse(e)

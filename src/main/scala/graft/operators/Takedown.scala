@@ -30,22 +30,80 @@ import org.apache.spark.sql.functions._
   */
 object Takedown {
 
-  final case class StoreResult(dir: String, family: String, action: String)
+  /** Per-store outcome. `unresolved` counts victim ids that are RESIDENT
+    * in a count-model store but could not be resolved to their document
+    * rows (id-only request, id absent from the corpus): those stores
+    * cannot reverse their arithmetic for them, so the sweep reports the
+    * hole instead of silently subtracting nothing. Doc/vector-keyed
+    * stores delete by id alone and never report unresolved. */
+  final case class StoreResult(
+      dir: String, family: String, action: String, unresolved: Long = 0L)
 
-  private def has(spark: SparkSession, dir: String, table: String): Boolean = {
-    val p = new Path(dir, table)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  /** Victim columns the count-model families reverse their arithmetic
+    * from (LM/span: text; classifier/DSIR: text+lang; sketch: source). */
+  private val ResolvedCols = Seq("text", "lang", "source")
+
+  /** Resolve a takedown request to full victim rows. Requests carrying
+    * text/lang/source pass through; id-only (or partial) requests are
+    * left-joined against `corpus` (the curation stream's corpus table or
+    * a caller-supplied documents table) to recover them — real
+    * compliance requests carry bare ids. Returns (resolved rows,
+    * unresolvable ids) — the second only on the resolution path. */
+  private def resolveVictims(
+      spark: SparkSession, docRows: DataFrame,
+      corpus: Option[DataFrame]): (DataFrame, Option[DataFrame]) = {
+    val have = docRows.columns.toSet
+    if (ResolvedCols.forall(have.contains)) (docRows, None)
+    else corpus match {
+      case None => throw new IllegalArgumentException(
+        s"takedown request carries only [${docRows.columns.mkString(",")}] — " +
+          "the count models need text/lang/source to reverse their " +
+          "arithmetic; pass corpus= to resolve id-only requests")
+      case Some(c) =>
+        val avail = ResolvedCols.filter(c.columns.contains)
+        val marked = docRows.select(col("doc_id")).distinct().join(
+          c.select(col("doc_id") +: avail.map(col) :+ lit(true).as("_resolved"): _*)
+            .dropDuplicates("doc_id"),
+          Seq("doc_id"), "left")
+        (marked.filter(col("_resolved")).drop("_resolved"),
+          Some(marked.filter(col("_resolved").isNull).select(col("doc_id"))))
+    }
   }
+
+  /** A sweep covered stores it could not identify. Thrown AFTER the
+    * known stores' deletions were applied (one unidentifiable dir must
+    * not block the other thirteen families' takedowns); `results`
+    * carries the full per-store report including the error rows. */
+  final case class UnknownStoreException(results: Seq[StoreResult])
+      extends IllegalStateException(
+        "takedown sweep cannot identify the family of: " +
+          results.filter(_.action == "error_unknown_family")
+            .map(_.dir).mkString(", ") +
+          " — deletions were applied to the identified stores, but a " +
+          "compliance sweep that skips a store is a deletion hole")
 
   /** Apply one takedown batch to every store under `indexDirs`.
     * `docRows` carries the victim documents (doc_id required; text/lang/
     * source where the corpus has them — the count models need the rows
-    * to reverse their arithmetic). Returns what happened per store. */
+    * to reverse their arithmetic). Returns what happened per store.
+    *
+    * A dir whose family cannot be detected is an ERROR, not a skip
+    * (`error_unknown_family` + [[UnknownStoreException]] when
+    * `failOnUnknown`, the default): the signature registry is
+    * [[graft.IndexCatalog.Families]], shared with the catalog, so
+    * detection cannot drift per consumer — but a store of a genuinely
+    * new family must fail the sweep loudly until the registry and a
+    * deletion handler cover it. */
   def sweep(
       spark: SparkSession, docRows: DataFrame,
-      indexDirs: Seq[String]): Seq[StoreResult] = {
+      indexDirs: Seq[String], failOnUnknown: Boolean = true,
+      corpus: Option[DataFrame] = None): Seq[StoreResult] = {
+    // doc/vector-keyed stores delete by id alone — ALL requested ids,
+    // resolved or not; only the count models need the full rows
     val ids = docRows.select(col("doc_id")).distinct()
     val vecIds = ids.select(col("doc_id").as("vec_id"))
+    val (rows, unresolvedRaw) = resolveVictims(spark, docRows, corpus)
+    val unresolvedIds = unresolvedRaw.map(_.persist())
     // a replayed request (at-least-once stream) or a never-resident id
     // must not append PHANTOM tombstone epochs: they would force a full
     // one-epoch compact of every table on every maintenance cycle for a
@@ -68,60 +126,69 @@ object Takedown {
         else { Tombstones.delete(spark, dir, fresh, keyCol); "deleted" }
       } finally { fresh.unpersist(); () }
     }
-    indexDirs.map { dir =>
-      val family =
-        if (has(spark, dir, "centroids.parquet")) "ivf"
-        else if (has(spark, dir, "codebook.parquet")) "pq"
-        else if (has(spark, dir, "bands.parquet")) "ann-lsh"
-        else if (has(spark, dir, "merges.parquet")) "tokenizer"
-        else if (has(spark, dir, "fps.parquet")) "winnow"
-        else if (has(spark, dir, "grams.parquet")) "span"
-        else if (has(spark, dir, "sample.parquet")) "sketch"
-        else if (has(spark, dir, "pairs.parquet")) "lm-bigram"
-        else if (has(spark, dir, "labels.parquet")) "cluster"
-        else if (has(spark, dir, "shingle_df.parquet")) "incremental-dedup"
-        else if (has(spark, dir, "base.parquet")) "pack"
-        else if (has(spark, dir, "postings.parquet")) "search"
-        else if (has(spark, dir, "counts.parquet")) "classifier"
-        else if (has(spark, dir, "shingles.parquet")) "eval-vocab"
-        else if (has(spark, dir, "buckets.parquet")) "dsir"
-        else "unknown"
+    def has(dir: String, table: String): Boolean = {
+      val p = new Path(dir, table)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val results = indexDirs.map { dir =>
+      val family = graft.IndexCatalog.detectFamily(spark, dir)
       def vecResident(table: String): Option[DataFrame] =
-        if (has(spark, dir, table))
+        if (has(dir, table))
           Some(spark.read.parquet(s"$dir/$table").select(col("vec_id")))
         else None
-      val action = family match {
+      // an id the corpus could not resolve but the store still holds:
+      // the count model's arithmetic cannot run in reverse for it — a
+      // reported deletion hole, never a silent no-op
+      def countUnresolved(resident: => DataFrame): Long =
+        unresolvedIds.fold(0L)(u =>
+          u.join(resident.select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_semi").count())
+      val (action, unres) = family match {
         case "ivf" =>
-          tombDelete(dir, vecIds, "vec_id", vecResident("cells.parquet"))
+          (tombDelete(dir, vecIds, "vec_id", vecResident("cells.parquet")), 0L)
         case "pq" =>
-          tombDelete(dir, vecIds, "vec_id", vecResident("ids.parquet"))
+          (tombDelete(dir, vecIds, "vec_id", vecResident("ids.parquet")), 0L)
         case "ann-lsh" =>
-          tombDelete(dir, vecIds, "vec_id", vecResident("vectors.parquet"))
+          (tombDelete(dir, vecIds, "vec_id", vecResident("vectors.parquet")), 0L)
         case "search" =>
-          tombDelete(dir, ids, "doc_id",
-            Some(SearchIndex.residentDocIds(spark, dir)))
+          (tombDelete(dir, ids, "doc_id",
+            Some(SearchIndex.residentDocIds(spark, dir))), 0L)
         case "winnow" =>
-          tombDelete(dir, ids, "doc_id",
-            Some(WinnowIndex.residentDocIds(spark, dir)))
+          (tombDelete(dir, ids, "doc_id",
+            Some(WinnowIndex.residentDocIds(spark, dir))), 0L)
         case "pack" =>
-          tombDelete(dir, ids, "doc_id",
-            Some(PackIndex.residentDocIds(spark, dir)))
+          (tombDelete(dir, ids, "doc_id",
+            Some(PackIndex.residentDocIds(spark, dir))), 0L)
         case "eval-vocab" =>
-          tombDelete(dir, ids, "doc_id",
-            Some(EvalIndex.residentDocIds(spark, dir)))
-        case "cluster" => ClusterIndex.deleteFromIndex(spark, dir, ids); "deleted"
+          (tombDelete(dir, ids, "doc_id",
+            Some(EvalIndex.residentDocIds(spark, dir))), 0L)
+        case "cluster" =>
+          ClusterIndex.deleteFromIndex(spark, dir, ids); ("deleted", 0L)
         case "incremental-dedup" =>
-          IncrementalDedup.deleteFromIndex(spark, dir, ids); "deleted"
-        case "span" => SpanIndex.deleteFromIndex(spark, dir, docRows); "deleted"
-        case "lm-bigram" => LmIndex.deleteFromModel(spark, dir, docRows); "deleted"
+          IncrementalDedup.deleteFromIndex(spark, dir, ids); ("deleted", 0L)
+        case "span" =>
+          SpanIndex.deleteFromIndex(spark, dir, rows)
+          ("deleted", countUnresolved(SpanIndex.residentDocIds(spark, dir)))
+        case "lm-bigram" =>
+          LmIndex.deleteFromModel(spark, dir, rows)
+          ("deleted", countUnresolved(LmIndex.residentDocIds(spark, dir)))
         case "classifier" =>
-          ClassifyIndex.deleteFromModel(spark, dir, docRows); "deleted"
-        case "dsir" => DsirIndex.deleteFromIndex(spark, dir, docRows); "deleted"
-        case "sketch" => SketchIndex.deleteFromIndex(spark, dir, docRows); "deleted"
-        case "tokenizer" => "retrain_required"
-        case _ => "skipped_unknown"
+          ClassifyIndex.deleteFromModel(spark, dir, rows)
+          ("deleted", countUnresolved(ClassifyIndex.residentDocIds(spark, dir)))
+        case "dsir" =>
+          DsirIndex.deleteFromIndex(spark, dir, rows)
+          ("deleted", countUnresolved(DsirIndex.residentDocIds(spark, dir)))
+        case "sketch" =>
+          SketchIndex.deleteFromIndex(spark, dir, rows)
+          ("deleted", countUnresolved(SketchIndex.residentDocIds(spark, dir)))
+        case "tokenizer" => ("retrain_required", 0L)
+        case _ => ("error_unknown_family", 0L)
       }
-      StoreResult(dir, family, action)
+      StoreResult(dir, family, action, unres)
     }
+    unresolvedIds.foreach { u => u.unpersist(); () }
+    if (failOnUnknown && results.exists(_.action == "error_unknown_family"))
+      throw UnknownStoreException(results)
+    results
   }
 }

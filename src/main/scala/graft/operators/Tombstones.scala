@@ -35,26 +35,28 @@ object Tombstones {
 
   /** Append an O(ids) tombstone epoch of `ids`'s `keyCol` values.
     *
-    * Epoch numbering assumes a SINGLE deletion writer (the same
-    * single-writer discipline every family pins for append/compact):
-    * two concurrent deletes could both scan max-epoch and race the same
-    * `epoch=K` rename — one would fail its publish. Takedowns from
-    * outside the maintenance loop must be serialized by the caller. */
+    * Epoch numbering is read-modify-write, so the write runs under the
+    * store's [[StoreLock]]: two concurrent deletes (a takedown stream
+    * racing a maintenance-loop delete) would otherwise both scan
+    * max-epoch and the second `stageAndRename` would silently REPLACE
+    * the first's epoch — a lost deletion. The lock serializes them;
+    * waiters that outlast the timeout fail loudly. */
   def delete(
-      spark: SparkSession, indexDir: String, ids: DataFrame, keyCol: String): Unit = {
-    val ts = dirOf(indexDir)
-    val fs = fsOf(spark, ts)
-    val next =
-      if (!fs.exists(ts)) 0
-      else fs.listStatus(ts).map(_.getPath.getName)
-        .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toInt)
-        .foldLeft(-1)(math.max) + 1
-    AtomicPublish.stageAndRename(
-      spark, ts.toString, s".epoch-$next.tmp", s"epoch=$next") { tmp =>
-      ids.select(col(keyCol)).distinct()
-        .write.mode("overwrite").parquet(tmp.toString)
+      spark: SparkSession, indexDir: String, ids: DataFrame, keyCol: String): Unit =
+    StoreLock.withLock(indexDir, "tombstone-delete") {
+      val ts = dirOf(indexDir)
+      val fs = fsOf(spark, ts)
+      val next =
+        if (!fs.exists(ts)) 0
+        else fs.listStatus(ts).map(_.getPath.getName)
+          .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toInt)
+          .foldLeft(-1)(math.max) + 1
+      AtomicPublish.stageAndRename(
+        spark, ts.toString, s".epoch-$next.tmp", s"epoch=$next") { tmp =>
+        ids.select(col(keyCol)).distinct()
+          .write.mode("overwrite").parquet(tmp.toString)
+      }
     }
-  }
 
   /** The current tombstone set, if any. */
   def ids(

@@ -65,11 +65,54 @@ object WinnowIndex {
     writeEpoch(spark, indexDir, 0, docs)
   }
 
+  /** Pre-v3 (members-less) store guard: v3 made `members.parquet` the
+    * deletion and rep-recovery table, and both the compact's fps fold
+    * and the deletion-aware read path inner-join reps from it — on a
+    * store with fps epochs whose texts have NO member rows, those texts
+    * would be SILENTLY folded away on the first multi-epoch compact
+    * (permanent index loss, no deletion involved). Members cannot be
+    * backfilled from the old layout (no doc↔tid mapping was persisted),
+    * so unlike the LmIndex v1→v2 prefix migration the only path is a
+    * rebuild from the corpus — fail loudly and say so.
+    *
+    * Replay-aware: the MAX fps epoch may legitimately lack its members
+    * twin (a crash between the fps and members renames — the family's
+    * at-least-once replay re-appends the batch, docs.parquet is the
+    * commit point), and an older orphan whose tids are all covered by
+    * members rows is that same residue already repaired by the replay.
+    * Only an orphan epoch with UNCOVERED tids is a legacy store. */
+  private def requireMembersTwin(
+      spark: SparkSession, indexDir: String, op: String): Unit = {
+    val fpsE = EpochLedger.epochs(spark, s"$indexDir/fps.parquet")
+    val memE = EpochLedger.epochs(spark, s"$indexDir/members.parquet").toSet
+    val tail = fpsE.foldLeft(-1)(math.max)
+    val missing = fpsE.filterNot(e => memE.contains(e) || e == tail)
+    if (missing.nonEmpty) {
+      val uncovered =
+        if (memE.isEmpty) 1L
+        else spark.read.parquet(s"$indexDir/fps.parquet")
+          .filter(col("epoch").isInCollection(missing))
+          .select(col("tid")).distinct()
+          .join(spark.read.parquet(s"$indexDir/members.parquet")
+            .select(col("tid")).distinct(), Seq("tid"), "left_anti")
+          .count()
+      if (uncovered > 0)
+        throw new IllegalStateException(
+          s"$op on $indexDir: fps epochs ${missing.sorted.mkString(",")} have " +
+            "no members.parquet twin and their texts have no member rows — " +
+            "a pre-v3 (members-less) winnow store. Compacting or deleting " +
+            "would silently drop those texts' fingerprints; members cannot " +
+            "be backfilled (the old layout persisted no doc<->tid mapping). " +
+            "Rebuild the index from the corpus (buildIndex).")
+    }
+  }
+
   /** Fold a batch of new documents in: the batch's texts winnow in
     * isolation (O(batch) — selection is a pure per-text function, so no
     * resident text is touched) and land as a fresh epoch. Caller dedupes
     * batches against [[residentDocIds]]. */
   def appendToIndex(spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+    requireMembersTwin(spark, indexDir, "append")
     val fps = new Path(indexDir, "fps.parquet")
     val fs = fps.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val next = fs.listStatus(fps).map(_.getPath.getName)
@@ -89,8 +132,12 @@ object WinnowIndex {
     * text with no surviving member vanishes from the match report — the
     * rows a rebuild without the docs produces. The df-cap re-evaluates
     * on the surviving merge (the read-time-cap argument in reverse). */
-  def deleteFromIndex(spark: SparkSession, indexDir: String, ids: DataFrame): Unit =
+  def deleteFromIndex(spark: SparkSession, indexDir: String, ids: DataFrame): Unit = {
+    // deletion flips reads onto the members join — a members-less store
+    // would silently drop legacy texts from the match report
+    requireMembersTwin(spark, indexDir, "delete")
     Tombstones.delete(spark, indexDir, ids, "doc_id")
+  }
 
   /** Text identities already fingerprinted — the match stream's SECOND
     * anti-join target: a known text re-arriving under a brand-new doc_id
@@ -107,6 +154,7 @@ object WinnowIndex {
     * SNAPSHOT's tombstone epochs retire (a takedown racing the compact
     * stays pending). */
   def compact(spark: SparkSession, indexDir: String): Unit = {
+    requireMembersTwin(spark, indexDir, "compact")
     val ts = Tombstones.snapshot(spark, indexDir)
     EpochCompact.compactTable(spark, s"$indexDir/members.parquet",
       raw => ts.minus(spark, raw.distinct(), "doc_id"), ts.nonEmpty)

@@ -692,18 +692,43 @@ object DocStream {
     * re-delivered request batch is a no-op; `report` sees each batch's
     * per-store outcome (at-least-once, idempotent content — the
     * family's emit discipline). Deletions are immediate on every read
-    * path; durability rides the maintenance loop's compacts. */
+    * path; durability rides the maintenance loop's compacts.
+    *
+    * Real compliance requests usually carry BARE doc_ids: pass
+    * `corpusDir` (the curation stream's corpus table, or any documents
+    * table) and each batch is resolved against it as of its trigger —
+    * ids the corpus cannot resolve are reported per count-model store
+    * ([[graft.operators.Takedown.StoreResult.unresolved]]) instead of
+    * silently subtracting nothing. */
   def takedownStream(
       spark: SparkSession,
       requests: DataFrame,
-      indexDirs: Seq[String])(
+      indexDirs: Seq[String],
+      failOnUnknown: Boolean = true,
+      corpusDir: Option[String] = None)(
       report: Seq[graft.operators.Takedown.StoreResult] => Unit): StreamingQuery =
     requests.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.persist()
         try {
-          if (!b.isEmpty)
-            report(graft.operators.Takedown.sweep(spark, b, indexDirs))
+          if (!b.isEmpty) {
+            // id-only requests resolve against the corpus AS OF this
+            // trigger — re-read per batch, the curation stream may have
+            // grown it since the last one
+            val corpus = corpusDir.filter { d =>
+              val p = new org.apache.hadoop.fs.Path(d)
+              p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+            }.map(d => spark.read.parquet(d))
+            // sweep in report-everything mode so the error rows reach the
+            // compliance report callback, THEN fail the stream loudly — an
+            // unidentifiable store is a deletion hole, and a quietly-dead
+            // report row is how it stays unnoticed
+            val rs = graft.operators.Takedown.sweep(
+              spark, b, indexDirs, failOnUnknown = false, corpus = corpus)
+            report(rs)
+            if (failOnUnknown && rs.exists(_.action == "error_unknown_family"))
+              throw graft.operators.Takedown.UnknownStoreException(rs)
+          }
         } finally { b.unpersist(); () }
       }
       .start()

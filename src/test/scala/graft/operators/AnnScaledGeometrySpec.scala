@@ -160,6 +160,42 @@ class AnnScaledGeometrySpec extends AnyFunSuite {
     assert(members.join(probes.select("cluster").distinct(), Seq("cluster"), "left_anti").isEmpty)
   }
 
+  test("the INLINE filtered lane shares the adaptive probe plan: 5% " +
+      "selectivity holds recall@5 like the store lane") {
+    // same starvation math as the persisted lane (IvfIndex.escalateProbes,
+    // one shared body) driven from the in-memory assigned corpus; the
+    // 0.5-selectivity gate lane (q_ann_filtered_ivf) stays on its oracle
+    // because a fed filter never escalates
+    val dir = "/root/testdata/sf0.001"
+    val rare = col("vec_id") % 20 === 0
+    val e = Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      .withColumn("norm", sqrt(aggregate(transform(col("v"), x => x * x),
+        lit(0.0), (a, x) => a + x)))
+    val q = e.filter(col("vec_id") < SimilarityOps.NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val scored = e.filter(rare)
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (SimilarityOps.dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+          .as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    val truth = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = SimilarityOps.ivfLearnedTopK(spark, dir, memberFilter = Some(rare))
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    assert(approx.filter(col("neighbor_id") % 20 =!= 0).count() === 0)
+    val r = truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1)))
+        .as("recall"))
+      .agg(avg(col("recall"))).head().getDouble(0)
+    assert(r >= 0.8, s"adaptive filtered inline recall@5 $r")
+  }
+
   test("composed IVF-PQ on the scaled geometry keeps recall@5 >= 0.8") {
     // ensure the shared IVF store exists at the production geometry, then
     // run the registered composed lane end-to-end on this corpus

@@ -77,6 +77,102 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(scores(full) === scores(rebuilt))
   }
 
+  test("persisted term_df summary ≡ read-derived df across append, crash-" +
+      "window replay, deletion, and compact — and it backfills on legacy stores") {
+    val base = java.nio.file.Files.createTempDirectory("graft-termdf").toString
+    val idx = s"$base/idx"
+    val b1 = corpus((1L, "hit f1 f2 f3"), (2L, "hit hit f1 f2"))
+    val b2 = corpus((3L, "hit hit hit hit"), (4L, "noise only here"))
+    def summary() = SearchIndex.termDfFromStore(spark, idx).get
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def derived() = spark.read.parquet(s"$idx/postings.parquet")
+      .groupBy(col("doc_id"), col("term")).agg(min(col("tf")).as("tf"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    SearchIndex.buildIndex(spark, b1, idx)
+    assert(summary() === derived())
+    SearchIndex.appendToIndex(spark, idx, b2)
+    assert(summary() === derived())
+
+    // crash window: postings + term_df epochs published, docs rename lost
+    // — the orphaned term_df epoch must NOT double its batch's df once
+    // the at-least-once replay lands the same batch under the next number
+    val docsE = new org.apache.hadoop.fs.Path(s"$idx/docs.parquet/epoch=1")
+    docsE.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(docsE, true)
+    SearchIndex.appendToIndex(spark, idx, b2)
+    assert(summary() === derived(),
+      "an orphaned term_df epoch must be excluded, not double-counted")
+
+    SearchIndex.compact(spark, idx)
+    assert(summary() === derived())
+    assert(new java.io.File(s"$idx/term_df.parquet/epoch=0").exists())
+
+    // deletion: while pending the serving path falls back (df must
+    // exclude the victim); the applying compact refolds the summary
+    SearchIndex.deleteFromIndex(spark, idx, Seq(2L).toDF("doc_id"))
+    SearchIndex.compact(spark, idx)
+    assert(summary() === derived())
+    assert(summary()("f1") === 1L, "the victim's contribution to df must be gone")
+
+    // legacy store (no summary table): reads fall back, the first
+    // compact backfills it
+    val legacy = s"$base/legacy"
+    SearchIndex.buildIndex(spark, b1, legacy)
+    val td = new org.apache.hadoop.fs.Path(s"$legacy/term_df.parquet")
+    td.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(td, true)
+    assert(SearchIndex.termDfFromStore(spark, legacy).isEmpty)
+    SearchIndex.compact(spark, legacy)
+    assert(SearchIndex.termDfFromStore(spark, legacy).nonEmpty)
+  }
+
+  test("a v1 (dl-less) docs ledger is refused by BM25 reads and migrated on " +
+      "append/compact with dl recomputed from postings — migrated ≡ rebuilt") {
+    val base = java.nio.file.Files.createTempDirectory("graft-bm25v1").toString
+    val b1 = corpus((1L, "hit f1 f2 f3"), (2L, "hit hit f1 f2"))
+    val b2 = corpus((3L, "hit hit hit hit"),
+      (4L, "hit hit f1 f2 f3 f4 f5 f6 f7 f8 f9 f10"))
+    // downgrade: rewrite every docs epoch without the dl column (what v1
+    // code persisted)
+    def downgrade(idx: String): Unit = {
+      val docsT = s"$idx/docs.parquet"
+      for (e <- new java.io.File(docsT).listFiles().map(_.getName)
+          .filter(_.startsWith("epoch="))) {
+        val ids = spark.read.parquet(s"$docsT/$e")
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+        AtomicPublish.stageAndRename(spark, docsT, s".$e-v1.tmp", e) { tmp =>
+          ids.toDF("doc_id").write.mode("overwrite").parquet(tmp.toString)
+        }
+      }
+    }
+    def bm25(idx: String) = SearchIndex.bm25FromIndex(spark, idx, Seq("hit"), 10)
+      .collect().map(_.toSeq).toSet
+
+    val ref = s"$base/ref"
+    SearchIndex.buildIndex(spark, b1.unionByName(b2), ref)
+
+    // append path: v1 store + append → whole ledger is v2 afterwards
+    val idx = s"$base/idx"
+    SearchIndex.buildIndex(spark, b1, idx)
+    downgrade(idx)
+    val ex = intercept[IllegalStateException](bm25(idx))
+    assert(ex.getMessage.contains("migrateDocsLedger"))
+    SearchIndex.appendToIndex(spark, idx, b2)
+    for (e <- new java.io.File(s"$idx/docs.parquet").listFiles().map(_.getName)
+        .filter(_.startsWith("epoch=")))
+      assert(spark.read.parquet(s"$idx/docs.parquet/$e").columns.contains("dl"),
+        s"docs $e must carry dl after the migrating append")
+    assert(bm25(idx) === bm25(ref))
+
+    // compact path: multi-epoch v1 store compacts straight to a clean v2
+    val idx2 = s"$base/idx2"
+    SearchIndex.buildIndex(spark, b1, idx2)
+    SearchIndex.appendToIndex(spark, idx2, b2)
+    downgrade(idx2)
+    SearchIndex.compact(spark, idx2)
+    assert(bm25(idx2) === bm25(ref))
+  }
+
   test("append ≡ rebuild; duplicate-epoch replay and compaction are invariant") {
     val base = java.nio.file.Files.createTempDirectory("graft-searchidx").toString
     val all = corpus(

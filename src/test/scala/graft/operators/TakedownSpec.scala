@@ -88,6 +88,111 @@ class TakedownSpec extends AnyFunSuite {
       === LmIndex.scoreDocs(spark, probe, rebuilt).collect().map(_.toSeq).toSet)
   }
 
+  test("id-only requests resolve against the corpus; unresolvable ids are " +
+      "reported per count-model store, never silently subtracted as nothing") {
+    val base = java.nio.file.Files.createTempDirectory("graft-idonly").toString
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma", "en", "s0"),
+      (2L, "gamma delta epsilon zeta", "de", "s0"),
+      (3L, "alpha beta beta delta", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    LmIndex.buildModel(spark, docs, s"$base/lm")
+    ClassifyIndex.buildModel(spark,
+      docs.select("doc_id", "lang", "text"), s"$base/clf")
+    DsirIndex.buildIndex(spark, docs, s"$base/dsir")
+    SpanIndex.buildIndex(spark, docs.select("doc_id", "text"), s"$base/span")
+    SearchIndex.buildIndex(spark, docs, s"$base/search")
+    val dirs = Seq(s"$base/lm", s"$base/clf", s"$base/dsir",
+      s"$base/span", s"$base/search")
+
+    // id-only with NO corpus: refused loudly (the count models cannot
+    // reverse their arithmetic from an id)
+    val bare = Seq(2L).toDF("doc_id")
+    val noCorpus = intercept[IllegalArgumentException] {
+      Takedown.sweep(spark, bare, dirs)
+    }
+    assert(noCorpus.getMessage.contains("corpus"))
+
+    // id-only WITH corpus: full deletion — rebuild bit-parity everywhere
+    val results = Takedown.sweep(spark, bare, dirs, corpus = Some(docs))
+    assert(results.map(r => r.family -> r.action).toMap === Map(
+      "lm-bigram" -> "deleted", "classifier" -> "deleted",
+      "dsir" -> "deleted", "span" -> "deleted", "search" -> "deleted"))
+    assert(results.forall(_.unresolved === 0L))
+    val survivors = docs.filter(col("doc_id") =!= 2L)
+    LmIndex.buildModel(spark, survivors, s"$base/lm-rebuilt")
+    val probe = Seq((9L, "alpha beta delta gamma")).toDF("doc_id", "text")
+    assert(LmIndex.scoreDocs(spark, probe, s"$base/lm").collect().map(_.toSeq).toSet
+      === LmIndex.scoreDocs(spark, probe, s"$base/lm-rebuilt").collect().map(_.toSeq).toSet)
+    ClassifyIndex.buildModel(spark,
+      survivors.select("doc_id", "lang", "text"), s"$base/clf-rebuilt")
+    assert(ClassifyIndex.modelCounts(spark, s"$base/clf").collect().map(_.toSeq).toSet
+      === ClassifyIndex.modelCounts(spark, s"$base/clf-rebuilt").collect().map(_.toSeq).toSet)
+    DsirIndex.buildIndex(spark, survivors, s"$base/dsir-rebuilt")
+    assert(DsirIndex.bucketTotals(spark, s"$base/dsir").collect().map(_.toSeq).toSet
+      === DsirIndex.bucketTotals(spark, s"$base/dsir-rebuilt").collect().map(_.toSeq).toSet)
+    assert(SpanIndex.residentDocIds(spark, s"$base/span")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    assert(SearchIndex.searchFromIndex(spark, s"$base/search", Seq("gamma"), 10)
+      .filter(col("doc_id") === 2L).count() === 0L)
+
+    // an id the corpus does NOT hold: resident in the count models but
+    // unresolvable — reported as a hole per store, while the doc-keyed
+    // store still deletes it by id
+    val ghostDocs = docs.unionByName(
+      Seq((9L, "rho sigma tau", "en", "s2")).toDF("doc_id", "text", "lang", "source"))
+    LmIndex.buildModel(spark, ghostDocs, s"$base/lm2")
+    SearchIndex.buildIndex(spark, ghostDocs, s"$base/search2")
+    val holes = Takedown.sweep(spark, Seq(9L).toDF("doc_id"),
+      Seq(s"$base/lm2", s"$base/search2"), corpus = Some(docs))
+    val byFam = holes.map(r => r.family -> r).toMap
+    assert(byFam("lm-bigram").unresolved === 1L,
+      "the count model must report the unresolvable resident id")
+    assert(byFam("search").action === "deleted")
+    assert(byFam("search").unresolved === 0L)
+    assert(SearchIndex.searchFromIndex(spark, s"$base/search2", Seq("rho"), 10)
+      .filter(col("doc_id") === 9L).count() === 0L)
+    // the already-resolved-and-deleted id replayed as id-only: NOT a
+    // hole (gone from the resident ledger), the standard replay no-op
+    val replay = Takedown.sweep(spark, bare, Seq(s"$base/lm"), corpus = Some(docs))
+    assert(replay.head.unresolved === 0L)
+  }
+
+  test("takedownStream resolves id-only requests against corpusDir as of " +
+      "each trigger") {
+    val base = java.nio.file.Files.createTempDirectory("graft-tdid").toString
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma", "en", "s0"),
+      (2L, "gamma delta epsilon zeta", "de", "s0"),
+      (3L, "alpha beta beta delta", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    docs.write.parquet(s"$base/corpus")
+    LmIndex.buildModel(spark, docs, s"$base/lm")
+    SearchIndex.buildIndex(spark, docs, s"$base/search")
+
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[Long]
+    val reports = scala.collection.mutable.ArrayBuffer
+      .empty[graft.operators.Takedown.StoreResult]
+    val q = graft.streaming.DocStream.takedownStream(
+      spark, input.toDF().toDF("doc_id"),
+      Seq(s"$base/lm", s"$base/search"),
+      corpusDir = Some(s"$base/corpus")) { rs => reports ++= rs; () }
+    try {
+      input.addData(2L)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(reports.map(r => r.family -> r.action).toList ===
+      List("lm-bigram" -> "deleted", "search" -> "deleted"))
+    assert(reports.forall(_.unresolved === 0L))
+    val rebuilt = s"$base/lm-rebuilt"
+    LmIndex.buildModel(spark, docs.filter(col("doc_id") =!= 2L), rebuilt)
+    val probe = Seq((9L, "alpha beta delta gamma")).toDF("doc_id", "text")
+    assert(LmIndex.scoreDocs(spark, probe, s"$base/lm").collect().map(_.toSeq).toSet
+      === LmIndex.scoreDocs(spark, probe, rebuilt).collect().map(_.toSeq).toSet)
+  }
+
   test("takedownStream: requests fan out per micro-batch; a re-delivered " +
       "batch is a no-op") {
     val base = java.nio.file.Files.createTempDirectory("graft-tdstream").toString

@@ -222,6 +222,49 @@ class WinnowIndexSpec extends AnyFunSuite {
     assert(ids === Set(300L, 301L, 400L, 500L, 5L))
   }
 
+  test("a pre-v3 (members-less) store fails loudly on append/delete/compact " +
+      "instead of silently folding legacy texts away; the in-flight crash " +
+      "window and its replay repair stay tolerated") {
+    // legacy store: multi-epoch fps with NO member rows at all
+    val legacy = tmpDir("graft-winnow-legacy") + "/idx"
+    WinnowIndex.buildIndex(spark, docsDf(survivors), legacy)
+    WinnowIndex.appendToIndex(spark, legacy, docsDf(Seq(straddleOld, straddleNew)))
+    val membersDir = new org.apache.hadoop.fs.Path(s"$legacy/members.parquet")
+    val fs = membersDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(membersDir, true)
+    for (op <- Seq[() => Unit](
+        () => WinnowIndex.appendToIndex(spark, legacy, docsDf(Seq(repOld))),
+        () => WinnowIndex.deleteFromIndex(spark, legacy,
+          Seq(200L).toDF("doc_id")),
+        () => WinnowIndex.compact(spark, legacy))) {
+      val ex = intercept[IllegalStateException](op())
+      assert(ex.getMessage.contains("pre-v3") &&
+        ex.getMessage.contains("buildIndex"))
+    }
+
+    // the crash window: fps epoch published, members+docs renames lost —
+    // the TAIL orphan is tolerated, the replayed batch repairs it, and
+    // afterwards the non-tail orphan counts as covered
+    val crashed = tmpDir("graft-winnow-crash") + "/idx"
+    WinnowIndex.buildIndex(spark, docsDf(survivors), crashed)
+    WinnowIndex.appendToIndex(spark, crashed, docsDf(Seq(straddleOld, straddleNew)))
+    for (t <- Seq("members", "docs")) {
+      val p = new org.apache.hadoop.fs.Path(s"$crashed/$t.parquet/epoch=1")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    // the at-least-once replay (the stream's resident anti-join re-offers
+    // the batch: its docs never committed) — must NOT be refused
+    WinnowIndex.appendToIndex(spark, crashed, docsDf(Seq(straddleOld, straddleNew)))
+    // now epoch=1 is a non-tail orphan, but its tids are covered — every
+    // mutation path stays open and the compacted store equals a rebuild
+    WinnowIndex.compact(spark, crashed)
+    val rebuilt = tmpDir("graft-winnow-crash-rb") + "/idx"
+    WinnowIndex.buildIndex(spark,
+      docsDf(survivors ++ Seq(straddleOld, straddleNew)), rebuilt)
+    assert(collectMatches(WinnowIndex.matchesFromIndex(spark, crashed))
+      === collectMatches(WinnowIndex.matchesFromIndex(spark, rebuilt)))
+  }
+
   test("q_winnow_matches_indexed ≡ inline q_winnow_matches on a parquet corpus") {
     val dir = tmpDir("graft-winnow-parity")
     docsDf(survivors ++ Seq(straddleOld, straddleNew, repOld, repPartner))
