@@ -50,10 +50,13 @@ object TakedownBench {
     val docs = Tables.table(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
     val nDocs = docs.count()
-    // ~1000 victims, spread across the id range
+    // ~1000 victims, spread across the id range (residue stride-1 is
+    // always satisfiable — `% stride === 7` silently selects NOTHING
+    // when stride ≤ 7, i.e. corpora under ~8k docs)
     val stride = math.max(1L, nDocs / 1000L)
-    val victims = docs.filter(col("doc_id") % stride === 7L).cache()
+    val victims = docs.filter(col("doc_id") % stride === (stride - 1L)).cache()
     val nVictims = victims.count()
+    require(nVictims > 0, s"victim selection came up empty (corpus $nDocs)")
     println(s"""{"corpus":$nDocs,"victims":$nVictims,"sf":"$sfDir"}""")
 
     val fs = new org.apache.hadoop.fs.Path(workDir)

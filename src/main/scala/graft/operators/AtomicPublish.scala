@@ -61,10 +61,15 @@ object AtomicPublish {
 
   /** Stage a complete replacement for `liveDir` (written via `write`),
     * then swap it in with two renames and a rollback; `bakSuffix` names
-    * the crash-recovery copy. */
+    * the crash-recovery copy. `beforeSwap` runs after staging and
+    * immediately before the `live → bak` rename — a validity re-check
+    * hook ([[NegEpochs.applyWithSwap]]'s concurrent-deletion backstop);
+    * if it throws, the staged dir is discarded and the live dir is
+    * untouched. */
   def swapDir(
       spark: SparkSession, liveDir: String,
-      tmpSuffix: String = ".compact-tmp", bakSuffix: String = ".compact-bak")(
+      tmpSuffix: String = ".compact-tmp", bakSuffix: String = ".compact-bak",
+      beforeSwap: () => Unit = () => ())(
       write: Path => Unit): Unit = {
     val live = new Path(liveDir)
     val fs = fsOf(spark, live)
@@ -72,6 +77,8 @@ object AtomicPublish {
     val bak = new Path(live.getParent, live.getName + bakSuffix)
     fs.delete(tmp, true)
     write(tmp)
+    try beforeSwap()
+    catch { case e: Throwable => fs.delete(tmp, true); throw e }
     fs.delete(bak, true)
     if (!fs.rename(live, bak))
       throw new java.io.IOException(s"swap failed: $live -> $bak")

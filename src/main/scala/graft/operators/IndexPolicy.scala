@@ -39,15 +39,41 @@ object IndexPolicy {
     else fs.listStatus(p).map(_.getPath.getName).count(_.startsWith("epoch="))
   }
 
-  /** Run `compact` iff `probeTable` has accreted ≥ `every` epochs;
-    * `every` ≤ 0 disables the trigger. Returns whether compaction ran. */
+  /** Unretired deletion state at the store owning `probeTable`: a
+    * tombstone table (doc/vector-keyed families) or a NegEpochs dels
+    * ledger (count families). Every read pays a deletion tax while it
+    * pends (anti-join / pos−neg netting — measured 1.15-1.43× at the
+    * sf1 stress), so pending deletions FORCE the next [[maybeCompact]]:
+    * the tax window is one maintenance cycle, not `every` epochs. */
+  def pendingDeletes(spark: SparkSession, storeDir: String): Boolean =
+    // delegate to the two deletion disciplines' own probes so "what
+    // counts as unretired deletion state" has exactly one definition
+    // per discipline — a renamed ledger updated there reaches this
+    // trigger automatically
+    Tombstones.pending(spark, storeDir) || NegEpochs.pending(spark, storeDir)
+
+  /** Run `compact` iff `probeTable` has accreted ≥ `every` epochs OR the
+    * store has pending deletions (see [[pendingDeletes]] — the
+    * takedown-tax bound); `every` ≤ 0 disables the epoch trigger but not
+    * the deletion trigger. Returns whether compaction ran.
+    *
+    * `onPendingDeletes = false` keeps this a PURE epoch-cadence gate:
+    * for callers whose body is NOT a deletion-applying compact (the
+    * semantic-dedup reconcile audit rides this trigger as a periodic
+    * cadence) — a pending tombstone must not force their expensive body
+    * on every cycle when it retires nothing. */
   def maybeCompact(
       spark: SparkSession, probeTable: String,
-      every: Int = CompactEvery)(compact: => Unit): Boolean =
-    if (every > 0 && epochCount(spark, probeTable) >= every) {
+      every: Int = CompactEvery,
+      onPendingDeletes: Boolean = true)(compact: => Unit): Boolean = {
+    val store = new Path(probeTable).getParent
+    if ((every > 0 && epochCount(spark, probeTable) >= every) ||
+        (onPendingDeletes && store != null &&
+          pendingDeletes(spark, store.toString))) {
       compact
       true
     } else false
+  }
 
   /** Drift policy for the IVF family: when appended assignment tightness
     * has decayed past `factor` × the build baseline, retrain the store

@@ -148,30 +148,18 @@ private[operators] object NegEpochs {
   def applyWithSwap(
       spark: SparkSession, modelDir: String)(stage: Path => Unit): Unit =
     StoreLock.withLock(modelDir, "deletion-apply") {
-      val live = new Path(modelDir)
-      val f = fs(spark, modelDir)
-      val tmp = new Path(live.getParent, live.getName + ".apply-tmp")
-      val bak = new Path(live.getParent, live.getName + ".apply-bak")
       val stagedDels = EpochLedger.epochs(spark, delsDir(modelDir)).toSet
-      f.delete(tmp, true)
-      stage(tmp)
-      val nowDels = EpochLedger.epochs(spark, delsDir(modelDir)).toSet
-      if (nowDels != stagedDels) {
-        f.delete(tmp, true)
-        throw new IllegalStateException(
-          s"deletion-apply on $modelDir raced a concurrent deletion write " +
-            s"(dels epochs $stagedDels -> $nowDels) despite the writer lock " +
-            "— a second process is writing this store; the swap was " +
-            "aborted and ALL deletions remain pending (reads stay correct)")
-      }
-      f.delete(bak, true)
-      if (!f.rename(live, bak))
-        throw new java.io.IOException(s"swap failed: $live -> $bak")
-      if (!f.rename(tmp, live)) {
-        f.rename(bak, live)
-        throw new java.io.IOException(s"swap failed: $tmp -> $live")
-      }
-      f.delete(bak, true)
-      ()
+      AtomicPublish.swapDir(spark, modelDir,
+        tmpSuffix = ".apply-tmp", bakSuffix = ".apply-bak",
+        beforeSwap = () => {
+          val nowDels = EpochLedger.epochs(spark, delsDir(modelDir)).toSet
+          if (nowDels != stagedDels)
+            throw new IllegalStateException(
+              s"deletion-apply on $modelDir raced a concurrent deletion " +
+                s"write (dels epochs $stagedDels -> $nowDels) despite the " +
+                "writer lock — a second process is writing this store; the " +
+                "swap was aborted and ALL deletions remain pending (reads " +
+                "stay correct)")
+        })(stage)
     }
 }

@@ -195,12 +195,16 @@ object SearchIndex {
     // the df summary rewrites from the (now-folded) postings —
     // tombstone-excluded, orphan epochs deduped away — whenever the fold
     // ran or the table is missing/multi-epoch; the missing case is the
-    // free migration path for stores from before the summary existed
+    // free migration path for stores from before the summary existed.
+    // The post-fold store is single-epoch with (doc_id, term)-unique
+    // rows and tombstones already folded out (a no-fold path can only
+    // reach here with ts EMPTY — pending tombstones force the fold), so
+    // this is one groupBy(term) count with map-side partials, never a
+    // second whole-store dedup shuffle or a re-applied anti-join
     val termDfT = new Path(indexDir, "term_df.parquet")
     if (foldPostings || !fs.exists(termDfT) || epochsOf(termDfT) > 1) {
-      val folded = ts.minus(spark,
-        mergePostings(spark.read.parquet(postings.toString).drop("epoch")),
-        "doc_id")
+      val folded = mergedPostings(spark, indexDir,
+        spark.read.parquet(postings.toString))
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
       if (fs.exists(termDfT))
         AtomicPublish.swapDir(spark, termDfT.toString) { tmp =>
@@ -336,9 +340,15 @@ object SearchIndex {
     * Crash rule: a term_df epoch is only summed if its DOCS epoch exists
     * (the ledger rename is the commit point) — an orphaned term_df epoch
     * from a crash window would otherwise double its batch's df when the
-    * replay lands the same batch under the next number. Returns None on
-    * stores from before this table existed (callers fall back to the
-    * read-derived aggregate; any compact writes the summary). */
+    * replay lands the same batch under the next number. Returns None
+    * unless the summary COVERS every committed docs epoch: a pre-summary
+    * store that took one append has a term_df holding only the new
+    * epoch, and serving that partial sum would drop every old-epoch
+    * term from the cap table and undercount stopword df — the exact
+    * blowup the cap prevents. None = callers fall back to the
+    * read-derived aggregate; the next compact backfills the full
+    * summary. (Same rule also rejects a crash between the compact's
+    * term_df and docs folds: committed ⊄ summary epochs → fallback.) */
   private[operators] def termDfFromStore(
       spark: SparkSession, indexDir: String): Option[DataFrame] = {
     val td = new Path(indexDir, "term_df.parquet")
@@ -346,7 +356,9 @@ object SearchIndex {
     if (!fs.exists(td)) None
     else {
       val committed = EpochLedger.epochs(spark, s"$indexDir/docs.parquet")
-      Some(spark.read.parquet(td.toString)
+      val summarized = EpochLedger.epochs(spark, td.toString).toSet
+      if (!committed.forall(summarized.contains)) None
+      else Some(spark.read.parquet(td.toString)
         .filter(col("epoch").isInCollection(committed))
         .groupBy(col("term")).agg(sum(col("df")).as("df")))
     }

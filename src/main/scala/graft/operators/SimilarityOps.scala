@@ -824,8 +824,13 @@ object SimilarityOps {
     val cent = rows.toDF("cluster", "cv")
     // cell membership is computed inline on the same scan that carries the
     // vectors — no assignment join, no second corpus pass
-    val e = withNorm(table(spark, dir, "embeddings"))
+    val e0 = withNorm(table(spark, dir, "embeddings"))
       .withColumn("cluster", assignExpr(rows, col("v")))
+    // the filtered path touches e THREE times (query fetch, per-cell
+    // counts, scoring members) and the cluster column costs
+    // O(cells·dim) per row — materialize the assignment once;
+    // unfiltered keeps the lazy two-use plan unchanged
+    val e = if (memberFilter.isDefined) e0.localCheckpoint() else e0
     // FILTERED queries take the selectivity-adaptive probe plan (the
     // [[IvfIndex.escalateProbes]] starvation math, shared with the
     // persisted lane so the two cannot drift): a rare filter starves the

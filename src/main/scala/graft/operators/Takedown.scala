@@ -102,7 +102,17 @@ object Takedown {
     // resolved or not; only the count models need the full rows
     val ids = docRows.select(col("doc_id")).distinct()
     val vecIds = ids.select(col("doc_id").as("vec_id"))
-    val (rows, unresolvedRaw) = resolveVictims(spark, docRows, corpus)
+    val famByDir = indexDirs.map(dir =>
+      dir -> graft.IndexCatalog.detectFamily(spark, dir))
+    // resolve (and require a corpus) ONLY when a count-model store is
+    // actually being swept — an id-only request against doc/vector-keyed
+    // stores needs no rows and must not be refused
+    val countFamilies =
+      Set("lm-bigram", "classifier", "dsir", "span", "sketch")
+    val (rows, unresolvedRaw) =
+      if (famByDir.exists(d => countFamilies.contains(d._2)))
+        resolveVictims(spark, docRows, corpus)
+      else (docRows, None)
     val unresolvedIds = unresolvedRaw.map(_.persist())
     // a replayed request (at-least-once stream) or a never-resident id
     // must not append PHANTOM tombstone epochs: they would force a full
@@ -130,8 +140,7 @@ object Takedown {
       val p = new Path(dir, table)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
-    val results = indexDirs.map { dir =>
-      val family = graft.IndexCatalog.detectFamily(spark, dir)
+    val results = famByDir.map { case (dir, family) =>
       def vecResident(table: String): Option[DataFrame] =
         if (has(dir, table))
           Some(spark.read.parquet(s"$dir/$table").select(col("vec_id")))

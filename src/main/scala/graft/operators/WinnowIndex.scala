@@ -75,18 +75,23 @@ object WinnowIndex {
     * so unlike the LmIndex v1→v2 prefix migration the only path is a
     * rebuild from the corpus — fail loudly and say so.
     *
-    * Replay-aware: the MAX fps epoch may legitimately lack its members
-    * twin (a crash between the fps and members renames — the family's
-    * at-least-once replay re-appends the batch, docs.parquet is the
-    * commit point), and an older orphan whose tids are all covered by
-    * members rows is that same residue already repaired by the replay.
-    * Only an orphan epoch with UNCOVERED tids is a legacy store. */
+    * Replay-aware: the MAX fps epoch may lack its members twin when its
+    * DOCS twin is also missing (a crash between the fps and members
+    * renames — docs.parquet is the commit point, so the family's
+    * at-least-once replay re-appends the batch), and an older orphan
+    * whose tids are all covered by members rows is that same residue
+    * already repaired by the replay. A tail epoch WITH a committed docs
+    * twin but no members is not a crash window — it is a legacy store
+    * (the single-epoch pre-v3 case), and only uncovered tids distinguish
+    * it from repaired residue. */
   private def requireMembersTwin(
       spark: SparkSession, indexDir: String, op: String): Unit = {
     val fpsE = EpochLedger.epochs(spark, s"$indexDir/fps.parquet")
     val memE = EpochLedger.epochs(spark, s"$indexDir/members.parquet").toSet
+    val docsE = EpochLedger.epochs(spark, s"$indexDir/docs.parquet").toSet
     val tail = fpsE.foldLeft(-1)(math.max)
-    val missing = fpsE.filterNot(e => memE.contains(e) || e == tail)
+    val missing = fpsE.filterNot(e =>
+      memE.contains(e) || (e == tail && !docsE.contains(e)))
     if (missing.nonEmpty) {
       val uncovered =
         if (memE.isEmpty) 1L

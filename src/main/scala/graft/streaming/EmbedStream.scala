@@ -456,8 +456,13 @@ object EmbedStream {
             // runs FIRST because its rewrite is itself a compaction —
             // when it fires, the compact trigger below sees one epoch
             if (reconcileEvery > 0)
+              // pure cadence gate: the reconcile audit is not a
+              // deletion-applying compact, so a pending tombstone must
+              // not force it every cycle (the compact below handles
+              // retiring deletions)
               graft.operators.IndexPolicy.maybeCompact(
-                spark, s"$indexDir/cells.parquet", reconcileEvery) {
+                spark, s"$indexDir/cells.parquet", reconcileEvery,
+                onPendingDeletes = false) {
                 reconcileSemanticDedup(spark, indexDir, tau, Some(decisionsDir))
                 ()
               }

@@ -42,6 +42,41 @@ class IndexPolicySpec extends AnyFunSuite {
     assert(ran === 1)
   }
 
+  test("pending deletions force the next maybeCompact even below the epoch " +
+      "threshold — the takedown read-tax window is one maintenance cycle") {
+    val dir = tmpDir("graft-policy-del") + "/idx"
+    val docs = Seq(
+      (1L, "hit f1 f2 f3"), (2L, "hit hit f1 f2"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    SearchIndex.buildIndex(spark, docs, dir)
+    // one epoch, no deletions: no trigger
+    var ran = 0
+    assert(!IndexPolicy.maybeCompact(spark, s"$dir/postings.parquet", every = 16) { ran += 1 })
+    assert(!IndexPolicy.pendingDeletes(spark, dir))
+    // a takedown lands: tombstones pending forces the compact NOW
+    SearchIndex.deleteFromIndex(spark, dir, Seq(2L).toDF("doc_id"))
+    assert(IndexPolicy.pendingDeletes(spark, dir))
+    assert(IndexPolicy.maybeCompact(spark, s"$dir/postings.parquet", every = 16) {
+      ran += 1
+      SearchIndex.compact(spark, dir)
+    })
+    assert(ran === 1)
+    assert(!IndexPolicy.pendingDeletes(spark, dir),
+      "the forced compact must retire the pending deletion")
+    // retired: the next cycle is quiet again
+    assert(!IndexPolicy.maybeCompact(spark, s"$dir/postings.parquet", every = 16) { ran += 1 })
+    assert(ran === 1)
+    // count families: the dels ledger forces it the same way
+    val lm = tmpDir("graft-policy-dels") + "/lm"
+    LmIndex.buildModel(spark, docs, lm)
+    LmIndex.deleteFromModel(spark, lm, docs.filter(col("doc_id") === 3L))
+    assert(IndexPolicy.pendingDeletes(spark, lm))
+    assert(IndexPolicy.maybeCompact(spark, s"$lm/pairs.parquet", every = 16) {
+      LmIndex.compact(spark, lm)
+    })
+    assert(!IndexPolicy.pendingDeletes(spark, lm))
+  }
+
   test("a long maintenance stream self-compacts and keeps serving exact reads") {
     implicit val sql = spark.sqlContext
     val indexDir = tmpDir("graft-policy-stream") + "/i"

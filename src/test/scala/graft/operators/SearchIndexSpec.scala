@@ -122,8 +122,21 @@ class SearchIndexSpec extends AnyFunSuite {
     val td = new org.apache.hadoop.fs.Path(s"$legacy/term_df.parquet")
     td.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(td, true)
     assert(SearchIndex.termDfFromStore(spark, legacy).isEmpty)
+    // an append CREATES the table but covers only the new epoch — a
+    // PARTIAL summary must NOT serve (it would drop every old-epoch term
+    // from the cap table); still the fallback until the compact backfills
+    SearchIndex.appendToIndex(spark, legacy, b2)
+    assert(new java.io.File(s"$legacy/term_df.parquet").exists())
+    assert(SearchIndex.termDfFromStore(spark, legacy).isEmpty,
+      "a summary not covering every committed epoch must not serve")
     SearchIndex.compact(spark, legacy)
-    assert(SearchIndex.termDfFromStore(spark, legacy).nonEmpty)
+    val backfilled = SearchIndex.termDfFromStore(spark, legacy)
+    assert(backfilled.nonEmpty)
+    assert(backfilled.get.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === spark.read.parquet(s"$legacy/postings.parquet")
+        .groupBy(col("doc_id"), col("term")).agg(min(col("tf")).as("tf"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
   }
 
   test("a v1 (dl-less) docs ledger is refused by BM25 reads and migrated on " +

@@ -112,6 +112,14 @@ class TakedownSpec extends AnyFunSuite {
       Takedown.sweep(spark, bare, dirs)
     }
     assert(noCorpus.getMessage.contains("corpus"))
+    // …but ONLY when a count-model store is actually swept: doc/vector-
+    // keyed stores delete by id alone, so an id-only sweep over them
+    // needs no corpus at all
+    val idOnly = Takedown.sweep(spark, Seq(3L).toDF("doc_id"),
+      Seq(s"$base/search"))
+    assert(idOnly.map(r => r.family -> r.action) === Seq("search" -> "deleted"))
+    assert(SearchIndex.searchFromIndex(spark, s"$base/search", Seq("alpha"), 10)
+      .filter(col("doc_id") === 3L).count() === 0L)
 
     // id-only WITH corpus: full deletion — rebuild bit-parity everywhere
     val results = Takedown.sweep(spark, bare, dirs, corpus = Some(docs))

@@ -242,6 +242,18 @@ class WinnowIndexSpec extends AnyFunSuite {
         ex.getMessage.contains("buildIndex"))
     }
 
+    // the SINGLE-EPOCH legacy store: fps+docs committed, members never
+    // existed — the tail exemption must NOT let it through (its docs twin
+    // is committed, so it is not a crash window); deletion would brick
+    // reads on the missing members join
+    val single = tmpDir("graft-winnow-single") + "/idx"
+    WinnowIndex.buildIndex(spark, docsDf(survivors), single)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$single/members.parquet"), true)
+    val exS = intercept[IllegalStateException] {
+      WinnowIndex.deleteFromIndex(spark, single, Seq(200L).toDF("doc_id"))
+    }
+    assert(exS.getMessage.contains("pre-v3"))
+
     // the crash window: fps epoch published, members+docs renames lost —
     // the TAIL orphan is tolerated, the replayed batch repairs it, and
     // afterwards the non-tail orphan counts as covered
