@@ -158,7 +158,7 @@ object Bench {
     // regression; top5_serving is the same board with them excluded.
     val ablationLanes = Set("q_curation2", "q_ann_pq_wide",
       "q_dedup_canonical", "q_dedup_clusters", "q_dedup_incremental",
-      "q_substring_dedup")
+      "q_substring_dedup", "q_winnow_matches")
     val top5Serving = results
       .filter { case (k, v) => v >= 0 && !ablationLanes.contains(k) }
       .sortBy(-_._2).take(5)

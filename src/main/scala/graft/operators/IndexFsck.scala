@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Fleet health check + safe residue GC for the persisted index stores —
+  * the REMEDIATION half the catalog lacked: [[graft.IndexCatalog]]
+  * reports crash residue and pending deletions, the takedown sweep
+  * deletes, but nothing verified a store's structural invariants or
+  * cleaned what crashes leave behind. One `fsck` per store returns
+  * typed findings; `gc` removes exactly the residue no reader or
+  * recovery path needs:
+  *
+  *  - dot-prefixed staging dirs (invisible to readers by construction,
+  *    incomplete by definition — every publish path deletes-then-
+  *    rewrites its own staging name anyway);
+  *  - `<name>.<op>-tmp` swap staging (same invisibility, sibling form);
+  *  - `<name>.<op>-bak` recovery copies ONLY when their live twin
+  *    exists — the bak's deletion is the swap's last step, so live +
+  *    bak together mean the swap COMPLETED and the crash hit the final
+  *    delete. A bak WITHOUT its live twin is the recovery copy of a
+  *    crash between the two renames: never touched, reported `error`.
+  *
+  * Family invariants checked (the migration/guard rules in one surface):
+  *  - search: docs ledger carries `dl` (v1 stores need
+  *    [[SearchIndex.migrateDocsLedger]]); `term_df` covers every
+  *    committed docs epoch (else the hybrid cap serves the derived
+  *    fallback until a compact backfills);
+  *  - winnow: members-twin status ([[WinnowIndex.membersTwinStatus]] —
+  *    `legacy` is rebuild-only);
+  *  - count models: counter epochs beyond the ledger commit point
+  *    (crash residue the next append reconciles) and neg-epoch orphans;
+  *  - every store: pending deletions (the forced-compact trigger).
+  *
+  * Run: `sbt "runMain graft.operators.IndexFsck [--gc] <dir> ..."`.
+  */
+object IndexFsck {
+
+  /** One finding. `status`: ok | info | warn | error. */
+  final case class Finding(
+      dir: String, family: String, check: String, status: String, detail: String)
+
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def children(spark: SparkSession, dir: Path): Seq[String] = {
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName).toSeq.sorted
+  }
+
+  private val BakPattern = """^(.+)\.([a-z]+)-bak$""".r
+  private val TmpPattern = """^(.+)\.([a-z]+)-tmp$""".r
+
+  /** Residue triage of one directory's children: (staging, completed
+    * bak, orphan bak). A bak is "completed" when its live twin is
+    * present among `names`. */
+  private def triage(names: Seq[String]): (Seq[String], Seq[String], Seq[String]) = {
+    val present = names.toSet
+    val staging = names.filter(n => n.startsWith(".") || TmpPattern.matches(n))
+    val (done, orphan) = names.collect {
+      case n @ BakPattern(live, _) => (n, present.contains(live))
+    }.partition(_._2)
+    (staging, done.map(_._1), orphan.map(_._1))
+  }
+
+  /** Structural findings for one store. Read-only. */
+  def fsck(spark: SparkSession, dir: String): Seq[Finding] = {
+    val root = new Path(dir)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root))
+      return Seq(Finding(dir, "unknown", "exists", "error", "store dir missing"))
+    val family = graft.IndexCatalog.detectFamily(spark, dir)
+    val out = Seq.newBuilder[Finding]
+    if (family == "unknown")
+      out += Finding(dir, family, "family", "error",
+        "no signature table matches IndexCatalog.Families — the compliance sweep cannot cover this store")
+
+    // residue, store level + inside each table dir + store siblings
+    val storeKids = children(spark, root)
+    val (stage0, done0, orphan0) = triage(storeKids)
+    val tableStaging = storeKids.filter(n => n.endsWith(".parquet"))
+      .flatMap { t =>
+        children(spark, new Path(root, t)).filter(_.startsWith("."))
+          .map(e => s"$t/$e")
+      }
+    val sibs = Option(root.getParent).map(children(spark, _)).getOrElse(Seq.empty)
+      .filter(n => n != root.getName && n.startsWith(root.getName + "."))
+    val (sibStage, sibDone, sibOrphan) = triage(sibs :+ root.getName)
+    val staging = stage0 ++ tableStaging ++ sibStage.map(s => s"../$s")
+    val completedBak = done0 ++ sibDone.map(s => s"../$s")
+    val orphanBak = orphan0 ++ sibOrphan.map(s => s"../$s")
+    if (staging.nonEmpty)
+      out += Finding(dir, family, "residue_staging", "info",
+        s"gc-safe staging residue: ${staging.mkString(", ")}")
+    if (completedBak.nonEmpty)
+      out += Finding(dir, family, "residue_bak", "warn",
+        s"completed-swap bak residue (live twin present, gc-safe): ${completedBak.mkString(", ")}")
+    if (orphanBak.nonEmpty)
+      out += Finding(dir, family, "residue_bak_orphan", "error",
+        s"bak WITHOUT live twin — mid-swap crash recovery copy, do NOT gc: ${orphanBak.mkString(", ")}")
+
+    // pending deletions (informational — the policy layer force-compacts)
+    if (IndexPolicy.pendingDeletes(spark, dir))
+      out += Finding(dir, family, "pending_deletes", "info",
+        "unretired tombstones/dels — next maybeCompact applies them")
+
+    family match {
+      case "search" =>
+        val docs = new Path(root, "docs.parquet")
+        if (fs.exists(docs)) {
+          val legacyEpochs = children(spark, docs).filter(_.startsWith("epoch="))
+            .filterNot(e => spark.read.parquet(s"$docs/$e").columns.contains("dl"))
+          if (legacyEpochs.nonEmpty)
+            out += Finding(dir, family, "docs_ledger_v1", "error",
+              s"epochs without dl (BM25 reads refuse): ${legacyEpochs.mkString(", ")} — any append/compact migrates")
+        }
+        val committed = EpochLedger.epochs(spark, s"$dir/docs.parquet")
+        val summarized = EpochLedger.epochs(spark, s"$dir/term_df.parquet").toSet
+        if (!committed.forall(summarized.contains))
+          out += Finding(dir, family, "term_df_coverage", "warn",
+            s"summary misses committed epochs ${committed.filterNot(summarized.contains).sorted.mkString(",")} — hybrid cap on derived fallback until a compact backfills")
+      case "winnow" =>
+        WinnowIndex.membersTwinStatus(spark, dir) match {
+          case ("ok", _) => ()
+          case ("crash_window", eps) =>
+            out += Finding(dir, family, "members_twin", "warn",
+              s"orphan fps epochs ${eps.mkString(",")} — at-least-once replay repairs")
+          case (_, eps) =>
+            out += Finding(dir, family, "members_twin", "error",
+              s"pre-v3 members-less epochs ${eps.mkString(",")} — mutations refused, rebuild from the corpus")
+        }
+      case "lm-bigram" | "classifier" | "dsir" | "sketch" | "span" =>
+        // counter epochs past the ledger commit point: crash residue —
+        // reads already skip it, the next append reconciles it away
+        val max = EpochLedger.committedMax(spark, s"$dir/docs.parquet")
+        val (negTables, posTables) = storeKids
+          .filter(n => n.endsWith(".parquet") && !n.startsWith("docs") &&
+            !n.startsWith("dels") && !n.startsWith("documents"))
+          .partition(_.startsWith("neg-"))
+        // positive counters commit via the docs ledger; NEGATIVE epochs
+        // commit via the dels ledger (NegEpochs protocol)
+        val delsMax = EpochLedger.committedMax(spark, s"$dir/dels.parquet")
+        val orphans =
+          posTables.flatMap { t =>
+            EpochLedger.epochs(spark, s"$dir/$t").filter(_ > max).map(e => s"$t/epoch=$e")
+          } ++ negTables.flatMap { t =>
+            EpochLedger.epochs(spark, s"$dir/$t").filter(_ > delsMax).map(e => s"$t/epoch=$e")
+          }
+        if (orphans.nonEmpty)
+          out += Finding(dir, family, "counter_orphans", "warn",
+            s"uncommitted counter epochs (reads skip; next append reconciles): ${orphans.mkString(", ")}")
+      case _ => ()
+    }
+    val findings = out.result()
+    if (findings.isEmpty) Seq(Finding(dir, family, "all", "ok", "no findings"))
+    else findings
+  }
+
+  /** Remove exactly the gc-safe residue ([[fsck]]'s `residue_staging` +
+    * `residue_bak`); orphan baks are never touched. Returns removed
+    * paths. Safe under the publish disciplines: staging names are
+    * invisible to readers and deleted-then-rewritten by every next
+    * attempt; a bak with its live twin present is a completed swap's
+    * leftover final delete. */
+  def gc(spark: SparkSession, dir: String): Seq[String] = {
+    val root = new Path(dir)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) return Seq.empty
+    val storeKids = children(spark, root)
+    val (stage0, done0, _) = triage(storeKids)
+    val tableStaging = storeKids.filter(_.endsWith(".parquet")).flatMap { t =>
+      children(spark, new Path(root, t)).filter(_.startsWith("."))
+        .map(e => new Path(new Path(root, t), e))
+    }
+    val sibs = Option(root.getParent).map(children(spark, _)).getOrElse(Seq.empty)
+      .filter(n => n != root.getName && n.startsWith(root.getName + "."))
+    val (sibStage, sibDone, _) = triage(sibs :+ root.getName)
+    val victims =
+      (stage0 ++ done0).map(new Path(root, _)) ++ tableStaging ++
+        (sibStage ++ sibDone).filter(_ != root.getName)
+          .map(new Path(root.getParent, _))
+    victims.flatMap { p =>
+      if (fs.delete(p, true)) Some(p.toString) else None
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val doGc = args.contains("--gc")
+    val dirs = args.filterNot(_ == "--gc")
+    require(dirs.nonEmpty, "usage: IndexFsck [--gc] <indexDir> [indexDir...]")
+    val builder = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+    graft.Tables.RequiredConf.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try dirs.foreach { d =>
+      fsck(spark, d).foreach { f =>
+        println(s"[fsck] ${f.dir} ${f.family} ${f.check} ${f.status}: ${f.detail}")
+      }
+      if (doGc) gc(spark, d).foreach(p => println(s"[fsck] gc removed $p"))
+    } finally spark.stop()
+  }
+}

@@ -126,9 +126,18 @@ object PqIndex {
     * `codes.parquet`; raw vectors are read for the rescore join and the
     * bounded query set. Re-delivered epochs are absorbed by a distinct on
     * the 8-code row (identical by frozen-codebook determinism). */
-  def topKIndexed(spark: SparkSession, queries: DataFrame, indexDir: String): DataFrame =
-    pqTopKFromCodes(codesFromIndex(spark, indexDir), pqNormalize(queries),
+  def topKIndexed(
+      spark: SparkSession, queries: DataFrame, indexDir: String,
+      memberFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    // candidate-stage metadata filter (filtered vector search): prunes
+    // the CODE rows before the ADC cross join — the propose scan's cost
+    // scales with the filtered subset; the rescore join needs no filter
+    // (proposals already satisfy it)
+    val codes0 = codesFromIndex(spark, indexDir)
+    pqTopKFromCodes(memberFilter.map(codes0.filter).getOrElse(codes0),
+      pqNormalize(queries),
       rescoreFromIndex(spark, indexDir), readCodebook(spark, indexDir))
+  }
 
   // --- q_ann_pq_indexed: the persisted lane on the oracle gate -----------
   // Built lazily from the corpus, queried with the corpus's own first
@@ -192,8 +201,19 @@ object PqIndex {
     topKIndexed(spark, wide.filter(col("vec_id") < NumQueries), indexDir)
   }
 
+  /** Filtered serving twin of `q_ann_filtered_pq` — row-identical to the
+    * inline lane (frozen trainer, shared scoring, the filter commutes
+    * with the code read), so it rides the same oracle. */
+  private def qAnnPqFilteredIndexed(spark: SparkSession, dir: String): DataFrame =
+    topKIndexed(spark,
+      Tables.table(spark, dir, "embeddings").filter(col("vec_id") < NumQueries),
+      ensureIndex(spark, dir),
+      memberFilter = Some(col("vec_id") % 2 === 0))
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef("q_ann_pq_indexed", qAnnPqIndexed, Some(SimilarityOps.qAnnPqOracle)),
+    QueryDef("q_ann_filtered_pq_indexed", qAnnPqFilteredIndexed,
+      Some(SimilarityOps.qAnnPqFilteredOracle)),
     QueryDef("q_ann_pq_wide_indexed", qAnnPqWideIndexed,
       Some(SimilarityOps.qAnnPqWideOracle)))
 }

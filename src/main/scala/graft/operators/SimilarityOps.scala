@@ -1282,6 +1282,22 @@ object SimilarityOps {
     pqTopKFromCodes(pqCodesOf(en, cb), en.filter(col("vec_id") < NumQueries), en, cb)
   }
 
+  /** Filtered vector search over the PQ pipeline — the candidate-stage
+    * predicate discipline ([[graft.operators.RetrievalOps]]'s brute/IVF
+    * lanes) applied to the CODE domain: the member filter prunes the
+    * code rows BEFORE the ADC cross join, so the propose scan's cost
+    * scales with the filtered subset; the rescore side needs no filter
+    * (proposals already satisfy it), and queries need NOT satisfy the
+    * predicate. Same trainer and scoring as q_ann_pq, so the oracle is
+    * the unrolled-training SQL with the one member WHERE added. */
+  private def qAnnPqFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val cb = pqCodebook(spark, dir)
+    val en = pqNormalized(spark, dir)
+    pqTopKFromCodes(pqCodesOf(en, cb).filter(col("vec_id") % 2 === 0),
+      en.filter(col("vec_id") < NumQueries), en, cb)
+  }
+
+
   // SQL mirror: subvectors via index arithmetic (no list-slice dialect
   // dependence), the training loop unrolled as c1/a1..cT/aT, codes pivoted
   // to one row per vector, ADC as four (m, j=code) joins against the
@@ -1350,7 +1366,15 @@ object SimilarityOps {
   private def pqAdcSumSql(mCount: Int = PqM): String =
     (1 until mCount).foldLeft("dt0.d")((acc, mm) => s"($acc + dt$mm.d)")
 
-  private[operators] def qAnnPqOracle: String = {
+  private[operators] def qAnnPqOracle: String = qAnnPqOracleWith("")
+
+  /** The unrolled-training PQ oracle with an optional member predicate
+    * on the code side — the filtered lanes' mirror (one WHERE is the
+    * whole difference, exactly like the Spark side). */
+  private[operators] def qAnnPqFilteredOracle: String =
+    qAnnPqOracleWith(" AND x.vec_id % 2 = 0")
+
+  private def qAnnPqOracleWith(memberPred: String): String = {
     s"""WITH e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |    sqrt(list_reduce(list_prepend(0.0, [x*x FOR x IN embedding::DOUBLE[]]), (a,x) -> a+x)) AS norm
@@ -1360,7 +1384,7 @@ object SimilarityOps {
        |  SELECT dt0.query_id, x.vec_id, ${pqAdcSumSql()} AS approx
        |  FROM codes x
        |  ${pqDtJoins("qdt")}
-       |  WHERE x.vec_id != dt0.query_id),
+       |  WHERE x.vec_id != dt0.query_id$memberPred),
        |prop AS (
        |  SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id,
@@ -1550,6 +1574,7 @@ object SimilarityOps {
     QueryDef("q_ann_ivf2", qIvf(_, _, nprobe = 2), Some(qIvfSql(nprobe = 2))),
     QueryDef("q_ann_ivf_learned", ivfLearnedTopK(_, _, IvfNProbe), Some(qIvfLearnedSql)),
     QueryDef("q_ann_pq", qAnnPq, Some(qAnnPqOracle)),
+    QueryDef("q_ann_filtered_pq", qAnnPqFiltered, Some(qAnnPqFilteredOracle)),
     QueryDef("q_ann_pq_wide", qAnnPqWide, Some(qAnnPqWideOracle)),
     QueryDef("q_ivf_learned_cells", qIvfLearnedCells, Some(qIvfLearnedCellsSql)),
     QueryDef("q_ann_recall", qAnnRecall, None),

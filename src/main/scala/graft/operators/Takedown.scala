@@ -82,6 +82,20 @@ object Takedown {
           " — deletions were applied to the identified stores, but a " +
           "compliance sweep that skips a store is a deletion hole")
 
+  /** One or more stores' deletions THREW (a corrupt table, a wedged
+    * lock). Like [[UnknownStoreException]], raised only after every
+    * other store's deletion was attempted — a broken store must not
+    * block the remaining families — with the full report attached; the
+    * failed stores' rows carry `error_delete_failed: <cause>`. */
+  final case class StoreErrorException(results: Seq[StoreResult])
+      extends IllegalStateException(
+        "takedown failed on: " +
+          results.filter(_.action.startsWith("error_delete_failed"))
+            .map(r => s"${r.dir} (${r.action})").mkString("; ") +
+          " — deletions were applied to every other store; re-deliver " +
+          "the request after repairing (per-family deletes are " +
+          "replay-idempotent)")
+
   /** Apply one takedown batch to every store under `indexDirs`.
     * `docRows` carries the victim documents (doc_id required; text/lang/
     * source where the corpus has them — the count models need the rows
@@ -152,7 +166,10 @@ object Takedown {
         unresolvedIds.fold(0L)(u =>
           u.join(resident.select(col("doc_id")).distinct(),
             Seq("doc_id"), "left_semi").count())
-      val (action, unres) = family match {
+      // one store's failure (corrupt table, wedged lock) must not block
+      // the remaining families' deletions: isolate it to an error row,
+      // finish the sweep, THEN raise with the full report attached
+      val (action, unres) = try family match {
         case "ivf" =>
           (tombDelete(dir, vecIds, "vec_id", vecResident("cells.parquet")), 0L)
         case "pq" =>
@@ -192,12 +209,71 @@ object Takedown {
           ("deleted", countUnresolved(SketchIndex.residentDocIds(spark, dir)))
         case "tokenizer" => ("retrain_required", 0L)
         case _ => ("error_unknown_family", 0L)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          (s"error_delete_failed: ${e.getClass.getSimpleName}: " +
+            s"${Option(e.getMessage).getOrElse("").take(200)}", 0L)
       }
       StoreResult(dir, family, action, unres)
     }
     unresolvedIds.foreach { u => u.unpersist(); () }
     if (failOnUnknown && results.exists(_.action == "error_unknown_family"))
       throw UnknownStoreException(results)
+    if (results.exists(_.action.startsWith("error_delete_failed")))
+      throw StoreErrorException(results)
     results
   }
+
+  /** [[sweep]] with a persisted AUDIT ledger: compliance needs the record
+    * of what a request did to every store, not just a callback that
+    * evaporates with the driver. One epoch per sweep attempt under
+    * `logDir` — rows (request_id, dir, family, action, unresolved,
+    * n_victims) — written AFTER the deletions applied (the ledger records
+    * outcomes, not intents) via the family staging discipline, and
+    * written EVEN when the sweep raises (the exception rows carry the
+    * partial outcome — exactly what an auditor asks for after a failure).
+    * No wall clock anywhere: the epoch number is the attempt order, so
+    * replayed requests append attempts rather than overwriting history.
+    * Single compliance writer per ledger (the epoch numbering
+    * constraint every store shares). */
+  def sweepLogged(
+      spark: SparkSession, requestId: String, docRows: DataFrame,
+      indexDirs: Seq[String], logDir: String,
+      failOnUnknown: Boolean = true,
+      corpus: Option[DataFrame] = None): Seq[StoreResult] = {
+    def log(rs: Seq[StoreResult]): Unit = {
+      val n = docRows.select(col("doc_id")).distinct().count()
+      val next = EpochLedger.epochs(spark, logDir).foldLeft(-1)(math.max) + 1
+      val session = spark
+      import session.implicits._
+      AtomicPublish.stageAndRename(
+        spark, logDir, s".epoch-$next.tmp", s"epoch=$next") { tmp =>
+        rs.map(r => (requestId, r.dir, r.family, r.action, r.unresolved, n))
+          .toDF("request_id", "dir", "family", "action", "unresolved", "n_victims")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+      }
+    }
+    try {
+      val rs = sweep(spark, docRows, indexDirs, failOnUnknown, corpus)
+      log(rs)
+      rs
+    } catch {
+      case e: UnknownStoreException => log(e.results); throw e
+      case e: StoreErrorException => log(e.results); throw e
+    }
+  }
+
+  /** The audit ledger, attempts in epoch order (`attempt` = the epoch
+    * partition column). Empty frame with the right schema if nothing
+    * was ever logged. */
+  def sweepLog(spark: SparkSession, logDir: String): DataFrame =
+    if (EpochLedger.epochs(spark, logDir).isEmpty) {
+      val session = spark
+      import session.implicits._
+      Seq.empty[(String, String, String, String, Long, Long, Int)]
+        .toDF("request_id", "dir", "family", "action", "unresolved",
+          "n_victims", "attempt")
+    } else
+      spark.read.parquet(logDir).withColumnRenamed("epoch", "attempt")
 }

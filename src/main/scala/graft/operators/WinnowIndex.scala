@@ -84,15 +84,24 @@ object WinnowIndex {
     * twin but no members is not a crash window — it is a legacy store
     * (the single-epoch pre-v3 case), and only uncovered tids distinguish
     * it from repaired residue. */
-  private def requireMembersTwin(
-      spark: SparkSession, indexDir: String, op: String): Unit = {
+  /** Members-twin status of the store — ONE rule body for the mutation
+    * guard below and the fleet health check ([[graft.IndexFsck]]):
+    * `("ok", …)` when every fps epoch is covered, `("crash_window", …)`
+    * for tolerated residue (uncommitted tail, or an orphan the replay
+    * already repaired at tid level), `("legacy", epochs)` for the
+    * pre-v3 store only a rebuild can fix. */
+  private[graft] def membersTwinStatus(
+      spark: SparkSession, indexDir: String): (String, Seq[Int]) = {
     val fpsE = EpochLedger.epochs(spark, s"$indexDir/fps.parquet")
     val memE = EpochLedger.epochs(spark, s"$indexDir/members.parquet").toSet
     val docsE = EpochLedger.epochs(spark, s"$indexDir/docs.parquet").toSet
     val tail = fpsE.foldLeft(-1)(math.max)
     val missing = fpsE.filterNot(e =>
       memE.contains(e) || (e == tail && !docsE.contains(e)))
-    if (missing.nonEmpty) {
+    if (missing.isEmpty) {
+      val tolerated = fpsE.filterNot(memE.contains)
+      (if (tolerated.isEmpty) "ok" else "crash_window", tolerated.sorted)
+    } else {
       val uncovered =
         if (memE.isEmpty) 1L
         else spark.read.parquet(s"$indexDir/fps.parquet")
@@ -101,16 +110,24 @@ object WinnowIndex {
           .join(spark.read.parquet(s"$indexDir/members.parquet")
             .select(col("tid")).distinct(), Seq("tid"), "left_anti")
           .count()
-      if (uncovered > 0)
+      if (uncovered > 0) ("legacy", missing.sorted)
+      else ("crash_window", missing.sorted)
+    }
+  }
+
+  private def requireMembersTwin(
+      spark: SparkSession, indexDir: String, op: String): Unit =
+    membersTwinStatus(spark, indexDir) match {
+      case ("legacy", missing) =>
         throw new IllegalStateException(
-          s"$op on $indexDir: fps epochs ${missing.sorted.mkString(",")} have " +
+          s"$op on $indexDir: fps epochs ${missing.mkString(",")} have " +
             "no members.parquet twin and their texts have no member rows — " +
             "a pre-v3 (members-less) winnow store. Compacting or deleting " +
             "would silently drop those texts' fingerprints; members cannot " +
             "be backfilled (the old layout persisted no doc<->tid mapping). " +
             "Rebuild the index from the corpus (buildIndex).")
+      case _ => ()
     }
-  }
 
   /** Fold a batch of new documents in: the batch's texts winnow in
     * isolation (O(batch) — selection is a pure per-text function, so no

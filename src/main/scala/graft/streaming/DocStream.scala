@@ -705,7 +705,8 @@ object DocStream {
       requests: DataFrame,
       indexDirs: Seq[String],
       failOnUnknown: Boolean = true,
-      corpusDir: Option[String] = None)(
+      corpusDir: Option[String] = None,
+      logDir: Option[String] = None)(
       report: Seq[graft.operators.Takedown.StoreResult] => Unit): StreamingQuery =
     requests.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -722,9 +723,33 @@ object DocStream {
             // sweep in report-everything mode so the error rows reach the
             // compliance report callback, THEN fail the stream loudly — an
             // unidentifiable store is a deletion hole, and a quietly-dead
-            // report row is how it stays unnoticed
-            val rs = graft.operators.Takedown.sweep(
-              spark, b, indexDirs, failOnUnknown = false, corpus = corpus)
+            // report row is how it stays unnoticed. A store whose delete
+            // THREW is the same shape: the exception carries the full
+            // report (every other store was still swept), which is
+            // delivered before the rethrow.
+            // audit id: the request's own id column when it carries one,
+            // else the victim ids — deterministic either way (no wall
+            // clock; the ledger epoch is the attempt order)
+            def auditId: String =
+              if (b.columns.contains("request_id"))
+                b.select(col("request_id").cast("string")).distinct()
+                  .collect().map(_.getString(0)).sorted.mkString(",").take(200)
+              else "ids:" + b.select(col("doc_id")).distinct()
+                .collect().map(_.getLong(0)).sorted.mkString(",").take(200)
+            def run(): Seq[graft.operators.Takedown.StoreResult] =
+              logDir match {
+                case Some(ld) => graft.operators.Takedown.sweepLogged(
+                  spark, auditId, b, indexDirs, ld,
+                  failOnUnknown = false, corpus = corpus)
+                case None => graft.operators.Takedown.sweep(
+                  spark, b, indexDirs, failOnUnknown = false, corpus = corpus)
+              }
+            val rs =
+              try run()
+              catch {
+                case e: graft.operators.Takedown.StoreErrorException =>
+                  report(e.results); throw e
+              }
             report(rs)
             if (failOnUnknown && rs.exists(_.action == "error_unknown_family"))
               throw graft.operators.Takedown.UnknownStoreException(rs)

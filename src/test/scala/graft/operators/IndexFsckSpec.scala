@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** Fleet health check + residue GC ([[IndexFsck]]): invariant findings
+  * per family, and a gc that removes EXACTLY the residue no reader or
+  * recovery path needs — staging (invisible by construction) and
+  * completed-swap baks (live twin present) — while an orphan bak, the
+  * only copy of a mid-swap crash, is reported `error` and never
+  * touched. */
+class IndexFsckSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private val docs = Seq(
+    (1L, "hit f1 f2 f3", "en", "s0"),
+    (2L, "hit hit f1 f2", "de", "s0"),
+    (3L, "alpha beta beta delta", "en", "s1"))
+    .toDF("doc_id", "text", "lang", "source")
+
+  private def statuses(fs: Seq[IndexFsck.Finding]) =
+    fs.map(f => f.check -> f.status).toMap
+
+  test("healthy stores fsck clean; residue is triaged and gc removes only " +
+      "the safe classes") {
+    val base = tmp("graft-fsck")
+    val idx = s"$base/search"
+    SearchIndex.buildIndex(spark, docs, idx)
+    assert(statuses(IndexFsck.fsck(spark, idx)) === Map("all" -> "ok"))
+
+    // plant every residue class a crash can leave:
+    def mkdir(p: String) = { new java.io.File(p).mkdirs(); () }
+    mkdir(s"$idx/postings.parquet/.epoch-9.tmp")   // epoch staging
+    mkdir(s"$idx/.term_df.tmp")                    // store-level staging
+    mkdir(s"$idx/docs.parquet.compact-tmp")        // swap staging
+    mkdir(s"$idx/docs.parquet.compact-bak")        // completed-swap bak (live exists)
+    mkdir(s"$base/search.apply-bak")               // sibling bak, live store exists
+    mkdir(s"$base/search.apply-tmp")               // sibling staging
+    val found = statuses(IndexFsck.fsck(spark, idx))
+    assert(found("residue_staging") === "info")
+    assert(found("residue_bak") === "warn")
+    assert(!found.contains("residue_bak_orphan"))
+
+    val before = SearchIndex.bm25FromIndex(spark, idx, Seq("hit"), 10)
+      .collect().map(_.toSeq).toSet
+    val removed = IndexFsck.gc(spark, idx)
+    assert(removed.size === 6, s"removed: $removed")
+    assert(statuses(IndexFsck.fsck(spark, idx)) === Map("all" -> "ok"))
+    // reads identical after gc
+    assert(SearchIndex.bm25FromIndex(spark, idx, Seq("hit"), 10)
+      .collect().map(_.toSeq).toSet === before)
+
+    // the orphan bak: live twin GONE — the recovery copy. fsck screams,
+    // gc refuses.
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$idx/docs.parquet"),
+      new org.apache.hadoop.fs.Path(s"$idx/docs.parquet.compact-bak"))
+    val orphaned = statuses(IndexFsck.fsck(spark, idx))
+    assert(orphaned("residue_bak_orphan") === "error")
+    assert(IndexFsck.gc(spark, idx).isEmpty,
+      "gc must never touch a bak whose live twin is missing")
+    assert(new java.io.File(s"$idx/docs.parquet.compact-bak").exists())
+  }
+
+  test("family invariants surface: v1 search ledger, partial term_df, " +
+      "legacy winnow, count-model crash residue, unknown store") {
+    val base = tmp("graft-fsck-fam")
+
+    // search: v1 ledger + partial summary
+    val s1 = s"$base/search"
+    SearchIndex.buildIndex(spark, docs, s1)
+    for (e <- new java.io.File(s"$s1/docs.parquet").listFiles().map(_.getName)
+        .filter(_.startsWith("epoch="))) {
+      val ids = spark.read.parquet(s"$s1/docs.parquet/$e")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      AtomicPublish.stageAndRename(spark, s"$s1/docs.parquet", s".$e-v1.tmp", e) {
+        t => ids.toDF("doc_id").write.mode("overwrite").parquet(t.toString)
+      }
+    }
+    val td = new org.apache.hadoop.fs.Path(s"$s1/term_df.parquet")
+    td.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(td, true)
+    val sFound = statuses(IndexFsck.fsck(spark, s1))
+    assert(sFound("docs_ledger_v1") === "error")
+    assert(sFound("term_df_coverage") === "warn")
+
+    // winnow: legacy (members-less, committed) vs crash window
+    val w = s"$base/winnow"
+    WinnowIndex.buildIndex(spark, docs.select("doc_id", "text"), w)
+    val mem = new org.apache.hadoop.fs.Path(s"$w/members.parquet")
+    mem.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(mem, true)
+    assert(statuses(IndexFsck.fsck(spark, w))("members_twin") === "error")
+
+    // count model: counter epoch past the ledger commit point
+    val lm = s"$base/lm"
+    LmIndex.buildModel(spark, docs, lm)
+    LmIndex.appendToModel(spark, lm, Seq((9L, "x y z x")).toDF("doc_id", "text"))
+    val dp = new org.apache.hadoop.fs.Path(s"$lm/docs.parquet/epoch=1")
+    dp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(dp, true)
+    assert(statuses(IndexFsck.fsck(spark, lm))("counter_orphans") === "warn")
+
+    // unknown store: the sweep cannot cover it — fsck says so
+    Seq((1L, "x")).toDF("k", "v").write.parquet(s"$base/mystery/stuff.parquet")
+    assert(statuses(IndexFsck.fsck(spark, s"$base/mystery"))("family") === "error")
+  }
+}

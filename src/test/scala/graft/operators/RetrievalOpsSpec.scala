@@ -56,6 +56,25 @@ class RetrievalOpsSpec extends AnyFunSuite {
     } finally { probe.unpersist(); () }
   }
 
+  test("filtered PQ: predicate holds, store twin ≡ inline, proposals come " +
+      "only from the filtered code domain") {
+    val a = QueryRegistry.byName("q_ann_filtered_pq").run(spark, dir).cache()
+    try {
+      assert(a.filter(col("neighbor_id") % 2 =!= 0).count() === 0)
+      assert(a.count() > 0)
+      val b = QueryRegistry.byName("q_ann_filtered_pq_indexed").run(spark, dir)
+        .collect().map(_.toSeq).toSet
+      assert(a.collect().map(_.toSeq).toSet === b)
+      // the candidate-stage filter is not post-filtering: the unfiltered
+      // PQ lane's top-5 post-filtered under-fills for some query
+      val full = QueryRegistry.byName("q_ann_pq").run(spark, dir)
+      val postFiltered = full.filter(col("neighbor_id") % 2 === 0)
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n"))
+      assert(postFiltered.filter(col("n") < 5L).count() > 0,
+        "fixture too easy: post-filter equals candidate-stage filter here")
+    } finally { a.unpersist(); () }
+  }
+
   test("df cap keeps idf ≥ 0 terms and drops the negative-idf stopwords") {
     import spark.implicits._
     // 4 docs: "the" in all 4 (df 4 > 2 — dropped), "data" in 3 (dropped),

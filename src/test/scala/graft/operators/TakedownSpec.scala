@@ -166,6 +166,59 @@ class TakedownSpec extends AnyFunSuite {
     assert(replay.head.unresolved === 0L)
   }
 
+  test("a broken store's delete is isolated to an error row — every other " +
+      "store still sweeps — and the audit ledger records each attempt, " +
+      "including the failed one") {
+    val base = java.nio.file.Files.createTempDirectory("graft-tderr").toString
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma", "en", "s0"),
+      (2L, "gamma delta epsilon zeta", "de", "s0"),
+      (3L, "alpha beta beta delta", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    SearchIndex.buildIndex(spark, docs, s"$base/search")
+    LmIndex.buildModel(spark, docs, s"$base/lm")
+    DsirIndex.buildIndex(spark, docs, s"$base/dsir")
+    // corrupt the search store: its resident-ledger read will throw
+    val dp = new org.apache.hadoop.fs.Path(s"$base/search/docs.parquet")
+    dp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(dp, true)
+
+    val victims = docs.filter(col("doc_id") === 2L)
+    val dirs = Seq(s"$base/search", s"$base/lm", s"$base/dsir")
+    val logDir = s"$base/audit"
+    val ex = intercept[Takedown.StoreErrorException] {
+      Takedown.sweepLogged(spark, "req-1", victims, dirs, logDir)
+    }
+    val byFam = ex.results.map(r => r.family -> r.action).toMap
+    assert(byFam("search").startsWith("error_delete_failed"))
+    assert(byFam("lm-bigram") === "deleted" && byFam("dsir") === "deleted",
+      "stores AFTER the broken one must still be swept")
+    // the healthy stores' deletions really landed
+    val rebuilt = s"$base/lm-rebuilt"
+    LmIndex.buildModel(spark, docs.filter(col("doc_id") =!= 2L), rebuilt)
+    val probe = Seq((9L, "alpha beta delta gamma")).toDF("doc_id", "text")
+    assert(LmIndex.scoreDocs(spark, probe, s"$base/lm").collect().map(_.toSeq).toSet
+      === LmIndex.scoreDocs(spark, probe, rebuilt).collect().map(_.toSeq).toSet)
+    // the FAILED attempt is in the ledger — the auditor's view of the
+    // partial outcome
+    val log0 = Takedown.sweepLog(spark, logDir)
+    assert(log0.count() === 3L)
+    assert(log0.filter(col("request_id") === "req-1")
+      .filter(col("action").startsWith("error_delete_failed")).count() === 1L)
+
+    // repair the store, replay the request (at-least-once, idempotent):
+    // a clean attempt appends — history is kept, not overwritten
+    SearchIndex.buildIndex(spark, docs, s"$base/search")
+    val rs = Takedown.sweepLogged(spark, "req-1", victims, dirs, logDir)
+    assert(rs.map(_.action).forall(a => a == "deleted" || a == "noop"))
+    val log1 = Takedown.sweepLog(spark, logDir)
+    assert(log1.count() === 6L)
+    assert(log1.select(col("attempt")).distinct().count() === 2L)
+    assert(log1.filter(col("attempt") === 1)
+      .filter(col("family") === "search").select(col("action"))
+      .head().getString(0) === "deleted")
+    assert(log1.select(col("n_victims")).distinct().head().getLong(0) === 1L)
+  }
+
   test("takedownStream resolves id-only requests against corpusDir as of " +
       "each trigger") {
     val base = java.nio.file.Files.createTempDirectory("graft-tdid").toString
@@ -186,7 +239,8 @@ class TakedownSpec extends AnyFunSuite {
     val q = graft.streaming.DocStream.takedownStream(
       spark, input.toDF().toDF("doc_id"),
       Seq(s"$base/lm", s"$base/search"),
-      corpusDir = Some(s"$base/corpus")) { rs => reports ++= rs; () }
+      corpusDir = Some(s"$base/corpus"),
+      logDir = Some(s"$base/audit")) { rs => reports ++= rs; () }
     try {
       input.addData(2L)
       q.processAllAvailable()
@@ -194,6 +248,11 @@ class TakedownSpec extends AnyFunSuite {
     assert(reports.map(r => r.family -> r.action).toList ===
       List("lm-bigram" -> "deleted", "search" -> "deleted"))
     assert(reports.forall(_.unresolved === 0L))
+    // the streaming lane's audit ledger: one attempt, victim-derived id
+    val log = graft.operators.Takedown.sweepLog(spark, s"$base/audit")
+    assert(log.count() === 2L)
+    assert(log.select(col("request_id")).distinct().head().getString(0)
+      === "ids:2")
     val rebuilt = s"$base/lm-rebuilt"
     LmIndex.buildModel(spark, docs.filter(col("doc_id") =!= 2L), rebuilt)
     val probe = Seq((9L, "alpha beta delta gamma")).toDF("doc_id", "text")
