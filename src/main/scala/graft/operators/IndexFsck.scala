@@ -33,6 +33,9 @@ import org.apache.spark.sql.SparkSession
   *  - every store: pending deletions (the forced-compact trigger).
   *
   * Run: `sbt "runMain graft.operators.IndexFsck [--gc] <dir> ..."`.
+  * `fsck` is read-only; `gc` is a WRITER under the fleet's single-writer
+  * contract — run it with no concurrent writer on the store lineage
+  * (see [[gc]]'s concurrency note).
   */
 object IndexFsck {
 
@@ -64,32 +67,61 @@ object IndexFsck {
     (staging, done.map(_._1), orphan.map(_._1))
   }
 
+  /** The ONE residue scanner both [[fsck]] (report) and [[gc]] (remove)
+    * consume — a classifier change that reached only one of them would
+    * silently diverge what is reported from what is deleted, the exact
+    * drift this tool exists to prevent. Returns (staging paths,
+    * completed-swap bak paths, orphan bak paths); orphan baks are
+    * recovery copies and NEVER gc candidates. Scans the store's
+    * children, each table dir's dot-staging, and the store-SIBLING
+    * `<store>.<op>-tmp/-bak` names the whole-store swaps leave; when the
+    * store dir itself is MISSING, every sibling bak is an orphan (a
+    * mid-swap crash on the whole store — the bak IS the store). */
+  private def residue(
+      spark: SparkSession,
+      root: Path): (Seq[Path], Seq[Path], Seq[Path]) = {
+    val fs = fsOf(spark, root)
+    val exists = fs.exists(root)
+    val storeKids = if (exists) children(spark, root) else Seq.empty
+    val (stage0, done0, orphan0) = triage(storeKids)
+    val tableStaging = storeKids.filter(_.endsWith(".parquet")).flatMap { t =>
+      children(spark, new Path(root, t)).filter(_.startsWith("."))
+        .map(new Path(new Path(root, t), _))
+    }
+    val sibs = Option(root.getParent).map(children(spark, _)).getOrElse(Seq.empty)
+      .filter(n => n != root.getName && n.startsWith(root.getName + "."))
+    val (sibStage, sibDone, sibOrphan) =
+      triage(if (exists) sibs :+ root.getName else sibs)
+    def sib(n: String) = new Path(root.getParent, n)
+    ((stage0.map(new Path(root, _)) ++ tableStaging ++ sibStage.map(sib)),
+      done0.map(new Path(root, _)) ++ sibDone.filter(_ != root.getName).map(sib),
+      orphan0.map(new Path(root, _)) ++ sibOrphan.map(sib))
+  }
+
   /** Structural findings for one store. Read-only. */
   def fsck(spark: SparkSession, dir: String): Seq[Finding] = {
     val root = new Path(dir)
     val fs = fsOf(spark, root)
-    if (!fs.exists(root))
-      return Seq(Finding(dir, "unknown", "exists", "error", "store dir missing"))
+    if (!fs.exists(root)) {
+      // still scan the SIBLINGS: a mid-swap crash on the whole store dir
+      // leaves `<store>.<op>-bak` as the only copy — the operator
+      // diagnosing the missing store must be told the recovery copy
+      // exists (and gc must never take it)
+      val (_, _, orphanBak) = residue(spark, root)
+      return Finding(dir, "unknown", "exists", "error", "store dir missing") +:
+        (if (orphanBak.isEmpty) Seq.empty
+         else Seq(Finding(dir, "unknown", "residue_bak_orphan", "error",
+           "bak WITHOUT live twin — mid-swap crash RECOVERY COPY, do " +
+             s"NOT gc: ${orphanBak.mkString(", ")}")))
+    }
     val family = graft.IndexCatalog.detectFamily(spark, dir)
     val out = Seq.newBuilder[Finding]
     if (family == "unknown")
       out += Finding(dir, family, "family", "error",
         "no signature table matches IndexCatalog.Families — the compliance sweep cannot cover this store")
 
-    // residue, store level + inside each table dir + store siblings
     val storeKids = children(spark, root)
-    val (stage0, done0, orphan0) = triage(storeKids)
-    val tableStaging = storeKids.filter(n => n.endsWith(".parquet"))
-      .flatMap { t =>
-        children(spark, new Path(root, t)).filter(_.startsWith("."))
-          .map(e => s"$t/$e")
-      }
-    val sibs = Option(root.getParent).map(children(spark, _)).getOrElse(Seq.empty)
-      .filter(n => n != root.getName && n.startsWith(root.getName + "."))
-    val (sibStage, sibDone, sibOrphan) = triage(sibs :+ root.getName)
-    val staging = stage0 ++ tableStaging ++ sibStage.map(s => s"../$s")
-    val completedBak = done0 ++ sibDone.map(s => s"../$s")
-    val orphanBak = orphan0 ++ sibOrphan.map(s => s"../$s")
+    val (staging, completedBak, orphanBak) = residue(spark, root)
     if (staging.nonEmpty)
       out += Finding(dir, family, "residue_staging", "info",
         s"gc-safe staging residue: ${staging.mkString(", ")}")
@@ -132,7 +164,9 @@ object IndexFsck {
         }
       case "lm-bigram" | "classifier" | "dsir" | "sketch" | "span" =>
         // counter epochs past the ledger commit point: crash residue —
-        // reads already skip it, the next append reconciles it away
+        // harmless to reads (ledger-protocol families skip uncommitted
+        // epochs; sketch value-merges the duplicate away) and retired by
+        // the reconciling append (ledger families) or the next compact
         val max = EpochLedger.committedMax(spark, s"$dir/docs.parquet")
         val (negTables, posTables) = storeKids
           .filter(n => n.endsWith(".parquet") && !n.startsWith("docs") &&
@@ -149,7 +183,8 @@ object IndexFsck {
           }
         if (orphans.nonEmpty)
           out += Finding(dir, family, "counter_orphans", "warn",
-            s"uncommitted counter epochs (reads skip; next append reconciles): ${orphans.mkString(", ")}")
+            "uncommitted counter epochs (reads skip or value-merge them; " +
+              s"a reconciling append or the next compact retires them): ${orphans.mkString(", ")}")
       case _ => ()
     }
     val findings = out.result()
@@ -158,32 +193,40 @@ object IndexFsck {
   }
 
   /** Remove exactly the gc-safe residue ([[fsck]]'s `residue_staging` +
-    * `residue_bak`); orphan baks are never touched. Returns removed
-    * paths. Safe under the publish disciplines: staging names are
-    * invisible to readers and deleted-then-rewritten by every next
-    * attempt; a bak with its live twin present is a completed swap's
-    * leftover final delete. */
-  def gc(spark: SparkSession, dir: String): Seq[String] = {
-    val root = new Path(dir)
-    val fs = fsOf(spark, root)
-    if (!fs.exists(root)) return Seq.empty
-    val storeKids = children(spark, root)
-    val (stage0, done0, _) = triage(storeKids)
-    val tableStaging = storeKids.filter(_.endsWith(".parquet")).flatMap { t =>
-      children(spark, new Path(root, t)).filter(_.startsWith("."))
-        .map(e => new Path(new Path(root, t), e))
+    * `residue_bak` — the SAME [[residue]] scanner, so report and
+    * remediation cannot drift); orphan baks are never touched. Returns
+    * removed paths.
+    *
+    * CONCURRENCY: gc is a WRITER and inherits the store fleet's
+    * single-writer contract — run it with no concurrent writer on the
+    * store lineage (the maintenance driver's idle window, or offline).
+    * Within one driver it additionally takes the store's [[StoreLock]]
+    * (serializing against deletion writes and deletion-applying
+    * compacts) and re-verifies each bak's live twin immediately before
+    * deleting it, so a swap that completed between the scan and the
+    * delete is never mistaken for residue — but an EPOCH-cadence compact
+    * in another process is outside any lock's reach, which is what the
+    * offline rule is for. */
+  def gc(spark: SparkSession, dir: String): Seq[String] =
+    StoreLock.withLock(dir, "fsck-gc") {
+      val root = new Path(dir)
+      val fs = fsOf(spark, root)
+      if (!fs.exists(root)) Seq.empty
+      else {
+        val (staging, completedBak, _) = residue(spark, root)
+        val stillSafeBaks = completedBak.filter { p =>
+          // per-victim re-check right before the delete: the bak is only
+          // residue while its live twin exists NOW
+          p.getName match {
+            case BakPattern(live, _) => fs.exists(new Path(p.getParent, live))
+            case _ => false
+          }
+        }
+        (staging ++ stillSafeBaks).flatMap { p =>
+          if (fs.delete(p, true)) Some(p.toString) else None
+        }
+      }
     }
-    val sibs = Option(root.getParent).map(children(spark, _)).getOrElse(Seq.empty)
-      .filter(n => n != root.getName && n.startsWith(root.getName + "."))
-    val (sibStage, sibDone, _) = triage(sibs :+ root.getName)
-    val victims =
-      (stage0 ++ done0).map(new Path(root, _)) ++ tableStaging ++
-        (sibStage ++ sibDone).filter(_ != root.getName)
-          .map(new Path(root.getParent, _))
-    victims.flatMap { p =>
-      if (fs.delete(p, true)) Some(p.toString) else None
-    }
-  }
 
   def main(args: Array[String]): Unit = {
     val doGc = args.contains("--gc")

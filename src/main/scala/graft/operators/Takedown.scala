@@ -161,11 +161,16 @@ object Takedown {
         else None
       // an id the corpus could not resolve but the store still holds:
       // the count model's arithmetic cannot run in reverse for it — a
-      // reported deletion hole, never a silent no-op
+      // reported deletion hole, never a silent no-op. The post-delete
+      // resident read is OUTSIDE the delete's failure domain: a
+      // transient error here must not record an APPLIED deletion as
+      // failed in the audit ledger — unresolved = -1 means "applied,
+      // hole count unknown"
       def countUnresolved(resident: => DataFrame): Long =
-        unresolvedIds.fold(0L)(u =>
+        try unresolvedIds.fold(0L)(u =>
           u.join(resident.select(col("doc_id")).distinct(),
             Seq("doc_id"), "left_semi").count())
+        catch { case scala.util.control.NonFatal(_) => -1L }
       // one store's failure (corrupt table, wedged lock) must not block
       // the remaining families' deletions: isolate it to an error row,
       // finish the sweep, THEN raise with the full report attached
@@ -254,15 +259,38 @@ object Takedown {
           .write.mode("overwrite").parquet(tmp.toString)
       }
     }
+    // the ledger write must never MASK the sweep's own outcome: deletions
+    // were already applied, and the original exception carries the report
+    // the streaming lane delivers to the compliance callback. A failed
+    // log on a SUCCESSFUL sweep is still loud (compliance cannot prove
+    // the outcome) — AuditLogException, with the results attached.
+    def logKeeping[T <: Throwable](rs: Seq[StoreResult], original: T): T = {
+      try log(rs)
+      catch { case scala.util.control.NonFatal(le) => original.addSuppressed(le) }
+      original
+    }
     try {
       val rs = sweep(spark, docRows, indexDirs, failOnUnknown, corpus)
-      log(rs)
+      try log(rs)
+      catch {
+        case scala.util.control.NonFatal(le) => throw AuditLogException(rs, le)
+      }
       rs
     } catch {
-      case e: UnknownStoreException => log(e.results); throw e
-      case e: StoreErrorException => log(e.results); throw e
+      case e: UnknownStoreException => throw logKeeping(e.results, e)
+      case e: StoreErrorException => throw logKeeping(e.results, e)
     }
   }
+
+  /** The sweep APPLIED but its audit-ledger write failed — compliance
+    * cannot prove the outcome, so this is loud; `results` carries the
+    * applied per-store report (the streaming lane still delivers it to
+    * the callback before rethrowing), and a re-delivered request is the
+    * safe repair (idempotent deletes + a fresh log attempt). */
+  final case class AuditLogException(results: Seq[StoreResult], cause: Throwable)
+      extends IllegalStateException(
+        s"takedown applied but the audit-ledger write failed: ${cause.getMessage}",
+        cause)
 
   /** The audit ledger, attempts in epoch order (`attempt` = the epoch
     * partition column). Empty frame with the right schema if nothing

@@ -83,12 +83,13 @@ object WinnowIndex {
     * already repaired by the replay. A tail epoch WITH a committed docs
     * twin but no members is not a crash window — it is a legacy store
     * (the single-epoch pre-v3 case), and only uncovered tids distinguish
-    * it from repaired residue. */
-  /** Members-twin status of the store — ONE rule body for the mutation
-    * guard below and the fleet health check ([[graft.IndexFsck]]):
-    * `("ok", …)` when every fps epoch is covered, `("crash_window", …)`
-    * for tolerated residue (uncommitted tail, or an orphan the replay
-    * already repaired at tid level), `("legacy", epochs)` for the
+    * it from repaired residue.
+    *
+    * ONE rule body for the mutation guard ([[requireMembersTwin]], which
+    * throws on `legacy`) and the fleet health check
+    * ([[graft.operators.IndexFsck]], which reports): `("ok", …)` when
+    * every fps epoch is covered, `("crash_window", tolerated)` for
+    * residue the replay protocol handles, `("legacy", epochs)` for the
     * pre-v3 store only a rebuild can fix. */
   private[graft] def membersTwinStatus(
       spark: SparkSession, indexDir: String): (String, Seq[Int]) = {
@@ -115,6 +116,9 @@ object WinnowIndex {
     }
   }
 
+  /** The throwing half of [[membersTwinStatus]]: mutations on a `legacy`
+    * store are refused with the rebuild instruction; `ok`/`crash_window`
+    * proceed. */
   private def requireMembersTwin(
       spark: SparkSession, indexDir: String, op: String): Unit =
     membersTwinStatus(spark, indexDir) match {

@@ -729,12 +729,14 @@ object DocStream {
             // delivered before the rethrow.
             // audit id: the request's own id column when it carries one,
             // else the victim ids — deterministic either way (no wall
-            // clock; the ledger epoch is the attempt order)
+            // clock; the ledger epoch is the attempt order). Null-safe:
+            // a compliance batch with a null id row must not kill the
+            // stream before the sweep even runs
             def auditId: String =
               if (b.columns.contains("request_id"))
-                b.select(col("request_id").cast("string")).distinct()
+                b.select(col("request_id").cast("string")).na.drop().distinct()
                   .collect().map(_.getString(0)).sorted.mkString(",").take(200)
-              else "ids:" + b.select(col("doc_id")).distinct()
+              else "ids:" + b.select(col("doc_id")).na.drop().distinct()
                 .collect().map(_.getLong(0)).sorted.mkString(",").take(200)
             def run(): Seq[graft.operators.Takedown.StoreResult] =
               logDir match {
@@ -747,7 +749,12 @@ object DocStream {
             val rs =
               try run()
               catch {
+                // every exception that carries a report delivers it to
+                // the compliance callback BEFORE failing the stream —
+                // deletions were applied; the callback must see them
                 case e: graft.operators.Takedown.StoreErrorException =>
+                  report(e.results); throw e
+                case e: graft.operators.Takedown.AuditLogException =>
                   report(e.results); throw e
               }
             report(rs)

@@ -68,6 +68,24 @@ class IndexFsckSpec extends AnyFunSuite {
     assert(new java.io.File(s"$idx/docs.parquet.compact-bak").exists())
   }
 
+  test("a MISSING store with a sibling bak — the mid-whole-store-swap " +
+      "crash — surfaces the recovery copy; gc takes nothing") {
+    val base = tmp("graft-fsck-gone")
+    val lm = s"$base/lm"
+    LmIndex.buildModel(spark, docs.select("doc_id", "text"), lm)
+    // crash between applyWithSwap's two renames: live gone, bak is the store
+    val fs = new org.apache.hadoop.fs.Path(lm)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(lm),
+      new org.apache.hadoop.fs.Path(s"$lm.apply-bak"))
+    val found = statuses(IndexFsck.fsck(spark, lm))
+    assert(found("exists") === "error")
+    assert(found("residue_bak_orphan") === "error",
+      "the operator must be told the recovery copy exists")
+    assert(IndexFsck.gc(spark, lm).isEmpty)
+    assert(new java.io.File(s"$lm.apply-bak").exists())
+  }
+
   test("family invariants surface: v1 search ledger, partial term_df, " +
       "legacy winnow, count-model crash residue, unknown store") {
     val base = tmp("graft-fsck-fam")

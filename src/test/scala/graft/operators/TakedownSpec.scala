@@ -219,6 +219,27 @@ class TakedownSpec extends AnyFunSuite {
     assert(log1.select(col("n_victims")).distinct().head().getLong(0) === 1L)
   }
 
+  test("a failed audit-ledger write cannot mask the sweep's outcome: the " +
+      "deletions stay applied and AuditLogException carries the report") {
+    val base = java.nio.file.Files.createTempDirectory("graft-tdlog").toString
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma", "en", "s0"),
+      (2L, "gamma delta epsilon zeta", "de", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    SearchIndex.buildIndex(spark, docs, s"$base/search")
+    // an unwritable ledger: the logDir's parent is a FILE
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/blocked"),
+      "x".getBytes)
+    val ex = intercept[Takedown.AuditLogException] {
+      Takedown.sweepLogged(spark, "req-9", docs.filter(col("doc_id") === 2L),
+        Seq(s"$base/search"), s"$base/blocked/audit")
+    }
+    assert(ex.results.map(r => r.family -> r.action) === Seq("search" -> "deleted"))
+    // the deletion really applied despite the ledger failure
+    assert(SearchIndex.searchFromIndex(spark, s"$base/search", Seq("gamma"), 10)
+      .filter(col("doc_id") === 2L).count() === 0L)
+  }
+
   test("takedownStream resolves id-only requests against corpusDir as of " +
       "each trigger") {
     val base = java.nio.file.Files.createTempDirectory("graft-tdid").toString
