@@ -43,6 +43,31 @@ object IndexFsck {
   final case class Finding(
       dir: String, family: String, check: String, status: String, detail: String)
 
+  /** Tables a store of each family cannot serve without — the
+    * serving-surface minimum, NOT every table the family may write
+    * (optional artifacts like the IVF drift baseline or the IVF-PQ
+    * codebook get their own softer checks). A missing required table is
+    * an `error`: reads would throw PATH_NOT_FOUND mid-plan with no hint
+    * which family invariant broke. */
+  private val RequiredTables: Map[String, Seq[String]] = Map(
+    "ivf" -> Seq("centroids.parquet", "cells.parquet"),
+    "pq" -> Seq("codebook.parquet", "codes.parquet", "ids.parquet", "vecs.parquet"),
+    "ann-lsh" -> Seq("bands.parquet", "vectors.parquet"),
+    "search" -> Seq("postings.parquet", "docs.parquet"),
+    "winnow" -> Seq("fps.parquet", "members.parquet", "docs.parquet"),
+    "pack" -> Seq("base.parquet", "docs.parquet"),
+    "eval-vocab" -> Seq("shingles.parquet", "docs.parquet"),
+    "lm-bigram" -> Seq("pairs.parquet", "docs.parquet"),
+    "classifier" -> Seq("counts.parquet", "docs.parquet"),
+    "dsir" -> Seq("buckets.parquet", "docs.parquet"),
+    "span" -> Seq("grams.parquet", "docs.parquet"),
+    "sketch" -> Seq("sample.parquet", "counts.parquet", "docs.parquet"),
+    "tokenizer" -> Seq("merges.parquet"),
+    "cluster" -> Seq("labels.parquet", "members.parquet",
+      "shingle_df.parquet", "texts.parquet", "text_shingles.parquet"),
+    "incremental-dedup" -> Seq("members.parquet",
+      "shingle_df.parquet", "texts.parquet", "text_shingles.parquet"))
+
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -121,6 +146,12 @@ object IndexFsck {
         "no signature table matches IndexCatalog.Families — the compliance sweep cannot cover this store")
 
     val storeKids = children(spark, root)
+    // serving-surface minimum for the detected family
+    val missingTables = RequiredTables.getOrElse(family, Seq.empty)
+      .filterNot(storeKids.contains)
+    if (missingTables.nonEmpty)
+      out += Finding(dir, family, "table_missing", "error",
+        s"required tables absent — reads will throw mid-plan: ${missingTables.mkString(", ")}")
     val (staging, completedBak, orphanBak) = residue(spark, root)
     if (staging.nonEmpty)
       out += Finding(dir, family, "residue_staging", "info",

@@ -125,5 +125,18 @@ class IndexFsckSpec extends AnyFunSuite {
     // unknown store: the sweep cannot cover it — fsck says so
     Seq((1L, "x")).toDF("k", "v").write.parquet(s"$base/mystery/stuff.parquet")
     assert(statuses(IndexFsck.fsck(spark, s"$base/mystery"))("family") === "error")
+
+    // a required serving table missing: named error, not a mid-plan throw
+    val ivf = s"$base/ivf"
+    IvfIndex.buildIndex(spark, ivf,
+      Seq(0L -> Seq(1.0, 0.0, 0.0, 0.0), 1L -> Seq(0.0, 1.0, 0.0, 0.0)),
+      Seq((1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)), (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)))
+        .toDF("vec_id", "embedding"))
+    assert(!statuses(IndexFsck.fsck(spark, ivf)).contains("table_missing"))
+    val cells = new org.apache.hadoop.fs.Path(s"$ivf/cells.parquet")
+    cells.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(cells, true)
+    val ivfFound = IndexFsck.fsck(spark, ivf)
+    assert(statuses(ivfFound)("table_missing") === "error")
+    assert(ivfFound.find(_.check == "table_missing").get.detail.contains("cells"))
   }
 }
