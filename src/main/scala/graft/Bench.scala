@@ -166,6 +166,20 @@ object Bench {
       .mkString("{", ",", "}")
     val ablationJson = ablationLanes.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the 5 permanent rows-only lanes (no DuckDB oracle — their output
+    // hashes engine-specific xxhash64/sign geometry) each have a
+    // hash-gated _portable twin that IS oracle-checked; labeled here so
+    // the correctness record reads "certified by twin", not an
+    // unexplained null (same legibility move as ablation_lanes)
+    val certifiedByTwin = Seq(
+      "q_ann_lsh" -> "q_ann_lsh_portable",
+      "q_ann_recall" -> "q_ann_recall_portable",
+      "q_dedup_minhash" -> "q_dedup_minhash_portable",
+      "q_dedup_minhash_verified" -> "q_dedup_minhash_portable",
+      "q_dedup_simhash" -> "q_dedup_simhash_portable")
+    val certifiedJson = certifiedByTwin
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val spread = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
       val valid = Seq(a, b).filter(_ >= 0)
       val (lo, hi) = if (valid.isEmpty) (-1.0, -1.0) else (valid.min, valid.max)
@@ -192,6 +206,6 @@ object Bench {
     // output of the whole invocation even under a combined stdout+stderr
     // capture, so nothing Spark logs during shutdown may follow it
     spark.stop()
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$failed,"pass_totals":[${ms(t1)},${ms(t2)}],"sentinel":[${ms(sentinelBefore)},${ms(sentinelAfter)}],"contended":$contended,"top5_slowest":$top5,"top5_serving":$top5Serving,"ablation_lanes":$ablationJson,"queries_file":"target/bench_queries.json"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$failed,"pass_totals":[${ms(t1)},${ms(t2)}],"sentinel":[${ms(sentinelBefore)},${ms(sentinelAfter)}],"contended":$contended,"top5_slowest":$top5,"top5_serving":$top5Serving,"ablation_lanes":$ablationJson,"certified_by_twin":$certifiedJson,"queries_file":"target/bench_queries.json"}""")
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Operator-facing inspection of persisted index stores — the catalog
   * half of the round-8 policy layer ([[operators.IndexPolicy]]). Given
@@ -15,43 +15,125 @@ import org.apache.spark.sql.SparkSession
   */
 object IndexCatalog {
 
-  /** (signature table → family name); first match wins, so families
-    * whose stores CONTAIN another family's signature table must come
-    * first: cluster stores carry both `shingle_df.parquet` and
-    * `edges.parquet` (and `labels.parquet`, unique to them) — keyed on
-    * `labels.parquet` ahead of the shingle signature so they don't
-    * misreport as incremental-dedup; IVF-PQ stores carry `codebook
-    * .parquet` next to `centroids.parquet` (centroids first); sketch
-    * stores carry `counts.parquet` next to `sample.parquet` (sample
-    * first). THE single registry: [[report]] and
-    * [[operators.Takedown.sweep]] both dispatch off it, so a family
-    * added here is seen by the catalog AND the compliance sweep — the
-    * two maps drifting apart is exactly the one-store-missed failure
-    * the sweep exists to prevent. */
-  val Families: Seq[(String, String)] = Seq(
-    "centroids.parquet" -> "ivf",
-    "codebook.parquet" -> "pq",
-    "bands.parquet" -> "ann-lsh",
-    "fps.parquet" -> "winnow",
-    "grams.parquet" -> "span",
-    "sample.parquet" -> "sketch",
-    "pairs.parquet" -> "lm-bigram",
-    "labels.parquet" -> "cluster",
-    "edges.parquet" -> "cluster",
-    "shingle_df.parquet" -> "incremental-dedup",
-    "base.parquet" -> "pack",
-    "postings.parquet" -> "search",
-    "counts.parquet" -> "classifier",
-    "merges.parquet" -> "tokenizer",
-    "shingles.parquet" -> "eval-vocab",
-    "buckets.parquet" -> "dsir")
+  /** How a family's DELETION runs — the discipline tag the compliance
+    * sweep ([[operators.Takedown.sweep]]) dispatches off, carried IN the
+    * registry row so a new family cannot be registered without its
+    * deletion semantics (the r12 verdict's one-registry argument, now
+    * covering detection AND dispatch: before this, the sweep's
+    * count-family set and per-family match arms were hand-maintained
+    * beside the registry, and a 17th family missing from either would
+    * only fail mid-sweep). */
+  sealed trait Discipline
+  object Discipline {
+    /** Vector-keyed tombstone store: deletes by `vec_id` alone;
+      * `residentTable` carries the store's resident vec_id set (the
+      * replay-idempotence filter reads it when present). */
+    final case class TombstoneVec(residentTable: String) extends Discipline
+    /** Doc-keyed tombstone store: deletes by `doc_id` alone; `resident`
+      * reads the store's resident-doc ledger. */
+    final case class TombstoneDoc(
+        resident: (SparkSession, String) => DataFrame) extends Discipline
+    /** Doc-keyed store whose delete IS an atomic whole-store rewrite —
+      * no pending state afterwards, nothing for a compact to apply. */
+    final case class Rewrite(
+        delete: (SparkSession, String, DataFrame) => Unit) extends Discipline
+    /** Count model: state is not doc-keyed, so the additive arithmetic
+      * runs in reverse — `delete` needs the victims' FULL rows
+      * (text/lang/source), and `resident` serves the unresolved-hole
+      * report (an id the store holds but the corpus can't resolve). */
+    final case class Count(
+        delete: (SparkSession, String, DataFrame) => Unit,
+        resident: (SparkSession, String) => DataFrame) extends Discipline
+    /** Frozen corpus-global model (BPE merge table): a document cannot
+      * be un-trained from it — the sweep reports `retrain_required`. */
+    case object Retrain extends Discipline
+  }
 
-  /** Family of a store given its table names — pure half of detection,
-    * shared by [[report]] and the takedown sweep. */
+  /** One registry row: (signature table, family name, deletion
+    * discipline, deletion-applying compact). `compact` retires the
+    * family's pending deletion state (tombstones / neg-epoch ledger) —
+    * None exactly when deletion leaves no pending state ([[Discipline.
+    * Rewrite]]/[[Discipline.Retrain]]); the sweep's `applyNow` mode and
+    * [[operators.IndexFsck.repair]] both run it. */
+  final case class FamilyDef(
+      signature: String, name: String, discipline: Discipline,
+      compact: Option[(SparkSession, String) => Unit])
+
+  /** First match wins, so families whose stores CONTAIN another family's
+    * signature table must come first: cluster stores carry both
+    * `shingle_df.parquet` and `edges.parquet` (and `labels.parquet`,
+    * unique to them) — keyed on `labels.parquet` ahead of the shingle
+    * signature so they don't misreport as incremental-dedup; IVF-PQ
+    * stores carry `codebook.parquet` next to `centroids.parquet`
+    * (centroids first); sketch stores carry `counts.parquet` next to
+    * `sample.parquet` (sample first). THE single registry: [[report]]
+    * and [[operators.Takedown.sweep]] both dispatch off it — detection
+    * AND deletion discipline AND the deletion-applying compact — so a
+    * family added here is seen by the catalog, the compliance sweep, and
+    * the retirement paths in one row; two maps drifting apart is exactly
+    * the one-store-missed failure the sweep exists to prevent. */
+  val Families: Seq[FamilyDef] = {
+    import Discipline._
+    import operators._
+    Seq(
+      FamilyDef("centroids.parquet", "ivf",
+        TombstoneVec("cells.parquet"), Some(IvfIndex.compact)),
+      FamilyDef("codebook.parquet", "pq",
+        TombstoneVec("ids.parquet"), Some(PqIndex.compact)),
+      FamilyDef("bands.parquet", "ann-lsh",
+        TombstoneVec("vectors.parquet"), Some(AnnIndex.compact)),
+      FamilyDef("fps.parquet", "winnow",
+        TombstoneDoc(WinnowIndex.residentDocIds), Some(WinnowIndex.compact)),
+      FamilyDef("grams.parquet", "span",
+        Count(SpanIndex.deleteFromIndex, SpanIndex.residentDocIds),
+        Some(SpanIndex.compact)),
+      FamilyDef("sample.parquet", "sketch",
+        Count(SketchIndex.deleteFromIndex, SketchIndex.residentDocIds),
+        Some(SketchIndex.compact)),
+      FamilyDef("pairs.parquet", "lm-bigram",
+        Count(LmIndex.deleteFromModel, LmIndex.residentDocIds),
+        Some(LmIndex.compact)),
+      FamilyDef("labels.parquet", "cluster",
+        Rewrite(ClusterIndex.deleteFromIndex), None),
+      FamilyDef("edges.parquet", "cluster",
+        Rewrite(ClusterIndex.deleteFromIndex), None),
+      FamilyDef("shingle_df.parquet", "incremental-dedup",
+        Rewrite(IncrementalDedup.deleteFromIndex), None),
+      FamilyDef("base.parquet", "pack",
+        TombstoneDoc(PackIndex.residentDocIds), Some(PackIndex.compact)),
+      FamilyDef("postings.parquet", "search",
+        TombstoneDoc(SearchIndex.residentDocIds), Some(SearchIndex.compact)),
+      FamilyDef("counts.parquet", "classifier",
+        Count(ClassifyIndex.deleteFromModel, ClassifyIndex.residentDocIds),
+        Some(ClassifyIndex.compact)),
+      FamilyDef("merges.parquet", "tokenizer", Retrain, None),
+      FamilyDef("shingles.parquet", "eval-vocab",
+        TombstoneDoc(EvalIndex.residentDocIds), Some(EvalIndex.compact)),
+      FamilyDef("buckets.parquet", "dsir",
+        Count(DsirIndex.deleteFromIndex, DsirIndex.residentDocIds),
+        Some(DsirIndex.compact)))
+  }
+
+  /** Family row of a store given its table names — pure half of
+    * detection, shared by [[report]] and the takedown sweep. */
+  def detectFamilyDef(tables: Seq[String]): Option[FamilyDef] =
+    Families.find(f => tables.contains(f.signature))
+
+  /** Family row of the store at `dir` (one directory listing;
+    * dot-staging and bak residue excluded, as in [[report]]). None —
+    * including for a missing/empty dir — means the sweep must report the
+    * store rather than crash on it. */
+  def detectFamilyDef(spark: SparkSession, dir: String): Option[FamilyDef] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) None
+    else detectFamilyDef(fs.listStatus(root).map(_.getPath.getName).toSeq
+      .filter(n => n.endsWith(".parquet") && !n.startsWith(".")))
+  }
+
+  /** Family of a store given its table names. */
   def detectFamily(tables: Seq[String]): String =
-    Families.collectFirst {
-      case (sig, fam) if tables.contains(sig) => fam
-    }.getOrElse("unknown")
+    detectFamilyDef(tables).fold("unknown")(_.name)
 
   /** Family of the store at `dir` (one directory listing; dot-staging
     * and bak residue excluded, as in [[report]]). A missing or empty

@@ -44,8 +44,15 @@ object TakedownBench {
       val r = body
       (r, (System.nanoTime() - t0) / 1e9)
     }
-    def emit(cls: String, phase: String, sec: Double, extra: String = ""): Unit =
+    // the committed record: a FLAT {"td_<class>_<phase>": sec} map in the
+    // exact shape scripts/bench_diff.py diffs query lanes in, so
+    // deletion-path regressions get the same adjudicated history as the
+    // query suite (committed as takedown_bench_r{N}.json per round)
+    val flat = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def emit(cls: String, phase: String, sec: Double, extra: String = ""): Unit = {
+      flat(s"td_${cls}_$phase") = sec
       println(f"""{"class":"$cls","phase":"$phase","sec":$sec%.3f$extra,"sf":"$sfDir"}""")
+    }
 
     val docs = Tables.table(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
@@ -122,6 +129,13 @@ object TakedownBench {
     }
 
     victims.unpersist()
+    def ms(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val body = flat.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    val out = java.nio.file.Paths.get("target/takedown_bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.writeString(out, body + "\n")
+    System.err.println(s"[tdbench] flat record written to $out")
     spark.stop()
   }
 }

@@ -72,12 +72,20 @@ object CurationFunnel {
   private def curationLedger(
       spark: SparkSession, dir: String, indexed: Boolean): DataFrame = {
     val d = table(spark, dir, "documents")
-    if (indexed)
-      storesLedger(spark, d,
-        ClassifyIndex.ensureModel(spark, dir),
-        LmIndex.ensureModel(spark, dir),
-        WinnowIndex.ensureIndex(spark, dir))
-    else
+    if (indexed) {
+      // serving cadence: per-doc model VOTES from the persisted votes
+      // artifact (scored once at materialization from the stream-
+      // maintained stores, the r12 profile's two corpus-token explodes —
+      // classifier 1.34 s + LM 1.58 s of the 4.5 s warm lane — amortized
+      // away), winnow fingerprints from their store. Row-identical to
+      // the inline funnel by construction: the votes ARE storeSignals'
+      // outputs, materialized.
+      val votes = spark.read.parquet(s"${ensureVotes(spark, dir)}/votes.parquet")
+      ledgerOver(spark, d,
+        votes.select(col("doc_id"), col("is_correct")),
+        votes.select(col("doc_id"), col("bucket")),
+        survFpsFromStore(spark, WinnowIndex.ensureIndex(spark, dir)))
+    } else
       ledgerOver(spark, d,
         ClassifyOps.scoreDocs(d, ClassifyOps.trainCounts(d)),
         TextOps.qCcnetBuckets(spark, dir),
@@ -107,11 +115,17 @@ object CurationFunnel {
       : (DataFrame, DataFrame, DataFrame => DataFrame) = (
     ClassifyOps.scoreDocs(docs, ClassifyIndex.modelCounts(spark, clfDir)),
     TextOps.ccnetBucketsFrom(docs, dd => LmIndex.scoreDocs(spark, dd, lmDir)),
+    survFpsFromStore(spark, winDir))
+
+  /** Survivor-relative fingerprint rows from the persisted winnow store:
+    * selection is a pure function of the text, so restricting the
+    * store's rows to survivor tids reproduces `fpRows(surv4)` exactly
+    * (modulo rep, re-derived here as min surviving doc_id per text) —
+    * the ONE survivor-dependent recomputation the funnel cannot read
+    * from a corpus-level store, kept to pure id/hash plumbing. */
+  private def survFpsFromStore(
+      spark: SparkSession, winDir: String): DataFrame => DataFrame =
     surv4 => {
-      // survivor-relative rep + df-cap over the persisted per-text
-      // fingerprints: selection is a pure function of the text, so
-      // restricting the store's rows to survivor tids reproduces
-      // fpRows(surv4) exactly (modulo rep, re-derived here)
       val survRep = surv4
         .select(xxhash64(col("text")).as("tid"), col("doc_id"))
         .groupBy(col("tid")).agg(min(col("doc_id")).as("rep"))
@@ -119,7 +133,45 @@ object CurationFunnel {
         .select(col("tid"), col("nfp"), col("gh"))
         .join(survRep, "tid")
         .select(col("rep"), col("nfp"), col("gh"))
-    })
+    }
+
+  // --- persisted per-doc votes: the q_curation2_indexed serving floor --
+
+  private def votesDirFor(dir: String): String = {
+    val key = IndexStamp.dirKey(
+      IndexStamp.identity(dir, "documents.parquet", "votes-v1"))
+    s"${System.getProperty("java.io.tmpdir")}/graft-votes-$key"
+  }
+
+  /** Materialize-if-absent the per-document model votes
+    * `(doc_id, is_correct, bucket)` from the persisted funnel stores —
+    * the intermediate the serving lane was recomputing on every
+    * invocation: classifier scoring and LM/CCNet bucketing each explode
+    * the corpus's tokens once (profiled 1.34 s + 1.58 s of the 4.5 s
+    * warm lane at sf0.1, PERF r10/r13), yet both are pure per-doc
+    * functions of (corpus, store) — score-at-materialization, serve the
+    * narrow column scan. Memoized by corpus identity like every store
+    * ([[IndexStamp]]); published atomically. The FULL-outer join keeps
+    * the two signals' per-doc null semantics bit-identical to the
+    * separate frames the inline funnel joins (a doc missing from one
+    * signal coalesces to the same gate default either way). */
+  private[graft] def ensureVotes(spark: SparkSession, dir: String): String = {
+    val vdir = votesDirFor(dir)
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$vdir/votes.parquet"))) {
+      val d = table(spark, dir, "documents")
+      val (preds, buckets, _) = storeSignals(spark, d,
+        ClassifyIndex.ensureModel(spark, dir),
+        LmIndex.ensureModel(spark, dir),
+        WinnowIndex.ensureIndex(spark, dir))
+      val votes = preds.select(col("doc_id"), col("is_correct"))
+        .join(buckets.select(col("doc_id"), col("bucket")), Seq("doc_id"), "full")
+      AtomicPublish.stageAndRename(spark, vdir, ".votes.tmp", "votes.parquet") {
+        tmp => votes.write.mode("overwrite").parquet(tmp.toString)
+      }
+    }
+    vdir
+  }
 
   /** The funnel body: gate columns + attrition aggregate over `d`, with
     * the three model-backed signals supplied by the caller (inline
@@ -301,11 +353,14 @@ object CurationFunnel {
     val cdir = curatedDirFor(dir)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$cdir/docs.parquet"))) {
       val d = table(spark, dir, "documents")
-      val (preds, buckets, fps) = storeSignals(spark, d,
-        ClassifyIndex.ensureModel(spark, dir),
-        LmIndex.ensureModel(spark, dir),
-        WinnowIndex.ensureIndex(spark, dir))
-      val (full, cleanup) = gatedOver(d, preds, buckets, fps)
+      // model votes from the persisted votes artifact (scored once,
+      // shared with the q_curation2_indexed serving lane), fingerprints
+      // from the winnow store
+      val votes = spark.read.parquet(s"${ensureVotes(spark, dir)}/votes.parquet")
+      val (full, cleanup) = gatedOver(d,
+        votes.select(col("doc_id"), col("is_correct")),
+        votes.select(col("doc_id"), col("bucket")),
+        survFpsFromStore(spark, WinnowIndex.ensureIndex(spark, dir)))
       try {
         val curated = full.filter(col("s6"))
           .join(d.select(col("doc_id"), col("source")), "doc_id")

@@ -32,10 +32,14 @@ import org.apache.spark.sql.SparkSession
   *    (crash residue the next append reconciles) and neg-epoch orphans;
   *  - every store: pending deletions (the forced-compact trigger).
   *
-  * Run: `sbt "runMain graft.operators.IndexFsck [--gc] <dir> ..."`.
-  * `fsck` is read-only; `gc` is a WRITER under the fleet's single-writer
-  * contract — run it with no concurrent writer on the store lineage
-  * (see [[gc]]'s concurrency note).
+  * Run: `sbt "runMain graft.operators.IndexFsck [--gc] [--repair] <dir> ..."`.
+  * `fsck` is read-only (and runs unattended at the maintenance cadence
+  * via [[graft.streaming.DocStream.fsckStream]], findings persisted by
+  * [[logFindings]]); `gc` and [[repair]] are WRITERS under the fleet's
+  * single-writer contract — gc takes the store's [[StoreLock]] + lease
+  * directly and age-guards staging dirs; repair runs the family's own
+  * compact, which carries its discipline's serialization
+  * ([[Tombstones.Snapshot]] / [[NegEpochs.applyWithSwap]]'s lock+lease).
   */
 object IndexFsck {
 
@@ -77,8 +81,13 @@ object IndexFsck {
     else fs.listStatus(dir).map(_.getPath.getName).toSeq.sorted
   }
 
-  private val BakPattern = """^(.+)\.([a-z]+)-bak$""".r
-  private val TmpPattern = """^(.+)\.([a-z]+)-tmp$""".r
+  // ONLY the op tokens the publish paths actually emit
+  // ([[AtomicPublish.SwapOps]]): `<name>.<anything>-bak` would also match
+  // an operator's manual `store.old-bak` copy sitting next to a live
+  // store — gc must never mistake a hand-made backup for swap residue
+  private val Ops = AtomicPublish.SwapOps.mkString("|")
+  private val BakPattern = s"^(.+)\\.($Ops)-bak$$".r
+  private val TmpPattern = s"^(.+)\\.($Ops)-tmp$$".r
 
   /** Residue triage of one directory's children: (staging, completed
     * bak, orphan bak). A bak is "completed" when its live twin is
@@ -163,10 +172,13 @@ object IndexFsck {
       out += Finding(dir, family, "residue_bak_orphan", "error",
         s"bak WITHOUT live twin — mid-swap crash recovery copy, do NOT gc: ${orphanBak.mkString(", ")}")
 
-    // pending deletions (informational — the policy layer force-compacts)
+    // pending deletions (informational — a maintenance lane's next
+    // maybeCompact force-applies them; a store OUTSIDE any maintenance
+    // stream needs [[repair]] or a sweep with applyNow)
     if (IndexPolicy.pendingDeletes(spark, dir))
       out += Finding(dir, family, "pending_deletes", "info",
-        "unretired tombstones/dels — next maybeCompact applies them")
+        "unretired tombstones/dels — next maybeCompact applies them " +
+          "(no maintenance lane? fsck --repair / sweep applyNow retires them)")
 
     family match {
       case "search" =>
@@ -238,13 +250,31 @@ object IndexFsck {
     * delete is never mistaken for residue — but an EPOCH-cadence compact
     * in another process is outside any lock's reach, which is what the
     * offline rule is for. */
-  def gc(spark: SparkSession, dir: String): Seq[String] =
-    StoreLock.withLock(dir, "fsck-gc") {
+  /** Minimum staging-dir age before [[gc]] treats it as crash residue:
+    * appends and the tombstone families' table-level swaps do NOT take
+    * the [[StoreLock]], so even within the single documented driver a gc
+    * can race an IN-FLIGHT append's `.epoch-N.tmp` (deleting it from
+    * under the writer mid-stage). A staging dir younger than this is
+    * presumed live and skipped — a crashed writer's residue only gets
+    * OLDER, so the skip delays its collection by one cycle, never leaks
+    * it. Baks need no age guard: they get the per-victim live-twin
+    * re-check instead (a mid-swap bak has no live twin → orphan →
+    * untouchable by construction). */
+  val GcMinStagingAgeMs: Long = 15L * 60 * 1000
+
+  def gc(spark: SparkSession, dir: String,
+      minStagingAgeMs: Long = GcMinStagingAgeMs): Seq[String] =
+    StoreLock.withLock(spark, dir, "fsck-gc") {
       val root = new Path(dir)
       val fs = fsOf(spark, root)
       if (!fs.exists(root)) Seq.empty
       else {
         val (staging, completedBak, _) = residue(spark, root)
+        val now = System.currentTimeMillis()
+        val oldEnough = staging.filter { p =>
+          try now - fs.getFileStatus(p).getModificationTime >= minStagingAgeMs
+          catch { case _: java.io.FileNotFoundException => false }
+        }
         val stillSafeBaks = completedBak.filter { p =>
           // per-victim re-check right before the delete: the bak is only
           // residue while its live twin exists NOW
@@ -253,16 +283,72 @@ object IndexFsck {
             case _ => false
           }
         }
-        (staging ++ stillSafeBaks).flatMap { p =>
+        (oldEnough ++ stillSafeBaks).flatMap { p =>
           if (fs.delete(p, true)) Some(p.toString) else None
         }
       }
     }
 
+  /** Retire pending deletions on a store OUTSIDE any maintenance stream.
+    * The forced compact ([[IndexPolicy.maybeCompact]]'s deletion trigger)
+    * only fires from maintenance lanes — a store that is swept but never
+    * maintained keeps its tombstones / neg-epoch ledger (and the measured
+    * 1.15–2.17× pending-read tax, PERF "Takedown at scale") forever;
+    * [[fsck]] reported it, nothing ran one. Runs the family's
+    * registry-row deletion-applying compact iff deletions are pending
+    * (same trigger condition as the maintenance lanes, so a clean store
+    * is never rewritten). Returns whether a compact ran. A WRITER under
+    * the fleet's single-writer contract, like [[gc]]. */
+  def repair(spark: SparkSession, dir: String): Boolean =
+    graft.IndexCatalog.detectFamilyDef(spark, dir) match {
+      case Some(fam) if IndexPolicy.pendingDeletes(spark, dir) =>
+        fam.compact.exists { c => c(spark, dir); true }
+      case _ => false
+    }
+
+  /** Persist one fleet scan's findings as an epoch of `logDir` — the
+    * audit-ledger discipline ([[Takedown.sweepLogged]]) applied to store
+    * health: the fsck stream lane's findings must survive the driver,
+    * or a break detected at 3am is gone by the time an operator looks.
+    * Epoch = scan order (no wall clock — replays append history);
+    * the write is serialized under the ledger dir's [[StoreLock]] +
+    * lease like every other read-modify-write epoch numbering. Callers
+    * pass only the NON-OK findings: the ledger is a triage queue, not a
+    * heartbeat, and a healthy fleet must not grow it per scan. */
+  def logFindings(
+      spark: SparkSession, logDir: String, findings: Seq[Finding]): Unit =
+    if (findings.nonEmpty)
+      StoreLock.withLock(spark, logDir, "fsck-log") {
+        val next = EpochLedger.epochs(spark, logDir).foldLeft(-1)(math.max) + 1
+        val session = spark
+        import session.implicits._
+        AtomicPublish.stageAndRename(
+          spark, logDir, s".epoch-$next.tmp", s"epoch=$next") { tmp =>
+          findings.map(f => (f.dir, f.family, f.check, f.status, f.detail))
+            .toDF("dir", "family", "check", "status", "detail")
+            .coalesce(1)
+            .write.mode("overwrite").parquet(tmp.toString)
+        }
+      }
+
+  /** The persisted findings ledger, scans in epoch order (`scan` = the
+    * epoch partition column); empty frame with the right schema if no
+    * scan ever found anything. */
+  def findingsLog(spark: SparkSession, logDir: String): org.apache.spark.sql.DataFrame =
+    if (EpochLedger.epochs(spark, logDir).isEmpty) {
+      val session = spark
+      import session.implicits._
+      Seq.empty[(String, String, String, String, String, Int)]
+        .toDF("dir", "family", "check", "status", "detail", "scan")
+    } else
+      spark.read.parquet(logDir).withColumnRenamed("epoch", "scan")
+
   def main(args: Array[String]): Unit = {
     val doGc = args.contains("--gc")
-    val dirs = args.filterNot(_ == "--gc")
-    require(dirs.nonEmpty, "usage: IndexFsck [--gc] <indexDir> [indexDir...]")
+    val doRepair = args.contains("--repair")
+    val dirs = args.filterNot(a => a == "--gc" || a == "--repair")
+    require(dirs.nonEmpty,
+      "usage: IndexFsck [--gc] [--repair] <indexDir> [indexDir...]")
     val builder = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -275,6 +361,8 @@ object IndexFsck {
         println(s"[fsck] ${f.dir} ${f.family} ${f.check} ${f.status}: ${f.detail}")
       }
       if (doGc) gc(spark, d).foreach(p => println(s"[fsck] gc removed $p"))
+      if (doRepair && repair(spark, d))
+        println(s"[fsck] repair compacted $d (pending deletions retired)")
     } finally spark.stop()
   }
 }

@@ -99,7 +99,7 @@ private[operators] object NegEpochs {
     // serialized against the deletion-applying compact ([[applyWithSwap]]
     // holds the same lock across its stage→swap window) — an unserialized
     // write here would be destroyed with the compact's bak dir
-    StoreLock.withLock(modelDir, "neg-epoch-delete") {
+    StoreLock.withLock(spark, modelDir, "neg-epoch-delete") {
       val d = delsDir(modelDir)
       val next = EpochLedger.reconciledNext(
         spark, d, negTables.map { case (t, _) => negDir(modelDir, t) })
@@ -147,7 +147,7 @@ private[operators] object NegEpochs {
     * correct on every read path) and throws. */
   def applyWithSwap(
       spark: SparkSession, modelDir: String)(stage: Path => Unit): Unit =
-    StoreLock.withLock(modelDir, "deletion-apply") {
+    StoreLock.withLock(spark, modelDir, "deletion-apply") {
       val stagedDels = EpochLedger.epochs(spark, delsDir(modelDir)).toSet
       AtomicPublish.swapDir(spark, modelDir,
         tmpSuffix = ".apply-tmp", bakSuffix = ".apply-bak",

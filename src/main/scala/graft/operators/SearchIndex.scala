@@ -127,16 +127,28 @@ object SearchIndex {
       .filter(e => !spark.read.parquet(s"$docsT/$e").columns.contains("dl"))
     for (e <- legacy) {
       val k = e.stripPrefix("epoch=")
-      val dl = spark.read.parquet(s"$indexDir/postings.parquet/epoch=$k")
-        .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       val ids = spark.read.parquet(s"$docsT/$e").select(col("doc_id")).distinct()
+      // the postings twin may be ABSENT, not just incomplete: a v1
+      // compact that crashed between the postings fold and the docs fold
+      // leaves postings at epoch=0 but docs multi-epoch — reading the
+      // missing epoch dir would throw PATH_NOT_FOUND and wedge the
+      // migration. Existence-check first; a lost twin degrades the whole
+      // epoch to dl=0 (the same contract as a lost single row below)
+      val postingsEpoch = new Path(s"$indexDir/postings.parquet/epoch=$k")
+      val migrated =
+        if (!fs.exists(postingsEpoch))
+          ids.select(col("doc_id"), lit(0L).as("dl"))
+        else {
+          val dl = spark.read.parquet(postingsEpoch.toString)
+            .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+          // left join + coalesce: a ledger row whose postings epoch was
+          // lost to a crash window keeps dl=0 rather than vanishing
+          ids.join(dl, Seq("doc_id"), "left")
+            .select(col("doc_id"), coalesce(col("dl"), lit(0L)).as("dl"))
+        }
       AtomicPublish.stageAndRename(
         spark, docsT.toString, s".$e-migrate.tmp", e) { tmp =>
-        // left join + coalesce: a ledger row whose postings epoch was
-        // lost to a crash window keeps dl=0 rather than vanishing
-        ids.join(dl, Seq("doc_id"), "left")
-          .select(col("doc_id"), coalesce(col("dl"), lit(0L)).as("dl"))
-          .write.mode("overwrite").parquet(tmp.toString)
+        migrated.write.mode("overwrite").parquet(tmp.toString)
       }
     }
   }

@@ -1,61 +1,236 @@
 package graft.operators
 
-import java.util.concurrent.{ConcurrentHashMap, TimeUnit}
+import java.util.concurrent.{ConcurrentHashMap, Executors, ScheduledFuture,
+  ThreadFactory, TimeUnit}
 import java.util.concurrent.locks.ReentrantLock
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
 
 /** Per-store serialization of the DELETION writers against the
   * maintenance loop — the enforcement half of the single-deletion-writer
   * contract every family documents ([[Tombstones.delete]],
-  * [[NegEpochs.writeDeletion]]). Before this, the contract was prose: a
-  * takedown stream ([[graft.streaming.DocStream.takedownStream]]) and a
-  * family's maintenance stream run as SEPARATE StreamingQueries in the
-  * same driver, and nothing stopped a tombstone/neg-epoch write from
-  * racing a deletion-applying compact's stage-read→swap window — the
-  * compact's whole-store swap would then destroy the just-written
-  * deletion state with the bak dir, resurrecting a deletion already
-  * reported applied.
+  * [[NegEpochs.writeDeletion]]). Two layers:
   *
-  * The deployment model is one Spark driver per store lineage (the same
-  * single-writer assumption the epoch numbering is built on), so the
-  * lock is in-process: one [[ReentrantLock]] per canonical store path,
-  * FAIR (a takedown queued behind a long compact runs next, not
-  * starved). Waiters block up to `waitMs` and then fail LOUDLY — a
-  * wedged lock is an operational bug, not something to race past.
-  * Cross-process misuse (two drivers writing one store) is outside the
-  * lock's reach; [[NegEpochs.applyWithSwap]] carries a staged-snapshot
-  * re-check as the loud backstop for exactly that.
+  *  - IN-PROCESS: one [[ReentrantLock]] per canonical store path, FAIR
+  *    (a takedown queued behind a long compact runs next, not starved).
+  *    Waiters block up to `waitMs` and then fail LOUDLY — a wedged lock
+  *    is an operational bug, not something to race past. The key is the
+  *    filesystem-QUALIFIED path (`fs.makeQualified`), so `file:/data/idx`
+  *    and `/data/idx` spelled by two different lanes map to the SAME
+  *    lock — an unqualified-string key would silently bypass the
+  *    serialization for differently-spelled paths to one store.
+  *  - CROSS-PROCESS: a filesystem marker LEASE, `<store>.lease` beside
+  *    the store dir (a sibling, like the swap baks, so a whole-store
+  *    swap never renames it away). Taken at the outermost `withLock`
+  *    entry, released at exit; while held, a daemon heartbeat refreshes
+  *    its mtime every expiry/3, so a live holder's lease never goes
+  *    stale under it. A SECOND DRIVER on the same store lineage — the
+  *    first thing a horizontally-scaled fleet does — now gets a loud
+  *    refusal naming the current owner on every deletion-write path,
+  *    instead of racing everything but the [[NegEpochs.applyWithSwap]]
+  *    staged-snapshot backstop (which stays: the lease is advisory
+  *    against a writer that does not take it). A lease whose mtime is
+  *    older than the expiry is a CRASHED holder's residue and is taken
+  *    over (the heartbeat proves liveness; only death stops it).
+  *
+  * The lease file is content-addressed to its owner
+  * (`pid@host#nonce`), so takeover and reentrant re-acquire can tell
+  * "mine" from "foreign" without trusting timing alone.
   */
 private[operators] object StoreLock {
 
   private val locks = new ConcurrentHashMap[String, ReentrantLock]()
+  /** Outermost-entry depth per canonical path; mutated only while the
+    * path's ReentrantLock is held, so plain puts are race-free. */
+  private val depths = new ConcurrentHashMap[String, Integer]()
+  private val heartbeats = new ConcurrentHashMap[String, ScheduledFuture[_]]()
 
-  private def lockFor(storeDir: String): ReentrantLock =
-    locks.computeIfAbsent(
-      new org.apache.hadoop.fs.Path(storeDir).toString,
-      _ => new ReentrantLock(true))
+  /** This process's lease identity — stable for the JVM's lifetime. */
+  val OwnerId: String = {
+    val host =
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: Exception => "localhost" }
+    s"${ProcessHandle.current().pid()}@$host#" +
+      java.util.UUID.randomUUID().toString.take(8)
+  }
 
-  /** Run `body` holding `storeDir`'s deletion-writer lock. Reentrant
-    * (a compact's stage callback may call back into locked helpers).
-    * Throws after `waitMs` of waiting — never silently skips. */
-  def withLock[T](storeDir: String, who: String,
-      waitMs: Long = TimeUnit.MINUTES.toMillis(10))(body: => T): T = {
-    val l = lockFor(storeDir)
+  /** Default lease expiry. Long enough that a paused-but-alive holder's
+    * heartbeat (every expiry/3) cannot be mistaken for death under GC or
+    * IO stalls; short enough that a crashed driver's store is writable
+    * again without an operator. */
+  val DefaultLeaseExpiryMs: Long = TimeUnit.MINUTES.toMillis(10)
+
+  private val scheduler = Executors.newSingleThreadScheduledExecutor(
+    new ThreadFactory {
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, "storelock-lease-heartbeat")
+        t.setDaemon(true)
+        t
+      }
+    })
+
+  /** Qualify the key through the store's own filesystem so every
+    * spelling of one path locks one lock. */
+  private def canonical(spark: SparkSession, storeDir: String): Path = {
+    val p = new Path(storeDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p)
+  }
+
+  private def lockFor(key: String): ReentrantLock =
+    locks.computeIfAbsent(key, _ => new ReentrantLock(true))
+
+  /** The lease marker: a SIBLING of the store dir (never renamed away by
+    * the whole-store swaps; ignored by the fsck residue scanner, whose
+    * patterns only recognize the registered `-tmp`/`-bak` ops). */
+  private[operators] def leasePath(store: Path): Path = {
+    val parent = Option(store.getParent).getOrElse(store)
+    new Path(parent, store.getName + ".lease")
+  }
+
+  private def readOwner(fs: FileSystem, lease: Path): Option[String] =
+    try {
+      val in = fs.open(lease)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).linesIterator
+        .nextOption().getOrElse(""))
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  private def writeLease(fs: FileSystem, lease: Path, who: String): Unit = {
+    // create(overwrite = false): atomic create-if-absent — two processes
+    // racing the same acquisition can't both win
+    val out = fs.create(lease, false)
+    try out.write(s"$OwnerId\n$who\n".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Acquire the cross-process lease for `store` or throw. Runs with the
+    * in-process lock already held, so within this JVM there is exactly
+    * one acquirer per store at a time. */
+  private def acquireLease(
+      fs: FileSystem, store: Path, who: String, expiryMs: Long): Unit = {
+    val lease = leasePath(store)
+    var takeovers = 0
+    while (true) {
+      val created =
+        try { writeLease(fs, lease, who); true }
+        catch {
+          // both the HDFS FileAlreadyExistsException and the local FS's
+          // plain IOException("File already exists") land here; anything
+          // where the lease did NOT materialize is a real IO error
+          case e: java.io.IOException =>
+            if (!fs.exists(lease)) throw e
+            false
+        }
+      if (created) return
+      readOwner(fs, lease) match {
+        case Some(OwnerId) =>
+          // our own residue (a release that crashed between body and
+          // delete in a previous run of this same process is impossible —
+          // the pid nonce is per-JVM — so this is a same-JVM re-entry
+          // that slipped past the depth count, or a retried takeover):
+          // refresh and proceed
+          fs.setTimes(lease, System.currentTimeMillis(), -1)
+          return
+        case owner =>
+          val age =
+            try System.currentTimeMillis() - fs.getFileStatus(lease).getModificationTime
+            catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+          if (age > expiryMs) {
+            // stale: the holder's heartbeat stopped ≥ expiry ago — a
+            // crashed driver. Take over by deleting and re-racing the
+            // atomic create (a concurrent taker-over may win; loop).
+            takeovers += 1
+            if (takeovers > 5)
+              throw new IllegalStateException(
+                s"$who: lease takeover on $store keeps losing the " +
+                  "re-create race — another process is actively " +
+                  "contending this store lineage")
+            fs.delete(lease, false)
+          } else
+            throw new IllegalStateException(
+              s"$who: store $store is lease-held by process " +
+                s"${owner.getOrElse("<unreadable>")} (lease age ${age}ms " +
+                s"< expiry ${expiryMs}ms) — a second deletion writer on " +
+                "one store lineage violates the single-writer contract; " +
+                "refusing. If that process is dead, the lease expires " +
+                s"on its own in ${math.max(0, expiryMs - age)}ms")
+      }
+    }
+  }
+
+  private def releaseLease(fs: FileSystem, store: Path): Unit = {
+    val lease = leasePath(store)
+    // delete only our own lease: a foreign owner here means we lost it
+    // to a (mis-tuned) takeover while alive — deleting theirs would
+    // cascade the violation
+    if (readOwner(fs, lease).contains(OwnerId)) { fs.delete(lease, false); () }
+  }
+
+  private def startHeartbeat(
+      key: String, fs: FileSystem, store: Path, expiryMs: Long): Unit = {
+    val lease = leasePath(store)
+    val period = math.max(1000L, expiryMs / 3)
+    val task = scheduler.scheduleAtFixedRate(new Runnable {
+      def run(): Unit =
+        try fs.setTimes(lease, System.currentTimeMillis(), -1)
+        catch { case _: java.io.IOException => () } // next beat retries
+    }, period, period, TimeUnit.MILLISECONDS)
+    heartbeats.put(key, task)
+    ()
+  }
+
+  private def stopHeartbeat(key: String): Unit =
+    Option(heartbeats.remove(key)).foreach(_.cancel(false))
+
+  /** Run `body` holding `storeDir`'s deletion-writer lock (in-process)
+    * AND lease (cross-process). Reentrant (a compact's stage callback may
+    * call back into locked helpers — the lease is taken/released only at
+    * the outermost entry). Throws after `waitMs` of waiting on the
+    * in-process lock, and immediately on a fresh foreign lease — never
+    * silently skips. */
+  def withLock[T](spark: SparkSession, storeDir: String, who: String,
+      waitMs: Long = TimeUnit.MINUTES.toMillis(10),
+      leaseExpiryMs: Long = DefaultLeaseExpiryMs)(body: => T): T = {
+    val store = canonical(spark, storeDir)
+    val key = store.toString
+    val l = lockFor(key)
     if (!l.tryLock(waitMs, TimeUnit.MILLISECONDS))
       throw new IllegalStateException(
-        s"$who: deletion-writer lock on $storeDir still held after " +
+        s"$who: deletion-writer lock on $key still held after " +
           s"${waitMs}ms — a maintenance compact or takedown is wedged; " +
           "refusing to race it")
-    try body finally l.unlock()
+    try {
+      val depth = Option(depths.get(key)).fold(0)(_.intValue()) + 1
+      if (depth == 1) {
+        val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        acquireLease(fs, store, who, leaseExpiryMs) // throws on foreign lease
+        depths.put(key, Integer.valueOf(depth))
+        startHeartbeat(key, fs, store, leaseExpiryMs)
+        try body
+        finally {
+          depths.remove(key)
+          stopHeartbeat(key)
+          try releaseLease(fs, store)
+          catch { case _: java.io.IOException => () } // expires on its own
+        }
+      } else {
+        depths.put(key, Integer.valueOf(depth))
+        try body finally depths.put(key, Integer.valueOf(depth - 1))
+      }
+    } finally l.unlock()
   }
 
   /** Lock is currently held by another thread (spec hook). */
-  private[operators] def isHeld(storeDir: String): Boolean = {
-    val l = lockFor(storeDir)
+  private[operators] def isHeld(spark: SparkSession, storeDir: String): Boolean = {
+    val l = lockFor(canonical(spark, storeDir).toString)
     l.isLocked && !l.isHeldByCurrentThread
   }
 
   /** Threads are queued waiting on the lock (spec hook — lets a race
     * spec observe a writer deterministically blocked, no sleeps). */
-  private[operators] def hasWaiters(storeDir: String): Boolean =
-    lockFor(storeDir).hasQueuedThreads
+  private[operators] def hasWaiters(spark: SparkSession, storeDir: String): Boolean =
+    lockFor(canonical(spark, storeDir).toString).hasQueuedThreads
 }

@@ -82,15 +82,21 @@ object Takedown {
           " — deletions were applied to the identified stores, but a " +
           "compliance sweep that skips a store is a deletion hole")
 
-  /** One or more stores' deletions THREW (a corrupt table, a wedged
-    * lock). Like [[UnknownStoreException]], raised only after every
-    * other store's deletion was attempted — a broken store must not
-    * block the remaining families — with the full report attached; the
-    * failed stores' rows carry `error_delete_failed: <cause>`. */
+  /** One or more stores' deletions (or `applyNow` retirements) THREW (a
+    * corrupt table, a wedged lock). Like [[UnknownStoreException]],
+    * raised only after every other store's deletion was attempted — a
+    * broken store must not block the remaining families — with the full
+    * report attached; the failed stores' rows carry
+    * `error_delete_failed: <cause>` (the deletion itself threw) or
+    * `error_apply_failed: <cause>` (the deletion APPLIED — reads are
+    * already correct — but the requested pending-state retirement
+    * compact threw; re-delivery retires it, the delete replays as a
+    * no-op). */
   final case class StoreErrorException(results: Seq[StoreResult])
       extends IllegalStateException(
         "takedown failed on: " +
-          results.filter(_.action.startsWith("error_delete_failed"))
+          results.filter(r => r.action.startsWith("error_delete_failed") ||
+              r.action.startsWith("error_apply_failed"))
             .map(r => s"${r.dir} (${r.action})").mkString("; ") +
           " — deletions were applied to every other store; re-deliver " +
           "the request after repairing (per-family deletes are " +
@@ -111,20 +117,21 @@ object Takedown {
   def sweep(
       spark: SparkSession, docRows: DataFrame,
       indexDirs: Seq[String], failOnUnknown: Boolean = true,
-      corpus: Option[DataFrame] = None): Seq[StoreResult] = {
+      corpus: Option[DataFrame] = None,
+      applyNow: Boolean = false): Seq[StoreResult] = {
+    import graft.IndexCatalog.Discipline._
     // doc/vector-keyed stores delete by id alone — ALL requested ids,
     // resolved or not; only the count models need the full rows
     val ids = docRows.select(col("doc_id")).distinct()
     val vecIds = ids.select(col("doc_id").as("vec_id"))
     val famByDir = indexDirs.map(dir =>
-      dir -> graft.IndexCatalog.detectFamily(spark, dir))
+      dir -> graft.IndexCatalog.detectFamilyDef(spark, dir))
     // resolve (and require a corpus) ONLY when a count-model store is
     // actually being swept — an id-only request against doc/vector-keyed
-    // stores needs no rows and must not be refused
-    val countFamilies =
-      Set("lm-bigram", "classifier", "dsir", "span", "sketch")
+    // stores needs no rows and must not be refused. The count set is the
+    // registry's own discipline column, not a hand-maintained twin.
     val (rows, unresolvedRaw) =
-      if (famByDir.exists(d => countFamilies.contains(d._2)))
+      if (famByDir.exists(_._2.exists(_.discipline.isInstanceOf[Count])))
         resolveVictims(spark, docRows, corpus)
       else (docRows, None)
     val unresolvedIds = unresolvedRaw.map(_.persist())
@@ -154,77 +161,77 @@ object Takedown {
       val p = new Path(dir, table)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
-    val results = famByDir.map { case (dir, family) =>
-      def vecResident(table: String): Option[DataFrame] =
-        if (has(dir, table))
-          Some(spark.read.parquet(s"$dir/$table").select(col("vec_id")))
-        else None
-      // an id the corpus could not resolve but the store still holds:
-      // the count model's arithmetic cannot run in reverse for it — a
-      // reported deletion hole, never a silent no-op. The post-delete
-      // resident read is OUTSIDE the delete's failure domain: a
-      // transient error here must not record an APPLIED deletion as
-      // failed in the audit ledger — unresolved = -1 means "applied,
-      // hole count unknown"
-      def countUnresolved(resident: => DataFrame): Long =
-        try unresolvedIds.fold(0L)(u =>
-          u.join(resident.select(col("doc_id")).distinct(),
-            Seq("doc_id"), "left_semi").count())
-        catch { case scala.util.control.NonFatal(_) => -1L }
-      // one store's failure (corrupt table, wedged lock) must not block
-      // the remaining families' deletions: isolate it to an error row,
-      // finish the sweep, THEN raise with the full report attached
-      val (action, unres) = try family match {
-        case "ivf" =>
-          (tombDelete(dir, vecIds, "vec_id", vecResident("cells.parquet")), 0L)
-        case "pq" =>
-          (tombDelete(dir, vecIds, "vec_id", vecResident("ids.parquet")), 0L)
-        case "ann-lsh" =>
-          (tombDelete(dir, vecIds, "vec_id", vecResident("vectors.parquet")), 0L)
-        case "search" =>
-          (tombDelete(dir, ids, "doc_id",
-            Some(SearchIndex.residentDocIds(spark, dir))), 0L)
-        case "winnow" =>
-          (tombDelete(dir, ids, "doc_id",
-            Some(WinnowIndex.residentDocIds(spark, dir))), 0L)
-        case "pack" =>
-          (tombDelete(dir, ids, "doc_id",
-            Some(PackIndex.residentDocIds(spark, dir))), 0L)
-        case "eval-vocab" =>
-          (tombDelete(dir, ids, "doc_id",
-            Some(EvalIndex.residentDocIds(spark, dir))), 0L)
-        case "cluster" =>
-          ClusterIndex.deleteFromIndex(spark, dir, ids); ("deleted", 0L)
-        case "incremental-dedup" =>
-          IncrementalDedup.deleteFromIndex(spark, dir, ids); ("deleted", 0L)
-        case "span" =>
-          SpanIndex.deleteFromIndex(spark, dir, rows)
-          ("deleted", countUnresolved(SpanIndex.residentDocIds(spark, dir)))
-        case "lm-bigram" =>
-          LmIndex.deleteFromModel(spark, dir, rows)
-          ("deleted", countUnresolved(LmIndex.residentDocIds(spark, dir)))
-        case "classifier" =>
-          ClassifyIndex.deleteFromModel(spark, dir, rows)
-          ("deleted", countUnresolved(ClassifyIndex.residentDocIds(spark, dir)))
-        case "dsir" =>
-          DsirIndex.deleteFromIndex(spark, dir, rows)
-          ("deleted", countUnresolved(DsirIndex.residentDocIds(spark, dir)))
-        case "sketch" =>
-          SketchIndex.deleteFromIndex(spark, dir, rows)
-          ("deleted", countUnresolved(SketchIndex.residentDocIds(spark, dir)))
-        case "tokenizer" => ("retrain_required", 0L)
-        case _ => ("error_unknown_family", 0L)
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          (s"error_delete_failed: ${e.getClass.getSimpleName}: " +
-            s"${Option(e.getMessage).getOrElse("").take(200)}", 0L)
-      }
-      StoreResult(dir, family, action, unres)
+    val results = famByDir.map {
+      case (dir, None) =>
+        // registry-level failure: no signature row matches, so the store
+        // has no discipline, no handler, no compact — reported before any
+        // family-specific code could half-run
+        StoreResult(dir, "unknown", "error_unknown_family", 0L)
+      case (dir, Some(fam)) =>
+        def vecResident(table: String): Option[DataFrame] =
+          if (has(dir, table))
+            Some(spark.read.parquet(s"$dir/$table").select(col("vec_id")))
+          else None
+        // an id the corpus could not resolve but the store still holds:
+        // the count model's arithmetic cannot run in reverse for it — a
+        // reported deletion hole, never a silent no-op. The post-delete
+        // resident read is OUTSIDE the delete's failure domain: a
+        // transient error here must not record an APPLIED deletion as
+        // failed in the audit ledger — unresolved = -1 means "applied,
+        // hole count unknown"
+        def countUnresolved(resident: => DataFrame): Long =
+          try unresolvedIds.fold(0L)(u =>
+            u.join(resident.select(col("doc_id")).distinct(),
+              Seq("doc_id"), "left_semi").count())
+          catch { case scala.util.control.NonFatal(_) => -1L }
+        // one store's failure (corrupt table, wedged lock) must not block
+        // the remaining families' deletions: isolate it to an error row,
+        // finish the sweep, THEN raise with the full report attached.
+        // Dispatch is the registry row's own discipline — there are no
+        // per-family match arms left to drift from it.
+        val (action0, unres) = try fam.discipline match {
+          case TombstoneVec(residentTable) =>
+            (tombDelete(dir, vecIds, "vec_id", vecResident(residentTable)), 0L)
+          case TombstoneDoc(resident) =>
+            (tombDelete(dir, ids, "doc_id", Some(resident(spark, dir))), 0L)
+          case Rewrite(delete) =>
+            delete(spark, dir, ids); ("deleted", 0L)
+          case Count(delete, resident) =>
+            delete(spark, dir, rows)
+            ("deleted", countUnresolved(resident(spark, dir)))
+          case Retrain => ("retrain_required", 0L)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            (s"error_delete_failed: ${e.getClass.getSimpleName}: " +
+              s"${Option(e.getMessage).getOrElse("").take(200)}", 0L)
+        }
+        // applyNow: retire the store's pending deletion state in the same
+        // sweep — the path for stores under NO maintenance stream, whose
+        // tombstones/neg-epochs would otherwise pend (and tax every read)
+        // until an operator ran a compact by hand. Runs the registry
+        // row's own deletion-applying compact, and only when there is
+        // anything to retire (this request's, or an earlier sweep's).
+        // Failure here is its own error class: the DELETION applied —
+        // reads are already correct — only the retirement failed.
+        val action =
+          if (!applyNow || !Seq("deleted", "noop").contains(action0)) action0
+          else fam.compact match {
+            case Some(c) if IndexPolicy.pendingDeletes(spark, dir) =>
+              try { c(spark, dir); action0 + "_applied" }
+              catch {
+                case scala.util.control.NonFatal(e) =>
+                  s"error_apply_failed: ${e.getClass.getSimpleName}: " +
+                    s"${Option(e.getMessage).getOrElse("").take(200)}"
+              }
+            case _ => action0
+          }
+        StoreResult(dir, fam.name, action, unres)
     }
     unresolvedIds.foreach { u => u.unpersist(); () }
     if (failOnUnknown && results.exists(_.action == "error_unknown_family"))
       throw UnknownStoreException(results)
-    if (results.exists(_.action.startsWith("error_delete_failed")))
+    if (results.exists(r => r.action.startsWith("error_delete_failed") ||
+        r.action.startsWith("error_apply_failed")))
       throw StoreErrorException(results)
     results
   }
@@ -245,18 +252,27 @@ object Takedown {
       spark: SparkSession, requestId: String, docRows: DataFrame,
       indexDirs: Seq[String], logDir: String,
       failOnUnknown: Boolean = true,
-      corpus: Option[DataFrame] = None): Seq[StoreResult] = {
+      corpus: Option[DataFrame] = None,
+      applyNow: Boolean = false): Seq[StoreResult] = {
     def log(rs: Seq[StoreResult]): Unit = {
       val n = docRows.select(col("doc_id")).distinct().count()
-      val next = EpochLedger.epochs(spark, logDir).foldLeft(-1)(math.max) + 1
-      val session = spark
-      import session.implicits._
-      AtomicPublish.stageAndRename(
-        spark, logDir, s".epoch-$next.tmp", s"epoch=$next") { tmp =>
-        rs.map(r => (requestId, r.dir, r.family, r.action, r.unresolved, n))
-          .toDF("request_id", "dir", "family", "action", "unresolved", "n_victims")
-          .coalesce(1)
-          .write.mode("overwrite").parquet(tmp.toString)
+      // the epoch number is read-modify-write (max + 1), so the write
+      // runs under the ledger dir's StoreLock + lease — two compliance
+      // writers (threads OR drivers) logging to one logDir would
+      // otherwise scan the same max and the second stageAndRename would
+      // silently REPLACE the first attempt's history. Same mechanism,
+      // same loudness as the store writers'.
+      StoreLock.withLock(spark, logDir, "audit-log") {
+        val next = EpochLedger.epochs(spark, logDir).foldLeft(-1)(math.max) + 1
+        val session = spark
+        import session.implicits._
+        AtomicPublish.stageAndRename(
+          spark, logDir, s".epoch-$next.tmp", s"epoch=$next") { tmp =>
+          rs.map(r => (requestId, r.dir, r.family, r.action, r.unresolved, n))
+            .toDF("request_id", "dir", "family", "action", "unresolved", "n_victims")
+            .coalesce(1)
+            .write.mode("overwrite").parquet(tmp.toString)
+        }
       }
     }
     // the ledger write must never MASK the sweep's own outcome: deletions
@@ -270,7 +286,7 @@ object Takedown {
       original
     }
     try {
-      val rs = sweep(spark, docRows, indexDirs, failOnUnknown, corpus)
+      val rs = sweep(spark, docRows, indexDirs, failOnUnknown, corpus, applyNow)
       try log(rs)
       catch {
         case scala.util.control.NonFatal(le) => throw AuditLogException(rs, le)

@@ -43,7 +43,7 @@ object Tombstones {
     * waiters that outlast the timeout fail loudly. */
   def delete(
       spark: SparkSession, indexDir: String, ids: DataFrame, keyCol: String): Unit =
-    StoreLock.withLock(indexDir, "tombstone-delete") {
+    StoreLock.withLock(spark, indexDir, "tombstone-delete") {
       val ts = dirOf(indexDir)
       val fs = fsOf(spark, ts)
       val next =

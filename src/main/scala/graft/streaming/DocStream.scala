@@ -732,12 +732,19 @@ object DocStream {
             // clock; the ledger epoch is the attempt order). Null-safe:
             // a compliance batch with a null id row must not kill the
             // stream before the sweep even runs
+            // bounded in SPARK first: the id string truncates to 200
+            // chars, so at most ~25 ids ever survive — collecting every
+            // distinct victim id of a large compliance batch to the
+            // driver would be an unbounded collect for nothing. orderBy
+            // + limit keeps it deterministic AND O(32)
             def auditId: String =
               if (b.columns.contains("request_id"))
-                b.select(col("request_id").cast("string")).na.drop().distinct()
-                  .collect().map(_.getString(0)).sorted.mkString(",").take(200)
+                b.select(col("request_id").cast("string").as("rid")).na.drop()
+                  .distinct().orderBy(col("rid")).limit(32)
+                  .collect().map(_.getString(0)).mkString(",").take(200)
               else "ids:" + b.select(col("doc_id")).na.drop().distinct()
-                .collect().map(_.getLong(0)).sorted.mkString(",").take(200)
+                .orderBy(col("doc_id")).limit(32)
+                .collect().map(_.getLong(0)).mkString(",").take(200)
             def run(): Seq[graft.operators.Takedown.StoreResult] =
               logDir match {
                 case Some(ld) => graft.operators.Takedown.sweepLogged(
@@ -1202,6 +1209,55 @@ object DocStream {
     }
     ()
   }
+
+  /** Fleet fsck as a STREAM lane ([[graft.operators.IndexFsck]] wired to
+    * the maintenance cadence — the r12 "nightly sweep" was a manual
+    * runMain, which is to say: nothing ran it). Attach it to the same
+    * source that drives the store's maintenance streams and every
+    * `every`-th micro-batch runs the read-only fsck over the whole store
+    * manifest: a planted invariant break (a table deleted out from under
+    * a store, a legacy ledger, crash residue) surfaces within `every`
+    * batches with NO operator in the loop. Findings go to `report`
+    * (always, the health callback) and the non-ok subset to a persisted
+    * findings ledger when `logDir` is set
+    * ([[graft.operators.IndexFsck.logFindings]] — the audit-ledger
+    * discipline, so a 3am detection survives the driver).
+    *
+    * fsck is READ-ONLY, so running it beside the maintenance writers is
+    * safe by construction; remediation ([[graft.operators.IndexFsck.gc]]
+    * / [[graft.operators.IndexFsck.repair]]) stays a deliberate operator
+    * action under the writer lease. Scale shape: one directory listing
+    * per table per store — listing-bound (measured ~4 s for three
+    * 500k-doc stores at sf10), amortized across `every` batches. */
+  def fsckStream(
+      spark: SparkSession,
+      ticks: DataFrame,
+      storeDirs: Seq[String],
+      every: Int = 4,
+      logDir: Option[String] = None)(
+      report: Seq[graft.operators.IndexFsck.Finding] => Unit): StreamingQuery = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    ticks.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        processFsckBatch(
+          spark, storeDirs, batches.incrementAndGet(), every, logDir)(report)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[fsckStream]] — factored out so the
+    * surfaces-within-N-batches contract is directly testable. */
+  private[graft] def processFsckBatch(
+      spark: SparkSession, storeDirs: Seq[String], batchNo: Long,
+      every: Int, logDir: Option[String] = None)(
+      report: Seq[graft.operators.IndexFsck.Finding] => Unit): Unit =
+    if (every > 0 && batchNo % every == 0) {
+      val findings = storeDirs.flatMap(d =>
+        graft.operators.IndexFsck.fsck(spark, d))
+      logDir.foreach(ld => graft.operators.IndexFsck.logFindings(
+        spark, ld, findings.filterNot(_.status == "ok")))
+      report(findings)
+    }
 
   /** One micro-batch of [[classifierModelMaintenanceStream]]. */
   private[graft] def processClassifierModelBatch(

@@ -44,12 +44,12 @@ class DeletionRaceSpec extends AnyFunSuite {
     val sweeper = new Thread(() =>
       done.set(Takedown.sweep(spark, corpus.filter(col("doc_id") === 2L),
         Seq(idx))))
-    StoreLock.withLock(idx, "spec-compact") {
+    StoreLock.withLock(spark, idx, "spec-compact") {
       sweeper.start()
       val t0 = System.nanoTime()
-      while (!StoreLock.hasWaiters(idx) &&
+      while (!StoreLock.hasWaiters(spark, idx) &&
         (System.nanoTime() - t0) < 30e9.toLong) Thread.sleep(10)
-      assert(StoreLock.hasWaiters(idx),
+      assert(StoreLock.hasWaiters(spark, idx),
         "the sweep's deletion write must queue on the in-flight lock")
       assert(done.get === null, "the sweep must not complete while the lock is held")
     }
@@ -70,14 +70,14 @@ class DeletionRaceSpec extends AnyFunSuite {
     LmIndex.buildModel(spark, corpus, idx)
     val release = new java.util.concurrent.CountDownLatch(1)
     val holder = new Thread(() =>
-      StoreLock.withLock(idx, "spec-wedge") { release.await() })
+      StoreLock.withLock(spark, idx, "spec-wedge") { release.await() })
     holder.start()
     val t0 = System.nanoTime()
-    while (!StoreLock.isHeld(idx) &&
+    while (!StoreLock.isHeld(spark, idx) &&
       (System.nanoTime() - t0) < 5e9.toLong) Thread.sleep(10)
     try {
       val ex = intercept[IllegalStateException] {
-        StoreLock.withLock(idx, "spec-waiter", waitMs = 300) { fail("must not run") }
+        StoreLock.withLock(spark, idx, "spec-waiter", waitMs = 300) { fail("must not run") }
       }
       assert(ex.getMessage.contains("refusing to race"))
     } finally { release.countDown(); holder.join() }

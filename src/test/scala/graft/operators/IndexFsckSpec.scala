@@ -48,8 +48,25 @@ class IndexFsckSpec extends AnyFunSuite {
 
     val before = SearchIndex.bm25FromIndex(spark, idx, Seq("hit"), 10)
       .collect().map(_.toSeq).toSet
+    // YOUNG staging is presumed an IN-FLIGHT writer's and skipped (the
+    // r12 advisory: appends don't take the writer lock, so gc could
+    // otherwise delete an in-progress .epoch-N.tmp from under them);
+    // completed baks have the live-twin re-check instead and go now
+    val early = IndexFsck.gc(spark, idx)
+    assert(early.size === 2 && early.forall(_.contains("-bak")),
+      s"fresh staging must survive gc: $early")
+    // age the staging residue past the guard — a crashed writer's
+    // leftovers only get older — and gc takes the rest
+    def age(p: String) = {
+      java.nio.file.Files.setLastModifiedTime(java.nio.file.Paths.get(p),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - IndexFsck.GcMinStagingAgeMs - 60000))
+      ()
+    }
+    Seq(s"$idx/postings.parquet/.epoch-9.tmp", s"$idx/.term_df.tmp",
+      s"$idx/docs.parquet.compact-tmp", s"$base/search.apply-tmp").foreach(age)
     val removed = IndexFsck.gc(spark, idx)
-    assert(removed.size === 6, s"removed: $removed")
+    assert(removed.size === 4, s"removed: $removed")
     assert(statuses(IndexFsck.fsck(spark, idx)) === Map("all" -> "ok"))
     // reads identical after gc
     assert(SearchIndex.bm25FromIndex(spark, idx, Seq("hit"), 10)

@@ -53,6 +53,24 @@ class IndexedFunnelSpec extends AnyFunSuite {
       "curated materializer must unpersist its staged frame")
   }
 
+  test("the votes artifact is scored ONCE and served thereafter (the " +
+      "serving-floor fix: no per-invocation classifier/LM corpus passes)") {
+    QueryRegistry.byName("q_curation2_indexed").run(spark, dir).collect()
+    val vdir = CurationFunnel.ensureVotes(spark, dir)
+    val votes = new java.io.File(s"$vdir/votes.parquet")
+    assert(votes.exists, "the per-doc votes must be materialized")
+    // memoization: a second lane run must SERVE the artifact, not
+    // rewrite it (mtime pinned; a rebuild would stage+rename a new dir)
+    val stamp = votes.lastModified()
+    QueryRegistry.byName("q_curation2_indexed").run(spark, dir).collect()
+    assert(votes.lastModified() === stamp,
+      "a warm serving run must not re-score the corpus votes")
+    // and the votes carry both signals for the fixture's docs
+    val v = spark.read.parquet(s"$vdir/votes.parquet")
+    assert(v.columns.toSet === Set("doc_id", "is_correct", "bucket"))
+    assert(v.count() > 0)
+  }
+
   test("indexed funnel leaves no cached frames behind (leak fix)") {
     // both lanes collect their one-row aggregate eagerly and unpersist
     // the staged frame before returning — repeated invocation must not

@@ -1,0 +1,164 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** The CROSS-PROCESS half of the single-deletion-writer contract
+  * ([[StoreLock]]'s filesystem lease): a second driver on one store
+  * lineage — simulated by pre-planting a foreign process's lease file,
+  * which is indistinguishable from the real thing (the in-process lock
+  * table can't see either) — is refused loudly on EVERY deletion-write
+  * path; a crashed holder's stale lease is taken over; a healthy
+  * holder's lease heartbeats and is released on exit. */
+class StoreLeaseSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private val corpus = Seq(
+    (1L, "a b c a b", "en", "s0"),
+    (2L, "a b a b", "en", "s0"),
+    (3L, "x y z", "en", "s1")).toDF("doc_id", "text", "lang", "source")
+
+  private def leaseFile(storeDir: String) = Paths.get(storeDir + ".lease")
+
+  /** Plant what a SECOND PROCESS's live lease looks like on disk. */
+  private def plantForeignLease(storeDir: String): Unit = {
+    Files.writeString(leaseFile(storeDir),
+      "99999@other-host#feedbeef\nspec-foreign-writer\n")
+    ()
+  }
+
+  private def ageLease(storeDir: String, ageMs: Long): Unit = {
+    Files.setLastModifiedTime(leaseFile(storeDir),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - ageMs))
+    ()
+  }
+
+  test("a fresh foreign lease refuses every deletion-write path loudly") {
+    val base = tmp("graft-lease")
+    val idx = s"$base/lm"
+    LmIndex.buildModel(spark, corpus, idx)
+    plantForeignLease(idx)
+    // tombstone write path
+    val e1 = intercept[IllegalStateException] {
+      Tombstones.delete(spark, idx, corpus.select(col("doc_id")), "doc_id")
+    }
+    assert(e1.getMessage.contains("lease-held") &&
+      e1.getMessage.contains("99999@other-host#feedbeef"))
+    // count-model deletion write path (NegEpochs under the family delete)
+    val e2 = intercept[IllegalStateException] {
+      LmIndex.deleteFromModel(spark, idx, corpus.filter(col("doc_id") === 2L))
+    }
+    assert(e2.getMessage.contains("lease-held"))
+    // whole-store deletion apply
+    val e3 = intercept[IllegalStateException] {
+      NegEpochs.applyWithSwap(spark, idx) { _ => fail("stage must not run") }
+    }
+    assert(e3.getMessage.contains("lease-held"))
+    // residue gc (a writer under the same contract)
+    val e4 = intercept[IllegalStateException] { IndexFsck.gc(spark, idx) }
+    assert(e4.getMessage.contains("lease-held"))
+    // nothing was written under the refusals
+    assert(!new java.io.File(s"$idx/tombstones.parquet").exists())
+    assert(!new java.io.File(s"$idx/dels.parquet").exists())
+    // the foreign lease itself is never deleted by a refused writer
+    assert(Files.exists(leaseFile(idx)))
+  }
+
+  test("a STALE foreign lease (crashed holder — heartbeat stopped past " +
+      "expiry) is taken over, and the takeover's own lease releases") {
+    val base = tmp("graft-leasestale")
+    val idx = s"$base/lm"
+    LmIndex.buildModel(spark, corpus, idx)
+    plantForeignLease(idx)
+    ageLease(idx, StoreLock.DefaultLeaseExpiryMs + 60000)
+    // the deletion now proceeds — takeover, write, release
+    LmIndex.deleteFromModel(spark, idx, corpus.filter(col("doc_id") === 3L))
+    assert(new java.io.File(s"$idx/dels.parquet").exists())
+    assert(!Files.exists(leaseFile(idx)),
+      "the taken-over lease must be released like any other")
+    // the deletion is real: store ≡ rebuild-minus-victim after compact
+    LmIndex.compact(spark, idx)
+    val rebuilt = s"$base/rebuilt"
+    LmIndex.buildModel(spark, corpus.filter(col("doc_id") =!= 3L), rebuilt)
+    val probe = Seq((10L, "a b a"), (11L, "x y")).toDF("doc_id", "text")
+    assert(
+      LmIndex.scoreDocs(spark, probe, idx).collect().map(_.toSeq).toSet ===
+        LmIndex.scoreDocs(spark, probe, rebuilt).collect().map(_.toSeq).toSet)
+  }
+
+  test("a normal write takes and RELEASES the lease; while held it is on " +
+      "disk with this process's owner id") {
+    val dir = tmp("graft-leaseheld") + "/store"
+    Files.createDirectories(Paths.get(dir))
+    var seen: String = null
+    StoreLock.withLock(spark, dir, "spec-hold") {
+      seen = Files.readString(leaseFile(dir))
+    }
+    assert(seen.startsWith(StoreLock.OwnerId))
+    assert(!Files.exists(leaseFile(dir)), "released on exit")
+  }
+
+  test("reentrant entry does not re-take or early-release the lease") {
+    val dir = tmp("graft-leasereent") + "/store"
+    Files.createDirectories(Paths.get(dir))
+    StoreLock.withLock(spark, dir, "outer") {
+      StoreLock.withLock(spark, dir, "inner") {
+        assert(Files.exists(leaseFile(dir)))
+      }
+      assert(Files.exists(leaseFile(dir)),
+        "inner exit must not release the outer hold's lease")
+    }
+    assert(!Files.exists(leaseFile(dir)))
+  }
+
+  test("the heartbeat keeps a long-held lease fresh (a live holder never " +
+      "goes stale under GC pauses shorter than expiry)") {
+    val dir = tmp("graft-leasebeat") + "/store"
+    Files.createDirectories(Paths.get(dir))
+    StoreLock.withLock(spark, dir, "spec-long-hold", leaseExpiryMs = 3000) {
+      // age the lease as if 2.9s had passed, then wait one heartbeat
+      // period (expiry/3 = 1s): the beat must refresh mtime to ~now
+      ageLease(dir, 2900)
+      val aged = Files.getLastModifiedTime(leaseFile(dir)).toMillis
+      val t0 = System.nanoTime()
+      while (Files.getLastModifiedTime(leaseFile(dir)).toMillis <= aged &&
+        (System.nanoTime() - t0) < 10e9.toLong) Thread.sleep(50)
+      assert(Files.getLastModifiedTime(leaseFile(dir)).toMillis > aged,
+        "heartbeat must refresh the held lease's mtime")
+    }
+    assert(!Files.exists(leaseFile(dir)))
+  }
+
+  test("differently-spelled paths to one store map to ONE lock " +
+      "(qualified-key canonicalization)") {
+    val dir = tmp("graft-leasespell") + "/store"
+    Files.createDirectories(Paths.get(dir))
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      StoreLock.withLock(spark, dir, "spec-spell-hold") {
+        entered.countDown(); release.await()
+      })
+    holder.start()
+    entered.await()
+    try {
+      // the same store spelled with an explicit scheme must hit the SAME
+      // ReentrantLock — before canonicalization it silently got its own
+      assert(StoreLock.isHeld(spark, s"file:$dir"),
+        "scheme-qualified spelling must observe the plain-path hold")
+      intercept[IllegalStateException] {
+        StoreLock.withLock(spark, s"file:$dir", "spec-spell", waitMs = 300) {
+          fail("must not run")
+        }
+      }
+    } finally { release.countDown(); holder.join() }
+  }
+}

@@ -100,4 +100,33 @@ class TakedownRegistrySpec extends AnyFunSuite {
     assert(reports.toList === List(
       "lm-bigram" -> "deleted", "unknown" -> "error_unknown_family"))
   }
+
+  test("one registry row carries (signature, family, discipline, compact): " +
+      "every pending-state discipline has its retiring compact, the " +
+      "no-pending disciplines carry none, and signatures are unique") {
+    import graft.IndexCatalog.{Discipline, Families}
+    for (f <- Families) f.discipline match {
+      case Discipline.TombstoneVec(_) | Discipline.TombstoneDoc(_) |
+          Discipline.Count(_, _) =>
+        assert(f.compact.isDefined,
+          s"${f.name} leaves pending deletion state but registers no " +
+            "deletion-applying compact — applyNow/repair could never retire it")
+      case Discipline.Rewrite(_) | Discipline.Retrain =>
+        assert(f.compact.isEmpty,
+          s"${f.name} leaves no pending state; a registered compact here " +
+            "would run a whole-store rewrite for nothing")
+    }
+    assert(Families.map(_.signature).distinct.size === Families.size,
+      "two rows claiming one signature table would shadow each other")
+    // a store of a NEW family (unregistered signature) fails at the
+    // REGISTRY level — detection returns no row, so there is no
+    // discipline or handler to half-run; the sweep reports it as
+    // error_unknown_family before any family-specific code touches it
+    assert(graft.IndexCatalog.detectFamilyDef(Seq("novel.parquet")).isEmpty)
+    // and the count-family resolution set is the registry's discipline
+    // column, not a hand-maintained twin: exactly the Count rows
+    val countNames = Families
+      .filter(_.discipline.isInstanceOf[Discipline.Count]).map(_.name).toSet
+    assert(countNames === Set("lm-bigram", "classifier", "dsir", "span", "sketch"))
+  }
 }

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.operators.{IndexFsck, SearchIndex, WinnowIndex}
+
+/** The fsck fleet lane ([[DocStream.fsckStream]]): store health checking
+  * wired to the maintenance cadence, so a planted invariant break in one
+  * store of a RUNNING multi-stream topology surfaces within `every`
+  * batches — findings to the callback and the persisted findings ledger —
+  * with no operator in the loop. */
+class FsckStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("a planted break in one store of a running two-stream topology " +
+      "surfaces within `every` batches, in the callback AND the ledger") {
+    val base = java.nio.file.Files.createTempDirectory("graft-fsckstream").toString
+    val searchIdx = s"$base/search"
+    val winnowIdx = s"$base/winnow"
+    val logDir = s"$base/health"
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    // store 1 under live maintenance; store 2 a one-shot build the fsck
+    // lane also watches (the fleet shape: one manifest, many stores)
+    WinnowIndex.buildIndex(spark,
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text"), winnowIdx)
+
+    val docsIn = MemoryStream[(Long, String)]
+    val maint = DocStream.searchIndexMaintenanceStream(
+      spark, docsIn.toDF().toDF("doc_id", "text"), searchIdx)
+    val ticksIn = MemoryStream[Long]
+    val reports = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[IndexFsck.Finding]]
+    val fsckQ = DocStream.fsckStream(
+      spark, ticksIn.toDF(), Seq(searchIdx, winnowIdx),
+      every = 2, logDir = Some(logDir)) { fs => reports += fs; () }
+    try {
+      docsIn.addData((1L, "hit f1 f2"), (2L, "hit f3 f4"))
+      maint.processAllAvailable()
+
+      // batch 1: below cadence — no scan
+      ticksIn.addData(1L); fsckQ.processAllAvailable()
+      assert(reports.isEmpty)
+      // batch 2: scan runs, fleet healthy — findings reported (ok rows),
+      // nothing escalates, ledger stays empty
+      ticksIn.addData(2L); fsckQ.processAllAvailable()
+      assert(reports.size === 1)
+      assert(!reports.head.exists(_.status == "error"),
+        s"healthy fleet must scan clean: ${reports.head}")
+      assert(IndexFsck.findingsLog(spark, logDir).count() === 0L)
+
+      // PLANT the break: the winnow members twin vanishes out from under
+      // the store (required table missing + members-twin invariant)
+      val members = new java.io.File(s"$winnowIdx/members.parquet")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(members)
+
+      // within `every` = 2 more batches the break surfaces — no operator
+      ticksIn.addData(3L); fsckQ.processAllAvailable()
+      ticksIn.addData(4L); fsckQ.processAllAvailable()
+      assert(reports.size === 2)
+      val errs = reports.last.filter(f =>
+        f.dir == winnowIdx && f.status == "error")
+      assert(errs.exists(_.check == "table_missing"),
+        s"the planted break must surface as an error finding: ${reports.last}")
+      // the healthy co-tenant store stays clean in the same scan
+      assert(!reports.last.exists(f => f.dir == searchIdx && f.status == "error"))
+      // and the detection is DURABLE: the findings ledger holds it even
+      // if this driver dies before an operator looks
+      val logged = IndexFsck.findingsLog(spark, logDir)
+        .filter(col("dir") === winnowIdx && col("status") === "error")
+      assert(logged.filter(col("check") === "table_missing").count() >= 1L)
+    } finally { fsckQ.stop(); maint.stop() }
+  }
+}
