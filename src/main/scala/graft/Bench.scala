@@ -166,18 +166,9 @@ object Bench {
       .mkString("{", ",", "}")
     val ablationJson = ablationLanes.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    // the 5 permanent rows-only lanes (no DuckDB oracle — their output
-    // hashes engine-specific xxhash64/sign geometry) each have a
-    // hash-gated _portable twin that IS oracle-checked; labeled here so
-    // the correctness record reads "certified by twin", not an
-    // unexplained null (same legibility move as ablation_lanes)
-    val certifiedByTwin = Seq(
-      "q_ann_lsh" -> "q_ann_lsh_portable",
-      "q_ann_recall" -> "q_ann_recall_portable",
-      "q_dedup_minhash" -> "q_dedup_minhash_portable",
-      "q_dedup_minhash_verified" -> "q_dedup_minhash_portable",
-      "q_dedup_simhash" -> "q_dedup_simhash_portable")
-    val certifiedJson = certifiedByTwin
+    // rows-only lanes labeled certified-by-twin (the one shared map —
+    // same legibility move as ablation_lanes)
+    val certifiedJson = QueryRegistry.certifiedByTwin
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val spread = pass1.zip(pass2).map { case ((n, a), (_, b)) =>

@@ -50,14 +50,20 @@ object IndexCatalog {
   }
 
   /** One registry row: (signature table, family name, deletion
-    * discipline, deletion-applying compact). `compact` retires the
-    * family's pending deletion state (tombstones / neg-epoch ledger) —
-    * None exactly when deletion leaves no pending state ([[Discipline.
-    * Rewrite]]/[[Discipline.Retrain]]); the sweep's `applyNow` mode and
-    * [[operators.IndexFsck.repair]] both run it. */
+    * discipline, deletion-applying compact, serving-surface minimum).
+    * `compact` retires the family's pending deletion state (tombstones /
+    * neg-epoch ledger) — None exactly when deletion leaves no pending
+    * state ([[Discipline.Rewrite]]/[[Discipline.Retrain]]); the sweep's
+    * `applyNow` mode and [[operators.IndexFsck.repair]] both run it.
+    * `requiredTables` is what a store of the family cannot SERVE without
+    * (not every table it may write — optional artifacts like the IVF
+    * drift baseline get softer checks); [[operators.IndexFsck]]'s
+    * missing-table check reads it, so fsck coverage of a new family
+    * arrives with its registration, not with a second hand-kept map. */
   final case class FamilyDef(
       signature: String, name: String, discipline: Discipline,
-      compact: Option[(SparkSession, String) => Unit])
+      compact: Option[(SparkSession, String) => Unit],
+      requiredTables: Seq[String])
 
   /** First match wins, so families whose stores CONTAIN another family's
     * signature table must come first: cluster stores carry both
@@ -77,41 +83,57 @@ object IndexCatalog {
     import operators._
     Seq(
       FamilyDef("centroids.parquet", "ivf",
-        TombstoneVec("cells.parquet"), Some(IvfIndex.compact)),
+        TombstoneVec("cells.parquet"), Some(IvfIndex.compact),
+        Seq("centroids.parquet", "cells.parquet")),
       FamilyDef("codebook.parquet", "pq",
-        TombstoneVec("ids.parquet"), Some(PqIndex.compact)),
+        TombstoneVec("ids.parquet"), Some(PqIndex.compact),
+        Seq("codebook.parquet", "codes.parquet", "ids.parquet", "vecs.parquet")),
       FamilyDef("bands.parquet", "ann-lsh",
-        TombstoneVec("vectors.parquet"), Some(AnnIndex.compact)),
+        TombstoneVec("vectors.parquet"), Some(AnnIndex.compact),
+        Seq("bands.parquet", "vectors.parquet")),
       FamilyDef("fps.parquet", "winnow",
-        TombstoneDoc(WinnowIndex.residentDocIds), Some(WinnowIndex.compact)),
+        TombstoneDoc(WinnowIndex.residentDocIds), Some(WinnowIndex.compact),
+        Seq("fps.parquet", "members.parquet", "docs.parquet")),
       FamilyDef("grams.parquet", "span",
         Count(SpanIndex.deleteFromIndex, SpanIndex.residentDocIds),
-        Some(SpanIndex.compact)),
+        Some(SpanIndex.compact),
+        Seq("grams.parquet", "docs.parquet")),
       FamilyDef("sample.parquet", "sketch",
         Count(SketchIndex.deleteFromIndex, SketchIndex.residentDocIds),
-        Some(SketchIndex.compact)),
+        Some(SketchIndex.compact),
+        Seq("sample.parquet", "counts.parquet", "docs.parquet")),
       FamilyDef("pairs.parquet", "lm-bigram",
         Count(LmIndex.deleteFromModel, LmIndex.residentDocIds),
-        Some(LmIndex.compact)),
+        Some(LmIndex.compact),
+        Seq("pairs.parquet", "docs.parquet")),
       FamilyDef("labels.parquet", "cluster",
-        Rewrite(ClusterIndex.deleteFromIndex), None),
+        Rewrite(ClusterIndex.deleteFromIndex), None,
+        Seq("labels.parquet", "members.parquet", "shingle_df.parquet", "texts.parquet", "text_shingles.parquet")),
       FamilyDef("edges.parquet", "cluster",
-        Rewrite(ClusterIndex.deleteFromIndex), None),
+        Rewrite(ClusterIndex.deleteFromIndex), None,
+        Seq("labels.parquet", "members.parquet", "shingle_df.parquet", "texts.parquet", "text_shingles.parquet")),
       FamilyDef("shingle_df.parquet", "incremental-dedup",
-        Rewrite(IncrementalDedup.deleteFromIndex), None),
+        Rewrite(IncrementalDedup.deleteFromIndex), None,
+        Seq("members.parquet", "shingle_df.parquet", "texts.parquet", "text_shingles.parquet")),
       FamilyDef("base.parquet", "pack",
-        TombstoneDoc(PackIndex.residentDocIds), Some(PackIndex.compact)),
+        TombstoneDoc(PackIndex.residentDocIds), Some(PackIndex.compact),
+        Seq("base.parquet", "docs.parquet")),
       FamilyDef("postings.parquet", "search",
-        TombstoneDoc(SearchIndex.residentDocIds), Some(SearchIndex.compact)),
+        TombstoneDoc(SearchIndex.residentDocIds), Some(SearchIndex.compact),
+        Seq("postings.parquet", "docs.parquet")),
       FamilyDef("counts.parquet", "classifier",
         Count(ClassifyIndex.deleteFromModel, ClassifyIndex.residentDocIds),
-        Some(ClassifyIndex.compact)),
-      FamilyDef("merges.parquet", "tokenizer", Retrain, None),
+        Some(ClassifyIndex.compact),
+        Seq("counts.parquet", "docs.parquet")),
+      FamilyDef("merges.parquet", "tokenizer", Retrain, None,
+        Seq("merges.parquet")),
       FamilyDef("shingles.parquet", "eval-vocab",
-        TombstoneDoc(EvalIndex.residentDocIds), Some(EvalIndex.compact)),
+        TombstoneDoc(EvalIndex.residentDocIds), Some(EvalIndex.compact),
+        Seq("shingles.parquet", "docs.parquet")),
       FamilyDef("buckets.parquet", "dsir",
         Count(DsirIndex.deleteFromIndex, DsirIndex.residentDocIds),
-        Some(DsirIndex.compact)))
+        Some(DsirIndex.compact),
+        Seq("buckets.parquet", "docs.parquet")))
   }
 
   /** Family row of a store given its table names — pure half of

@@ -62,6 +62,18 @@ object QueryRegistry {
       operators.ProfileOps.queries ++
       ingest.TypeInference.queries
 
+  /** The 5 permanent rows-only lanes (no DuckDB oracle — their output
+    * hashes engine-specific xxhash64/sign geometry) → the hash-gated
+    * `_portable` twin that certifies each (same algorithm re-based on
+    * portable arithmetic). ONE copy, consumed by both the bench record
+    * and the verify-dump lane notes — two hand-kept lists would drift. */
+  val certifiedByTwin: Seq[(String, String)] = Seq(
+    "q_ann_lsh" -> "q_ann_lsh_portable",
+    "q_ann_recall" -> "q_ann_recall_portable",
+    "q_dedup_minhash" -> "q_dedup_minhash_portable",
+    "q_dedup_minhash_verified" -> "q_dedup_minhash_portable",
+    "q_dedup_simhash" -> "q_dedup_simhash_portable")
+
   lazy val byName: Map[String, QueryDef] = {
     val qs = all
     val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys

@@ -70,6 +70,19 @@ object TakedownBench {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(workDir), true)
 
+    // the deletion-writer lock+lease cycle in isolation (50 reps through
+    // IndexFsck.gc on pre-created EMPTY dirs: qualify key, take lock,
+    // create lease, heartbeat arm, one residue listing, release+delete
+    // lease) — so the serialization layer's cost is a committed number,
+    // not an argument, and a takedown-lane drift can be attributed or
+    // cleared
+    (1 to 50).foreach(i =>
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$workDir/lease-probe-$i")))
+    val (_, lc) = timed((1 to 50).foreach { i =>
+      operators.IndexFsck.gc(spark, s"$workDir/lease-probe-$i"); ()
+    })
+    emit("lease", "cycle_x50", lc)
+
     // --- tombstone class: SearchIndex ------------------------------------
     {
       val idx = s"$workDir/search"

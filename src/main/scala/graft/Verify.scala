@@ -43,19 +43,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // lane notes beside the dump: the 5 permanent no-oracle lanes are
-    // certified by their oracle-green _portable twins (engine-specific
-    // hash geometry in the output, same algorithm re-based on portable
-    // arithmetic in the twin) — so a correctness reader sees "certified
-    // by twin", not an unexplained null row
-    val certified = Seq(
-      "q_ann_lsh" -> "q_ann_lsh_portable",
-      "q_ann_recall" -> "q_ann_recall_portable",
-      "q_dedup_minhash" -> "q_dedup_minhash_portable",
-      "q_dedup_minhash_verified" -> "q_dedup_minhash_portable",
-      "q_dedup_simhash" -> "q_dedup_simhash_portable")
+    // lane notes beside the dump: the permanent no-oracle lanes are
+    // certified by their oracle-green _portable twins (one shared map,
+    // QueryRegistry.certifiedByTwin) — so a correctness reader sees
+    // "certified by twin", not an unexplained null row
     Files.writeString(Paths.get(s"$outDir/lane_notes.json"),
-      certified.map { case (k, v) =>
+      QueryRegistry.certifiedByTwin.map { case (k, v) =>
         s"${q(k)}: {${q("status")}: ${q("certified_by_twin")}, " +
           s"${q("twin")}: ${q(v)}}"
       }.mkString("{", ",", "}"))

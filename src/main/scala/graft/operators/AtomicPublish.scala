@@ -28,14 +28,16 @@ import org.apache.spark.sql.SparkSession
   */
 object AtomicPublish {
 
-  /** The op tokens the index-store publish paths actually emit as
+  /** The op tokens the swap publish paths actually emit as
     * `<name>.<op>-tmp` / `<name>.<op>-bak` siblings ([[swapDir]] callers:
-    * apply/compact/retrain/delete, plus the shingle-graph append swaps).
+    * apply/compact/retrain/delete, the shingle-graph append swaps, and
+    * the sink-side upsert/compaction merges — `graft.sink.Upsert`).
     * [[IndexFsck]]'s residue scanner recognizes EXACTLY these — an
     * operator's manual `store.old-bak` copy must never pattern-match as
     * gc-able residue. A new swap suffix must be registered here or fsck
     * will neither report nor gc its leftovers. */
-  val SwapOps: Seq[String] = Seq("apply", "compact", "retrain", "append", "delete")
+  val SwapOps: Seq[String] =
+    Seq("apply", "compact", "retrain", "append", "delete", "merge")
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -143,6 +143,27 @@ object CurationFunnel {
     s"${System.getProperty("java.io.tmpdir")}/graft-votes-$key"
   }
 
+  /** Newest mtime across each store dir and its DIRECT children — the
+    * change detector for derived artifacts (votes, curated corpus),
+    * whose IndexStamp key covers the CORPUS but not the stores: a
+    * takedown un-trains victims from the classifier/LM stores without
+    * touching documents.parquet, and a corpus-keyed artifact would
+    * serve the victims' pre-deletion scores forever. Every store
+    * mutation adds/renames a direct child (epoch dir inside a table,
+    * dels/tombstone table at the root, whole-table swap), so one
+    * shallow listing per store catches them all. The ensure* stores are
+    * local-tmp by construction (java.io is enough). */
+  private def storesMtime(dirs: Seq[String]): Long =
+    dirs.map { d =>
+      val f = new java.io.File(d)
+      (f.lastModified +:
+        Option(f.listFiles).toSeq.flatten.flatMap(t =>
+          t.lastModified +: Option(t.listFiles).toSeq.flatten.map(_.lastModified))).max
+    }.max
+
+  private def artifactMtime(path: String): Long =
+    new java.io.File(path).lastModified
+
   /** Materialize-if-absent the per-document model votes
     * `(doc_id, is_correct, bucket)` from the persisted funnel stores —
     * the intermediate the serving lane was recomputing on every
@@ -157,18 +178,36 @@ object CurationFunnel {
     * signal coalesces to the same gate default either way). */
   private[graft] def ensureVotes(spark: SparkSession, dir: String): String = {
     val vdir = votesDirFor(dir)
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$vdir/votes.parquet"))) {
+    val clf = ClassifyIndex.ensureModel(spark, dir)
+    val lm = LmIndex.ensureModel(spark, dir)
+    // rebuild when the artifact is absent OR the stores it was scored
+    // from have MUTATED since (a takedown's neg epochs, a compact, a
+    // maintenance append — none of which touch the corpus parquet the
+    // IndexStamp key covers): the votes must always equal a fresh
+    // re-score of the stores as they are NOW
+    val votesTable = s"$vdir/votes.parquet"
+    // the PRE-read watermark: the artifact is stamped with the stores'
+    // newest mtime AS OBSERVED BEFORE the scoring read, not its own
+    // publish time — a store mutation landing DURING the multi-second
+    // rebuild (scan at T2, publish at T3, takedown at T2<Tm<T3) would
+    // otherwise be masked forever by artifactMtime≈T3 > Tm; stamping T2
+    // makes the next ensure see Tm > T2 and re-materialize (worst case:
+    // one redundant rebuild, never a stale serve)
+    val preRead = storesMtime(Seq(clf, lm))
+    val stale =
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(votesTable)) ||
+        preRead > artifactMtime(votesTable)
+    if (stale) {
       val d = table(spark, dir, "documents")
-      val (preds, buckets, _) = storeSignals(spark, d,
-        ClassifyIndex.ensureModel(spark, dir),
-        LmIndex.ensureModel(spark, dir),
+      val (preds, buckets, _) = storeSignals(spark, d, clf, lm,
         WinnowIndex.ensureIndex(spark, dir))
       val votes = preds.select(col("doc_id"), col("is_correct"))
         .join(buckets.select(col("doc_id"), col("bucket")), Seq("doc_id"), "full")
       AtomicPublish.stageAndRename(spark, vdir, ".votes.tmp", "votes.parquet") {
         tmp => votes.write.mode("overwrite").parquet(tmp.toString)
       }
+      new java.io.File(votesTable).setLastModified(preRead)
+      ()
     }
     vdir
   }
@@ -351,7 +390,19 @@ object CurationFunnel {
     * text) from the persisted funnel stores; returns the artifact dir. */
   private[graft] def ensureCurated(spark: SparkSession, dir: String): String = {
     val cdir = curatedDirFor(dir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$cdir/docs.parquet"))) {
+    // same staleness rule + pre-read watermark as the votes artifact:
+    // the curated corpus is derived from the clf/LM/winnow stores, so
+    // any store mutation (takedown, compact, append) re-materializes
+    // it, including one landing during the rebuild window
+    val curatedTable = s"$cdir/docs.parquet"
+    val preRead = storesMtime(Seq(
+      ClassifyIndex.ensureModel(spark, dir),
+      LmIndex.ensureModel(spark, dir),
+      WinnowIndex.ensureIndex(spark, dir)))
+    val stale =
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(curatedTable)) ||
+        preRead > artifactMtime(curatedTable)
+    if (stale) {
       val d = table(spark, dir, "documents")
       // model votes from the persisted votes artifact (scored once,
       // shared with the q_curation2_indexed serving lane), fingerprints
@@ -368,6 +419,8 @@ object CurationFunnel {
         AtomicPublish.stageAndRename(spark, cdir, ".curated.tmp", "docs.parquet") {
           tmp => curated.write.mode("overwrite").parquet(tmp.toString)
         }
+        new java.io.File(curatedTable).setLastModified(preRead)
+        ()
       } finally cleanup()
     }
     cdir

@@ -47,31 +47,6 @@ object IndexFsck {
   final case class Finding(
       dir: String, family: String, check: String, status: String, detail: String)
 
-  /** Tables a store of each family cannot serve without — the
-    * serving-surface minimum, NOT every table the family may write
-    * (optional artifacts like the IVF drift baseline or the IVF-PQ
-    * codebook get their own softer checks). A missing required table is
-    * an `error`: reads would throw PATH_NOT_FOUND mid-plan with no hint
-    * which family invariant broke. */
-  private val RequiredTables: Map[String, Seq[String]] = Map(
-    "ivf" -> Seq("centroids.parquet", "cells.parquet"),
-    "pq" -> Seq("codebook.parquet", "codes.parquet", "ids.parquet", "vecs.parquet"),
-    "ann-lsh" -> Seq("bands.parquet", "vectors.parquet"),
-    "search" -> Seq("postings.parquet", "docs.parquet"),
-    "winnow" -> Seq("fps.parquet", "members.parquet", "docs.parquet"),
-    "pack" -> Seq("base.parquet", "docs.parquet"),
-    "eval-vocab" -> Seq("shingles.parquet", "docs.parquet"),
-    "lm-bigram" -> Seq("pairs.parquet", "docs.parquet"),
-    "classifier" -> Seq("counts.parquet", "docs.parquet"),
-    "dsir" -> Seq("buckets.parquet", "docs.parquet"),
-    "span" -> Seq("grams.parquet", "docs.parquet"),
-    "sketch" -> Seq("sample.parquet", "counts.parquet", "docs.parquet"),
-    "tokenizer" -> Seq("merges.parquet"),
-    "cluster" -> Seq("labels.parquet", "members.parquet",
-      "shingle_df.parquet", "texts.parquet", "text_shingles.parquet"),
-    "incremental-dedup" -> Seq("members.parquet",
-      "shingle_df.parquet", "texts.parquet", "text_shingles.parquet"))
-
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -148,15 +123,18 @@ object IndexFsck {
            "bak WITHOUT live twin — mid-swap crash RECOVERY COPY, do " +
              s"NOT gc: ${orphanBak.mkString(", ")}")))
     }
-    val family = graft.IndexCatalog.detectFamily(spark, dir)
+    val famDef = graft.IndexCatalog.detectFamilyDef(spark, dir)
+    val family = famDef.fold("unknown")(_.name)
     val out = Seq.newBuilder[Finding]
-    if (family == "unknown")
+    if (famDef.isEmpty)
       out += Finding(dir, family, "family", "error",
         "no signature table matches IndexCatalog.Families — the compliance sweep cannot cover this store")
 
     val storeKids = children(spark, root)
-    // serving-surface minimum for the detected family
-    val missingTables = RequiredTables.getOrElse(family, Seq.empty)
+    // serving-surface minimum: the registry row's own requiredTables (a
+    // missing one is an `error` — reads would throw PATH_NOT_FOUND
+    // mid-plan with no hint which family invariant broke)
+    val missingTables = famDef.fold(Seq.empty[String])(_.requiredTables)
       .filterNot(storeKids.contains)
     if (missingTables.nonEmpty)
       out += Finding(dir, family, "table_missing", "error",
@@ -171,6 +149,31 @@ object IndexFsck {
     if (orphanBak.nonEmpty)
       out += Finding(dir, family, "residue_bak_orphan", "error",
         s"bak WITHOUT live twin — mid-swap crash recovery copy, do NOT gc: ${orphanBak.mkString(", ")}")
+
+    // deletion-writer lease state: held = a writer is live on this
+    // lineage right now (info); stale = a crashed holder's residue,
+    // self-healing — the next writer takes it over after expiry (warn,
+    // so an operator learns a driver died even if no writer has come
+    // along to take over yet)
+    val lease = StoreLock.leasePath(root)
+    // exists + getFileStatus is a TOCTOU against a writer's release —
+    // a lease vanishing mid-check is a healthy release, not a finding
+    val leaseAge =
+      try
+        if (!fs.exists(lease)) None
+        else Some(System.currentTimeMillis() -
+          fs.getFileStatus(lease).getModificationTime)
+      catch { case _: java.io.FileNotFoundException => None }
+    leaseAge.foreach { age =>
+      if (age > StoreLock.DefaultLeaseExpiryMs)
+        out += Finding(dir, family, "lease_stale", "warn",
+          s"deletion-writer lease ${lease.getName} unrefreshed for ${age}ms " +
+            "(> expiry) — its holder crashed; the next writer takes over")
+      else
+        out += Finding(dir, family, "lease_held", "info",
+          s"deletion-writer lease held (${lease.getName}, age ${age}ms) — " +
+            "a writer is active on this lineage")
+    }
 
     // pending deletions (informational — a maintenance lane's next
     // maybeCompact force-applies them; a store OUTSIDE any maintenance
@@ -263,7 +266,12 @@ object IndexFsck {
   val GcMinStagingAgeMs: Long = 15L * 60 * 1000
 
   def gc(spark: SparkSession, dir: String,
-      minStagingAgeMs: Long = GcMinStagingAgeMs): Seq[String] =
+      minStagingAgeMs: Long = GcMinStagingAgeMs): Seq[String] = {
+    val root0 = new Path(dir)
+    // a missing store is a read-only no-op BEFORE the lock: taking the
+    // lease would create the lease file (and any missing parent dirs) —
+    // a gc probe against a mistyped path must leave no residue
+    if (!fsOf(spark, root0).exists(root0)) return Seq.empty
     StoreLock.withLock(spark, dir, "fsck-gc") {
       val root = new Path(dir)
       val fs = fsOf(spark, root)
@@ -271,10 +279,19 @@ object IndexFsck {
       else {
         val (staging, completedBak, _) = residue(spark, root)
         val now = System.currentTimeMillis()
-        val oldEnough = staging.filter { p =>
-          try now - fs.getFileStatus(p).getModificationTime >= minStagingAgeMs
-          catch { case _: java.io.FileNotFoundException => false }
-        }
+        // liveness = the NEWEST mtime anywhere under the staging dir,
+        // not the dir's own: Spark's job-commit writes leave the dir
+        // mtime at job start while task files land deep under
+        // _temporary/ — a >15-min in-flight write would otherwise look
+        // collectible at exactly the scale where writes take that long
+        def newest(p: Path): Long =
+          try {
+            val st = fs.getFileStatus(p)
+            if (!st.isDirectory) st.getModificationTime
+            else (st.getModificationTime +:
+              fs.listStatus(p).toSeq.map(s => newest(s.getPath))).max
+          } catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+        val oldEnough = staging.filter(p => now - newest(p) >= minStagingAgeMs)
         val stillSafeBaks = completedBak.filter { p =>
           // per-victim re-check right before the delete: the bak is only
           // residue while its live twin exists NOW
@@ -288,6 +305,7 @@ object IndexFsck {
         }
       }
     }
+  }
 
   /** Retire pending deletions on a store OUTSIDE any maintenance stream.
     * The forced compact ([[IndexPolicy.maybeCompact]]'s deletion trigger)

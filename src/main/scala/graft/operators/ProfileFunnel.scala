@@ -15,10 +15,15 @@ import org.apache.spark.sql.functions._
   * Round-10 record at sf0.1 (PERF.md): warm lane 4.1–4.8 s =
   * classifier scoring 1.34 + LM corpus scoring 1.58 + winnow match
   * 0.74 + cutoff sampling ~0.3 + char signals 0.12 (native, map-only)
-  * + the gate aggregate. The two scoring passes each explode the
-  * corpus's tokens once — fusing them into one explode is the only
-  * remaining lever and would duplicate the stores' arithmetic across
-  * modules, the divergence class the round-9 advisories flag. */
+  * + the gate aggregate. Round 13 removed the two scoring passes from
+  * the serving path without fusing them (which would have duplicated
+  * the stores' arithmetic across modules, the round-9 divergence
+  * class): the per-doc votes are scored ONCE at materialization
+  * ([[CurationFunnel.ensureVotes]], memoized by corpus identity) and
+  * the warm lane reads the narrow (doc_id, is_correct, bucket) scan —
+  * measured 1.65–2.15 s warm at sf0.1 (was 4.1–4.8 s); the standalone
+  * clf/LM/ccnet timings below now measure the one-time
+  * materialization cost, not the serving floor. */
 object ProfileFunnel {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

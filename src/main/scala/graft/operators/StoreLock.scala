@@ -44,7 +44,8 @@ private[operators] object StoreLock {
   /** Outermost-entry depth per canonical path; mutated only while the
     * path's ReentrantLock is held, so plain puts are race-free. */
   private val depths = new ConcurrentHashMap[String, Integer]()
-  private val heartbeats = new ConcurrentHashMap[String, ScheduledFuture[_]]()
+  private val heartbeats =
+    new ConcurrentHashMap[String, (ScheduledFuture[_], java.util.concurrent.atomic.AtomicBoolean)]()
 
   /** This process's lease identity — stable for the JVM's lifetime. */
   val OwnerId: String = {
@@ -88,22 +89,69 @@ private[operators] object StoreLock {
     new Path(parent, store.getName + ".lease")
   }
 
-  private def readOwner(fs: FileSystem, lease: Path): Option[String] =
-    try {
-      val in = fs.open(lease)
-      try Some(new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).linesIterator
-        .nextOption().getOrElse(""))
-      finally in.close()
-    } catch { case _: java.io.IOException => None }
+  /** First (owner) line of the lease, None if it vanished. On the
+    * non-local transport a reader can catch the window between the
+    * atomic create and the content landing — an EMPTY owner is retried
+    * briefly before being reported as-is (the caller then refuses with
+    * "<unreadable>", a safe transient, never a takeover trigger on a
+    * fresh file). */
+  private def readOwner(fs: FileSystem, lease: Path): Option[String] = {
+    def once: Option[String] =
+      try {
+        val in = fs.open(lease)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).linesIterator
+          .nextOption().getOrElse(""))
+        finally in.close()
+      } catch { case _: java.io.IOException => None }
+    var r = once
+    var reps = 0
+    while (r.contains("") && reps < 3) { Thread.sleep(20); r = once; reps += 1 }
+    r
+  }
 
-  private def writeLease(fs: FileSystem, lease: Path, who: String): Unit = {
-    // create(overwrite = false): atomic create-if-absent — two processes
-    // racing the same acquisition can't both win
-    val out = fs.create(lease, false)
-    try out.write(s"$OwnerId\n$who\n".getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+  /** Create the lease ATOMICALLY-IF-ABSENT with its owner content
+    * already complete. Two transports:
+    *
+    *  - `file:` scheme: write a private temp beside the lease, then
+    *    HARD-LINK it to the lease name — link(2) is atomic-if-absent on
+    *    POSIX, and the content is whole before the name exists (no
+    *    reader can see an empty owner line). Hadoop's local
+    *    `create(overwrite = false)` is exists-check-then-open (two
+    *    racing local drivers could both win) and Hadoop local `rename`
+    *    REPLACES an existing dest (would clobber a live lease), so
+    *    neither is usable here.
+    *  - everything else (HDFS-like): `create(overwrite = false)` IS an
+    *    atomic namespace operation there; the content lands before
+    *    close, and [[readOwner]] tolerates the sub-close empty-read
+    *    window by retrying.
+    *
+    * Returns false when the lease name already exists. */
+  private def writeLease(fs: FileSystem, lease: Path, who: String): Boolean = {
+    val bytes = s"$OwnerId\n$who\n".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8)
+    if (fs.getScheme == "file") {
+      val dir = java.nio.file.Paths.get(lease.getParent.toUri.getPath)
+      java.nio.file.Files.createDirectories(dir)
+      val tmp = java.nio.file.Files.createTempFile(dir, "." + lease.getName, ".claim")
+      try {
+        java.nio.file.Files.write(tmp, bytes)
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(lease.toUri.getPath), tmp)
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } finally { java.nio.file.Files.deleteIfExists(tmp); () }
+    } else
+      try {
+        val out = fs.create(lease, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch {
+        case e: java.io.IOException =>
+          if (!fs.exists(lease)) throw e
+          false
+      }
   }
 
   /** Acquire the cross-process lease for `store` or throw. Runs with the
@@ -114,18 +162,17 @@ private[operators] object StoreLock {
     val lease = leasePath(store)
     var takeovers = 0
     while (true) {
-      val created =
-        try { writeLease(fs, lease, who); true }
-        catch {
-          // both the HDFS FileAlreadyExistsException and the local FS's
-          // plain IOException("File already exists") land here; anything
-          // where the lease did NOT materialize is a real IO error
-          case e: java.io.IOException =>
-            if (!fs.exists(lease)) throw e
-            false
-        }
-      if (created) return
-      readOwner(fs, lease) match {
+      if (writeLease(fs, lease, who)) {
+        // verify-after-create: a racing stale-takeover could have
+        // deleted OUR just-created lease in the window between its
+        // re-verify and its delete — if the name no longer reads as
+        // ours, we did not win; loop (we'll see the usurper's fresh
+        // lease and refuse). Together with the verify-before-delete
+        // below, the remaining overlap needs three filesystem ops to
+        // land inside one metadata-read gap; the applyWithSwap
+        // staged-dels re-check stays as the correctness backstop.
+        if (readOwner(fs, lease).contains(OwnerId)) return
+      } else readOwner(fs, lease) match {
         case Some(OwnerId) =>
           // our own residue (a release that crashed between body and
           // delete in a previous run of this same process is impossible —
@@ -135,20 +182,34 @@ private[operators] object StoreLock {
           fs.setTimes(lease, System.currentTimeMillis(), -1)
           return
         case owner =>
+          val observedMtime =
+            try fs.getFileStatus(lease).getModificationTime
+            catch { case _: java.io.FileNotFoundException => -1L }
           val age =
-            try System.currentTimeMillis() - fs.getFileStatus(lease).getModificationTime
-            catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+            if (observedMtime < 0) Long.MaxValue
+            else System.currentTimeMillis() - observedMtime
           if (age > expiryMs) {
             // stale: the holder's heartbeat stopped ≥ expiry ago — a
-            // crashed driver. Take over by deleting and re-racing the
-            // atomic create (a concurrent taker-over may win; loop).
+            // crashed driver. Take over — but ONLY delete the exact
+            // stale (owner, mtime) observation: two recoverers racing
+            // here must not have the slower one blindly delete the
+            // FRESH lease the faster one just created (the re-verify
+            // immediately before the delete makes that need the lease
+            // to be replaced between two adjacent metadata reads; the
+            // atomic re-create then decides the winner — the loser
+            // loops, reads the fresh owner, and refuses).
             takeovers += 1
             if (takeovers > 5)
               throw new IllegalStateException(
                 s"$who: lease takeover on $store keeps losing the " +
                   "re-create race — another process is actively " +
                   "contending this store lineage")
-            fs.delete(lease, false)
+            val still =
+              try observedMtime >= 0 &&
+                fs.getFileStatus(lease).getModificationTime == observedMtime &&
+                readOwner(fs, lease) == owner
+              catch { case _: java.io.FileNotFoundException => false }
+            if (still) { fs.delete(lease, false); () }
           } else
             throw new IllegalStateException(
               s"$who: store $store is lease-held by process " +
@@ -173,17 +234,50 @@ private[operators] object StoreLock {
       key: String, fs: FileSystem, store: Path, expiryMs: Long): Unit = {
     val lease = leasePath(store)
     val period = math.max(1000L, expiryMs / 3)
+    // `active` gates the beat against the release: cancel(false) does
+    // not wait for an in-flight run(), so without the flag a beat could
+    // re-create the lease AFTER releaseLease deleted it — a phantom
+    // fresh lease blocking every other process for a full expiry
+    val active = new java.util.concurrent.atomic.AtomicBoolean(true)
     val task = scheduler.scheduleAtFixedRate(new Runnable {
       def run(): Unit =
-        try fs.setTimes(lease, System.currentTimeMillis(), -1)
-        catch { case _: java.io.IOException => () } // next beat retries
+        try {
+          if (!active.get) return
+          readOwner(fs, lease) match {
+            case Some(OwnerId) =>
+              fs.setTimes(lease, System.currentTimeMillis(), -1)
+            case Some(other) =>
+              // FOREIGN owner under our hold: we lost the lease to a
+              // (mis-tuned or racing) takeover. Never refresh it — a
+              // blind setTimes would keep the usurper's lease eternally
+              // fresh even after IT crashes — and never clobber it; the
+              // applyWithSwap staged-dels re-check is the correctness
+              // backstop for the overlap. Surface it loudly.
+              System.err.println(
+                s"[storelock] WARNING: lease on $store lost to $other " +
+                  "mid-hold — single-writer contract violated by a " +
+                  "takeover race or operator action")
+            case None =>
+              // our lease vanished (operator rm, or the takeover race's
+              // delete) — reclaim, then re-check the gate: if release
+              // ran while we were recreating, delete our own recreation
+              if (active.get) {
+                writeLease(fs, lease, "heartbeat-reclaim")
+                if (!active.get) releaseLease(fs, store)
+              }
+          }
+        } catch { case _: java.io.IOException => () } // next beat retries
     }, period, period, TimeUnit.MILLISECONDS)
-    heartbeats.put(key, task)
+    heartbeats.put(key, (task, active))
     ()
   }
 
   private def stopHeartbeat(key: String): Unit =
-    Option(heartbeats.remove(key)).foreach(_.cancel(false))
+    Option(heartbeats.remove(key)).foreach { case (task, active) =>
+      active.set(false)
+      task.cancel(false)
+      ()
+    }
 
   /** Run `body` holding `storeDir`'s deletion-writer lock (in-process)
     * AND lease (cross-process). Reentrant (a compact's stage callback may

@@ -1252,11 +1252,39 @@ object DocStream {
       every: Int, logDir: Option[String] = None)(
       report: Seq[graft.operators.IndexFsck.Finding] => Unit): Unit =
     if (every > 0 && batchNo % every == 0) {
-      val findings = storeDirs.flatMap(d =>
-        graft.operators.IndexFsck.fsck(spark, d))
-      logDir.foreach(ld => graft.operators.IndexFsck.logFindings(
-        spark, ld, findings.filterNot(_.status == "ok")))
-      report(findings)
+      // per-store isolation, the Takedown.sweep discipline: a store so
+      // broken that fsck ITSELF throws (corrupt footer mid-read) must
+      // become an error FINDING for that store, not kill the health
+      // lane on exactly the breakage it exists to detect
+      val findings = storeDirs.flatMap { d =>
+        try graft.operators.IndexFsck.fsck(spark, d)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            Seq(graft.operators.IndexFsck.Finding(d, "unknown",
+              "fsck_failed", "error",
+              s"fsck itself threw: ${e.getClass.getSimpleName}: " +
+                s"${Option(e.getMessage).getOrElse("").take(200)}"))
+        }
+      }
+      // persist only warn/error: info findings (a held lease, pending
+      // deletions between compacts) are HEALTHY states that would grow
+      // the ledger every scan — logFindings' triage-queue contract.
+      // A failed ledger write must not kill future detections either:
+      // it surfaces as its own error finding through the callback.
+      val logged =
+        try {
+          logDir.foreach(ld => graft.operators.IndexFsck.logFindings(
+            spark, ld, findings.filter(f =>
+              f.status == "warn" || f.status == "error")))
+          Seq.empty[graft.operators.IndexFsck.Finding]
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            Seq(graft.operators.IndexFsck.Finding(logDir.getOrElse("?"),
+              "-", "findings_log_failed", "error",
+              s"findings-ledger write failed: ${e.getClass.getSimpleName}: " +
+                s"${Option(e.getMessage).getOrElse("").take(200)}"))
+        }
+      report(findings ++ logged)
     }
 
   /** One micro-batch of [[classifierModelMaintenanceStream]]. */

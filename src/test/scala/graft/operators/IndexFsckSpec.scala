@@ -85,6 +85,23 @@ class IndexFsckSpec extends AnyFunSuite {
     assert(new java.io.File(s"$idx/docs.parquet.compact-bak").exists())
   }
 
+  test("a live writer's lease surfaces as held (info); a crashed " +
+      "holder's as stale (warn); a released one leaves no finding") {
+    val base = tmp("graft-fscklease")
+    val idx = s"$base/search"
+    SearchIndex.buildIndex(spark, docs, idx)
+    assert(!statuses(IndexFsck.fsck(spark, idx)).contains("lease_held"))
+    val lease = java.nio.file.Paths.get(s"$idx.lease")
+    java.nio.file.Files.writeString(lease, "424242@elsewhere#cafe\nspec\n")
+    assert(statuses(IndexFsck.fsck(spark, idx))("lease_held") === "info")
+    java.nio.file.Files.setLastModifiedTime(lease,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()
+        - StoreLock.DefaultLeaseExpiryMs - 60000))
+    assert(statuses(IndexFsck.fsck(spark, idx))("lease_stale") === "warn")
+    java.nio.file.Files.delete(lease)
+    assert(statuses(IndexFsck.fsck(spark, idx)) === Map("all" -> "ok"))
+  }
+
   test("a MISSING store with a sibling bak — the mid-whole-store-swap " +
       "crash — surfaces the recovery copy; gc takes nothing") {
     val base = tmp("graft-fsck-gone")

@@ -137,6 +137,27 @@ class StoreLeaseSpec extends AnyFunSuite {
     assert(!Files.exists(leaseFile(dir)))
   }
 
+  test("the heartbeat never refreshes (or clobbers) a FOREIGN lease that " +
+      "usurped the hold — a crashed usurper must still go stale") {
+    val dir = tmp("graft-leaseusurp") + "/store"
+    Files.createDirectories(Paths.get(dir))
+    StoreLock.withLock(spark, dir, "spec-usurped", leaseExpiryMs = 3000) {
+      // simulate the takeover race's outcome: our lease replaced by a
+      // second process's — from here the beat must not touch it
+      Files.writeString(leaseFile(dir), "31337@usurper#beef\nspec\n")
+      ageLease(dir, 1500)
+      val usurpedMtime = Files.getLastModifiedTime(leaseFile(dir)).toMillis
+      Thread.sleep(2300) // two beat periods (expiry/3 = 1 s)
+      assert(Files.getLastModifiedTime(leaseFile(dir)).toMillis === usurpedMtime,
+        "a blind setTimes would keep the usurper's lease eternally fresh")
+      assert(Files.readString(leaseFile(dir)).startsWith("31337@usurper#beef"),
+        "the beat must not clobber the usurper's lease either")
+    }
+    // release deletes only OUR lease — the foreign file survives exit
+    assert(Files.exists(leaseFile(dir)))
+    Files.delete(leaseFile(dir))
+  }
+
   test("differently-spelled paths to one store map to ONE lock " +
       "(qualified-key canonicalization)") {
     val dir = tmp("graft-leasespell") + "/store"

@@ -118,6 +118,9 @@ class TakedownRegistrySpec extends AnyFunSuite {
     }
     assert(Families.map(_.signature).distinct.size === Families.size,
       "two rows claiming one signature table would shadow each other")
+    assert(Families.forall(_.requiredTables.nonEmpty),
+      "every family must declare its serving-surface minimum — the fsck " +
+        "missing-table check reads the registry row")
     // a store of a NEW family (unregistered signature) fails at the
     // REGISTRY level — detection returns no row, so there is no
     // discipline or handler to half-run; the sweep reports it as

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** The votes artifact ([[CurationFunnel.ensureVotes]]) is keyed by
+  * CORPUS identity, but scored from the classifier/LM STORES — and a
+  * takedown mutates the stores without touching documents.parquet. A
+  * corpus-keyed cache with no store-staleness check would serve the
+  * victims' pre-deletion scores forever; this pins the rule: any store
+  * mutation re-materializes the artifact, and what it then serves is
+  * bit-identical to a from-scratch re-score of the stores as they are
+  * NOW. */
+class VotesStalenessSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("a takedown against the funnel stores invalidates the votes " +
+      "artifact; the rebuilt votes equal a fresh re-score") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-votesstale").toString
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma delta epsilon zeta eta", "en", "s0"),
+      (2L, "gamma delta epsilon zeta alpha beta theta iota", "de", "s0"),
+      (3L, "alpha beta beta delta gamma epsilon kappa mu", "en", "s1"),
+      (4L, "zeta eta theta iota kappa mu nu xi", "de", "s1"),
+      (5L, "beta gamma delta epsilon zeta eta theta nu", "en", "s0"),
+      (6L, "iota kappa mu nu xi alpha beta gamma", "de", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    docs.write.parquet(s"$dir/documents.parquet")
+
+    def votesRows(vdir: String): Set[Seq[Any]] =
+      spark.read.parquet(s"$vdir/votes.parquet")
+        .collect().map(_.toSeq.map(String.valueOf: Any => String)).toSet
+
+    val vdir = CurationFunnel.ensureVotes(spark, dir)
+    val votesFile = new java.io.File(s"$vdir/votes.parquet")
+    val stamp1 = votesFile.lastModified()
+    // memoized while the stores are untouched
+    assert(CurationFunnel.ensureVotes(spark, dir) === vdir)
+    assert(votesFile.lastModified() === stamp1)
+
+    // the takedown mutates the clf + LM stores (neg epochs + dels) with
+    // documents.parquet — the artifact's IndexStamp key — unchanged
+    val clf = ClassifyIndex.ensureModel(spark, dir)
+    val lm = LmIndex.ensureModel(spark, dir)
+    Takedown.sweep(spark, docs.filter(col("doc_id") === 2L), Seq(clf, lm))
+
+    assert(CurationFunnel.ensureVotes(spark, dir) === vdir)
+    assert(votesFile.lastModified() > stamp1,
+      "a store mutation must re-materialize the corpus-keyed votes")
+    val served = votesRows(vdir)
+
+    // ground truth: wipe the artifact entirely and re-score from the
+    // post-deletion stores — the staleness rebuild must equal it
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(vdir))
+    assert(votesRows(CurationFunnel.ensureVotes(spark, dir)) === served,
+      "the invalidated-and-rebuilt votes must equal a from-scratch re-score")
+
+    // and a further ensure with no store change serves without rebuilding
+    val stamp2 = votesFile.lastModified()
+    CurationFunnel.ensureVotes(spark, dir)
+    assert(votesFile.lastModified() === stamp2)
+  }
+}
