@@ -68,7 +68,8 @@ object AnnIndex {
   }
 
   /** Build (overwrite) the index as epoch 0. */
-  def buildIndex(spark: SparkSession, embeddings: DataFrame, indexDir: String): Unit = {
+  def buildIndex(spark: SparkSession, embeddings: DataFrame, indexDir: String): Unit =
+    StoreLock.withLock(spark, indexDir, "ann-build") {
     val root = new Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(root, true)
@@ -78,7 +79,8 @@ object AnnIndex {
   /** Fold a batch of new vectors into the live index: O(batch) work, one
     * atomic directory rename per table. Single-writer (epoch numbering is
     * read-modify-write); queries may run concurrently. */
-  def appendToIndex(spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+  def appendToIndex(spark: SparkSession, indexDir: String, batch: DataFrame): Unit =
+    StoreLock.withLock(spark, indexDir, "ann-append") {
     val bands = new Path(indexDir, "bands.parquet")
     val fs = bands.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val next = fs.listStatus(bands).map(_.getPath.getName)
@@ -107,7 +109,8 @@ object AnnIndex {
     * output is identical before, during, and after (band/vector rows are
     * a set; the epoch column never reaches query semantics).
     * Single-writer like append; readers never need a quiescent window. */
-  def compact(spark: SparkSession, indexDir: String): Unit = {
+  def compact(spark: SparkSession, indexDir: String): Unit =
+    StoreLock.withLock(spark, indexDir, "ann-compact") {
     val root = new Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // frozen tombstone epoch set: fold out exactly these, retire exactly

@@ -40,7 +40,8 @@ object ClassifyIndex {
   }
 
   /** Train (overwrite) the model as epoch 0. */
-  def buildModel(spark: SparkSession, docs: DataFrame, modelDir: String): Unit = {
+  def buildModel(spark: SparkSession, docs: DataFrame, modelDir: String): Unit =
+    StoreLock.withLock(spark, modelDir, "classify-build") {
     val root = new Path(modelDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(root, true)
@@ -52,7 +53,8 @@ object ClassifyIndex {
     * rebuild. Caller dedupes batches against [[residentDocIds]]. A doc
     * with a pending deletion stays dead ([[NegEpochs]] shadow
     * semantics) until the deletion-applying compact. */
-  def appendToModel(spark: SparkSession, modelDir: String, batch0: DataFrame): Unit = {
+  def appendToModel(spark: SparkSession, modelDir: String, batch0: DataFrame): Unit =
+    StoreLock.withLock(spark, modelDir, "classify-append") {
     val batch = NegEpochs.minus(spark, modelDir, batch0)
     val counts = new Path(modelDir, "counts.parquet")
     val fs = counts.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -87,7 +89,8 @@ object ClassifyIndex {
     * merge every read already performs ([[EpochCompact]] swap safety).
     * PENDING DELETIONS are applied with a whole-store swap instead (the
     * [[NegEpochs]] cross-table-atomic retire; see [[LmIndex.compact]]). */
-  def compact(spark: SparkSession, modelDir: String): Unit = {
+  def compact(spark: SparkSession, modelDir: String): Unit =
+    StoreLock.withLock(spark, modelDir, "classify-compact") {
     if (NegEpochs.pending(spark, modelDir)) {
       val mc = modelCounts(spark, modelDir).persist()
       val rd = residentDocIds(spark, modelDir).persist()

@@ -150,8 +150,9 @@ object ClusterIndex {
 
   /** Build (overwrite) the cluster index: IncrementalDedup's four shingle
     * tables plus edges, labels, and doc metadata. */
-  def buildIndex(resident: DataFrame, indexDir: String): Unit = {
-    IncrementalDedup.buildIndex(resident, indexDir)
+  def buildIndex(resident: DataFrame, indexDir: String): Unit =
+    StoreLock.withLock(resident.sparkSession, indexDir, "cluster-build") {
+    IncrementalDedup.buildIndex(resident, indexDir) // reentrant, same store
     val spark = resident.sparkSession
     val (sh, dfTab, texts) = shingleTables(spark, indexDir)
     val edges = allEdges(sh, dfTab, texts)
@@ -172,7 +173,8 @@ object ClusterIndex {
   /** Fold a batch into the cluster index so it equals a full rebuild over
     * the union — without a corpus text scan (see object doc for the
     * edge/label maintenance argument). */
-  def appendToIndex(spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+  def appendToIndex(spark: SparkSession, indexDir: String, batch: DataFrame): Unit =
+    StoreLock.withLock(spark, indexDir, "cluster-append") {
     val m = IncrementalDedup.mergeBatch(spark, indexDir, batch)
     val oldEdges = spark.read.schema(EdgesSchema).parquet(s"$indexDir/edges.parquet")
     val oldLabels = spark.read.schema(LabelsSchema).parquet(s"$indexDir/labels.parquet")
@@ -242,7 +244,8 @@ object ClusterIndex {
     * and SPLIT; the affected-subgraph machinery is the same one the
     * append path spec-pinned. Victim-proportional plus narrow scans;
     * whole-dir swap; idempotent (a replayed takedown finds no members). */
-  def deleteFromIndex(spark: SparkSession, indexDir: String, ids: DataFrame): Unit = {
+  def deleteFromIndex(spark: SparkSession, indexDir: String, ids: DataFrame): Unit =
+    StoreLock.withLock(spark, indexDir, "cluster-delete") {
     val m = IncrementalDedup.mergeDelete(spark, indexDir, ids)
     if (m.members eq null) return
     val oldEdges = spark.read.schema(EdgesSchema).parquet(s"$indexDir/edges.parquet")

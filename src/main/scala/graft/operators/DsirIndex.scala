@@ -45,7 +45,8 @@ object DsirIndex {
   }
 
   /** Estimate (overwrite) the distributions as epoch 0. */
-  def buildIndex(spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
+  def buildIndex(spark: SparkSession, docs: DataFrame, indexDir: String): Unit =
+    StoreLock.withLock(spark, indexDir, "dsir-build") {
     val root = new Path(indexDir)
     root.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(root, true)
     writeEpoch(spark, indexDir, 0, docs)
@@ -58,7 +59,8 @@ object DsirIndex {
     * not) is reconciled away before the rewrite, so a replayed batch
     * lands exactly once ([[EpochLedger]]). Caller dedupes against
     * [[residentDocIds]] (the streaming lane anti-joins). */
-  def appendToIndex(spark: SparkSession, indexDir: String, batch0: DataFrame): Unit = {
+  def appendToIndex(spark: SparkSession, indexDir: String, batch0: DataFrame): Unit =
+    StoreLock.withLock(spark, indexDir, "dsir-append") {
     // a doc with a pending deletion stays dead until the deletion-
     // applying compact ([[NegEpochs]] shadow semantics)
     val batch = NegEpochs.minus(spark, indexDir, batch0)
@@ -113,7 +115,8 @@ object DsirIndex {
     * folded counter table the next append would mistake for residue.
     * PENDING DELETIONS are applied with a whole-store swap instead (the
     * [[NegEpochs]] cross-table-atomic retire; see [[LmIndex.compact]]). */
-  def compact(spark: SparkSession, indexDir: String): Unit = {
+  def compact(spark: SparkSession, indexDir: String): Unit =
+    StoreLock.withLock(spark, indexDir, "dsir-compact") {
     if (NegEpochs.pending(spark, indexDir)) {
       val bt = bucketTotals(spark, indexDir).persist()
       val rd = residentDocIds(spark, indexDir).persist()

@@ -44,7 +44,8 @@ object EvalIndex {
   }
 
   /** Build (overwrite) the vocabulary as epoch 0. */
-  def buildIndex(spark: SparkSession, evalDocs: DataFrame, indexDir: String): Unit = {
+  def buildIndex(spark: SparkSession, evalDocs: DataFrame, indexDir: String): Unit =
+    StoreLock.withLock(spark, indexDir, "eval-build") {
     val root = new Path(indexDir)
     root.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(root, true)
     writeEpoch(spark, indexDir, 0, evalDocs)
@@ -52,7 +53,8 @@ object EvalIndex {
 
   /** Fold a batch of new eval documents in — O(batch); caller dedupes
     * against [[residentDocIds]]. */
-  def appendToIndex(spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+  def appendToIndex(spark: SparkSession, indexDir: String, batch: DataFrame): Unit =
+    StoreLock.withLock(spark, indexDir, "eval-append") {
     val sh = new Path(indexDir, "shingles.parquet")
     val fs = sh.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val next = fs.listStatus(sh).map(_.getPath.getName)
@@ -85,7 +87,8 @@ object EvalIndex {
   /** Fold all epochs into one — the read-merge, made durable; tombstoned
     * docs fold out of both tables, then the SNAPSHOT's tombstone epochs
     * retire (a takedown racing the compact stays pending). */
-  def compact(spark: SparkSession, indexDir: String): Unit = {
+  def compact(spark: SparkSession, indexDir: String): Unit =
+    StoreLock.withLock(spark, indexDir, "eval-compact") {
     val ts = Tombstones.snapshot(spark, indexDir)
     EpochCompact.compactTable(spark, s"$indexDir/shingles.parquet",
       raw => ts.minus(spark, raw.distinct(), "doc_id"), ts.nonEmpty)

@@ -71,7 +71,8 @@ object IncrementalDedup {
     *  - shingle_df:    (sh, cdf) copy-weighted corpus df
     *  - members:       (doc_id, tkey) resident membership
     */
-  def buildIndex(resident: DataFrame, indexDir: String): Unit = {
+  def buildIndex(resident: DataFrame, indexDir: String): Unit =
+    StoreLock.withLock(resident.sparkSession, indexDir, "incdedup-build") {
     val (sh, texts) = textShingles(resident)
     sh.write.mode("overwrite").parquet(s"$indexDir/text_shingles.parquet")
     val cdf = sh.join(texts, "tkey")
@@ -138,7 +139,8 @@ object IncrementalDedup {
     * dedupe at the doc_id level before calling this, matching the
     * reference's skip-already-loaded semantics (main.py:153-168).
     */
-  def appendToIndex(spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+  def appendToIndex(spark: SparkSession, indexDir: String, batch: DataFrame): Unit =
+    StoreLock.withLock(spark, indexDir, "incdedup-append") {
     val m = mergeBatch(spark, indexDir, batch)
     // materialize to tmp FIRST (the plans above read the live index), then
     // atomically swap the whole index directory
@@ -188,7 +190,8 @@ object IncrementalDedup {
     *  - n0: texts containing a shingle the deletion pulled back UNDER
     *    the cap gain +1 per such shingle (the cap correction reversed);
     *    fully-dropped texts lose their row outright. */
-  def deleteFromIndex(spark: SparkSession, indexDir: String, ids: DataFrame): Unit = {
+  def deleteFromIndex(spark: SparkSession, indexDir: String, ids: DataFrame): Unit =
+    StoreLock.withLock(spark, indexDir, "incdedup-delete") {
     val m = mergeDelete(spark, indexDir, ids)
     if (m.members eq null) return // nothing resident to delete
     AtomicPublish.swapDir(spark, indexDir,

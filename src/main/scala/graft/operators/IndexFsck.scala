@@ -243,16 +243,15 @@ object IndexFsck {
     * remediation cannot drift); orphan baks are never touched. Returns
     * removed paths.
     *
-    * CONCURRENCY: gc is a WRITER and inherits the store fleet's
-    * single-writer contract — run it with no concurrent writer on the
-    * store lineage (the maintenance driver's idle window, or offline).
-    * Within one driver it additionally takes the store's [[StoreLock]]
-    * (serializing against deletion writes and deletion-applying
-    * compacts) and re-verifies each bak's live twin immediately before
-    * deleting it, so a swap that completed between the scan and the
-    * delete is never mistaken for residue — but an EPOCH-cadence compact
-    * in another process is outside any lock's reach, which is what the
-    * offline rule is for. */
+    * CONCURRENCY: gc is a WRITER and takes the store's [[StoreLock]] +
+    * lease like every other writer — and since round 13 EVERY writer
+    * (appends, builds, compacts, retrains, deletions) holds that lock,
+    * gc is serialized against all of them by mechanism, in-process and
+    * cross-process alike. It additionally re-verifies each bak's live
+    * twin immediately before deleting it (a swap that completed between
+    * the scan and the delete is never mistaken for residue) and
+    * age-guards staging dirs by their newest inner mtime — belt and
+    * braces against any legacy writer that predates the lock. */
   /** Minimum staging-dir age before [[gc]] treats it as crash residue:
     * appends and the tombstone families' table-level swaps do NOT take
     * the [[StoreLock]], so even within the single documented driver a gc

@@ -162,7 +162,8 @@ object IvfIndex {
   def buildIndex(
       spark: SparkSession, indexDir: String,
       cents: Seq[(Long, Seq[Double])], corpus: DataFrame,
-      cb: Seq[((Int, Long), Seq[Double])] = null): Unit = {
+      cb: Seq[((Int, Long), Seq[Double])] = null): Unit =
+    StoreLock.withLock(spark, indexDir, "ivf-build") {
     val f = fs(spark, indexDir)
     f.delete(new Path(indexDir), true)
     f.mkdirs(new Path(indexDir))
@@ -227,7 +228,8 @@ object IvfIndex {
     * [[AnnIndex.appendToIndex]]: double-appending duplicates rows (query
     * output stays identical through the rescore dedup); callers dedupe by
     * vec_id for exact idempotence. */
-  def appendToIndex(spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+  def appendToIndex(spark: SparkSession, indexDir: String, batch: DataFrame): Unit =
+    StoreLock.withLock(spark, indexDir, "ivf-append") {
     val next = epochDirs(spark, indexDir)
       .map(_.stripPrefix("epoch=").toInt).max + 1
     writeEpoch(spark, indexDir, next, readCentroids(spark, indexDir),
@@ -271,7 +273,8 @@ object IvfIndex {
     * the renames leaves the full old index in the `.retrain-bak` recovery
     * copy. The retrained store's epoch-0 stats become the NEW drift
     * baseline, so the detector re-arms automatically. */
-  def retrain(spark: SparkSession, indexDir: String): Unit = {
+  def retrain(spark: SparkSession, indexDir: String): Unit =
+    StoreLock.withLock(spark, indexDir, "ivf-retrain") {
     // resident MINUS tombstones: a deleted vector must neither train the
     // new quantizer nor survive the rebuild; the whole-dir swap drops the
     // old tombstone table with the old store
@@ -338,7 +341,8 @@ object IvfIndex {
     * trail, not a view of the resident set). */
   private[graft] def compactExcluding(
       spark: SparkSession, indexDir: String,
-      dropIds: Option[DataFrame]): Unit = {
+      dropIds: Option[DataFrame]): Unit =
+    StoreLock.withLock(spark, indexDir, "ivf-compact") {
     // freeze the tombstone epoch set BEFORE the fold-read: a takedown
     // racing this compact lands a later epoch that must survive the
     // clear (Tombstones.Snapshot contract)

@@ -66,7 +66,8 @@ object LmIndex {
   }
 
   /** Train (overwrite) the model as epoch 0. */
-  def buildModel(spark: SparkSession, docs: DataFrame, modelDir: String): Unit = {
+  def buildModel(spark: SparkSession, docs: DataFrame, modelDir: String): Unit =
+    StoreLock.withLock(spark, modelDir, "lm-build") {
     val root = new Path(modelDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(root, true)
@@ -80,7 +81,8 @@ object LmIndex {
     * against `residentDocIds` (the streaming lane anti-joins). A doc
     * with a pending deletion stays dead ([[NegEpochs]] shadow
     * semantics) until the deletion-applying compact. */
-  def appendToModel(spark: SparkSession, modelDir: String, batch0: DataFrame): Unit = {
+  def appendToModel(spark: SparkSession, modelDir: String, batch0: DataFrame): Unit =
+    StoreLock.withLock(spark, modelDir, "lm-append") {
     val batch = NegEpochs.minus(spark, modelDir, batch0)
     val pairs = new Path(modelDir, "pairs.parquet")
     val fs = pairs.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -137,7 +139,8 @@ object LmIndex {
     * only cross-table-atomic way to retire negative epochs (a per-table
     * fold could crash between subtracting and clearing and subtract
     * twice on the re-run). */
-  def compact(spark: SparkSession, modelDir: String): Unit = {
+  def compact(spark: SparkSession, modelDir: String): Unit =
+    StoreLock.withLock(spark, modelDir, "lm-compact") {
     if (NegEpochs.pending(spark, modelDir)) {
       val pt = pairTotals(spark, modelDir).persist()
       val px = prefixTotals(spark, modelDir).persist()

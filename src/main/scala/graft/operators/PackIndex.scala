@@ -58,7 +58,8 @@ object PackIndex {
 
   /** Build (overwrite) the manifest as epoch 0 — the one-shot
     * [[PackingOps.offsets]] scan. */
-  def buildIndex(spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
+  def buildIndex(spark: SparkSession, docs: DataFrame, indexDir: String): Unit =
+    StoreLock.withLock(spark, indexDir, "pack-build") {
     val root = new Path(indexDir)
     root.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(root, true)
     writeEpoch(spark, indexDir, 0, PackingOps.offsets(docs))
@@ -68,7 +69,8 @@ object PackIndex {
     * scan (O(batch)) and shifts by the resident per-source base — one
     * broadcast join, never a corpus re-scan. Caller dedupes batches
     * against [[residentDocIds]]. */
-  def appendToIndex(spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+  def appendToIndex(spark: SparkSession, indexDir: String, batch: DataFrame): Unit =
+    StoreLock.withLock(spark, indexDir, "pack-append") {
     val manifest = new Path(indexDir, "manifest.parquet")
     val fs = manifest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val next = fs.listStatus(manifest).map(_.getPath.getName)
@@ -105,7 +107,8 @@ object PackIndex {
     * tombstoned docs fold out of the manifest and the ledger (base keeps
     * the tail position — see [[deleteFromIndex]]), then the tombstones
     * retire. Pending tombstones force the fold even at one epoch. */
-  def compact(spark: SparkSession, indexDir: String): Unit = {
+  def compact(spark: SparkSession, indexDir: String): Unit =
+    StoreLock.withLock(spark, indexDir, "pack-compact") {
     val ts = Tombstones.snapshot(spark, indexDir)
     EpochCompact.compactTable(spark, s"$indexDir/manifest.parquet",
       raw => ts.minus(spark, raw.distinct(), "doc_id"), ts.nonEmpty)

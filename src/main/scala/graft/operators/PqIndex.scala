@@ -55,7 +55,8 @@ object PqIndex {
     * frozen one is supplied (the append≡rebuild spec's reference path). */
   def buildIndex(
       spark: SparkSession, raw: DataFrame, indexDir: String,
-      codebook: Option[Seq[((Int, Long), Seq[Double])]] = None): Unit = {
+      codebook: Option[Seq[((Int, Long), Seq[Double])]] = None): Unit =
+    StoreLock.withLock(spark, indexDir, "pq-build") {
     val root = new Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(root, true)
@@ -80,7 +81,8 @@ object PqIndex {
   /** Fold a batch of new vectors in: map-only code assignment against the
     * FROZEN codebook, one fresh epoch per table. Caller dedupes batches
     * against [[residentVecIds]]. */
-  def appendToIndex(spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+  def appendToIndex(spark: SparkSession, indexDir: String, batch: DataFrame): Unit =
+    StoreLock.withLock(spark, indexDir, "pq-append") {
     val codes = new Path(indexDir, "codes.parquet")
     val fs = codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val next = fs.listStatus(codes).map(_.getPath.getName)
@@ -102,7 +104,8 @@ object PqIndex {
     * out of all three tables, then the tombstone table retires; pending
     * tombstones FORCE the fold even at one epoch (the ≤1-epoch no-op
     * must not retire unapplied deletions). */
-  def compact(spark: SparkSession, indexDir: String): Unit = {
+  def compact(spark: SparkSession, indexDir: String): Unit =
+    StoreLock.withLock(spark, indexDir, "pq-compact") {
     // frozen tombstone epoch set: fold out exactly these, retire exactly
     // these — a takedown racing this compact stays pending for the next
     val ts = Tombstones.snapshot(spark, indexDir)

@@ -82,7 +82,8 @@ object SearchIndex {
   }
 
   /** Build (overwrite) the index as epoch 0. */
-  def buildIndex(spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
+  def buildIndex(spark: SparkSession, docs: DataFrame, indexDir: String): Unit =
+    StoreLock.withLock(spark, indexDir, "search-build") {
     val root = new Path(indexDir)
     root.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(root, true)
     writeEpoch(spark, indexDir, 0, docs)
@@ -92,7 +93,8 @@ object SearchIndex {
     * function, so the batch's postings land as a fresh epoch with no
     * resident row touched — O(batch). Caller dedupes batches against
     * [[residentDocIds]]. */
-  def appendToIndex(spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+  def appendToIndex(spark: SparkSession, indexDir: String, batch: DataFrame): Unit =
+    StoreLock.withLock(spark, indexDir, "search-append") {
     // v1 stores migrate BEFORE the append so a mixed-schema ledger (old
     // epochs without dl, new epochs with it) can never exist on disk
     migrateDocsLedger(spark, indexDir)
@@ -183,7 +185,8 @@ object SearchIndex {
     * still needs the rewrite — only after it may the table retire), and
     * the postings rewrite preserves the tbucket directory layout so the
     * pruned-read contract survives compaction. */
-  def compact(spark: SparkSession, indexDir: String): Unit = {
+  def compact(spark: SparkSession, indexDir: String): Unit =
+    StoreLock.withLock(spark, indexDir, "search-compact") {
     // a v1 ledger must gain dl BEFORE the fold — distinct() over a
     // mixed-schema table would drop it for every doc
     migrateDocsLedger(spark, indexDir)

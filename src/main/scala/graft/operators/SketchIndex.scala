@@ -61,7 +61,8 @@ object SketchIndex {
   }
 
   /** Build (overwrite) the store as epoch 0. */
-  def buildIndex(spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
+  def buildIndex(spark: SparkSession, docs: DataFrame, indexDir: String): Unit =
+    StoreLock.withLock(spark, indexDir, "sketch-build") {
     val root = new Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(root, true)
@@ -71,7 +72,8 @@ object SketchIndex {
   /** Fold a batch in: its own bottom-K sample + counts land as a fresh
     * epoch — O(batch), no resident row touched. Caller dedupes batches
     * against [[residentDocIds]]. */
-  def appendToIndex(spark: SparkSession, indexDir: String, batch0: DataFrame): Unit = {
+  def appendToIndex(spark: SparkSession, indexDir: String, batch0: DataFrame): Unit =
+    StoreLock.withLock(spark, indexDir, "sketch-append") {
     // a doc with a pending deletion stays dead until the deletion-
     // applying compact ([[NegEpochs]] shadow semantics)
     val batch = NegEpochs.minus(spark, indexDir, batch0)
@@ -151,7 +153,8 @@ object SketchIndex {
     * read performs ([[EpochCompact]] swap safety). PENDING DELETIONS are
     * applied with a whole-store swap instead (the [[NegEpochs]]
     * cross-table-atomic retire; see [[LmIndex.compact]]). */
-  def compact(spark: SparkSession, indexDir: String): Unit = {
+  def compact(spark: SparkSession, indexDir: String): Unit =
+    StoreLock.withLock(spark, indexDir, "sketch-compact") {
     if (NegEpochs.pending(spark, indexDir)) {
       val sm = mergeSample(spark, indexDir,
         spark.read.parquet(s"$indexDir/sample.parquet")).persist()

@@ -42,7 +42,8 @@ object SpanIndex {
   }
 
   /** Build (overwrite) the index as epoch 0. */
-  def buildIndex(spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
+  def buildIndex(spark: SparkSession, docs: DataFrame, indexDir: String): Unit =
+    StoreLock.withLock(spark, indexDir, "span-build") {
     val root = new Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(root, true)
@@ -54,7 +55,8 @@ object SpanIndex {
     * rename per table. Readers sum across epochs before the duplicate
     * filter, so the result is EXACTLY the rebuild (addition is the whole
     * merge). Caller dedupes batches against [[residentDocIds]]. */
-  def appendToIndex(spark: SparkSession, indexDir: String, batch0: DataFrame): Unit = {
+  def appendToIndex(spark: SparkSession, indexDir: String, batch0: DataFrame): Unit =
+    StoreLock.withLock(spark, indexDir, "span-append") {
     // a doc with a pending deletion stays dead until the deletion-
     // applying compact ([[NegEpochs]] shadow semantics)
     val batch = NegEpochs.minus(spark, indexDir, batch0)
@@ -92,7 +94,8 @@ object SpanIndex {
     * merge every read already performs ([[EpochCompact]] swap safety).
     * PENDING DELETIONS are applied with a whole-store swap instead (the
     * [[NegEpochs]] cross-table-atomic retire; see [[LmIndex.compact]]). */
-  def compact(spark: SparkSession, indexDir: String): Unit = {
+  def compact(spark: SparkSession, indexDir: String): Unit =
+    StoreLock.withLock(spark, indexDir, "span-compact") {
     if (NegEpochs.pending(spark, indexDir)) {
       val g = netGramTotals(spark, indexDir).persist()
       val rd = residentDocIds(spark, indexDir).persist()

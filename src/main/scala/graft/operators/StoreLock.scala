@@ -7,10 +7,14 @@ import java.util.concurrent.locks.ReentrantLock
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
-/** Per-store serialization of the DELETION writers against the
-  * maintenance loop — the enforcement half of the single-deletion-writer
-  * contract every family documents ([[Tombstones.delete]],
-  * [[NegEpochs.writeDeletion]]). Two layers:
+/** Per-store serialization of EVERY store writer — appends, builds,
+  * compacts, retrains, deletions ([[Tombstones.delete]],
+  * [[NegEpochs.writeDeletion]]), residue gc, and the persisted ledgers'
+  * epoch numbering. Round 12 enforced the deletion half in-process;
+  * this is the whole single-writer contract as mechanism: every
+  * epoch-numbering read-modify-write and every whole-store swap runs
+  * under the same per-store lock, so nothing is left to prose. Two
+  * layers:
   *
   *  - IN-PROCESS: one [[ReentrantLock]] per canonical store path, FAIR
   *    (a takedown queued behind a long compact runs next, not starved).
@@ -27,12 +31,15 @@ import org.apache.spark.sql.SparkSession
   *    its mtime every expiry/3, so a live holder's lease never goes
   *    stale under it. A SECOND DRIVER on the same store lineage — the
   *    first thing a horizontally-scaled fleet does — now gets a loud
-  *    refusal naming the current owner on every deletion-write path,
-  *    instead of racing everything but the [[NegEpochs.applyWithSwap]]
+  *    refusal naming the current owner on every write path, instead of
+  *    racing everything but the [[NegEpochs.applyWithSwap]]
   *    staged-snapshot backstop (which stays: the lease is advisory
   *    against a writer that does not take it). A lease whose mtime is
   *    older than the expiry is a CRASHED holder's residue and is taken
-  *    over (the heartbeat proves liveness; only death stops it).
+  *    over (the heartbeat proves liveness; only death stops it) — and a
+  *    SAME-HOST owner whose pid the kernel reports dead is taken over
+  *    immediately, so a restarted driver is not locked out of its own
+  *    stores for a full expiry.
   *
   * The lease file is content-addressed to its owner
   * (`pid@host#nonce`), so takeover and reentrant re-acquire can tell
@@ -47,13 +54,31 @@ private[operators] object StoreLock {
   private val heartbeats =
     new ConcurrentHashMap[String, (ScheduledFuture[_], java.util.concurrent.atomic.AtomicBoolean)]()
 
+  private val LocalHost: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: Exception => "localhost" }
+
   /** This process's lease identity — stable for the JVM's lifetime. */
-  val OwnerId: String = {
-    val host =
-      try java.net.InetAddress.getLocalHost.getHostName
-      catch { case _: Exception => "localhost" }
-    s"${ProcessHandle.current().pid()}@$host#" +
+  val OwnerId: String =
+    s"${ProcessHandle.current().pid()}@$LocalHost#" +
       java.util.UUID.randomUUID().toString.take(8)
+
+  /** The lease's holder is a process ON THIS HOST that is provably dead
+    * — the fast-takeover path: a crashed driver restarted by an operator
+    * (or a crashed test JVM re-run) must not lock its own stores for a
+    * full expiry when the kernel can answer "is that pid alive" right
+    * now. Only same-host owners are checkable; a recycled pid that
+    * happens to be alive reads as live (safe direction: refusal, never
+    * takeover of a live holder). */
+  private def deadLocalHolder(owner: String): Boolean = {
+    val at = owner.indexOf('@')
+    val hash = owner.indexOf('#')
+    at > 0 && hash > at &&
+      owner.substring(at + 1, hash) == LocalHost &&
+      owner.substring(0, at).toLongOption.exists { pid =>
+        val h = ProcessHandle.of(pid)
+        !h.isPresent || !h.get.isAlive
+      }
   }
 
   /** Default lease expiry. Long enough that a paused-but-alive holder's
@@ -188,7 +213,7 @@ private[operators] object StoreLock {
           val age =
             if (observedMtime < 0) Long.MaxValue
             else System.currentTimeMillis() - observedMtime
-          if (age > expiryMs) {
+          if (age > expiryMs || owner.exists(deadLocalHolder)) {
             // stale: the holder's heartbeat stopped ≥ expiry ago — a
             // crashed driver. Take over — but ONLY delete the exact
             // stale (owner, mtime) observation: two recoverers racing

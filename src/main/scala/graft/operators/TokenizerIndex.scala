@@ -59,7 +59,8 @@ object TokenizerIndex {
 
   /** Train (overwrite) the tokenizer as epoch 0 of every table; the
     * training corpus's own merge rate is the drift baseline. */
-  def buildIndex(spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
+  def buildIndex(spark: SparkSession, docs: DataFrame, indexDir: String): Unit =
+    StoreLock.withLock(spark, indexDir, "tokenizer-build") {
     import spark.implicits._
     val root = new Path(indexDir)
     root.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(root, true)
@@ -123,7 +124,8 @@ object TokenizerIndex {
     * baseline/served split; the ledger dedups). `merges.parquet` is one
     * frozen epoch by construction — nothing to fold. Stats fold BEFORE
     * the ledger (the [[EpochLedger]] compact ordering contract). */
-  def compact(spark: SparkSession, indexDir: String): Unit = {
+  def compact(spark: SparkSession, indexDir: String): Unit =
+    StoreLock.withLock(spark, indexDir, "tokenizer-compact") {
     // orphaned stats residue must not fold into the committed epoch=0
     // (the replayed batch would then double-count the drift counters)
     EpochLedger.dropOrphans(
@@ -168,9 +170,13 @@ object TokenizerIndex {
     * with the two-rename discipline — readers see the old tokenizer or
     * the new one, never a half-built mix. */
   def retrain(spark: SparkSession, indexDir: String, corpus: DataFrame): Unit =
-    AtomicPublish.swapDir(spark, indexDir,
-      tmpSuffix = ".retrain-tmp", bakSuffix = ".retrain-bak") { tmp =>
-      buildIndex(spark, corpus, tmp.toString)
+    StoreLock.withLock(spark, indexDir, "tokenizer-retrain") {
+      AtomicPublish.swapDir(spark, indexDir,
+        tmpSuffix = ".retrain-tmp", bakSuffix = ".retrain-bak") { tmp =>
+        // the inner build locks the TMP path (a distinct key) — harmless,
+        // and the store-level lock above is the one that serializes
+        buildIndex(spark, corpus, tmp.toString)
+      }
     }
 
   /** Policy hook: retrain iff [[mergeRateReport]] says the vocabulary

@@ -58,7 +58,8 @@ object WinnowIndex {
   }
 
   /** Build (overwrite) the index as epoch 0. */
-  def buildIndex(spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
+  def buildIndex(spark: SparkSession, docs: DataFrame, indexDir: String): Unit =
+    StoreLock.withLock(spark, indexDir, "winnow-build") {
     val root = new Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(root, true)
@@ -137,7 +138,8 @@ object WinnowIndex {
     * isolation (O(batch) — selection is a pure per-text function, so no
     * resident text is touched) and land as a fresh epoch. Caller dedupes
     * batches against [[residentDocIds]]. */
-  def appendToIndex(spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+  def appendToIndex(spark: SparkSession, indexDir: String, batch: DataFrame): Unit =
+    StoreLock.withLock(spark, indexDir, "winnow-append") {
     requireMembersTwin(spark, indexDir, "append")
     val fps = new Path(indexDir, "fps.parquet")
     val fs = fps.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -179,7 +181,8 @@ object WinnowIndex {
     * with no surviving member drop their fingerprint rows, and the
     * SNAPSHOT's tombstone epochs retire (a takedown racing the compact
     * stays pending). */
-  def compact(spark: SparkSession, indexDir: String): Unit = {
+  def compact(spark: SparkSession, indexDir: String): Unit =
+    StoreLock.withLock(spark, indexDir, "winnow-compact") {
     requireMembersTwin(spark, indexDir, "compact")
     val ts = Tombstones.snapshot(spark, indexDir)
     EpochCompact.compactTable(spark, s"$indexDir/members.parquet",

@@ -94,6 +94,54 @@ class StoreLeaseSpec extends AnyFunSuite {
         LmIndex.scoreDocs(spark, probe, rebuilt).collect().map(_.toSeq).toSet)
   }
 
+  test("EVERY writer path — append, compact, build, retrain — refuses a " +
+      "fresh foreign lease, not just the deletion writers") {
+    val base = tmp("graft-leasewriters")
+    val idx = s"$base/lm"
+    LmIndex.buildModel(spark, corpus, idx)
+    plantForeignLease(idx)
+    val more = Seq((9L, "nu xi omicron", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    assert(intercept[IllegalStateException] {
+      LmIndex.appendToModel(spark, idx, more)
+    }.getMessage.contains("lease-held"))
+    assert(intercept[IllegalStateException] {
+      LmIndex.compact(spark, idx)
+    }.getMessage.contains("lease-held"))
+    assert(intercept[IllegalStateException] {
+      LmIndex.buildModel(spark, corpus, idx)
+    }.getMessage.contains("lease-held"))
+    // a second store, to cover a swap-discipline writer (retrain)
+    val tok = s"$base/tok"
+    TokenizerIndex.buildIndex(spark, corpus.select("doc_id", "text"), tok)
+    plantForeignLease(tok)
+    assert(intercept[IllegalStateException] {
+      TokenizerIndex.retrain(spark, tok, corpus.select("doc_id", "text"))
+    }.getMessage.contains("lease-held"))
+  }
+
+  test("a crashed SAME-HOST holder (dead pid) is taken over immediately — " +
+      "no 10-minute lockout after an operator restarts the driver") {
+    val base = tmp("graft-leasedeadpid")
+    val idx = s"$base/lm"
+    LmIndex.buildModel(spark, corpus, idx)
+    val host = StoreLock.OwnerId.split("@")(1).split("#")(0)
+    // pid 88888888 exceeds any live pid here; lease mtime is FRESH —
+    // only the kernel's "that pid is dead" makes this takeable
+    Files.writeString(leaseFile(idx), s"88888888@$host#dead0000\ncrashed\n")
+    LmIndex.deleteFromModel(spark, idx, corpus.filter(col("doc_id") === 3L))
+    assert(new java.io.File(s"$idx/dels.parquet").exists())
+    assert(!Files.exists(leaseFile(idx)))
+    // the safe direction: a LIVE same-host pid (ours, different nonce —
+    // the pid-reuse shape) is refused while fresh
+    Files.writeString(leaseFile(idx),
+      s"${ProcessHandle.current().pid()}@$host#notus123\nother\n")
+    assert(intercept[IllegalStateException] {
+      LmIndex.compact(spark, idx)
+    }.getMessage.contains("lease-held"))
+    Files.delete(leaseFile(idx))
+  }
+
   test("a normal write takes and RELEASES the lease; while held it is on " +
       "disk with this process's owner id") {
     val dir = tmp("graft-leaseheld") + "/store"
