@@ -74,7 +74,8 @@ object ClassifyIndex {
     * reversed); needs the doc ROWS, the counter table is not
     * doc-attributed. A holdout-split victim contributes zero counts but
     * still leaves the ledger. O(victims). */
-  def deleteFromModel(spark: SparkSession, modelDir: String, docRows: DataFrame): Unit = {
+  def deleteFromModel(spark: SparkSession, modelDir: String, docRows: DataFrame): Unit =
+    StoreLock.withLock(spark, modelDir, "classify-delete") {
     val v = NegEpochs.victims(spark, modelDir, docRows,
       spark.read.parquet(s"$modelDir/docs.parquet")).persist()
     try {

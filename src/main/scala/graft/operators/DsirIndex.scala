@@ -79,7 +79,8 @@ object DsirIndex {
     * as a negative epoch ([[NegEpochs]] — the additive arithmetic
     * reversed); needs the doc ROWS (text, lang), the 512-row model is
     * not doc-attributed. O(victims). */
-  def deleteFromIndex(spark: SparkSession, indexDir: String, docRows: DataFrame): Unit = {
+  def deleteFromIndex(spark: SparkSession, indexDir: String, docRows: DataFrame): Unit =
+    StoreLock.withLock(spark, indexDir, "dsir-delete") {
     val v = NegEpochs.victims(spark, indexDir, docRows,
       spark.read.parquet(s"$indexDir/docs.parquet")).persist()
     try {

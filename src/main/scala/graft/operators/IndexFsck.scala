@@ -252,14 +252,14 @@ object IndexFsck {
     * the scan and the delete is never mistaken for residue) and
     * age-guards staging dirs by their newest inner mtime — belt and
     * braces against any legacy writer that predates the lock. */
-  /** Minimum staging-dir age before [[gc]] treats it as crash residue:
-    * appends and the tombstone families' table-level swaps do NOT take
-    * the [[StoreLock]], so even within the single documented driver a gc
-    * can race an IN-FLIGHT append's `.epoch-N.tmp` (deleting it from
-    * under the writer mid-stage). A staging dir younger than this is
-    * presumed live and skipped — a crashed writer's residue only gets
-    * OLDER, so the skip delays its collection by one cycle, never leaks
-    * it. Baks need no age guard: they get the per-victim live-twin
+  /** Minimum staging-dir age before [[gc]] treats it as crash residue.
+    * Since every writer now holds the [[StoreLock]] + lease, a locked gc
+    * cannot race a current-code writer at all — this guard is belt and
+    * braces against LEGACY writers (pre-lock binaries sharing the store)
+    * and operator-made staging-shaped dirs. A staging dir younger than
+    * this is presumed live and skipped — a crashed writer's residue only
+    * gets OLDER, so the skip delays its collection by one cycle, never
+    * leaks it. Baks need no age guard: they get the per-victim live-twin
     * re-check instead (a mid-swap bak has no live twin → orphan →
     * untouchable by construction). */
   val GcMinStagingAgeMs: Long = 15L * 60 * 1000

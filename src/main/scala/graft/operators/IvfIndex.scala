@@ -163,7 +163,17 @@ object IvfIndex {
       spark: SparkSession, indexDir: String,
       cents: Seq[(Long, Seq[Double])], corpus: DataFrame,
       cb: Seq[((Int, Long), Seq[Double])] = null): Unit =
-    StoreLock.withLock(spark, indexDir, "ivf-build") {
+    StoreLock.withLock(spark, indexDir, "ivf-build")(
+      buildInto(spark, indexDir, cents, corpus, cb))
+
+  /** The unlocked build body — [[retrain]] stages through this into its
+    * private `.retrain-tmp` dir under the OUTER store lock (a lease on a
+    * staging path would orphan invisibly on crash and block a
+    * rescheduled-host retry; see [[TokenizerIndex.buildInto]]). */
+  private def buildInto(
+      spark: SparkSession, indexDir: String,
+      cents: Seq[(Long, Seq[Double])], corpus: DataFrame,
+      cb: Seq[((Int, Long), Seq[Double])] = null): Unit = {
     val f = fs(spark, indexDir)
     f.delete(new Path(indexDir), true)
     f.mkdirs(new Path(indexDir))
@@ -290,7 +300,7 @@ object IvfIndex {
         corpus.select(col("vec_id"), col("embedding").as("v")), k)
       AtomicPublish.swapDir(spark, indexDir,
         tmpSuffix = ".retrain-tmp", bakSuffix = ".retrain-bak") { tmp =>
-        buildIndex(spark, tmp.toString, cents, corpus)
+        buildInto(spark, tmp.toString, cents, corpus)
       }
     } finally { corpus.unpersist(); () }
   }

@@ -118,7 +118,8 @@ object LmIndex {
     * in reverse ([[NegEpochs]]); needs the doc ROWS (text), since the
     * counter tables are not doc-attributed. O(victims); scores exclude
     * the docs immediately; [[compact]] makes the deletion durable. */
-  def deleteFromModel(spark: SparkSession, modelDir: String, docRows: DataFrame): Unit = {
+  def deleteFromModel(spark: SparkSession, modelDir: String, docRows: DataFrame): Unit =
+    StoreLock.withLock(spark, modelDir, "lm-delete") {
     val v = NegEpochs.victims(spark, modelDir, docRows,
       spark.read.parquet(s"$modelDir/docs.parquet")).persist()
     try {

@@ -120,7 +120,11 @@ object SearchIndex {
     * rebuilt, bit for bit (spec: `SearchIndexSpec`). Runs on every
     * mutation ([[appendToIndex]], [[compact]]); no-op (schema checks
     * only) on v2 stores. */
-  def migrateDocsLedger(spark: SparkSession, indexDir: String): Unit = {
+  def migrateDocsLedger(spark: SparkSession, indexDir: String): Unit =
+    // a store-mutating writer in its own right (fsck documents direct
+    // operator invocation), so it takes the writer lock itself —
+    // reentrant under the locked append/compact callers
+    StoreLock.withLock(spark, indexDir, "search-migrate") {
     val docsT = new Path(indexDir, "docs.parquet")
     val fs = docsT.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(docsT)) return

@@ -102,7 +102,8 @@ object SketchIndex {
     * exactly when no victim occupied a sample slot (the overwhelmingly
     * common case: K slots out of the whole source). Needs the doc ROWS
     * (doc_id, source) — the ledger is not source-attributed. */
-  def deleteFromIndex(spark: SparkSession, indexDir: String, docRows: DataFrame): Unit = {
+  def deleteFromIndex(spark: SparkSession, indexDir: String, docRows: DataFrame): Unit =
+    StoreLock.withLock(spark, indexDir, "sketch-delete") {
     val v = NegEpochs.victims(spark, indexDir, docRows,
       spark.read.parquet(s"$indexDir/docs.parquet")).persist()
     try {

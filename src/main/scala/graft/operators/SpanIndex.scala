@@ -79,7 +79,8 @@ object SpanIndex {
     * reversed); needs the doc ROWS, the gram table is not doc-attributed.
     * A window duplicated ONLY because of the victim drops below the ≥2
     * filter immediately — the score a rebuild without the doc produces. */
-  def deleteFromIndex(spark: SparkSession, indexDir: String, docRows: DataFrame): Unit = {
+  def deleteFromIndex(spark: SparkSession, indexDir: String, docRows: DataFrame): Unit =
+    StoreLock.withLock(spark, indexDir, "span-delete") {
     val v = NegEpochs.victims(spark, indexDir, docRows,
       spark.read.parquet(s"$indexDir/docs.parquet")).persist()
     try {

@@ -42,8 +42,10 @@ import org.apache.spark.sql.SparkSession
   *    stores for a full expiry.
   *
   * The lease file is content-addressed to its owner
-  * (`pid@host#nonce`), so takeover and reentrant re-acquire can tell
-  * "mine" from "foreign" without trusting timing alone.
+  * (`pid@host/pidns#nonce`), so takeover and reentrant re-acquire can
+  * tell "mine" from "foreign" without trusting timing alone — and the
+  * dead-pid fast takeover only trusts a kernel that is provably the
+  * SAME authority (host + pid-namespace match).
   */
 private[operators] object StoreLock {
 
@@ -58,23 +60,41 @@ private[operators] object StoreLock {
     try java.net.InetAddress.getLocalHost.getHostName
     catch { case _: Exception => "localhost" }
 
+  /** This process's PID-NAMESPACE identity (the inode of
+    * /proc/self/ns/pid): the authority scope of a "that pid is dead"
+    * verdict. A hostname alone is NOT that scope — two containers can
+    * share a hostname (or both fall back to "localhost") while holding
+    * separate pid namespaces, and a pid dead in OURS may be a live
+    * holder in THEIRS. Empty on non-Linux → the fast-takeover path
+    * disables itself and staleness falls back to expiry alone. */
+  private val PidNs: String =
+    try java.nio.file.Files.readSymbolicLink(
+      java.nio.file.Paths.get("/proc/self/ns/pid"))
+      .toString.replaceAll("[^0-9]", "")
+    catch { case _: Exception => "" }
+
+  private val NodeId: String =
+    if (PidNs.isEmpty) LocalHost else s"$LocalHost/$PidNs"
+
   /** This process's lease identity — stable for the JVM's lifetime. */
   val OwnerId: String =
-    s"${ProcessHandle.current().pid()}@$LocalHost#" +
+    s"${ProcessHandle.current().pid()}@$NodeId#" +
       java.util.UUID.randomUUID().toString.take(8)
 
-  /** The lease's holder is a process ON THIS HOST that is provably dead
-    * — the fast-takeover path: a crashed driver restarted by an operator
-    * (or a crashed test JVM re-run) must not lock its own stores for a
-    * full expiry when the kernel can answer "is that pid alive" right
-    * now. Only same-host owners are checkable; a recycled pid that
-    * happens to be alive reads as live (safe direction: refusal, never
-    * takeover of a live holder). */
+  /** The lease's holder is a process in THIS pid namespace that is
+    * provably dead — the fast-takeover path: a crashed driver restarted
+    * by an operator (or a crashed test JVM re-run) must not lock its own
+    * stores for a full expiry when the kernel can answer "is that pid
+    * alive" right now. Checkable only when the owner's host AND pid
+    * namespace match ours exactly (a recycled pid that happens to be
+    * alive, a same-named container with its own namespace, or any
+    * non-Linux host reads as live/unknown — the safe direction is
+    * refusal, never takeover of a possibly-live holder). */
   private def deadLocalHolder(owner: String): Boolean = {
     val at = owner.indexOf('@')
     val hash = owner.indexOf('#')
-    at > 0 && hash > at &&
-      owner.substring(at + 1, hash) == LocalHost &&
+    at > 0 && hash > at && PidNs.nonEmpty &&
+      owner.substring(at + 1, hash) == NodeId &&
       owner.substring(0, at).toLongOption.exists { pid =>
         val h = ProcessHandle.of(pid)
         !h.isPresent || !h.get.isAlive
@@ -239,8 +259,8 @@ private[operators] object StoreLock {
             throw new IllegalStateException(
               s"$who: store $store is lease-held by process " +
                 s"${owner.getOrElse("<unreadable>")} (lease age ${age}ms " +
-                s"< expiry ${expiryMs}ms) — a second deletion writer on " +
-                "one store lineage violates the single-writer contract; " +
+                s"< expiry ${expiryMs}ms) — a second store writer on " +
+                "one store lineage violates the single-writer contract " +
                 "refusing. If that process is dead, the lease expires " +
                 s"on its own in ${math.max(0, expiryMs - age)}ms")
       }
@@ -270,7 +290,25 @@ private[operators] object StoreLock {
           if (!active.get) return
           readOwner(fs, lease) match {
             case Some(OwnerId) =>
-              fs.setTimes(lease, System.currentTimeMillis(), -1)
+              val now = System.currentTimeMillis()
+              try fs.setTimes(lease, now, -1)
+              catch { case _: UnsupportedOperationException => () }
+              // some FileSystems (object stores) implement setTimes as a
+              // silent no-op — a live long-running writer's lease would
+              // then "expire" under it and a second driver would legally
+              // take over mid-write. Verify the refresh landed; if not,
+              // refresh by REPLACE (delete + atomic re-create with our
+              // content — a sub-ms absent window, after which a slipped-in
+              // foreign acquirer is detected by the next beat's ownership
+              // read and surfaced as a lost hold)
+              val refreshed =
+                try fs.getFileStatus(lease).getModificationTime >= now - period
+                catch { case _: java.io.FileNotFoundException => false }
+              if (!refreshed && active.get) {
+                fs.delete(lease, false)
+                writeLease(fs, lease, "heartbeat-refresh")
+                if (!active.get) releaseLease(fs, store)
+              }
             case Some(other) =>
               // FOREIGN owner under our hold: we lost the lease to a
               // (mis-tuned or racing) takeover. Never refresh it — a
@@ -291,7 +329,13 @@ private[operators] object StoreLock {
                 if (!active.get) releaseLease(fs, store)
               }
           }
-        } catch { case _: java.io.IOException => () } // next beat retries
+        } catch {
+          // NOT just IOException: an exotic FS throwing unchecked from
+          // any of the calls above must not kill the scheduled beat
+          // permanently (a silently-dead heartbeat = expiry under a
+          // live holder); the next beat retries whatever failed
+          case scala.util.control.NonFatal(_) => ()
+        }
     }, period, period, TimeUnit.MILLISECONDS)
     heartbeats.put(key, (task, active))
     ()
@@ -318,9 +362,10 @@ private[operators] object StoreLock {
     val l = lockFor(key)
     if (!l.tryLock(waitMs, TimeUnit.MILLISECONDS))
       throw new IllegalStateException(
-        s"$who: deletion-writer lock on $key still held after " +
-          s"${waitMs}ms — a maintenance compact or takedown is wedged; " +
-          "refusing to race it")
+        s"$who: store-writer lock on $key still held after ${waitMs}ms — " +
+          "a long compact/retrain may legitimately still be running " +
+          "(raise waitMs for lanes that should wait it out), or a " +
+          "writer is wedged; refusing to race it either way")
     try {
       val depth = Option(depths.get(key)).fold(0)(_.intValue()) + 1
       if (depth == 1) {

@@ -60,7 +60,16 @@ object TokenizerIndex {
   /** Train (overwrite) the tokenizer as epoch 0 of every table; the
     * training corpus's own merge rate is the drift baseline. */
   def buildIndex(spark: SparkSession, docs: DataFrame, indexDir: String): Unit =
-    StoreLock.withLock(spark, indexDir, "tokenizer-build") {
+    StoreLock.withLock(spark, indexDir, "tokenizer-build")(
+      buildInto(spark, docs, indexDir))
+
+  /** The unlocked build body: [[retrain]] stages through this into its
+    * PRIVATE `.retrain-tmp` dir — taking a lock+lease on a staging path
+    * would orphan a `<store>.retrain-tmp.lease` on crash (invisible to
+    * the residue scanner) and block a rescheduled-host retry for a full
+    * expiry; the OUTER store lock is the serialization there. */
+  private def buildInto(
+      spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
     import spark.implicits._
     val root = new Path(indexDir)
     root.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(root, true)
@@ -173,9 +182,7 @@ object TokenizerIndex {
     StoreLock.withLock(spark, indexDir, "tokenizer-retrain") {
       AtomicPublish.swapDir(spark, indexDir,
         tmpSuffix = ".retrain-tmp", bakSuffix = ".retrain-bak") { tmp =>
-        // the inner build locks the TMP path (a distinct key) — harmless,
-        // and the store-level lock above is the one that serializes
-        buildIndex(spark, corpus, tmp.toString)
+        buildInto(spark, corpus, tmp.toString)
       }
     }
 
