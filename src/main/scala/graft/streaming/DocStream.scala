@@ -1224,23 +1224,27 @@ object DocStream {
     * discipline, so a 3am detection survives the driver).
     *
     * fsck is READ-ONLY, so running it beside the maintenance writers is
-    * safe by construction; remediation ([[graft.operators.IndexFsck.gc]]
-    * / [[graft.operators.IndexFsck.repair]]) stays a deliberate operator
-    * action under the writer lease. Scale shape: one directory listing
-    * per table per store — listing-bound (measured ~4 s for three
-    * 500k-doc stores at sf10), amortized across `every` batches. */
+    * safe by construction. `repairPending = true` additionally retires
+    * pending deletions per scan ([[graft.operators.IndexFsck.repair]] —
+    * the path for manifest stores NO maintenance lane compacts; a
+    * writer, serialized by the lock+lease like every writer); residue gc
+    * stays a deliberate operator action. Scale shape: one directory
+    * listing per table per store — listing-bound (measured ~4 s for
+    * three 500k-doc stores at sf10), amortized across `every` batches. */
   def fsckStream(
       spark: SparkSession,
       ticks: DataFrame,
       storeDirs: Seq[String],
       every: Int = 4,
-      logDir: Option[String] = None)(
+      logDir: Option[String] = None,
+      repairPending: Boolean = false)(
       report: Seq[graft.operators.IndexFsck.Finding] => Unit): StreamingQuery = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     ticks.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (_: DataFrame, _: Long) =>
         processFsckBatch(
-          spark, storeDirs, batches.incrementAndGet(), every, logDir)(report)
+          spark, storeDirs, batches.incrementAndGet(), every, logDir,
+          repairPending)(report)
       }
       .start()
   }
@@ -1249,7 +1253,8 @@ object DocStream {
     * surfaces-within-N-batches contract is directly testable. */
   private[graft] def processFsckBatch(
       spark: SparkSession, storeDirs: Seq[String], batchNo: Long,
-      every: Int, logDir: Option[String] = None)(
+      every: Int, logDir: Option[String] = None,
+      repairPending: Boolean = false)(
       report: Seq[graft.operators.IndexFsck.Finding] => Unit): Unit =
     if (every > 0 && batchNo % every == 0) {
       // per-store isolation, the Takedown.sweep discipline: a store so
@@ -1257,8 +1262,22 @@ object DocStream {
       // become an error FINDING for that store, not kill the health
       // lane on exactly the breakage it exists to detect
       val findings = storeDirs.flatMap { d =>
-        try graft.operators.IndexFsck.fsck(spark, d)
-        catch {
+        try {
+          val fs = graft.operators.IndexFsck.fsck(spark, d)
+          // repairPending: the fleet lane retires pending deletions on
+          // stores NO maintenance stream compacts — the registry row's
+          // deletion-applying compact, under the writer lock+lease like
+          // any writer, so running it beside live maintenance is safe by
+          // mechanism (same-store maintenance just queues). Same
+          // isolation as the scan: a failed repair is an error row.
+          if (repairPending && fs.exists(_.check == "pending_deletes")) {
+            val ran = graft.operators.IndexFsck.repair(spark, d)
+            if (ran) fs :+ graft.operators.IndexFsck.Finding(
+              d, fs.head.family, "pending_deletes_repaired", "info",
+              "fleet lane retired the pending deletions (registry compact)")
+            else fs
+          } else fs
+        } catch {
           case scala.util.control.NonFatal(e) =>
             Seq(graft.operators.IndexFsck.Finding(d, "unknown",
               "fsck_failed", "error",

@@ -78,4 +78,42 @@ class FsckStreamSpec extends AnyFunSuite {
       assert(logged.filter(col("check") === "table_missing").count() >= 1L)
     } finally { fsckQ.stop(); maint.stop() }
   }
+
+  test("repairPending: the fleet lane retires pending deletions on a " +
+      "store NO maintenance stream compacts — the read tax ends unattended") {
+    val base = java.nio.file.Files.createTempDirectory("graft-fsckrepair").toString
+    val idx = s"$base/lm"
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = Seq(
+      (1L, "alpha beta alpha", "en", "s0"),
+      (2L, "gamma delta epsilon", "de", "s0"),
+      (3L, "alpha beta delta", "en", "s1")).toDF("doc_id", "text", "lang", "source")
+    graft.operators.LmIndex.buildModel(spark, corpus, idx)
+    graft.operators.Takedown.sweep(spark,
+      corpus.filter(col("doc_id") === 2L), Seq(idx))
+    assert(graft.operators.IndexPolicy.pendingDeletes(spark, idx))
+
+    val ticksIn = MemoryStream[Long]
+    val reports = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[IndexFsck.Finding]]
+    val q = DocStream.fsckStream(spark, ticksIn.toDF(), Seq(idx),
+      every = 1, repairPending = true) { fs => reports += fs; () }
+    try {
+      ticksIn.addData(1L); q.processAllAvailable()
+    } finally q.stop()
+    assert(reports.head.exists(_.check == "pending_deletes_repaired"))
+    assert(!graft.operators.IndexPolicy.pendingDeletes(spark, idx),
+      "the fleet lane must have run the registry compact")
+    // and the retirement is the real one: store ≡ rebuild-minus-victim
+    graft.operators.LmIndex.buildModel(spark,
+      corpus.filter(col("doc_id") =!= 2L), s"$base/rebuilt")
+    val probe = Seq((9L, "alpha delta")).toDF("doc_id", "text")
+    assert(graft.operators.LmIndex.scoreDocs(spark, probe, idx)
+      .collect().map(_.toSeq).toSet ===
+      graft.operators.LmIndex.scoreDocs(spark, probe, s"$base/rebuilt")
+        .collect().map(_.toSeq).toSet)
+    // a second scan on the now-clean store repairs nothing
+    assert(!IndexFsck.fsck(spark, idx).exists(_.check == "pending_deletes"))
+  }
 }
