@@ -43,7 +43,11 @@ object AtomicPublish {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Write via `write` into `parentDir/tmpName` (must be dot-prefixed —
-    * enforced), then replace `parentDir/liveName` with it. */
+    * enforced), then replace `parentDir/liveName` with it. FENCED: when
+    * the calling writer holds a store lease over `liveName`, ownership is
+    * re-verified immediately before the destructive live-name delete
+    * ([[StoreLock.fence]]) — a hold lost to a takeover refuses here with
+    * the live store intact instead of clobbering the new owner's work. */
   def stageAndRename(
       spark: SparkSession, parentDir: String, tmpName: String, liveName: String)(
       write: Path => Unit): Unit = {
@@ -53,6 +57,7 @@ object AtomicPublish {
     val fs = fsOf(spark, tmp)
     fs.delete(tmp, true)
     write(tmp)
+    StoreLock.fence(spark.sparkContext.hadoopConfiguration, live)
     fs.delete(live, true)
     if (!fs.rename(tmp, live))
       throw new java.io.IOException(s"publish failed: $tmp -> $live")
@@ -67,6 +72,10 @@ object AtomicPublish {
       freshName: String, olds: Seq[Path])(write: Path => Unit): Unit = {
     stageAndRename(spark, parentDir, stagingName, freshName)(write)
     val fs = fsOf(spark, new Path(parentDir))
+    // re-fence before the second destructive phase: the olds are live
+    // published epochs until this delete, and the hold could have been
+    // lost between the (fenced) publish above and here
+    StoreLock.fence(spark.sparkContext.hadoopConfiguration, new Path(parentDir))
     olds.foreach(p => fs.delete(p, true))
   }
 
@@ -89,6 +98,11 @@ object AtomicPublish {
     fs.delete(tmp, true)
     write(tmp)
     try beforeSwap()
+    catch { case e: Throwable => fs.delete(tmp, true); throw e }
+    // fence immediately before the destructive sequence (bak delete +
+    // live→bak rename): a lost hold refuses with live untouched and the
+    // staged tmp discarded as residue
+    try StoreLock.fence(spark.sparkContext.hadoopConfiguration, live)
     catch { case e: Throwable => fs.delete(tmp, true); throw e }
     fs.delete(bak, true)
     if (!fs.rename(live, bak))

@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.util.concurrent.TimeUnit
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
@@ -165,10 +167,17 @@ object IndexFsck {
           fs.getFileStatus(lease).getModificationTime)
       catch { case _: java.io.FileNotFoundException => None }
     leaseAge.foreach { age =>
-      if (age > StoreLock.DefaultLeaseExpiryMs)
+      // staleness judged against the HOLDER's recorded expiry (the
+      // lease's third line, written at acquire) — a fleet tuned to a
+      // longer expiry must not collect a false "its holder crashed"
+      // warn every scan from a default-tuned fsck
+      val expiry = StoreLock.readLeaseExpiry(fs, lease)
+        .getOrElse(StoreLock.DefaultLeaseExpiryMs)
+      if (age > expiry)
         out += Finding(dir, family, "lease_stale", "warn",
           s"deletion-writer lease ${lease.getName} unrefreshed for ${age}ms " +
-            "(> expiry) — its holder crashed; the next writer takes over")
+            s"(> holder expiry ${expiry}ms) — its holder crashed; the " +
+            "next writer takes over")
       else
         out += Finding(dir, family, "lease_held", "info",
           s"deletion-writer lease held (${lease.getName}, age ${age}ms) — " +
@@ -335,7 +344,12 @@ object IndexFsck {
   def logFindings(
       spark: SparkSession, logDir: String, findings: Seq[Finding]): Unit =
     if (findings.nonEmpty)
-      StoreLock.withLock(spark, logDir, "fsck-log") {
+      // leaseWaitMs: a SHARED ledger dir legitimately sees two fleets'
+      // scan lanes collide for the duration of one small parquet write —
+      // wait a momentary contender out with backoff instead of turning
+      // the collision into a lost health record (advice r13)
+      StoreLock.withLock(spark, logDir, "fsck-log",
+        leaseWaitMs = TimeUnit.MINUTES.toMillis(2)) {
         val next = EpochLedger.epochs(spark, logDir).foldLeft(-1)(math.max) + 1
         val session = spark
         import session.implicits._

@@ -262,7 +262,12 @@ object Takedown {
       // otherwise scan the same max and the second stageAndRename would
       // silently REPLACE the first attempt's history. Same mechanism,
       // same loudness as the store writers'.
-      StoreLock.withLock(spark, logDir, "audit-log") {
+      // leaseWaitMs: two drivers sweeping DISJOINT stores but sharing
+      // one audit logDir collide only for one small parquet write —
+      // retry the lease with backoff instead of turning the moment into
+      // an AuditLogException (deletions applied, log lost) (advice r13)
+      StoreLock.withLock(spark, logDir, "audit-log",
+        leaseWaitMs = java.util.concurrent.TimeUnit.MINUTES.toMillis(2)) {
         val next = EpochLedger.epochs(spark, logDir).foldLeft(-1)(math.max) + 1
         val session = spark
         import session.implicits._

@@ -206,6 +206,174 @@ class StoreLeaseSpec extends AnyFunSuite {
     Files.delete(leaseFile(dir))
   }
 
+  test("a publish under a USURPED hold is FENCED: the destructive swap " +
+      "refuses loudly and the live store is untouched (r13 verdict #1)") {
+    val dir = tmp("graft-leasefence") + "/store"
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(dir, "epoch.txt"), "owner-A-epoch")
+    StoreLock.withLock(spark, dir, "spec-fenced-swap") {
+      // the takeover race's outcome, planted mid-hold: our lease name
+      // now carries a second process's identity
+      Files.writeString(leaseFile(dir), "31337@usurper#beef\nspec\n")
+      val e = intercept[StoreLock.LeaseLostException] {
+        AtomicPublish.swapDir(spark, dir) { tmpP =>
+          Files.createDirectories(Paths.get(tmpP.toUri.getPath))
+          Files.writeString(
+            Paths.get(tmpP.toUri.getPath, "epoch.txt"), "stale-writer-epoch")
+          ()
+        }
+      }
+      assert(e.getMessage.contains("fenced") &&
+        e.getMessage.contains("31337@usurper#beef"))
+      // the staged tmp was discarded as residue, live never touched
+      assert(Files.readString(Paths.get(dir, "epoch.txt")) === "owner-A-epoch")
+      assert(!Files.exists(Paths.get(dir + ".compact-bak")),
+        "the live->bak rename must never have run")
+    }
+    Files.delete(leaseFile(dir)) // the usurper's lease survives our exit
+  }
+
+  test("a stageAndRename under a usurped hold is fenced too, and once " +
+      "lost the flag is STICKY for the rest of the hold") {
+    val dir = tmp("graft-leasefence2") + "/store"
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(dir, "table.txt"), "live")
+    StoreLock.withLock(spark, dir, "spec-fenced-stage") {
+      Files.writeString(leaseFile(dir), "31337@usurper#beef\nspec\n")
+      intercept[StoreLock.LeaseLostException] {
+        AtomicPublish.stageAndRename(spark, dir, ".table.tmp", "table.txt") {
+          tmpP =>
+            Files.writeString(Paths.get(tmpP.toUri.getPath), "stale")
+            ()
+        }
+      }
+      assert(Files.readString(Paths.get(dir, "table.txt")) === "live")
+      // sticky: even after the usurper's lease is hand-removed (so a
+      // fresh ownership read could no longer prove the loss), the hold
+      // KNOWS it was usurped and keeps refusing — exclusivity was
+      // broken once, nothing later in this hold can un-break it
+      Files.delete(leaseFile(dir))
+      val e2 = intercept[StoreLock.LeaseLostException] {
+        AtomicPublish.stageAndRename(spark, dir, ".table.tmp", "table.txt") {
+          tmpP =>
+            Files.writeString(Paths.get(tmpP.toUri.getPath), "stale2")
+            ()
+        }
+      }
+      assert(e2.getMessage.contains("already observed lost"))
+      assert(Files.readString(Paths.get(dir, "table.txt")) === "live")
+    }
+  }
+
+  test("a publish on a store with NO held lease passes the fence " +
+      "unchanged (bootstrap builds into fresh dirs)") {
+    val dir = tmp("graft-leasenofence") + "/store"
+    Files.createDirectories(Paths.get(dir))
+    AtomicPublish.stageAndRename(spark, dir, ".t.tmp", "t.txt") { tmpP =>
+      Files.writeString(Paths.get(tmpP.toUri.getPath), "fresh")
+      ()
+    }
+    assert(Files.readString(Paths.get(dir, "t.txt")) === "fresh")
+  }
+
+  test("the lease records its holder's expiry, and observers honor it: " +
+      "a longer-tuned live hold is not stale to a default-tuned fsck, " +
+      "and a shorter-tuned crashed hold is taken over early") {
+    val dir = tmp("graft-leaseexpiry") + "/store"
+    Files.createDirectories(Paths.get(dir))
+    val longExpiry = StoreLock.DefaultLeaseExpiryMs * 3
+    StoreLock.withLock(spark, dir, "spec-long-expiry",
+      leaseExpiryMs = longExpiry) {
+      assert(Files.readString(leaseFile(dir)).linesIterator.toSeq(2) ===
+        longExpiry.toString, "expiry must be the lease's third line")
+      // aged past the DEFAULT but inside the holder's recorded expiry:
+      // fsck must report held (info), not a false crashed-holder warn
+      ageLease(dir, StoreLock.DefaultLeaseExpiryMs + 60000)
+      val findings = IndexFsck.fsck(spark, dir)
+      assert(findings.exists(_.check == "lease_held"),
+        s"expected lease_held, got ${findings.map(_.check)}")
+      assert(!findings.exists(_.check == "lease_stale"),
+        "a live longer-expiry holder must not warn as crashed")
+    }
+    // a foreign lease whose RECORDED expiry is tiny: stale by its own
+    // contract even though the acquirer's default says fresh
+    val idx = tmp("graft-leaseshort") + "/store"
+    Files.createDirectories(Paths.get(idx))
+    Files.writeString(leaseFile(idx), "99999@other-host#feedbeef\nspec\n1000\n")
+    ageLease(idx, 5000)
+    StoreLock.withLock(spark, idx, "spec-takeover-short") { () }
+    assert(!Files.exists(leaseFile(idx)),
+      "takeover by the HOLDER's recorded expiry, then normal release")
+  }
+
+  test("an expiry-based takeover DWELLS and refuses when the lease mtime " +
+      "moves between the two observations (a live skewed holder's beat)") {
+    val dir = tmp("graft-leasedwell") + "/store"
+    Files.createDirectories(Paths.get(dir))
+    // a lease that LOOKS expired to our clock (the skew shape)...
+    Files.writeString(leaseFile(dir), "99999@other-host#feedbeef\nspec\n")
+    ageLease(dir, StoreLock.DefaultLeaseExpiryMs + 60000)
+    // ...whose holder is alive: its heartbeat refreshes mtime mid-dwell
+    // (first beat lands ~500ms in — well inside the 2s dwell and after
+    // the acquirer's immediate first stale observation)
+    val beating = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val beater = new Thread(() => {
+      Thread.sleep(500)
+      while (beating.get) {
+        try Files.setLastModifiedTime(leaseFile(dir),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis()))
+        catch { case _: java.io.IOException => () }
+        Thread.sleep(200)
+      }
+    })
+    beater.setDaemon(true)
+    beater.start()
+    try {
+      val e = intercept[IllegalStateException] {
+        StoreLock.withLock(spark, dir, "spec-dwell") {
+          fail("must not acquire over a live (skew-stale-looking) holder")
+        }
+      }
+      assert(e.getMessage.contains("lease-held") ||
+        e.getMessage.contains("contending"),
+        s"expected refusal, got: ${e.getMessage}")
+      assert(Files.exists(leaseFile(dir)),
+        "the live holder's lease must survive the refused attempt")
+    } finally {
+      beating.set(false)
+      beater.join()
+      Files.delete(leaseFile(dir))
+    }
+  }
+
+  test("leaseWaitMs waits a momentary foreign hold out with backoff " +
+      "instead of refusing (the shared audit-ledger shape)") {
+    val dir = tmp("graft-leasewait") + "/store"
+    Files.createDirectories(Paths.get(dir))
+    plantForeignLease(dir)
+    // the contender releases ~400ms in — a momentary collision
+    val releaser = new Thread(() => {
+      Thread.sleep(400)
+      Files.delete(leaseFile(dir))
+    })
+    releaser.start()
+    var ran = false
+    StoreLock.withLock(spark, dir, "spec-wait", leaseWaitMs = 10000) {
+      ran = true
+    }
+    releaser.join()
+    assert(ran, "the retry must acquire once the contender released")
+    assert(!Files.exists(leaseFile(dir)))
+    // and with leaseWaitMs = 0 (the default), the same shape refuses
+    // immediately — store-lineage writers never wait a foreign hold out
+    plantForeignLease(dir)
+    intercept[StoreLock.LeaseHeldException] {
+      StoreLock.withLock(spark, dir, "spec-nowait") { fail("must not run") }
+    }
+    Files.delete(leaseFile(dir))
+  }
+
   test("differently-spelled paths to one store map to ONE lock " +
       "(qualified-key canonicalization)") {
     val dir = tmp("graft-leasespell") + "/store"
