@@ -194,12 +194,12 @@ object AnnIndex {
   // geometry, same rescore, same tie-breaks), so it shares that oracle.
   private def indexDirFor(dir: String): String = {
     val key = IndexStamp.dirKey(IndexStamp.identity(dir, "embeddings.parquet", "v1"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-ann-index-$key"
+    StoreRoot.dir(s"graft-ann-index-$key")
   }
 
   private def qAnnLshIndexed(spark: SparkSession, dir: String): DataFrame = {
     val indexDir = indexDirFor(dir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$indexDir/bands.parquet")))
+    if (!StoreRoot.exists(spark, s"$indexDir/bands.parquet"))
       buildIndex(spark, Tables.table(spark, dir, "embeddings"), indexDir)
     topKIndexed(spark, indexDir)
   }

@@ -127,7 +127,7 @@ object ClassifyIndex {
   // --- q_classify_freq_indexed: the persisted lane on the oracle gate ---
   private def modelDirFor(dir: String): String = {
     val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "clf-v1"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-clf-model-$key"
+    StoreRoot.dir(s"graft-clf-model-$key")
   }
 
   /** Build-if-absent against the corpus at `dir`; returns the model dir.
@@ -135,7 +135,7 @@ object ClassifyIndex {
     * ([[CurationFunnel]]). */
   private[operators] def ensureModel(spark: SparkSession, dir: String): String = {
     val modelDir = modelDirFor(dir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$modelDir/counts.parquet")))
+    if (!StoreRoot.exists(spark, s"$modelDir/counts.parquet"))
       buildModel(spark, Tables.table(spark, dir, "documents"), modelDir)
     modelDir
   }

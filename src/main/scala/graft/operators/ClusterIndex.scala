@@ -351,12 +351,12 @@ object ClusterIndex {
   // only the index-read query.
   private def indexDirFor(dir: String): String = {
     val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "cluster-v1"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-cluster-index-$key"
+    StoreRoot.dir(s"graft-cluster-index-$key")
   }
 
   private def ensureIndex(spark: SparkSession, dir: String): String = {
     val indexDir = indexDirFor(dir)
-    if (!Files.exists(Paths.get(s"$indexDir/labels.parquet"))) {
+    if (!StoreRoot.exists(spark, s"$indexDir/labels.parquet")) {
       // build + append into a staging dir, publish with one atomic rename —
       // a crash between build and append can never leave a half-initialized
       // index where the existence check would trust it

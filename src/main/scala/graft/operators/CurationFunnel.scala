@@ -140,29 +140,66 @@ object CurationFunnel {
   private def votesDirFor(dir: String): String = {
     val key = IndexStamp.dirKey(
       IndexStamp.identity(dir, "documents.parquet", "votes-v1"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-votes-$key"
+    StoreRoot.dir(s"graft-votes-$key")
   }
 
-  /** Newest mtime across each store dir and its DIRECT children — the
-    * change detector for derived artifacts (votes, curated corpus),
+  /** Newest mtime across each store dir and its two levels of children —
+    * the change detector for derived artifacts (votes, curated corpus),
     * whose IndexStamp key covers the CORPUS but not the stores: a
     * takedown un-trains victims from the classifier/LM stores without
     * touching documents.parquet, and a corpus-keyed artifact would
     * serve the victims' pre-deletion scores forever. Every store
     * mutation adds/renames a direct child (epoch dir inside a table,
     * dels/tombstone table at the root, whole-table swap), so one
-    * shallow listing per store catches them all. The ensure* stores are
-    * local-tmp by construction (java.io is enough). */
-  private def storesMtime(dirs: Seq[String]): Long =
+    * shallow listing per store catches them all. Resolved through the
+    * store's OWN Hadoop filesystem — with a shared [[StoreRoot]]
+    * (hdfs:, object stores) `java.io.File.lastModified` silently
+    * returns 0 and would DISABLE the staleness detector. */
+  private def storesMtime(spark: SparkSession, dirs: Seq[String]): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
     dirs.map { d =>
-      val f = new java.io.File(d)
-      (f.lastModified +:
-        Option(f.listFiles).toSeq.flatten.flatMap(t =>
-          t.lastModified +: Option(t.listFiles).toSeq.flatten.map(_.lastModified))).max
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      val root = fs.getFileStatus(p)
+      (root.getModificationTime +: fs.listStatus(p).toSeq.flatMap { k =>
+        k.getModificationTime +:
+          (if (k.isDirectory)
+            fs.listStatus(k.getPath).toSeq.map(_.getModificationTime)
+          else Seq.empty)
+      }).max
     }.max
+  }
 
-  private def artifactMtime(path: String): Long =
-    new java.io.File(path).lastModified
+  /** The artifact's staleness watermark, persisted as a `_watermark`
+    * sidecar INSIDE the published parquet dir (underscore names are
+    * invisible to Spark's file-source reads), written in the same
+    * staging dir the atomic publish renames — watermark and data can
+    * never be seen apart. Replaces the r13 `File.setLastModified(preRead)`
+    * stamp, whose boolean result was ignored (a failed or
+    * granularity-truncated set silently masked takedowns landing
+    * mid-rebuild — the stale-serve the watermark exists to close) and
+    * whose mtime carrier doesn't survive non-local filesystems. Absent
+    * sidecar (pre-upgrade artifact) reads as always-stale: one
+    * redundant rebuild, never a stale serve. */
+  private def writeWatermark(
+      spark: SparkSession, stagedDir: org.apache.hadoop.fs.Path,
+      preRead: Long): Unit = {
+    val fs = stagedDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(stagedDir, "_watermark"), true)
+    try out.write(s"$preRead\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readWatermark(spark: SparkSession, table: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(table, "_watermark")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
+  }
 
   /** Materialize-if-absent the per-document model votes
     * `(doc_id, is_correct, bucket)` from the persisted funnel stores —
@@ -186,17 +223,15 @@ object CurationFunnel {
     // IndexStamp key covers): the votes must always equal a fresh
     // re-score of the stores as they are NOW
     val votesTable = s"$vdir/votes.parquet"
-    // the PRE-read watermark: the artifact is stamped with the stores'
-    // newest mtime AS OBSERVED BEFORE the scoring read, not its own
-    // publish time — a store mutation landing DURING the multi-second
-    // rebuild (scan at T2, publish at T3, takedown at T2<Tm<T3) would
-    // otherwise be masked forever by artifactMtime≈T3 > Tm; stamping T2
+    // the PRE-read watermark: the artifact carries the stores' newest
+    // mtime AS OBSERVED BEFORE the scoring read, not its own publish
+    // time — a store mutation landing DURING the multi-second rebuild
+    // (scan at T2, publish at T3, takedown at T2<Tm<T3) would otherwise
+    // be masked forever by a publish-time stamp ≈T3 > Tm; carrying T2
     // makes the next ensure see Tm > T2 and re-materialize (worst case:
     // one redundant rebuild, never a stale serve)
-    val preRead = storesMtime(Seq(clf, lm))
-    val stale =
-      !java.nio.file.Files.exists(java.nio.file.Paths.get(votesTable)) ||
-        preRead > artifactMtime(votesTable)
+    val preRead = storesMtime(spark, Seq(clf, lm))
+    val stale = readWatermark(spark, votesTable).forall(preRead > _)
     if (stale) {
       val d = table(spark, dir, "documents")
       val (preds, buckets, _) = storeSignals(spark, d, clf, lm,
@@ -204,9 +239,10 @@ object CurationFunnel {
       val votes = preds.select(col("doc_id"), col("is_correct"))
         .join(buckets.select(col("doc_id"), col("bucket")), Seq("doc_id"), "full")
       AtomicPublish.stageAndRename(spark, vdir, ".votes.tmp", "votes.parquet") {
-        tmp => votes.write.mode("overwrite").parquet(tmp.toString)
+        tmp =>
+          votes.write.mode("overwrite").parquet(tmp.toString)
+          writeWatermark(spark, tmp, preRead)
       }
-      new java.io.File(votesTable).setLastModified(preRead)
       ()
     }
     vdir
@@ -383,7 +419,7 @@ object CurationFunnel {
 
   private def curatedDirFor(dir: String): String = {
     val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "curated-v1"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-curated-$key"
+    StoreRoot.dir(s"graft-curated-$key")
   }
 
   /** Materialize-if-absent the 6_train curated corpus (doc_id, source,
@@ -395,13 +431,11 @@ object CurationFunnel {
     // any store mutation (takedown, compact, append) re-materializes
     // it, including one landing during the rebuild window
     val curatedTable = s"$cdir/docs.parquet"
-    val preRead = storesMtime(Seq(
+    val preRead = storesMtime(spark, Seq(
       ClassifyIndex.ensureModel(spark, dir),
       LmIndex.ensureModel(spark, dir),
       WinnowIndex.ensureIndex(spark, dir)))
-    val stale =
-      !java.nio.file.Files.exists(java.nio.file.Paths.get(curatedTable)) ||
-        preRead > artifactMtime(curatedTable)
+    val stale = readWatermark(spark, curatedTable).forall(preRead > _)
     if (stale) {
       val d = table(spark, dir, "documents")
       // model votes from the persisted votes artifact (scored once,
@@ -417,9 +451,10 @@ object CurationFunnel {
           .join(d.select(col("doc_id"), col("source")), "doc_id")
           .select(col("doc_id"), col("source"), col("text"))
         AtomicPublish.stageAndRename(spark, cdir, ".curated.tmp", "docs.parquet") {
-          tmp => curated.write.mode("overwrite").parquet(tmp.toString)
+          tmp =>
+            curated.write.mode("overwrite").parquet(tmp.toString)
+            writeWatermark(spark, tmp, preRead)
         }
-        new java.io.File(curatedTable).setLastModified(preRead)
         ()
       } finally cleanup()
     }

@@ -143,7 +143,7 @@ object DsirIndex {
   // bodies, so it rides q_dsir_vote's oracle unchanged.
   private def indexDirFor(dir: String): String = {
     val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "dsir-v1"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-dsir-index-$key"
+    StoreRoot.dir(s"graft-dsir-index-$key")
   }
 
   /** Build-if-absent against the corpus at `dir`; returns the store dir. */
@@ -152,8 +152,7 @@ object DsirIndex {
     // probe the LEDGER (last-written in build): its presence implies the
     // counters committed too; a crash mid-build leaves it absent and the
     // whole store rebuilds
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$indexDir/docs.parquet")))
+    if (!StoreRoot.exists(spark, s"$indexDir/docs.parquet"))
       buildIndex(spark, Tables.table(spark, dir, "documents"), indexDir)
     indexDir
   }

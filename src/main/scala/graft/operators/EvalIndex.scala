@@ -100,13 +100,13 @@ object EvalIndex {
   // --- q_decontaminate_indexed: the persisted-vocabulary lane ------------
   private def indexDirFor(dir: String): String = {
     val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "eval-v2"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-eval-index-$key"
+    StoreRoot.dir(s"graft-eval-index-$key")
   }
 
   /** Build-if-absent from the corpus's test split; returns the dir. */
   private[operators] def ensureIndex(spark: SparkSession, dir: String): String = {
     val indexDir = indexDirFor(dir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$indexDir/shingles.parquet")))
+    if (!StoreRoot.exists(spark, s"$indexDir/shingles.parquet"))
       buildIndex(spark,
         Tables.table(spark, dir, "documents")
           .filter(TextOps.splitBucket >= 90).select(col("doc_id"), col("text")),

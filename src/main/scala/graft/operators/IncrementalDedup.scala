@@ -433,13 +433,13 @@ object IncrementalDedup {
     // v3: index format version — bump when the index schema changes so a
     // stale on-disk index is never picked up
     val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "v3"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-corpus-index-$key"
+    StoreRoot.dir(s"graft-corpus-index-$key")
   }
 
   private def qIncrementalIndexed(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(spark, dir, "documents")
     val indexDir = indexDirFor(dir)
-    if (!Files.exists(Paths.get(s"$indexDir/members.parquet")))
+    if (!StoreRoot.exists(spark, s"$indexDir/members.parquet"))
       buildIndex(docs.filter(bucketOf(col("doc_id")) < 90), indexDir)
     run(spark, indexDir, docs.filter(bucketOf(col("doc_id")) >= 90))
   }

@@ -475,7 +475,7 @@ object IvfIndex {
     // threshold) + IVFADC code-carrying cells — the key bump invalidates
     // any store with the old layout
     val key = IndexStamp.dirKey(IndexStamp.identity(dir, "embeddings.parquet", "ivf-v3"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-ivf-index-$key"
+    StoreRoot.dir(s"graft-ivf-index-$key")
   }
 
   /** Build-if-absent against the corpus at `dir`; returns the index dir.
@@ -483,7 +483,7 @@ object IvfIndex {
     * SAME store a prior q_ann_ivf_indexed run built. */
   private[operators] def ensureIndex(spark: SparkSession, dir: String): String = {
     val indexDir = indexDirFor(dir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$indexDir/cells.parquet")))
+    if (!StoreRoot.exists(spark, s"$indexDir/cells.parquet"))
       buildFromCorpus(spark, dir, indexDir)
     indexDir
   }

@@ -229,7 +229,7 @@ object LmIndex {
   private def modelDirFor(dir: String): String = {
     // v2: the store carries its own prefix-count table
     val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "lm-v2"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-lm-model-$key"
+    StoreRoot.dir(s"graft-lm-model-$key")
   }
 
   /** Build-if-absent against the corpus at `dir`; returns the model dir.
@@ -238,7 +238,7 @@ object LmIndex {
     * persisted model. */
   private[operators] def ensureModel(spark: SparkSession, dir: String): String = {
     val modelDir = modelDirFor(dir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$modelDir/pairs.parquet")))
+    if (!StoreRoot.exists(spark, s"$modelDir/pairs.parquet"))
       buildModel(spark, Tables.table(spark, dir, "documents"), modelDir)
     modelDir
   }

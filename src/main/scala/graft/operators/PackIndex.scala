@@ -137,14 +137,14 @@ object PackIndex {
   // store's epoch 0 IS that one-shot scan), so it rides the same oracle.
   private def indexDirFor(dir: String): String = {
     val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "pack-v1"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-pack-index-$key"
+    StoreRoot.dir(s"graft-pack-index-$key")
   }
 
   /** Build-if-absent against the corpus at `dir`; returns the index dir.
     * Shared with the pack-at-ingest stream for catalog consistency. */
   private[graft] def ensureIndex(spark: SparkSession, dir: String): String = {
     val indexDir = indexDirFor(dir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$indexDir/manifest.parquet")))
+    if (!StoreRoot.exists(spark, s"$indexDir/manifest.parquet"))
       buildIndex(spark,
         Tables.table(spark, dir, "documents").select("doc_id", "source", "text"),
         indexDir)

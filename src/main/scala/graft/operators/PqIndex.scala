@@ -148,14 +148,14 @@ object PqIndex {
   // shared scoring pipeline), so it rides the unrolled-training oracle.
   private def indexDirFor(dir: String): String = {
     val key = IndexStamp.dirKey(IndexStamp.identity(dir, "embeddings.parquet", "pq-v1"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-pq-index-$key"
+    StoreRoot.dir(s"graft-pq-index-$key")
   }
 
   /** Build-if-absent against the corpus at `dir`; returns the index dir.
     * Shared with the composed IVF-PQ lane ([[IvfPq]]). */
   private[operators] def ensureIndex(spark: SparkSession, dir: String): String = {
     val indexDir = indexDirFor(dir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$indexDir/codes.parquet")))
+    if (!StoreRoot.exists(spark, s"$indexDir/codes.parquet"))
       buildIndex(spark, Tables.table(spark, dir, "embeddings"), indexDir)
     indexDir
   }
@@ -193,13 +193,13 @@ object PqIndex {
   private def wideIndexDirFor(dir: String): String = {
     val key = IndexStamp.dirKey(IndexStamp.identity(
       dir, "embeddings.parquet", "pq-wide128-v1"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-pq-wide-index-$key"
+    StoreRoot.dir(s"graft-pq-wide-index-$key")
   }
 
   private def qAnnPqWideIndexed(spark: SparkSession, dir: String): DataFrame = {
     val indexDir = wideIndexDirFor(dir)
     val wide = SimilarityOps.wideEmbeddings(spark, dir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$indexDir/codes.parquet")))
+    if (!StoreRoot.exists(spark, s"$indexDir/codes.parquet"))
       buildIndex(spark, wide, indexDir)
     topKIndexed(spark, wide.filter(col("vec_id") < NumQueries), indexDir)
   }

@@ -437,13 +437,13 @@ object SearchIndex {
     // externally migrate via migrateDocsLedger + the compact's summary
     // backfill
     val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "search-v3"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-search-index-$key"
+    StoreRoot.dir(s"graft-search-index-$key")
   }
 
   /** Build-if-absent against the corpus at `dir`; returns the index dir. */
   private[operators] def ensureIndex(spark: SparkSession, dir: String): String = {
     val indexDir = indexDirFor(dir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$indexDir/postings.parquet")))
+    if (!StoreRoot.exists(spark, s"$indexDir/postings.parquet"))
       buildIndex(spark, Tables.table(spark, dir, "documents"), indexDir)
     indexDir
   }

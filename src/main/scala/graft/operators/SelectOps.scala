@@ -125,7 +125,7 @@ object SelectOps {
   // scoring the same corpus, so it rides q_moore_lewis's oracle.
   private def mlModelDirs(dir: String): (String, String) = {
     val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "ml-v1"))
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft-ml-model-$key"
+    val base = StoreRoot.dir(s"graft-ml-model-$key")
     (s"$base-in", s"$base-out")
   }
 
@@ -140,7 +140,7 @@ object SelectOps {
       spark: SparkSession, dir: String): (String, String) = {
     val (inDir, outDir) = mlModelDirs(dir)
     val complete = Seq(inDir, outDir).forall(d =>
-      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/pairs.parquet")))
+      StoreRoot.exists(spark, s"$d/pairs.parquet"))
     if (!complete) {
       val base = table(spark, dir, "documents")
       // build-time only, 1 row: the split predicate the stores are keyed by

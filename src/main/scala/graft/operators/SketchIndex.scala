@@ -186,12 +186,12 @@ object SketchIndex {
   private def indexDirFor(dir: String): String = {
     // v2: counts carry the batch_key crash-idempotence digest
     val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "sketch-v2"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-sketch-index-$key"
+    StoreRoot.dir(s"graft-sketch-index-$key")
   }
 
   private def qQuantileSketchIndexed(spark: SparkSession, dir: String): DataFrame = {
     val indexDir = indexDirFor(dir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$indexDir/sample.parquet")))
+    if (!StoreRoot.exists(spark, s"$indexDir/sample.parquet"))
       buildIndex(spark, Tables.table(spark, dir, "documents"), indexDir)
     estimatesFromIndex(spark, indexDir)
   }

@@ -142,12 +142,12 @@ object SpanIndex {
   // q_substring_dedup's oracle unchanged.
   private def indexDirFor(dir: String): String = {
     val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "span-v1"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-span-index-$key"
+    StoreRoot.dir(s"graft-span-index-$key")
   }
 
   private def qSpanIndexed(spark: SparkSession, dir: String): DataFrame = {
     val indexDir = indexDirFor(dir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$indexDir/grams.parquet")))
+    if (!StoreRoot.exists(spark, s"$indexDir/grams.parquet"))
       buildIndex(spark, Tables.table(spark, dir, "documents"), indexDir)
     scoreDocs(spark, Tables.table(spark, dir, "documents"), indexDir)
   }

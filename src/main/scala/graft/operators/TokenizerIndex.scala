@@ -204,7 +204,7 @@ object TokenizerIndex {
   private def indexDirFor(dir: String): String = {
     val key = IndexStamp.dirKey(IndexStamp.identity(
       dir, "documents.parquet", s"tok-v1-${CorpusOps.BpeTrainSteps}"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-tok-index-$key"
+    StoreRoot.dir(s"graft-tok-index-$key")
   }
 
   /** Build-if-absent against the corpus at `dir`; returns the store dir. */
@@ -213,8 +213,7 @@ object TokenizerIndex {
     // probe the LEDGER (last-written in build): its presence implies
     // merges and stats committed too; a crash mid-build leaves it
     // absent and the whole store rebuilds
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$indexDir/docs.parquet")))
+    if (!StoreRoot.exists(spark, s"$indexDir/docs.parquet"))
       buildIndex(spark, Tables.table(spark, dir, "documents"), indexDir)
     indexDir
   }

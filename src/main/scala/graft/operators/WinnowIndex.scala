@@ -285,7 +285,7 @@ object WinnowIndex {
   // --- q_winnow_matches_indexed: the persisted lane on the oracle gate --
   private def indexDirFor(dir: String): String = {
     val key = IndexStamp.dirKey(IndexStamp.identity(dir, "documents.parquet", "winnow-v3"))
-    s"${System.getProperty("java.io.tmpdir")}/graft-winnow-index-$key"
+    StoreRoot.dir(s"graft-winnow-index-$key")
   }
 
   /** Build-if-absent against the corpus at `dir`; returns the index dir.
@@ -293,7 +293,7 @@ object WinnowIndex {
     * ([[CurationFunnel]]). */
   private[operators] def ensureIndex(spark: SparkSession, dir: String): String = {
     val indexDir = indexDirFor(dir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$indexDir/fps.parquet")))
+    if (!StoreRoot.exists(spark, s"$indexDir/fps.parquet"))
       buildIndex(spark, Tables.table(spark, dir, "documents"), indexDir)
     indexDir
   }

@@ -35,10 +35,18 @@ class VotesStalenessSpec extends AnyFunSuite {
 
     val vdir = CurationFunnel.ensureVotes(spark, dir)
     val votesFile = new java.io.File(s"$vdir/votes.parquet")
-    val stamp1 = votesFile.lastModified()
+    def watermark(): Long =
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$vdir/votes.parquet/_watermark")).trim.toLong
+    // the pre-read watermark is a SIDECAR published atomically with the
+    // data (r14 — the r13 setLastModified stamp's boolean result was
+    // ignored and its mtime carrier doesn't survive non-local roots)
+    val stamp1 = watermark()
+    val mtime1 = votesFile.lastModified()
     // memoized while the stores are untouched
     assert(CurationFunnel.ensureVotes(spark, dir) === vdir)
-    assert(votesFile.lastModified() === stamp1)
+    assert(watermark() === stamp1)
+    assert(votesFile.lastModified() === mtime1)
 
     // the takedown mutates the clf + LM stores (neg epochs + dels) with
     // documents.parquet — the artifact's IndexStamp key — unchanged
@@ -47,7 +55,7 @@ class VotesStalenessSpec extends AnyFunSuite {
     Takedown.sweep(spark, docs.filter(col("doc_id") === 2L), Seq(clf, lm))
 
     assert(CurationFunnel.ensureVotes(spark, dir) === vdir)
-    assert(votesFile.lastModified() > stamp1,
+    assert(watermark() > stamp1,
       "a store mutation must re-materialize the corpus-keyed votes")
     val served = votesRows(vdir)
 
@@ -61,8 +69,10 @@ class VotesStalenessSpec extends AnyFunSuite {
       "the invalidated-and-rebuilt votes must equal a from-scratch re-score")
 
     // and a further ensure with no store change serves without rebuilding
-    val stamp2 = votesFile.lastModified()
+    val stamp2 = watermark()
+    val mtime2 = votesFile.lastModified()
     CurationFunnel.ensureVotes(spark, dir)
-    assert(votesFile.lastModified() === stamp2)
+    assert(watermark() === stamp2)
+    assert(votesFile.lastModified() === mtime2)
   }
 }
