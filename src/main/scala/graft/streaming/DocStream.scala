@@ -1237,14 +1237,15 @@ object DocStream {
       storeDirs: Seq[String],
       every: Int = 4,
       logDir: Option[String] = None,
-      repairPending: Boolean = false)(
+      repairPending: Boolean = false,
+      repairBudget: Int = 1)(
       report: Seq[graft.operators.IndexFsck.Finding] => Unit): StreamingQuery = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     ticks.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (_: DataFrame, _: Long) =>
         processFsckBatch(
           spark, storeDirs, batches.incrementAndGet(), every, logDir,
-          repairPending)(report)
+          repairPending, repairBudget)(report)
       }
       .start()
   }
@@ -1254,9 +1255,16 @@ object DocStream {
   private[graft] def processFsckBatch(
       spark: SparkSession, storeDirs: Seq[String], batchNo: Long,
       every: Int, logDir: Option[String] = None,
-      repairPending: Boolean = false)(
+      repairPending: Boolean = false, repairBudget: Int = 1)(
       report: Seq[graft.operators.IndexFsck.Finding] => Unit): Unit =
     if (every > 0 && batchNo % every == 0) {
+      // repair WORK is budgeted per scan (r13 verdict #4): a registry
+      // compact costs seconds per store, and a manifest full of pending
+      // stores must not turn one health tick into N×compact and starve
+      // finding delivery — the scan itself stays listing-cheap, budget
+      // leftovers surface as the usual pending_deletes finding and are
+      // picked up by the NEXT scan (round-robin by manifest order)
+      var repairsLeft = if (repairPending) math.max(0, repairBudget) else 0
       // per-store isolation, the Takedown.sweep discipline: a store so
       // broken that fsck ITSELF throws (corrupt footer mid-read) must
       // become an error FINDING for that store, not kill the health
@@ -1270,12 +1278,14 @@ object DocStream {
           // any writer, so running it beside live maintenance is safe by
           // mechanism (same-store maintenance just queues). Same
           // isolation as the scan: a failed repair is an error row.
-          if (repairPending && fs.exists(_.check == "pending_deletes")) {
+          if (repairsLeft > 0 && fs.exists(_.check == "pending_deletes")) {
             val ran = graft.operators.IndexFsck.repair(spark, d)
-            if (ran) fs :+ graft.operators.IndexFsck.Finding(
-              d, fs.head.family, "pending_deletes_repaired", "info",
-              "fleet lane retired the pending deletions (registry compact)")
-            else fs
+            if (ran) {
+              repairsLeft -= 1
+              fs :+ graft.operators.IndexFsck.Finding(
+                d, fs.head.family, "pending_deletes_repaired", "info",
+                "fleet lane retired the pending deletions (registry compact)")
+            } else fs
           } else fs
         } catch {
           case scala.util.control.NonFatal(e) =>

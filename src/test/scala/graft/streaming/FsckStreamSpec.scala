@@ -116,4 +116,46 @@ class FsckStreamSpec extends AnyFunSuite {
     // a second scan on the now-clean store repairs nothing
     assert(!IndexFsck.fsck(spark, idx).exists(_.check == "pending_deletes"))
   }
+
+  test("repair work is BUDGETED per scan: three pending stores with " +
+      "budget 1 retire across successive scans, findings delivered " +
+      "every scan (a pending manifest cannot become a compact storm)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-fsckbudget").toString
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = Seq(
+      (1L, "alpha beta alpha", "en", "s0"),
+      (2L, "gamma delta epsilon", "de", "s0"),
+      (3L, "alpha beta delta", "en", "s1")).toDF("doc_id", "text", "lang", "source")
+    val stores = (1 to 3).map(i => s"$base/lm$i")
+    stores.foreach { idx =>
+      graft.operators.LmIndex.buildModel(spark, corpus, idx)
+      graft.operators.Takedown.sweep(spark,
+        corpus.filter(col("doc_id") === 2L), Seq(idx))
+      assert(graft.operators.IndexPolicy.pendingDeletes(spark, idx))
+    }
+    val reports = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[IndexFsck.Finding]]
+    def pendingCount: Int =
+      stores.count(graft.operators.IndexPolicy.pendingDeletes(spark, _))
+    (1L to 3L).foreach { scan =>
+      DocStream.processFsckBatch(spark, stores, scan, every = 1,
+        repairPending = true, repairBudget = 1) { fs => reports += fs; () }
+      // exactly ONE store retired per scan — the budget bounds the tick
+      assert(pendingCount === 3 - scan.toInt,
+        s"scan $scan must retire exactly one store's pending deletions")
+      // findings still delivered every scan, including the un-repaired
+      // stores' pending_deletes rows (they surface, they just wait)
+      assert(reports.size === scan.toInt)
+      assert(reports.last.count(_.check == "pending_deletes_repaired") === 1)
+      // the scan observes pre-repair state: every store still pending at
+      // scan START surfaces (including the one this scan then retires)
+      assert(reports.last.count(_.check == "pending_deletes") === 4 - scan.toInt,
+        s"un-budgeted stores must still surface as pending: ${reports.last}")
+    }
+    // every store's retirement is the real one
+    stores.foreach { idx =>
+      assert(!graft.operators.IndexPolicy.pendingDeletes(spark, idx))
+    }
+  }
 }
