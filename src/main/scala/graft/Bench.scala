@@ -151,12 +151,15 @@ object Bench {
     // lanes whose cost is TRAINING/ablation by design — inline twins that
     // re-train or re-derive per run what production amortizes into a
     // persisted store, kept in the suite for the indexed≡inline
-    // certificates (q_curation2 trains three models inline; q_ann_pq_wide
-    // trains a 128-dim codebook; the dedup inline twins re-shingle the
-    // corpus their _indexed twins serve from the store). Labeled so a
-    // top-5 board separates by-design training cost from a serving
-    // regression; top5_serving is the same board with them excluded.
-    val ablationLanes = Set("q_curation2", "q_ann_pq_wide",
+    // certificates (q_ann_pq_wide trains a 128-dim codebook; the dedup
+    // inline twins re-shingle the corpus their _indexed twins serve from
+    // the store). Labeled so a top-5 board separates by-design training
+    // cost from a serving regression; top5_serving is the same board
+    // with them excluded. q_curation2 left the set in round 14: its
+    // inline retrain now runs once per sample universe (recorded
+    // `_certificate`), so its recurring cost IS a serving cost — the
+    // store-backed full ledger plus the re-proven indexed sample ledger.
+    val ablationLanes = Set("q_ann_pq_wide",
       "q_dedup_canonical", "q_dedup_clusters", "q_dedup_incremental",
       "q_substring_dedup", "q_winnow_matches")
     val top5Serving = results

@@ -83,6 +83,74 @@ object TakedownBench {
     })
     emit("lease", "cycle_x50", lc)
 
+    // --- lease CONTENTION (r13 verdict #7): the lease was measured
+    // uncontended only; these three lanes make the fleet's worst-case
+    // write latency under contention a number. The protocol is pure
+    // filesystem metadata ops, so planted foreign leases measure the
+    // same code path a real second driver exercises (ForkedLeaseSpec
+    // pins the behavioral equivalence through a real process boundary).
+    {
+      val conf = spark.sparkContext.hadoopConfiguration
+
+      // (a) handover: writer B queued on the in-process lock while A
+      // holds; reported latency is B's acquire BEYOND A's body end —
+      // the queueing + release (lease delete, heartbeat stop) +
+      // re-acquire (lease create, verify) overhead itself
+      val cdir = s"$workDir/lease-contended"
+      fs.mkdirs(new org.apache.hadoop.fs.Path(cdir))
+      val started = new java.util.concurrent.CountDownLatch(1)
+      @volatile var aBodyEnd = 0L
+      val a = new Thread(() =>
+        operators.StoreLock.withLockConf(conf, cdir, "bench-writer-A") {
+          started.countDown()
+          Thread.sleep(300)
+          aBodyEnd = System.nanoTime()
+        })
+      a.start(); started.await()
+      operators.StoreLock.withLockConf(conf, cdir, "bench-writer-B") { () }
+      val bAcq = System.nanoTime()
+      a.join()
+      emit("lease", "contended_handover", (bAcq - aBodyEnd) / 1e9)
+
+      // (b) refusal latency on a fresh FOREIGN lease (two drivers, one
+      // store lineage): how fast the second driver learns it must not
+      // write — 20 reps of read-owner + staleness judgment + throw
+      val rdir = s"$workDir/lease-refused"
+      fs.mkdirs(new org.apache.hadoop.fs.Path(rdir))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$rdir.lease"),
+        "99999@other-host#feedbeef\nbench-foreign-writer\n")
+      val (_, rf) = timed((1 to 20).foreach { _ =>
+        try {
+          operators.StoreLock.withLockConf(conf, rdir, "bench-refused") { () }
+          sys.error("foreign lease did not refuse")
+        } catch { case _: operators.StoreLock.LeaseHeldException => () }
+      })
+      emit("lease", "refusal_x20", rf)
+
+      // (c) waited acquire (the shared-ledger shape, leaseWaitMs): the
+      // foreign holder releases ~250 ms in; B backoff-retries and wins.
+      // Reported latency is B's whole acquire+release cycle — the
+      // worst-case audit-ledger write stall under a momentary collision.
+      val wdir = s"$workDir/lease-waited"
+      fs.mkdirs(new org.apache.hadoop.fs.Path(wdir))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$wdir.lease"),
+        "99999@other-host#feedbeef\nbench-foreign-writer\n")
+      val releaser = new Thread(() => {
+        Thread.sleep(250)
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(s"$wdir.lease"))
+        ()
+      })
+      releaser.start()
+      val (_, wl) = timed(
+        operators.StoreLock.withLockConf(
+          conf, wdir, "bench-waited", leaseWaitMs = 10000L) { () })
+      releaser.join()
+      emit("lease", "waited_acquire", wl)
+    }
+
     // --- tombstone class: SearchIndex ------------------------------------
     {
       val idx = s"$workDir/search"

@@ -49,7 +49,7 @@ import org.apache.spark.sql.SparkSession
   * dead-pid fast takeover only trusts a kernel that is provably the
   * SAME authority (host + pid-namespace match).
   */
-private[operators] object StoreLock {
+private[graft] object StoreLock {
 
   /** A second writer refused on a FRESH foreign lease — its own type so
     * callers that can legitimately wait out a short hold (the audit

@@ -1189,8 +1189,15 @@ object TextOps {
   // counting over every doc), docs expand by one output-sized join.
   // Documents with <2 tokens have no bigrams and are excluded (inner
   // join) in both engines.
-  private def qLmBigram(spark: SparkSession, dir: String): DataFrame = {
-    val docs = table(spark, dir, "documents")
+  private def qLmBigram(spark: SparkSession, dir: String): DataFrame =
+    lmBigramOver(table(spark, dir, "documents"))
+
+  /** The bigram-LM train+score body over an arbitrary documents frame
+    * (needs doc_id, text) — shared by the dir-based lane above and the
+    * sampled-sub-corpus certificate ([[graft.operators.CurationFunnel]]),
+    * whose inline side trains on the SAMPLE corpus. */
+  private[operators] def lmBigramOver(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
       .select(col("doc_id"), xxhash64(col("text")).as("tkey"), col("text"))
     val members = docs.select(col("doc_id"), col("tkey"))
     val w = split(trim(col("text")), " ")
@@ -1240,12 +1247,18 @@ object TextOps {
   // ties at a cutoff bucket by value comparison, identical both sides.
   private val CcK = 64
 
-  private[operators] def qCcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
-    // inline subset scoring still trains on the FULL corpus (the model is
-    // corpus-level state); the cached `groups` frame inside qLmBigram
-    // keeps the cuts branch from re-exploding the whole corpus
-    val full = qLmBigram(spark, dir)
-    ccnetBucketsFrom(table(spark, dir, "documents"),
+  private[operators] def qCcnetBuckets(spark: SparkSession, dir: String): DataFrame =
+    ccnetBucketsOver(table(spark, dir, "documents"))
+
+  /** Inline CCNet selection over an arbitrary documents frame: train the
+    * bigram LM on `docs` (the model is corpus-level state — here the
+    * corpus IS `docs`), score, tercile-select. The cached `groups` frame
+    * inside [[lmBigramOver]] keeps the cuts branch from re-exploding the
+    * corpus. Shared by the dir lane and the sampled certificate's
+    * inline side. */
+  private[operators] def ccnetBucketsOver(docs: DataFrame): DataFrame = {
+    val full = lmBigramOver(docs)
+    ccnetBucketsFrom(docs,
       dd => full.join(dd.select(col("doc_id")), Seq("doc_id"), "left_semi"))
   }
 
