@@ -107,8 +107,14 @@ object TakedownBench {
           aBodyEnd = System.nanoTime()
         })
       a.start(); started.await()
-      operators.StoreLock.withLockConf(conf, cdir, "bench-writer-B") { () }
-      val bAcq = System.nanoTime()
+      // bAcq stamped INSIDE B's body: the handover number is A's release
+      // + B's acquire only — stamping after withLockConf returns would
+      // fold B's own release (lease delete, heartbeat stop) into a
+      // metric named for the handover (review r14)
+      var bAcq = 0L
+      operators.StoreLock.withLockConf(conf, cdir, "bench-writer-B") {
+        bAcq = System.nanoTime()
+      }
       a.join()
       emit("lease", "contended_handover", (bAcq - aBodyEnd) / 1e9)
 

@@ -184,46 +184,64 @@ object CurationFunnel {
       df.collect().toSeq
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     val recorded = readCertRecord(spark, sdir)
-    val inline = recorded.getOrElse(
-      rows(inlineLedgerOver(spark, table(spark, sdir, "documents"))))
     val indexed = rows(curationLedger(spark, sdir, indexed = true))
-    if (inline != indexed)
-      throw new IllegalStateException(
-        s"indexed≡inline certificate FAILED on the sampled sub-corpus $sdir:" +
-          s" inline=$inline indexed=$indexed — a persisted funnel store or" +
-          " the votes artifact diverged from its inline-retrained twin")
-    if (recorded.isEmpty) writeCertRecord(spark, sdir, inline)
+    recorded match {
+      case Some(rec) if rec == indexed => () // fast path: the proof stands
+      case _ =>
+        // no record, an unreadable record, or a record the served side no
+        // longer matches. The last case is AMBIGUOUS: a genuinely
+        // diverged store — or a legitimate semantic change to the funnel
+        // itself, which moves both sides identically and would otherwise
+        // fail against the stale record forever (self-healing: recompute
+        // the inline truth NOW instead of blaming the stores on record
+        // evidence alone)
+        val inline = rows(inlineLedgerOver(spark, table(spark, sdir, "documents")))
+        if (inline != indexed)
+          throw new IllegalStateException(
+            s"indexed≡inline certificate FAILED on the sampled sub-corpus $sdir:" +
+              s" freshly-retrained inline=$inline vs indexed=$indexed — a" +
+              " persisted funnel store or the votes artifact diverged from" +
+              " its inline-retrained twin")
+        writeCertRecord(spark, sdir, inline)
+    }
   }
 
   private def certPath(sdir: String) =
     new org.apache.hadoop.fs.Path(sdir, "_certificate")
 
+  private val CertHeader = "graft-funnel-certificate-v1"
+  private val CertFooter = "end"
+
+  /** Header + 6 rows + footer; a file missing ANY of the three shapes
+    * (crash-truncated write, concurrent non-atomic observation, a
+    * pre-upgrade layout) reads as None → the caller recomputes the
+    * inline side — one redundant retrain, never a wrong reference. */
   private def readCertRecord(
       spark: SparkSession, sdir: String): Option[Seq[(String, Long, Long)]] = {
     val p = certPath(sdir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    try {
-      val in = fs.open(p)
-      val txt =
-        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
-      val rows = txt.linesIterator.filter(_.nonEmpty).toSeq.map { l =>
+    try FsText.read(fs, p).flatMap { txt =>
+      val lines = txt.linesIterator.filter(_.nonEmpty).toSeq
+      if (lines.size != 8 || lines.head != CertHeader || lines.last != CertFooter)
+        None
+      else Some(lines.slice(1, 7).map { l =>
         val Array(s, n, t) = l.split(','); (s, n.toLong, t.toLong)
-      }
-      if (rows.size == 6) Some(rows) else None
-    } catch { case _: java.io.IOException | _: MatchError |
-        _: NumberFormatException => None }
+      })
+    } catch { case _: MatchError | _: NumberFormatException => None }
   }
 
+  /** Staged sibling + rename — a crash mid-write leaves the previous
+    * record (or nothing) behind, never a half-written one; the brief
+    * delete-to-rename absent window reads as "no record" (recompute),
+    * which is safe in the direction that matters. */
   private def writeCertRecord(
       spark: SparkSession, sdir: String,
       rows: Seq[(String, Long, Long)]): Unit = {
     val p = certPath(sdir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(rows.map { case (s, n, t) => s"$s,$n,$t" }.mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    FsText.writeAtomic(fs, p,
+      (CertHeader +: rows.map { case (s, n, t) => s"$s,$n,$t" } :+ CertFooter)
+        .mkString("\n"))
   }
 
   /** The funnel ledger over an arbitrary documents frame, every model
@@ -291,7 +309,7 @@ object CurationFunnel {
     * returns 0 and would DISABLE the staleness detector. */
   private def storesMtime(spark: SparkSession, dirs: Seq[String]): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
-    dirs.map { d =>
+    def snapshot(d: String): Long = {
       val p = new org.apache.hadoop.fs.Path(d)
       val fs = p.getFileSystem(conf)
       val root = fs.getFileStatus(p)
@@ -301,6 +319,34 @@ object CurationFunnel {
             fs.listStatus(k.getPath).toSeq.map(_.getModificationTime)
           else Seq.empty)
       }).max
+    }
+    // a concurrent writer (another lease-safe driver on the shared
+    // root, or a same-JVM maintenance stream) can delete/rename a child
+    // BETWEEN our two listing levels — the listing then throws
+    // FileNotFoundException mid-walk. That is a transient publish
+    // window, not an error state: retry the whole per-store snapshot a
+    // few times (each attempt races independently and a publish is
+    // sub-second), and only then fail loudly naming the store — never
+    // guess a watermark (too high masks mutations forever, too low
+    // serves stale), and never let one listing race kill the serving
+    // query the old java.io walk would have silently survived
+    dirs.map { d =>
+      var attempt = 0
+      var out = -1L
+      var last: java.io.FileNotFoundException = null
+      while (out < 0 && attempt < 5) {
+        try out = snapshot(d)
+        catch {
+          case e: java.io.FileNotFoundException =>
+            last = e; attempt += 1; Thread.sleep(100L * attempt)
+        }
+      }
+      if (out < 0)
+        throw new IllegalStateException(
+          s"store $d is under sustained concurrent mutation — could not " +
+            "snapshot its mtimes in 5 attempts; retry when the writer's " +
+            "publish settles", last)
+      out
     }.max
   }
 
@@ -319,20 +365,16 @@ object CurationFunnel {
       spark: SparkSession, stagedDir: org.apache.hadoop.fs.Path,
       preRead: Long): Unit = {
     val fs = stagedDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(new org.apache.hadoop.fs.Path(stagedDir, "_watermark"), true)
-    try out.write(s"$preRead\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    // plain write: the staged dir is invisible until the surrounding
+    // atomic publish renames it, watermark and data land together
+    FsText.write(fs, new org.apache.hadoop.fs.Path(stagedDir, "_watermark"),
+      s"$preRead\n")
   }
 
   private def readWatermark(spark: SparkSession, table: String): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(table, "_watermark")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    try {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
-      finally in.close()
-    } catch { case _: java.io.IOException => None }
+    FsText.read(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+      .flatMap(_.trim.toLongOption)
   }
 
   /** Materialize-if-absent the per-document model votes

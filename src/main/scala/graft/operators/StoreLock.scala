@@ -206,12 +206,7 @@ private[graft] object StoreLock {
     * longer-expiry holders. Absent/unparseable (pre-upgrade or
     * hand-planted lease) → None, observer falls back to its own. */
   private[operators] def readLeaseExpiry(fs: FileSystem, lease: Path): Option[Long] =
-    (try {
-      val in = fs.open(lease)
-      try Some(new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally in.close()
-    } catch { case _: java.io.IOException => None })
+    FsText.read(fs, lease)
       .flatMap(_.linesIterator.drop(2).nextOption())
       .flatMap(_.trim.toLongOption)
       .filter(_ > 0)
@@ -224,13 +219,8 @@ private[graft] object StoreLock {
     * fresh file). */
   private def readOwner(fs: FileSystem, lease: Path): Option[String] = {
     def once: Option[String] =
-      try {
-        val in = fs.open(lease)
-        try Some(new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).linesIterator
-          .nextOption().getOrElse(""))
-        finally in.close()
-      } catch { case _: java.io.IOException => None }
+      FsText.read(fs, lease)
+        .map(_.linesIterator.nextOption().getOrElse(""))
     var r = once
     var reps = 0
     while (r.contains("") && reps < 3) { Thread.sleep(20); r = once; reps += 1 }
@@ -419,21 +409,28 @@ private[graft] object StoreLock {
               // window is a LOST hold discovered now (not next beat),
               // and the fence blocks this writer's publishes from that
               // instant rather than after up to expiry/3 more of racing
-              if (!refreshedSince(fs, lease, now - period) && active.get) {
-                fs.delete(lease, false)
-                writeLease(fs, lease, "heartbeat-refresh", expiryMs)
-                readOwner(fs, lease) match {
-                  case Some(OwnerId) => if (!active.get) releaseLease(fs, store)
-                  case Some(other) => lostTo(other)
-                  case None => () // next beat reclaims
+              // hold.synchronized: the REPLACE's delete-to-create window
+              // is invisible to THIS process's fence (which reads under
+              // the same monitor) — without it, a publish fencing during
+              // the window reads "vanished" and aborts a healthy writer
+              // on exactly the setTimes-no-op stores this path serves
+              if (!refreshedSince(fs, lease, now - period) && active.get)
+                hold.synchronized {
+                  fs.delete(lease, false)
+                  writeLease(fs, lease, "heartbeat-refresh", expiryMs)
+                  readOwner(fs, lease) match {
+                    case Some(OwnerId) => if (!active.get) releaseLease(fs, store)
+                    case Some(other) if other.nonEmpty => lostTo(other)
+                    case _ => () // unreadable/empty: next beat retries
+                  }
                 }
-              }
-            case Some(other) => lostTo(other)
+            case Some(other) if other.nonEmpty => lostTo(other)
+            case Some(_) => () // transient empty read: next beat retries
             case None =>
               // our lease vanished (operator rm, or the takeover race's
               // delete) — reclaim, then re-check the gate: if release
               // ran while we were recreating, delete our own recreation
-              if (active.get) {
+              if (active.get) hold.synchronized {
                 writeLease(fs, lease, "heartbeat-reclaim", expiryMs)
                 if (!active.get) releaseLease(fs, store)
               }
@@ -571,25 +568,39 @@ private[graft] object StoreLock {
               s"destructive publish of $target so the current owner's " +
               "epochs stay intact. Staged work is residue for fsck gc")
         if (hold.lost.get) refuse("was already observed lost mid-hold")
-        // fresh ownership read; tolerate the refresh-REPLACE sub-ms
-        // absent window (readOwner already retries empty content) by
-        // retrying a vanished lease briefly before refusing
-        var owner = readOwner(hold.fs, leasePath(hold.store))
+        // fresh ownership read UNDER THE HOLD'S MONITOR: our own
+        // heartbeat's refresh-REPLACE (delete + re-create when setTimes
+        // is a no-op) runs its whole window inside hold.synchronized,
+        // so this read can never observe the self-induced absence — a
+        // vanished or unreadable lease here is FOREIGN evidence. Still
+        // retry briefly (another process's takeover-delete + our
+        // reclaim can legitimately interleave).
+        def read(): Option[String] =
+          hold.synchronized { readOwner(hold.fs, leasePath(hold.store)) }
+        var owner = read()
         var reps = 0
-        while (owner.isEmpty && reps < 3) {
-          Thread.sleep(30); owner = readOwner(hold.fs, leasePath(hold.store))
-          reps += 1
+        while (owner.forall(_.isEmpty) && reps < 3) {
+          Thread.sleep(30); owner = read(); reps += 1
         }
         owner match {
           case Some(OwnerId) => ()
-          case Some(other) =>
+          case Some(other) if other.nonEmpty =>
             hold.lost.set(true)
             refuse(s"is now held by $other")
+          case Some(_) =>
+            // readable but EMPTY past the retries: a mid-create window
+            // we cannot attribute — inconclusive, so refuse this
+            // publish (safe direction for a destructive op) but do NOT
+            // set the sticky flag: the next beat/publish re-evaluates,
+            // a healthy hold is not permanently fenced by one glitch
+            refuse("reads empty (cannot prove exclusivity; not marking " +
+              "the hold lost — retry after the next heartbeat)")
           case None =>
             // vanished and stayed vanished across the retries: we can no
             // longer PROVE exclusivity. The heartbeat will reclaim it,
             // but a concurrent acquirer could equally be mid-create —
-            // the safe direction for a destructive op is refusal
+            // the safe direction for a destructive op is refusal (and
+            // like the empty case, NOT sticky: reclaim may win)
             refuse("has vanished (cannot prove exclusivity)")
         }
       }

@@ -1265,11 +1265,22 @@ object DocStream {
       // leftovers surface as the usual pending_deletes finding and are
       // picked up by the NEXT scan (round-robin by manifest order)
       var repairsLeft = if (repairPending) math.max(0, repairBudget) else 0
+      // ROTATING repair priority (review r14): consuming the budget from
+      // the manifest head every scan lets one store that re-accumulates
+      // pending deletions each interval starve every later store of
+      // retirement forever. Rotate the traversal start by scan number so
+      // each store periodically gets first claim on the budget; findings
+      // are re-sorted to manifest order below so the report stays stable
+      val rot =
+        if (storeDirs.isEmpty) 0
+        else ((batchNo / every) % storeDirs.size).toInt
+      val rotated = storeDirs.drop(rot) ++ storeDirs.take(rot)
+      val manifestIdx = storeDirs.zipWithIndex.toMap
       // per-store isolation, the Takedown.sweep discipline: a store so
       // broken that fsck ITSELF throws (corrupt footer mid-read) must
       // become an error FINDING for that store, not kill the health
       // lane on exactly the breakage it exists to detect
-      val findings = storeDirs.flatMap { d =>
+      val findings0 = rotated.flatMap { d =>
         try {
           val fs = graft.operators.IndexFsck.fsck(spark, d)
           // repairPending: the fleet lane retires pending deletions on
@@ -1295,6 +1306,7 @@ object DocStream {
                 s"${Option(e.getMessage).getOrElse("").take(200)}"))
         }
       }
+      val findings = findings0.sortBy(f => manifestIdx.getOrElse(f.dir, Int.MaxValue))
       // persist only warn/error: info findings (a held lease, pending
       // deletions between compacts) are HEALTHY states that would grow
       // the ledger every scan — logFindings' triage-queue contract.

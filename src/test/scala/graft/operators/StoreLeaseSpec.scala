@@ -265,6 +265,40 @@ class StoreLeaseSpec extends AnyFunSuite {
     }
   }
 
+  test("an EMPTY lease read refuses the publish but is NOT sticky: the " +
+      "hold recovers once the lease reads as ours again (review r14 — " +
+      "a transient mid-create window must not permanently fence a " +
+      "healthy writer)") {
+    val dir = tmp("graft-leaseempty") + "/store"
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(dir, "table.txt"), "live")
+    StoreLock.withLock(spark, dir, "spec-empty-fence") {
+      // a readable-but-empty lease: the mid-create shape fence cannot
+      // attribute (could be our heartbeat's re-create on a non-local
+      // transport, could be a foreign acquirer mid-write)
+      Files.writeString(leaseFile(dir), "")
+      val e = intercept[StoreLock.LeaseLostException] {
+        AtomicPublish.stageAndRename(spark, dir, ".table.tmp", "table.txt") {
+          tmpP =>
+            Files.writeString(Paths.get(tmpP.toUri.getPath), "blocked")
+            ()
+        }
+      }
+      assert(e.getMessage.contains("empty"))
+      assert(Files.readString(Paths.get(dir, "table.txt")) === "live")
+      // the glitch clears (our content is back) -> the SAME hold
+      // publishes normally; a sticky flag here would have wasted the
+      // whole job on one unreadable read
+      Files.writeString(leaseFile(dir), s"${StoreLock.OwnerId}\nspec\n")
+      AtomicPublish.stageAndRename(spark, dir, ".table.tmp", "table.txt") {
+        tmpP =>
+          Files.writeString(Paths.get(tmpP.toUri.getPath), "recovered")
+          ()
+      }
+      assert(Files.readString(Paths.get(dir, "table.txt")) === "recovered")
+    }
+  }
+
   test("a publish on a store with NO held lease passes the fence " +
       "unchanged (bootstrap builds into fresh dirs)") {
     val dir = tmp("graft-leasenofence") + "/store"

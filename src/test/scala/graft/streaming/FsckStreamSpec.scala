@@ -158,4 +158,38 @@ class FsckStreamSpec extends AnyFunSuite {
       assert(!graft.operators.IndexPolicy.pendingDeletes(spark, idx))
     }
   }
+
+  test("the repair budget ROTATES its starting store: a manifest-head " +
+      "store that re-accumulates pending deletions every interval " +
+      "cannot starve later stores of retirement (review r14)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-fsckrot").toString
+    val corpus = Seq(
+      (1L, "alpha beta alpha", "en", "s0"),
+      (2L, "gamma delta epsilon", "de", "s0"),
+      (3L, "alpha beta delta", "en", "s1"),
+      (4L, "zeta eta theta", "de", "s1")).toDF("doc_id", "text", "lang", "source")
+    val stores = (1 to 3).map(i => s"$base/lm$i")
+    stores.foreach { idx =>
+      graft.operators.LmIndex.buildModel(spark, corpus, idx)
+      graft.operators.Takedown.sweep(spark,
+        corpus.filter(col("doc_id") === 2L), Seq(idx))
+    }
+    val head = stores.head
+    (1L to 4L).foreach { scan =>
+      DocStream.processFsckBatch(spark, stores, scan, every = 1,
+        repairPending = true, repairBudget = 1) { _ => () }
+      // the adversarial tenant: the HEAD store goes pending again
+      // immediately after every scan (fresh victim per scan so the
+      // sweep is never a no-op replay)
+      graft.operators.Takedown.sweep(spark,
+        corpus.filter(col("doc_id") === (scan % 4 + 1)), Seq(head))
+    }
+    // head-first budgeting would have spent all four scans on the head
+    // store; rotation must have reached and retired BOTH tail stores
+    stores.tail.foreach { idx =>
+      assert(!graft.operators.IndexPolicy.pendingDeletes(spark, idx),
+        s"rotation must retire $idx despite the head store re-pending " +
+          "every scan")
+    }
+  }
 }
