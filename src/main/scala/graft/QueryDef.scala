@@ -57,6 +57,7 @@ object QueryRegistry {
       operators.TokenizerIndex.queries ++
       operators.DsirIndex.queries ++
       operators.HeavyHitters.queries ++
+      operators.CorpusDiff.queries ++
       operators.EventOps.queries ++
       operators.MultimodalOps.queries ++
       operators.ProfileOps.queries ++
