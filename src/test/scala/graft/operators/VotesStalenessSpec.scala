@@ -75,4 +75,43 @@ class VotesStalenessSpec extends AnyFunSuite {
     assert(watermark() === stamp2)
     assert(votesFile.lastModified() === mtime2)
   }
+
+  test("the ensure-writer shape WAITS out a foreign builder's lease and " +
+      "then serves warm instead of duplicating the build or refusing " +
+      "(round 14: derived-artifact writers joined the lock+lease " +
+      "convention with a waiting lease)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-voteswait").toString
+    Seq(
+      (1L, "alpha beta alpha gamma delta", "en", "s0"),
+      (2L, "gamma delta epsilon zeta alpha", "de", "s0"),
+      (3L, "alpha beta beta delta gamma", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    // warm everything once, then delete the artifact and plant a FRESH
+    // foreign lease on its dir: the shape a second fleet driver sees
+    // while the first is mid-build
+    val vdir = CurationFunnel.ensureVotes(spark, dir)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$vdir/votes.parquet"), true)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(vdir + ".lease"),
+      "99999@other-host#feedbeef\nspec-foreign-builder\n")
+    // the foreign builder "finishes" 300 ms in: lease released
+    val releaser = new Thread(() => {
+      Thread.sleep(300)
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(vdir + ".lease"))
+      ()
+    })
+    releaser.start()
+    val t0 = System.nanoTime()
+    val again = CurationFunnel.ensureVotes(spark, dir) // waits, then builds
+    releaser.join()
+    val waitedMs = (System.nanoTime() - t0) / 1000000L
+    assert(again === vdir)
+    assert(waitedMs >= 300, s"must have waited the foreign lease out (${waitedMs}ms)")
+    assert(new java.io.File(s"$vdir/votes.parquet").exists,
+      "after the wait the artifact must be served/rebuilt, not refused")
+  }
 }
