@@ -146,32 +146,46 @@ object CurationFunnel {
   private[operators] def ensureSampleCorpus(
       spark: SparkSession, dir: String): String = {
     val sdir = sampleDirFor(dir)
-    // ensure-writer shape on a shared root (round 14): cheap memo check,
-    // then the writer lock with a waiting lease — a second driver
-    // arriving during the build WAITS the builder out and re-checks
-    // (serves the now-warm artifact) instead of duplicating the build or
-    // failing loudly on a collision that is not a conflict
-    if (!StoreRoot.exists(spark, s"$sdir/documents.parquet"))
-      StoreLock.withLock(spark, sdir, "funnel-sample-build",
-        leaseWaitMs = EnsureLeaseWaitMs) {
-        if (!StoreRoot.exists(spark, s"$sdir/documents.parquet")) {
-          val sample = spark.read.parquet(s"$dir/documents.parquet")
-            .filter(pmod(xxhash64(col("doc_id")), lit(SampleMod)) === lit(SampleRem))
-          AtomicPublish.stageAndRename(
-            spark, sdir, ".sample.tmp", "documents.parquet") {
-            tmp => sample.write.mode("overwrite").parquet(tmp.toString)
-          }
-        }
+    ensureWriter(spark, sdir, "funnel-sample-build")(
+      stale = !StoreRoot.exists(spark, s"$sdir/documents.parquet")) {
+      val sample = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(pmod(xxhash64(col("doc_id")), lit(SampleMod)) === lit(SampleRem))
+      AtomicPublish.stageAndRename(
+        spark, sdir, ".sample.tmp", "documents.parquet") {
+        tmp => sample.write.mode("overwrite").parquet(tmp.toString)
       }
+    }
     sdir
   }
 
+  /** The ENSURE-WRITER shape, once (review r14 — three hand-rolled
+    * copies drift): cheap `stale` pre-check outside any lock (warm
+    * serving pays metadata reads only), then the per-store writer lock
+    * with a WAITING lease, then the SAME `stale` check re-evaluated
+    * inside — a second fleet driver arriving mid-build waits the
+    * builder out, re-checks, and serves the now-warm artifact instead
+    * of duplicating the build or failing loudly on a collision that is
+    * not a conflict. `stale` is by-name and must re-read its inputs on
+    * every evaluation. */
+  private def ensureWriter(
+      spark: SparkSession, targetDir: String, who: String)(
+      stale: => Boolean)(build: => Unit): Unit =
+    if (stale)
+      StoreLock.withLock(spark, targetDir, who,
+        leaseWaitMs = EnsureLeaseWaitMs) {
+        if (stale) build
+      }
+
   /** How long a second driver's `ensure*` waits out a foreign builder's
-    * lease before failing loudly — sized to the slowest derived-artifact
-    * build (the curated-corpus materialization), not to the lock's
-    * default immediate-refusal meant for conflicting store writers. */
+    * lease before failing loudly — sized PAST the crash-recovery horizon
+    * (review r14): a builder that crashes right after a heartbeat leaves
+    * a lease that only becomes stale-takeable after expiry measured from
+    * that last refresh, so a wait equal to the expiry could exhaust
+    * itself moments before takeover unlocks. expiry + one heartbeat
+    * period + dwell + margin guarantees a waiter behind a crashed
+    * builder reaches the takeover instead of throwing first. */
   private val EnsureLeaseWaitMs =
-    java.util.concurrent.TimeUnit.MINUTES.toMillis(10)
+    StoreLock.DefaultLeaseExpiryMs * 4 / 3 + 15000L
 
   /** Run the funnel BOTH ways over the sample corpus — inline retraining
     * vs the persisted-store/votes serving path (its stores built for the
@@ -423,28 +437,22 @@ object CurationFunnel {
     // be masked forever by a publish-time stamp ≈T3 > Tm; carrying T2
     // makes the next ensure see Tm > T2 and re-materialize (worst case:
     // one redundant rebuild, never a stale serve)
-    // warm-path pre-check outside the lock (pure metadata); the builder
-    // shape re-checks INSIDE the lock — a second driver that waited out
-    // a foreign rebuild lease re-reads the fresh watermark and serves
-    if (readWatermark(spark, votesTable).forall(storesMtime(spark, Seq(clf, lm)) > _))
-      StoreLock.withLock(spark, vdir, "votes-build",
-        leaseWaitMs = EnsureLeaseWaitMs) {
-        val preRead = storesMtime(spark, Seq(clf, lm))
-        val stale = readWatermark(spark, votesTable).forall(preRead > _)
-        if (stale) {
-          val d = table(spark, dir, "documents")
-          val (preds, buckets, _) = storeSignals(spark, d, clf, lm,
-            WinnowIndex.ensureIndex(spark, dir))
-          val votes = preds.select(col("doc_id"), col("is_correct"))
-            .join(buckets.select(col("doc_id"), col("bucket")), Seq("doc_id"), "full")
-          AtomicPublish.stageAndRename(spark, vdir, ".votes.tmp", "votes.parquet") {
-            tmp =>
-              votes.write.mode("overwrite").parquet(tmp.toString)
-              writeWatermark(spark, tmp, preRead)
-          }
-          ()
-        }
+    ensureWriter(spark, vdir, "votes-build")(
+      stale = readWatermark(spark, votesTable)
+        .forall(storesMtime(spark, Seq(clf, lm)) > _)) {
+      val preRead = storesMtime(spark, Seq(clf, lm))
+      val d = table(spark, dir, "documents")
+      val (preds, buckets, _) = storeSignals(spark, d, clf, lm,
+        WinnowIndex.ensureIndex(spark, dir))
+      val votes = preds.select(col("doc_id"), col("is_correct"))
+        .join(buckets.select(col("doc_id"), col("bucket")), Seq("doc_id"), "full")
+      AtomicPublish.stageAndRename(spark, vdir, ".votes.tmp", "votes.parquet") {
+        tmp =>
+          votes.write.mode("overwrite").parquet(tmp.toString)
+          writeWatermark(spark, tmp, preRead)
       }
+      ()
+    }
     vdir
   }
 
@@ -635,37 +643,32 @@ object CurationFunnel {
       ClassifyIndex.ensureModel(spark, dir),
       LmIndex.ensureModel(spark, dir),
       WinnowIndex.ensureIndex(spark, dir))
-    // warm pre-check outside the lock; builder re-checks inside (the
-    // ensure-writer shape — see ensureVotes)
-    if (readWatermark(spark, curatedTable).forall(storesMtime(spark, stores) > _))
-      StoreLock.withLock(spark, cdir, "curated-build",
-        leaseWaitMs = EnsureLeaseWaitMs) {
-        val preRead = storesMtime(spark, stores)
-        val stale = readWatermark(spark, curatedTable).forall(preRead > _)
-        if (stale) {
-          val d = table(spark, dir, "documents")
-          // model votes from the persisted votes artifact (scored once,
-          // shared with the q_curation2_indexed serving lane),
-          // fingerprints from the winnow store
-          val votes = spark.read.parquet(s"${ensureVotes(spark, dir)}/votes.parquet")
-          val (full, cleanup) = gatedOver(d,
-            votes.select(col("doc_id"), col("is_correct")),
-            votes.select(col("doc_id"), col("bucket")),
-            survFpsFromStore(spark, WinnowIndex.ensureIndex(spark, dir)))
-          try {
-            val curated = full.filter(col("s6"))
-              .join(d.select(col("doc_id"), col("source")), "doc_id")
-              .select(col("doc_id"), col("source"), col("text"))
-            AtomicPublish.stageAndRename(
-              spark, cdir, ".curated.tmp", "docs.parquet") {
-              tmp =>
-                curated.write.mode("overwrite").parquet(tmp.toString)
-                writeWatermark(spark, tmp, preRead)
-            }
-            ()
-          } finally cleanup()
+    ensureWriter(spark, cdir, "curated-build")(
+      stale = readWatermark(spark, curatedTable)
+        .forall(storesMtime(spark, stores) > _)) {
+      val preRead = storesMtime(spark, stores)
+      val d = table(spark, dir, "documents")
+      // model votes from the persisted votes artifact (scored once,
+      // shared with the q_curation2_indexed serving lane), fingerprints
+      // from the winnow store
+      val votes = spark.read.parquet(s"${ensureVotes(spark, dir)}/votes.parquet")
+      val (full, cleanup) = gatedOver(d,
+        votes.select(col("doc_id"), col("is_correct")),
+        votes.select(col("doc_id"), col("bucket")),
+        survFpsFromStore(spark, WinnowIndex.ensureIndex(spark, dir)))
+      try {
+        val curated = full.filter(col("s6"))
+          .join(d.select(col("doc_id"), col("source")), "doc_id")
+          .select(col("doc_id"), col("source"), col("text"))
+        AtomicPublish.stageAndRename(
+          spark, cdir, ".curated.tmp", "docs.parquet") {
+          tmp =>
+            curated.write.mode("overwrite").parquet(tmp.toString)
+            writeWatermark(spark, tmp, preRead)
         }
-      }
+        ()
+      } finally cleanup()
+    }
     cdir
   }
 

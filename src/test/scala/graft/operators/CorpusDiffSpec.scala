@@ -51,14 +51,30 @@ class CorpusDiffSpec extends AnyFunSuite {
   }
 
   test("the diff join is digest-early: no text column crosses an exchange") {
-    val plan = QueryRegistry.byName("q_corpus_diff").run(spark, dir)
-      .queryExecution.executedPlan.toString
-    // every Exchange's output is the digest projection — the corpus text
-    // is pruned at the per-side Project below the shuffle
-    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
-    assert(exchanges.nonEmpty, "the diff must shuffle on doc_id")
-    assert(!plan.linesIterator.exists(l =>
-      l.contains("Exchange") && l.contains("text#")),
-      s"an Exchange carries the corpus text — digest-early broken:\n$plan")
+    // walk the EXECUTED plan and inspect each shuffle's OUTPUT SCHEMA —
+    // a tree-string grep is vacuous here because ShuffleExchangeExec's
+    // line prints only the partitioning, never the exchanged attributes
+    // (review r14: the previous string assertion could not fail)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    val df = QueryRegistry.byName("q_corpus_diff").run(spark, dir)
+    df.collect() // finalize any adaptive stages
+    def shuffles(p: SparkPlan): Seq[ShuffleExchangeLike] = {
+      val here = p match {
+        case s: ShuffleExchangeLike => Seq(s)
+        case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+        case q: QueryStageExec => shuffles(q.plan)
+        case r: ReusedExchangeExec => shuffles(r.child)
+        case _ => Seq.empty
+      }
+      (here ++ p.children.flatMap(shuffles)).distinct
+    }
+    val ex = shuffles(df.queryExecution.executedPlan)
+    assert(ex.nonEmpty, "the diff must shuffle on doc_id")
+    val textCarrying = ex.filter(_.output.exists(_.name == "text"))
+    assert(textCarrying.isEmpty,
+      s"an Exchange carries the corpus text — digest-early broken: " +
+        s"${textCarrying.map(_.output.map(_.name).mkString("[", ",", "]"))}")
   }
 }

@@ -77,9 +77,9 @@ class VotesStalenessSpec extends AnyFunSuite {
   }
 
   test("the ensure-writer shape WAITS out a foreign builder's lease and " +
-      "then serves warm instead of duplicating the build or refusing " +
-      "(round 14: derived-artifact writers joined the lock+lease " +
-      "convention with a waiting lease)") {
+      "then SERVES the artifact the foreign builder published — no " +
+      "duplicate rebuild, no refusal (round 14: derived-artifact " +
+      "writers joined the lock+lease convention with a waiting lease)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-voteswait").toString
     Seq(
       (1L, "alpha beta alpha gamma delta", "en", "s0"),
@@ -87,31 +87,46 @@ class VotesStalenessSpec extends AnyFunSuite {
       (3L, "alpha beta beta delta gamma", "en", "s1"))
       .toDF("doc_id", "text", "lang", "source")
       .write.parquet(s"$dir/documents.parquet")
-    // warm everything once, then delete the artifact and plant a FRESH
-    // foreign lease on its dir: the shape a second fleet driver sees
-    // while the first is mid-build
+    // warm once, then simulate "a foreign builder is mid-build": the
+    // artifact is hidden (renamed away) and a FRESH foreign lease sits
+    // on its dir — the exact shape a second fleet driver sees
     val vdir = CurationFunnel.ensureVotes(spark, dir)
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$vdir/votes.parquet"), true)
+    val votes = java.nio.file.Paths.get(s"$vdir/votes.parquet")
+    val hidden = java.nio.file.Paths.get(s"$vdir/.votes.hidden")
+    val publishStamp = votes.toFile.lastModified() // the builder's stamp
+    java.nio.file.Files.move(votes, hidden)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(vdir + ".lease"),
       "99999@other-host#feedbeef\nspec-foreign-builder\n")
-    // the foreign builder "finishes" 300 ms in: lease released
+    // the foreign builder "finishes" 300 ms in: it PUBLISHES the
+    // artifact (restore, watermark intact and still fresh vs the
+    // untouched stores) and releases its lease
     val releaser = new Thread(() => {
       Thread.sleep(300)
+      java.nio.file.Files.move(hidden, votes)
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(vdir + ".lease"))
       ()
     })
     releaser.start()
     val t0 = System.nanoTime()
-    val again = CurationFunnel.ensureVotes(spark, dir) // waits, then builds
+    val again = CurationFunnel.ensureVotes(spark, dir)
     releaser.join()
     val waitedMs = (System.nanoTime() - t0) / 1000000L
     assert(again === vdir)
     assert(waitedMs >= 300, s"must have waited the foreign lease out (${waitedMs}ms)")
-    assert(new java.io.File(s"$vdir/votes.parquet").exists,
-      "after the wait the artifact must be served/rebuilt, not refused")
+    // SERVED, not rebuilt: the inside-the-lock re-check saw the foreign
+    // builder's fresh watermark and skipped the build — a rebuild would
+    // stage+rename a NEW votes.parquet, changing the dir's mtime off the
+    // original publish stamp (move/restore preserves it)
+    assert(java.nio.file.Files.exists(votes))
+    assert(votes.toFile.lastModified() === publishStamp,
+      "the waiter must serve the foreign builder's published artifact, " +
+        "never re-publish it (duplicate rebuild after the wait)")
+    val fpBefore = spark.read.parquet(votes.toString).count()
+    CurationFunnel.ensureVotes(spark, dir)
+    assert(votes.toFile.lastModified() === publishStamp,
+      "a later warm call must serve too")
+    assert(spark.read.parquet(votes.toString).count() === fpBefore)
   }
 }
