@@ -58,6 +58,8 @@ object QueryRegistry {
       operators.DsirIndex.queries ++
       operators.HeavyHitters.queries ++
       operators.CorpusDiff.queries ++
+      operators.LabelOps.queries ++
+      operators.EvalOps.queries ++
       operators.EventOps.queries ++
       operators.MultimodalOps.queries ++
       operators.ProfileOps.queries ++

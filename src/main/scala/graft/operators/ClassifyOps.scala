@@ -43,7 +43,7 @@ object ClassifyOps {
 
   /** doc_id mod 5 == 0 → held-out test set (deterministic split, same
     * arithmetic in both engines). */
-  private val TestMod = 5L
+  private[operators] val TestMod = 5L
 
   /** Token×class counts over the deterministic train split — the WHOLE
     * model state (class totals and vocabulary size derive from it), and
@@ -73,6 +73,21 @@ object ClassifyOps {
     * holdout lane above and the curation funnel's all-docs classifier
     * gate ([[CurationFunnel]]) share this body. */
   private[operators] def scoreDocs(test: DataFrame, counts: DataFrame): DataFrame = {
+    val (members, scored) = textScores(test, counts)
+    val wRank = Window.partitionBy(col("tkey"))
+      .orderBy(col("total").desc, col("lang"))
+    val perText = scored.withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") === 1)
+      .select(col("tkey"), col("lang").as("pred_lang"), col("total").as("score"))
+    members.join(perText, "tkey")
+      .select(col("doc_id"), col("true_lang"), col("pred_lang"), col("score"),
+        when(col("pred_lang") === col("true_lang"), 1L).otherwise(0L).as("is_correct"))
+  }
+
+  /** The pre-argmax score surface: (members (doc_id, true_lang, tkey),
+    * scored (tkey, lang, total)) — the argmax lane above and the
+    * calibration lane ([[EvalOps]]) consume the same totals. */
+  private[operators] def textScores(test: DataFrame, counts: DataFrame): (DataFrame, DataFrame) = {
     val langTotals = counts.groupBy(col("lang")).agg(sum(col("c")).as("n_l"))
     val vocabN = counts.select(col("word")).distinct()
       .agg(count(lit(1)).as("v"))
@@ -109,14 +124,7 @@ object ClassifyOps {
         (coalesce(col("sum_s"), lit(0L))
           + (col("n_toks") - coalesce(col("n_rows"), lit(0L))) * col("s0"))
           .as("total"))
-    val wRank = Window.partitionBy(col("tkey"))
-      .orderBy(col("total").desc, col("lang"))
-    val perText = scored.withColumn("rn", row_number().over(wRank))
-      .filter(col("rn") === 1)
-      .select(col("tkey"), col("lang").as("pred_lang"), col("total").as("score"))
-    members.join(perText, "tkey")
-      .select(col("doc_id"), col("true_lang"), col("pred_lang"), col("score"),
-        when(col("pred_lang") === col("true_lang"), 1L).otherwise(0L).as("is_correct"))
+    (members, scored)
   }
 
   private[operators] def qClassifyFreq(spark: SparkSession, dir: String): DataFrame = {
@@ -133,6 +141,18 @@ object ClassifyOps {
   private[operators] val predictAllSql: String = predictionSql("TRUE")
 
   private def predictionSql(targetWhere: String): String =
+    s"""${scoringCtes(targetWhere)}
+       |SELECT doc_id, true_lang, lang AS pred_lang, CAST(total AS BIGINT) AS score,
+       |  CASE WHEN lang = true_lang THEN 1::BIGINT ELSE 0::BIGINT END AS is_correct
+       |FROM (SELECT *, ROW_NUMBER() OVER (
+       |        PARTITION BY doc_id ORDER BY total DESC, lang) AS rn
+       |      FROM sc) x
+       |WHERE rn = 1""".stripMargin
+
+  /** The oracle's pre-argmax CTE chain (through `sc`: per-doc per-class
+    * totals) — shared by the prediction tail above and the calibration
+    * tail in [[EvalOps]], mirroring the [[textScores]] split. */
+  private[operators] def scoringCtes(targetWhere: String): String =
     s"""WITH tok AS (
        |  SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS word
        |  FROM documents),
@@ -160,13 +180,7 @@ object ClassifyOps {
        |  SELECT b.doc_id, b.true_lang, f.lang,
        |    COALESCE(h.sum_s, 0) + (b.n_toks - COALESCE(h.n_rows, 0)) * f.s0 AS total
        |  FROM base b CROSS JOIN dflt f
-       |  LEFT JOIN hits h ON h.doc_id = b.doc_id AND h.lang = f.lang)
-       |SELECT doc_id, true_lang, lang AS pred_lang, CAST(total AS BIGINT) AS score,
-       |  CASE WHEN lang = true_lang THEN 1::BIGINT ELSE 0::BIGINT END AS is_correct
-       |FROM (SELECT *, ROW_NUMBER() OVER (
-       |        PARTITION BY doc_id ORDER BY total DESC, lang) AS rn
-       |      FROM sc) x
-       |WHERE rn = 1""".stripMargin
+       |  LEFT JOIN hits h ON h.doc_id = b.doc_id AND h.lang = f.lang)""".stripMargin
 
   // --- q_classify_eval: the classifier's evaluation report ---------------
   // What a curation pipeline actually publishes about its classifier:

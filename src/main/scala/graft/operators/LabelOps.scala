@@ -1,0 +1,248 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pseudo-labeling / label propagation over the embedding corpus — the
+  * auto-labeling slot of a curation stack: given a mostly-labeled corpus,
+  * assign labels to the unlabeled remainder from their nearest labeled
+  * neighbors (the standard semi-supervised loop that turns a small
+  * hand-labeled seed into corpus-scale weak labels), plus hard-negative
+  * mining for contrastive / embedding-model training. (The reference has
+  * no vector surface at all; these extend the ANN family the same way
+  * `q_ann_mrr` extends retrieval eval.)
+  *
+  * The fixture has no unlabeled rows, so the scenario is synthesized
+  * deterministically (the q_redact / CorpusDiff move): `vec_id % 5 == 0`
+  * rows are treated as unlabeled — their stored label becomes the ground
+  * truth the propagation census is scored against, so the OPERATOR is
+  * hash-gated end to end (prediction + evaluation in one output).
+  *
+  * Scale shapes — the two lanes are the two deployment regimes:
+  *  - [[qKnnLabelProp]] (exact kNN vote): the bounded-batch regime — an
+  *    active-learning round pseudo-labels a labeling-budget-sized batch.
+  *    The batch broadcasts; the labeled corpus streams through ONE scan
+  *    (no shuffle of the corpus side, same plan family as
+  *    `q_ann_cosine_topk`). Cost: |corpus| × |batch| dot products.
+  *  - [[qLabelPropLsh]] (bucket-join vote): the corpus-scale regime — ANY
+  *    unlabeled fraction. Both sides key by a deterministic axis-sign LSH
+  *    cell and meet in a SHUFFLE join on the cell key (explicitly not
+  *    broadcast): per-cell work is |cell|², fully distributed, and the
+  *    cell count is a geometry constant that grows with corpus size
+  *    (bits ≈ log2(n / target_cell_size); fixed at 4 bits for the
+  *    fixture so every cell holds enough voters). Multiprobe (the
+  *    Hamming-1 flips, same trick as `q_ann_lsh_portable`) recovers the
+  *    recall a single-cell probe loses at cell boundaries.
+  *
+  * Vote discipline (both lanes, and both engines): K nearest by
+  * (cosine DESC, neighbor_id) → per-label (votes, best_rank) → winner by
+  * (votes DESC, best_rank ASC, label ASC). The best_rank tiebreak makes
+  * the vote nearest-dominated instead of falling straight to the label
+  * ordering; every comparison is on integers or engine-identical doubles
+  * (the sequential 64-term dot product, see SimilarityOps).
+  */
+object LabelOps {
+  import Tables.table
+  import SimilarityOps.{dot, withNorm, axisBandKey, AxisBits, NumQueries}
+
+  /** Neighbors consulted per pseudo-label vote. */
+  private val VoteK = 10
+
+  /** `vec_id % HoldMod == 0` → synthesized-unlabeled (matches the
+    * ClassifyOps holdout convention). */
+  private val HoldMod = 5L
+
+  /** Hard negatives returned per anchor. */
+  private val NegK = 5
+
+  /** The (unlabeled-batch, labeled-corpus) split with norms. */
+  private def split(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = withNorm(table(spark, dir, "embeddings"))
+    val unl = e.filter(col("vec_id") % HoldMod === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("true_label"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+    val lab = e.filter(col("vec_id") % HoldMod =!= 0)
+    (unl, lab)
+  }
+
+  /** Shared vote+census tail: scored (query_id, true_label, nlabel,
+    * neighbor_id, cosine) candidate rows → per-query winner → per
+    * (true_label, pred_label) census with share-of-true in per-mille.
+    * `allQueries` re-attaches queries whose candidate set came up empty
+    * (possible under LSH probing) as pred_label = -1 so coverage loss is
+    * visible in the gated output instead of silently vanishing. */
+  private def voteCensus(scored: DataFrame, allQueries: DataFrame): DataFrame = {
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val topk = scored.withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= VoteK)
+    val votes = topk.groupBy(col("query_id"), col("true_label"), col("nlabel"))
+      .agg(count(lit(1)).as("n_votes"), min(col("rank")).as("best"))
+    val wVote = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("best").asc, col("nlabel").asc)
+    val pred = votes.withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("query_id"), col("nlabel").as("pred0"))
+    val full = allQueries.select(col("query_id"), col("true_label"))
+      .join(pred, Seq("query_id"), "left")
+      .select(col("true_label"), coalesce(col("pred0"), lit(-1)).as("pred_label"))
+    // share-of-true via a window over the CENSUS (≤ labels² rows), not a
+    // second aggregate over `full` — Spark plans no common-subtree reuse,
+    // so a join against a separately-derived per-true total would run the
+    // whole scoring subtree (the expensive part) twice
+    full.groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share_pm",
+        expr("(n_docs * 1000) div sum(n_docs) over (partition by true_label)"))
+  }
+
+  // --- q_knn_label_prop: exact kNN majority-vote pseudo-labeling ---------
+  private def qKnnLabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val (unl, lab) = split(spark, dir)
+    // the batch is the broadcast side; the labeled corpus is scanned once
+    // (an explicit BroadcastNestedLoopJoin over mod-disjoint sets — every
+    // labeled row scores against every batch anchor, like q_ann_cosine_topk)
+    val scored = lab.crossJoin(broadcast(unl))
+      .select(col("query_id"), col("true_label"), col("label").as("nlabel"),
+        col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qnorm") * col("norm"))).as("cosine"))
+    voteCensus(scored, unl)
+  }
+
+  /** DuckDB norm/dot preamble shared by the lanes (64-dim fixture). */
+  private val ESql =
+    """e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |    sqrt(list_reduce(list_prepend(0.0, [x*x FOR x IN embedding::DOUBLE[]]), (a,x) -> a+x)) AS norm
+      |  FROM embeddings)""".stripMargin
+
+  private def censusSql(scoredCte: String): String =
+    s"""$scoredCte,
+       |topk AS (SELECT * FROM (
+       |    SELECT query_id, true_label, nlabel,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |    FROM scored) t
+       |  WHERE rank <= $VoteK),
+       |votes AS (
+       |  SELECT query_id, true_label, nlabel,
+       |    CAST(COUNT(*) AS BIGINT) AS n_votes, MIN(rank) AS best
+       |  FROM topk GROUP BY 1, 2, 3),
+       |pred AS (SELECT query_id, nlabel AS pred0 FROM (
+       |    SELECT query_id, nlabel, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY n_votes DESC, best ASC, nlabel ASC) AS vr
+       |    FROM votes) t
+       |  WHERE vr = 1),
+       |full_p AS (
+       |  SELECT u.true_label, COALESCE(p.pred0, -1) AS pred_label
+       |  FROM unl u LEFT JOIN pred p USING (query_id)),
+       |census AS (
+       |  SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM full_p GROUP BY 1, 2)
+       |SELECT true_label, pred_label, n_docs,
+       |  CAST((n_docs * 1000) // SUM(n_docs) OVER (PARTITION BY true_label)
+       |    AS BIGINT) AS share_pm
+       |FROM census""".stripMargin
+
+  private val qKnnLabelPropSql = censusSql(
+    s"""WITH $ESql,
+       |unl AS (
+       |  SELECT vec_id AS query_id, label AS true_label, v AS qv, norm AS qnorm
+       |  FROM e WHERE vec_id % $HoldMod = 0),
+       |lab AS (SELECT * FROM e WHERE vec_id % $HoldMod <> 0),
+       |scored AS (
+       |  SELECT u.query_id, u.true_label, l.label AS nlabel, l.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(0.0, [u.qv[i]*l.v[i] FOR i IN range(1, 65)]), (acc,x) -> acc+x)
+       |      / (u.qnorm * l.norm) AS cosine
+       |  FROM lab l CROSS JOIN unl u)""".stripMargin)
+
+  // --- q_label_prop_lsh: bucket-join propagation (the any-fraction shape) -
+  private def qLabelPropLsh(spark: SparkSession, dir: String): DataFrame = {
+    val (unl, lab) = split(spark, dir)
+    val labC = lab.withColumn("cell", axisBandKey(col("v"), 0))
+    // query probes its own cell plus every Hamming-1 flip
+    val probes = unl
+      .withColumn("cell0", axisBandKey(col("qv"), 0))
+      .select(col("query_id"), col("true_label"), col("qv"), col("qnorm"),
+        explode(array((col("cell0") +: (0 until AxisBits).map(j =>
+          col("cell0").bitwiseXOR(lit(1L << j)))): _*)).as("cell"))
+    // deliberately no broadcast() HINT: the join is declared on the cell
+    // key, so when the unlabeled side outgrows the broadcast threshold
+    // the planner falls back to a shuffle join both sides partition for —
+    // the plan that survives an unlabeled side of any size (at fixture
+    // scale the optimizer still picks a broadcast-hash join off its size
+    // estimate, which is exactly the AQE-era contract: declare the key,
+    // let stats pick the strategy)
+    val scored = labC.join(probes, Seq("cell"))
+      .select(col("query_id"), col("true_label"), col("label").as("nlabel"),
+        col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qnorm") * col("norm"))).as("cosine"))
+    voteCensus(scored, unl)
+  }
+
+  private val qLabelPropLshSql = {
+    val keyExpr = (0 until AxisBits).map(j =>
+      s"(CASE WHEN v[${j + 1}] > 0.0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    val qKeyExpr = (0 until AxisBits).map(j =>
+      s"(CASE WHEN qv[${j + 1}] > 0.0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    censusSql(
+      s"""WITH $ESql,
+         |unl AS (
+         |  SELECT vec_id AS query_id, label AS true_label, v AS qv, norm AS qnorm
+         |  FROM e WHERE vec_id % $HoldMod = 0),
+         |lab AS (
+         |  SELECT vec_id, label, v, norm, CAST($keyExpr AS BIGINT) AS cell
+         |  FROM e WHERE vec_id % $HoldMod <> 0),
+         |probes AS (
+         |  SELECT query_id, true_label, qv, qnorm, p.p AS cell
+         |  FROM (SELECT *, CAST($qKeyExpr AS BIGINT) AS cell0 FROM unl) u,
+         |    UNNEST([cell0, ${(0 until AxisBits).map(j => s"xor(cell0, ${1L << j})").mkString(", ")}]) AS p(p)),
+         |scored AS (
+         |  SELECT p.query_id, p.true_label, l.label AS nlabel, l.vec_id AS neighbor_id,
+         |    list_reduce(list_prepend(0.0, [p.qv[i]*l.v[i] FOR i IN range(1, 65)]), (acc,x) -> acc+x)
+         |      / (p.qnorm * l.norm) AS cosine
+         |  FROM lab l JOIN probes p USING (cell))""".stripMargin)
+  }
+
+  // --- q_hard_negatives: different-label top-k for contrastive training --
+  // For each anchor in the bounded query set, the K highest-cosine
+  // neighbors whose label DIFFERS — the "hardest" negatives an embedding
+  // trainer mines for triplet/contrastive batches. Same broadcast-anchor
+  // single-corpus-scan shape as q_ann_cosine_topk; the label inequality
+  // is pushed into the join condition so rejected pairs never reach the
+  // window.
+  private def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(table(spark, dir, "embeddings"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+    val scored = e.join(broadcast(q), col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qnorm") * col("norm"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= NegK)
+  }
+
+  private val qHardNegativesSql =
+    s"""WITH $ESql,
+       |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, norm AS qnorm
+       |      FROM e WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(0.0, [q.qv[i]*e.v[i] FOR i IN range(1, 65)]), (acc,x) -> acc+x)
+       |      / (q.qnorm * e.norm) AS cosine
+       |  FROM e JOIN q ON e.label != q.qlabel)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= $NegK""".stripMargin
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef("q_knn_label_prop", qKnnLabelProp, Some(qKnnLabelPropSql)),
+    QueryDef("q_label_prop_lsh", qLabelPropLsh, Some(qLabelPropLshSql)),
+    QueryDef("q_hard_negatives", qHardNegatives, Some(qHardNegativesSql)))
+}
