@@ -101,17 +101,27 @@ object CorpusDiff {
     * width 8, capped at 15 — pure integer `div` (a log2 bucket would
     * ride float rounding at the boundaries; Spark's `/` on longs is
     * DOUBLE division), identical in both engines. */
+  /** Per-(source, length-bucket) census of a (source, text) doc set:
+    * (source, bucket, c, n, <pm>) with the share in integer per-mille —
+    * the drift lane's geometry, shared with [[DriftMonitor]] (the
+    * streaming ingest-health lane compares live batches against a
+    * persisted baseline of exactly these shares). c/n ride along so a
+    * consumer can apply a min-mass guard; the gated lane projects them
+    * away. */
+  private[graft] def bucketShares(snap: DataFrame, pm: String): DataFrame = {
+    val cnt = snap.select(col("source"), nToks.as("n_toks"))
+      .select(col("source"), expr("least(n_toks div 8, 15L)").as("bucket"))
+      .groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    cnt.join(broadcast(tot), "source")
+      .select(col("source"), col("bucket"), col("c"), col("n"),
+        expr("(c * 1000) div n").as(pm))
+  }
+
   private def qCorpusDrift(spark: SparkSession, dir: String): DataFrame = {
     val d = table(spark, dir, "documents")
-    def shares(snap: DataFrame, pm: String): DataFrame = {
-      val cnt = snap.select(col("source"), nToks.as("n_toks"))
-        .select(col("source"), expr("least(n_toks div 8, 15L)").as("bucket"))
-        .groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("c"))
-      val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
-      cnt.join(broadcast(tot), "source")
-        .select(col("source"), col("bucket"),
-          expr("(c * 1000) div n").as(pm))
-    }
+    def shares(snap: DataFrame, pm: String): DataFrame =
+      bucketShares(snap, pm).select(col("source"), col("bucket"), col(pm))
     shares(oldSnap(d), "old_pm")
       .join(shares(newSnap(d), "new_pm"), Seq("source", "bucket"), "full")
       .select(col("source"), col("bucket"),

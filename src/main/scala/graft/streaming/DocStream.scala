@@ -1328,6 +1328,60 @@ object DocStream {
       report(findings ++ logged)
     }
 
+  /** Distribution-drift monitoring as a STREAM lane: every micro-batch of
+    * the ingest is compared against the persisted share baseline
+    * ([[graft.operators.DriftMonitor]]) and per-(source, bucket) moves of
+    * ≥ `thresholdPm` per-mille surface through `report` and — like the
+    * fsck lane — as WARN rows in the persisted findings ledger, so
+    * statistical breaks land in the same triage queue as structural ones.
+    * READ-ONLY against the baseline (re-baselining is a deliberate
+    * operator action via [[graft.operators.DriftMonitor.writeBaseline]]);
+    * sources below `minDocs` in a batch are not judged (trickle ≠
+    * distribution). A failed ledger write becomes its own error finding
+    * instead of killing the lane — the fsck lane's isolation discipline. */
+  def driftMonitorStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      baselineDir: String,
+      thresholdPm: Long = 100L,
+      minDocs: Long = 20L,
+      logDir: Option[String] = None)(
+      report: Seq[graft.operators.IndexFsck.Finding] => Unit): StreamingQuery =
+    docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processDriftBatch(
+          spark, batch, baselineDir, thresholdPm, minDocs, logDir)(report)
+      }
+      .start()
+
+  /** One micro-batch of [[driftMonitorStream]] — factored out so the
+    * alert contract is directly testable. */
+  private[graft] def processDriftBatch(
+      spark: SparkSession, batch: DataFrame, baselineDir: String,
+      thresholdPm: Long, minDocs: Long = 20L,
+      logDir: Option[String] = None)(
+      report: Seq[graft.operators.IndexFsck.Finding] => Unit): Unit = {
+    if (batch.isEmpty) { report(Seq.empty); return }
+    val findings = graft.operators.DriftMonitor.driftFindings(
+      spark, batch, baselineDir, thresholdPm, minDocs)
+    val logged =
+      try {
+        logDir.foreach { ld =>
+          if (findings.nonEmpty)
+            graft.operators.IndexFsck.logFindings(spark, ld, findings)
+        }
+        Seq.empty[graft.operators.IndexFsck.Finding]
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          Seq(graft.operators.IndexFsck.Finding(
+            logDir.getOrElse(baselineDir), "drift", "findings_log_failed",
+            "error",
+            s"ledger write threw: ${e.getClass.getSimpleName}: " +
+              s"${Option(e.getMessage).getOrElse("").take(200)}"))
+      }
+    report(findings ++ logged)
+  }
+
   /** One micro-batch of [[classifierModelMaintenanceStream]]. */
   private[graft] def processClassifierModelBatch(
       spark: SparkSession, modelDir: String, batch: DataFrame,
