@@ -58,7 +58,7 @@ object LabelOps {
   private val NegK = 5
 
   /** The (unlabeled-batch, labeled-corpus) split with norms. */
-  private def split(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def holdoutSplit(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = withNorm(table(spark, dir, "embeddings"))
     val unl = e.filter(col("vec_id") % HoldMod === 0)
       .select(col("vec_id").as("query_id"), col("label").as("true_label"),
@@ -100,7 +100,7 @@ object LabelOps {
 
   // --- q_knn_label_prop: exact kNN majority-vote pseudo-labeling ---------
   private def qKnnLabelProp(spark: SparkSession, dir: String): DataFrame = {
-    val (unl, lab) = split(spark, dir)
+    val (unl, lab) = holdoutSplit(spark, dir)
     // the batch is the broadcast side; the labeled corpus is scanned once
     // (an explicit BroadcastNestedLoopJoin over mod-disjoint sets — every
     // labeled row scores against every batch anchor, like q_ann_cosine_topk)
@@ -159,7 +159,7 @@ object LabelOps {
 
   // --- q_label_prop_lsh: bucket-join propagation (the any-fraction shape) -
   private def qLabelPropLsh(spark: SparkSession, dir: String): DataFrame = {
-    val (unl, lab) = split(spark, dir)
+    val (unl, lab) = holdoutSplit(spark, dir)
     val labC = lab.withColumn("cell", axisBandKey(col("v"), 0))
     // query probes its own cell plus every Hamming-1 flip
     val probes = unl

@@ -102,4 +102,20 @@ class DriftStreamSpec extends AnyFunSuite {
     assert(skew.groupBy(col("source"))
       .agg(sum(col("batch_pm")).as("s")).filter(col("s") > 1000).count() === 0)
   }
+
+  test("a source the baseline has never seen surfaces as drift (its rows " +
+      "survive the full join with base_pm = 0)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-drift4").toString
+    val monDir = s"$base/monitor"
+    DriftMonitor.writeBaseline(spark, docs, monDir)
+    val novel = (1L to 30L).map(i =>
+      (800000L + i, "brand-new-crawl", s"doc $i with some words of text"))
+      .toDF("doc_id", "source", "text")
+    val d = DriftMonitor.drift(spark, novel, monDir, minDocs = 20L)
+      .filter(col("source") === "brand-new-crawl")
+    assert(d.count() > 0, "an unbaselined source must not vanish")
+    assert(d.filter(col("base_pm") =!= 0L).count() === 0)
+    assert(d.filter(col("delta_pm") > 0L).count() > 0,
+      "all its mass reads as drift until an operator re-baselines")
+  }
 }
