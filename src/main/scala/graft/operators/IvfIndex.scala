@@ -423,7 +423,15 @@ object IvfIndex {
   def topKIndexed(
       spark: SparkSession, indexDir: String,
       nprobe: Int = 0,
-      memberFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      memberFilter: Option[org.apache.spark.sql.Column] = None,
+      queryPred: org.apache.spark.sql.Column = col("vec_id") < NumQueries,
+      k: Int = K,
+      // fixedProbes: keep the oracle-pinned fixed-depth probe plan while
+      // STILL pruning the candidate scan with memberFilter — for callers
+      // whose filter selectivity is a structural constant (the label-prop
+      // lane's 80% labeled complement) where the starvation math is
+      // statically satisfied and escalation could only de-pin the oracle
+      fixedProbes: Boolean = false): DataFrame = {
     import spark.implicits._
     val cents = readCentroids(spark, indexDir)
     // nprobe ≤ 0 = auto: derived from the PERSISTED cell count, so the
@@ -432,12 +440,13 @@ object IvfIndex {
     val np = if (nprobe > 0) nprobe else SimilarityOps.autoNProbe(cents.size)
     val cellsDir = s"$indexDir/cells.parquet"
     val qRows = minusTombstones(spark, indexDir, spark.read.parquet(cellsDir)
-      .filter(col("vec_id") < NumQueries)
+      .filter(queryPred)
       .select(col("vec_id"), col("v"), col("norm")))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .toSeq.sortBy(_._1).distinct // double-append safe: queries are value-identical dups
-    val probes = probePlan(spark, indexDir, cents, qRows, np, memberFilter)
+    val probes = probePlan(spark, indexDir, cents, qRows, np,
+      if (fixedProbes) None else memberFilter, k)
     val probesDf = probes.toDF("query_id", "qv", "qnorm", "cl")
     // explicit probed-directory paths: union of probed cells × epochs,
     // existence-checked (a cell can be empty in an epoch)
@@ -463,7 +472,7 @@ object IvfIndex {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= K)
+    scored.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
   }
 
   // --- q_ann_ivf_indexed: the persisted-IVF lane on the oracle gate ------
@@ -525,7 +534,8 @@ object IvfIndex {
       cents: Seq[(Long, Seq[Double])],
       qRows: Seq[(Long, Seq[Double], Double)],
       np: Int,
-      memberFilter: Option[org.apache.spark.sql.Column]): Seq[(Long, Seq[Double], Double, Long)] = {
+      memberFilter: Option[org.apache.spark.sql.Column],
+      k: Int = K): Seq[(Long, Seq[Double], Double, Long)] = {
     val base = qRows.flatMap { case (qid, qv, qnorm) =>
       probeCells(cents, qv, np).map(c => (qid, qv, qnorm, c))
     }
@@ -546,7 +556,7 @@ object IvfIndex {
             .agg(sum(col("ok")).as("f"), count(lit(1)).as("t"))
             .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
         }
-        escalateProbes(cents, qRows, np, countsOf)
+        escalateProbes(cents, qRows, np, countsOf, k)
     }
   }
 
@@ -561,7 +571,8 @@ object IvfIndex {
       cents: Seq[(Long, Seq[Double])],
       qRows: Seq[(Long, Seq[Double], Double)],
       np: Int,
-      countsOf: Seq[Long] => Map[Long, (Long, Long)]): Seq[(Long, Seq[Double], Double, Long)] = {
+      countsOf: Seq[Long] => Map[Long, (Long, Long)],
+      k: Int = K): Seq[(Long, Seq[Double], Double, Long)] = {
     val cap = cents.size
     // each query's cells in probe order, escalated as a prefix length
     val ordered = qRows.map { case (qid, qv, qnorm) =>
@@ -588,8 +599,8 @@ object IvfIndex {
           val f = probedCs.map(counts.get(_).fold(0L)(_._1)).sum
           val t = probedCs.map(counts.get(_).fold(0L)(_._2)).sum
           val target =
-            if (f >= t) (K + 1).toLong // ŝ = 1: the fixed plan feeds k
-            else 2L * (K + 1) * t / math.max(f, 1L)
+            if (f >= t) (k + 1).toLong // ŝ = 1: the fixed plan feeds k
+            else 2L * (k + 1) * t / math.max(f, 1L)
           f < target
         }
       }

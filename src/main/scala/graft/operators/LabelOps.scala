@@ -78,6 +78,13 @@ object LabelOps {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     val topk = scored.withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= VoteK)
+    voteCensusFromTopk(topk, allQueries)
+  }
+
+  /** The vote tail alone, for callers whose top-k is already ranked (the
+    * persisted-index lane): topk (query_id, true_label, nlabel, rank) →
+    * census. */
+  private def voteCensusFromTopk(topk: DataFrame, allQueries: DataFrame): DataFrame = {
     val votes = topk.groupBy(col("query_id"), col("true_label"), col("nlabel"))
       .agg(count(lit(1)).as("n_votes"), min(col("rank")).as("best"))
     val wVote = Window.partitionBy(col("query_id"))
@@ -205,6 +212,86 @@ object LabelOps {
          |  FROM lab l JOIN probes p USING (cell))""".stripMargin)
   }
 
+  // --- q_label_prop_ivf: learned-quantizer cell-probed propagation -------
+  // The third regime: the corpus already carries a trained IVF quantizer
+  // (the ANN family's), so the vote searches only each query's nprobe
+  // nearest cells — per-query work bounded by cell size like every IVF
+  // read, and the cell join is declared on the cluster key (the LSH
+  // lane's contract). Candidates are pruned to LABELED members BEFORE
+  // scoring (the filtered-vector-search candidate-stage discipline); the
+  // 80% labeled complement makes the starvation arithmetic statically
+  // satisfied, so the fixed-depth probe plan is the certified one.
+  private def qLabelPropIvf(spark: SparkSession, dir: String): DataFrame = {
+    val rows = SimilarityOps.learnedCentRows(spark, dir)
+    import spark.implicits._
+    val cent = rows.toDF("cluster", "cv")
+    val e = withNorm(table(spark, dir, "embeddings"))
+      .withColumn("cluster", SimilarityOps.assignExpr(rows, col("v")))
+    val unl = e.filter(col("vec_id") % HoldMod === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("true_label"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+    val probes = unl
+      .crossJoin(broadcast(cent))
+      .withColumn("cr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(SimilarityOps.dist2(col("qv"), col("cv")), col("cluster"))))
+      .filter(col("cr") <= SimilarityOps.IvfNProbe)
+      .select(col("query_id"), col("true_label"), col("qv"), col("qnorm"),
+        col("cluster"))
+    val scored = e.filter(col("vec_id") % HoldMod =!= 0)
+      .join(probes, Seq("cluster"))
+      .select(col("query_id"), col("true_label"), col("label").as("nlabel"),
+        col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qnorm") * col("norm"))).as("cosine"))
+    voteCensus(scored, unl)
+  }
+
+  private val qLabelPropIvfSql = {
+    val d2qc = "list_reduce(list_prepend(0.0, [(q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]) FOR i IN range(1, 65)]), (acc,d) -> acc+d)"
+    censusSql(
+      s"""WITH ${SimilarityOps.ivfLearnedCtes},
+         |unl AS (
+         |  SELECT vec_id AS query_id, label AS true_label
+         |  FROM e WHERE vec_id % $HoldMod = 0),
+         |probes AS (
+         |  SELECT query_id, qv, qnorm, cluster FROM (
+         |    SELECT q.vec_id AS query_id, q.v AS qv, q.norm AS qnorm, c.cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY $d2qc, c.cluster) AS cr
+         |    FROM e q, c${SimilarityOps.IvfIters} c WHERE q.vec_id % $HoldMod = 0) t
+         |  WHERE cr <= ${SimilarityOps.IvfNProbe}),
+         |scored AS (
+         |  SELECT p.query_id, u.true_label, e.label AS nlabel,
+         |    e.vec_id AS neighbor_id,
+         |    list_reduce(list_prepend(0.0, [p.qv[i]*e.v[i] FOR i IN range(1, 65)]), (acc,x) -> acc+x)
+         |      / (p.qnorm * e.norm) AS cosine
+         |  FROM e JOIN a${SimilarityOps.IvfIters} cells ON e.vec_id = cells.vec_id
+         |  JOIN probes p ON cells.cluster = p.cluster
+         |  JOIN unl u ON u.query_id = p.query_id
+         |  WHERE e.vec_id % $HoldMod <> 0)""".stripMargin)
+  }
+
+  // --- q_label_prop_ivf_indexed: the same vote at production cadence -----
+  // Served from the PERSISTED IVF store (built once per corpus identity,
+  // the q_ann_ivf_indexed family): probes read only the probed cluster=C
+  // directories, the labeled-members predicate prunes the candidate scan,
+  // and the output is row-identical to the inline lane, so it rides the
+  // same unrolled-training oracle.
+  private def qLabelPropIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val store = IvfIndex.ensureIndex(spark, dir)
+    val topk = IvfIndex.topKIndexed(spark, store,
+      memberFilter = Some(col("vec_id") % HoldMod =!= 0),
+      queryPred = col("vec_id") % HoldMod === 0,
+      k = VoteK, fixedProbes = true)
+    val labels = table(spark, dir, "embeddings").select(col("vec_id"), col("label"))
+    val unl = labels.filter(col("vec_id") % HoldMod === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("true_label"))
+    val withLabels = topk
+      .join(broadcast(unl), "query_id")
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("label").as("nlabel")),
+        "neighbor_id")
+      .select(col("query_id"), col("true_label"), col("nlabel"), col("rank"))
+    voteCensusFromTopk(withLabels, unl)
+  }
+
   // --- q_hard_negatives: different-label top-k for contrastive training --
   // For each anchor in the bounded query set, the K highest-cosine
   // neighbors whose label DIFFERS — the "hardest" negatives an embedding
@@ -244,5 +331,8 @@ object LabelOps {
   def queries: Seq[QueryDef] = Seq(
     QueryDef("q_knn_label_prop", qKnnLabelProp, Some(qKnnLabelPropSql)),
     QueryDef("q_label_prop_lsh", qLabelPropLsh, Some(qLabelPropLshSql)),
+    QueryDef("q_label_prop_ivf", qLabelPropIvf, Some(qLabelPropIvfSql)),
+    QueryDef("q_label_prop_ivf_indexed", qLabelPropIvfIndexed,
+      Some(qLabelPropIvfSql)),
     QueryDef("q_hard_negatives", qHardNegatives, Some(qHardNegativesSql)))
 }

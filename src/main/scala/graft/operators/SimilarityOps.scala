@@ -907,7 +907,9 @@ object SimilarityOps {
        |WHERE ar = 1""".stripMargin
   }
 
-  private def ivfLearnedCtes: String = {
+  /** Exposed to [[LabelOps]] too: the IVF label-propagation oracle rides
+    * the same unrolled-training CTE chain with its own probe/vote tail. */
+  private[operators] def ivfLearnedCtes: String = {
     val steps = (1 to IvfIters).map { t =>
       s"""c$t AS (${mediansSql(s"a${t - 1}")}),
          |a$t AS (${assignSql(s"c$t")})""".stripMargin

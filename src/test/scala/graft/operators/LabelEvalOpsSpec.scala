@@ -56,6 +56,22 @@ class LabelEvalOpsSpec extends AnyFunSuite {
       s"LSH diagonal $approx strays too far from exact $exact")
   }
 
+  test("q_label_prop_ivf: the persisted-store lane is row-identical to the " +
+      "inline learned lane (the shared-oracle certificate), and the cell " +
+      "probe covers every query") {
+    val inline = QueryRegistry.byName("q_label_prop_ivf").run(spark, dir)
+    val indexed = QueryRegistry.byName("q_label_prop_ivf_indexed").run(spark, dir)
+    assert(inline.exceptAll(indexed).count() === 0 &&
+      indexed.exceptAll(inline).count() === 0,
+      "store-served votes must equal inline learned votes row for row")
+    val nUnlabeled = emb.filter(col("vec_id") % 5 === 0).count()
+    assert(inline.agg(sum(col("n_docs"))).head.getLong(0) === nUnlabeled)
+    // nprobe=4 of 10 label-trained cells gives every query a candidate
+    // pool at this fixture's geometry — abstention would mean the probe
+    // plan silently under-covered
+    assert(inline.filter(col("pred_label") === -1).count() === 0)
+  }
+
   test("q_hard_negatives: k per anchor, strictly different label, ranked by " +
       "cosine with the deterministic tiebreak") {
     val df = QueryRegistry.byName("q_hard_negatives").run(spark, dir).cache()
