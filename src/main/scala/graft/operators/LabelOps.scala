@@ -328,11 +328,60 @@ object LabelOps {
        |  FROM scored) t
        |WHERE rank <= $NegK""".stripMargin
 
+  // --- q_semantic_contamination: embedding-level eval-leakage census -----
+  // The semantic complement of the lexical decontamination family
+  // (q_decontaminate*): an eval item whose paraphrase survives n-gram
+  // dedup still leaks through a τ-cosine neighborhood. Eval set = the
+  // bounded query vectors (the q_ann_* stand-in for benchmark
+  // embeddings); a corpus vector is contaminated iff ANY eval vector
+  // sits at cosine ≥ τ. Same broadcast-eval single-corpus-scan shape as
+  // q_hard_negatives — the EXISTS is an early-out semi join, never a
+  // top-k. τ = 0.35 ≈ the fixture's 99.9th cosine percentile (the
+  // q_semantic_dedup calibration note: the synthetic corpus has no true
+  // paraphrases, the operator SHAPE is what transfers). Census per
+  // label: flagged/total/share in per-mille — class-bounded output.
+  private val ContamTau = 0.35
+
+  private def qSemanticContamination(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(table(spark, dir, "embeddings"))
+    val evalSet = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("eval_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val flagged = e.join(broadcast(evalSet),
+        col("vec_id") =!= col("eval_id") &&
+          (dot(col("qv"), col("v")) / (col("qnorm") * col("norm"))) >= ContamTau,
+        "left_semi")
+      .select(col("vec_id")).withColumn("flag", lit(1L))
+    e.select(col("vec_id"), col("label"))
+      .join(flagged, Seq("vec_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(coalesce(col("flag"), lit(0L))).as("n_flagged"))
+      .withColumn("share_pm", expr("(n_flagged * 1000) div n_total"))
+  }
+
+  private val qSemanticContaminationSql =
+    s"""WITH $ESql,
+       |ev AS (SELECT vec_id AS eval_id, v AS qv, norm AS qnorm
+       |       FROM e WHERE vec_id < $NumQueries),
+       |flagged AS (
+       |  SELECT DISTINCT e.vec_id FROM e JOIN ev ON e.vec_id != ev.eval_id
+       |  WHERE list_reduce(list_prepend(0.0, [ev.qv[i]*e.v[i] FOR i IN range(1, 65)]), (acc,x) -> acc+x)
+       |      / (ev.qnorm * e.norm) >= $ContamTau)
+       |SELECT e.label, CAST(COUNT(*) AS BIGINT) AS n_total,
+       |  CAST(SUM(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_flagged,
+       |  (SUM(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000)
+       |    // COUNT(*) AS share_pm
+       |FROM e LEFT JOIN flagged f ON f.vec_id = e.vec_id
+       |GROUP BY 1""".stripMargin
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef("q_knn_label_prop", qKnnLabelProp, Some(qKnnLabelPropSql)),
     QueryDef("q_label_prop_lsh", qLabelPropLsh, Some(qLabelPropLshSql)),
     QueryDef("q_label_prop_ivf", qLabelPropIvf, Some(qLabelPropIvfSql)),
     QueryDef("q_label_prop_ivf_indexed", qLabelPropIvfIndexed,
       Some(qLabelPropIvfSql)),
-    QueryDef("q_hard_negatives", qHardNegatives, Some(qHardNegativesSql)))
+    QueryDef("q_hard_negatives", qHardNegatives, Some(qHardNegativesSql)),
+    QueryDef("q_semantic_contamination", qSemanticContamination,
+      Some(qSemanticContaminationSql)))
 }

@@ -95,6 +95,19 @@ class LabelEvalOpsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("q_semantic_contamination: census conserves the corpus, flags a " +
+      "nonempty τ-neighborhood, and share arithmetic is exact") {
+    val df = QueryRegistry.byName("q_semantic_contamination").run(spark, dir)
+      .cache()
+    assert(df.agg(sum(col("n_total"))).head.getLong(0) === emb.count())
+    assert(df.agg(sum(col("n_flagged"))).head.getLong(0) > 0,
+      "τ must flag some corpus vectors or the lane is vacuous")
+    assert(df.filter(col("n_flagged") > col("n_total")).count() === 0)
+    assert(df.filter(
+      col("share_pm") =!= expr("(n_flagged * 1000) div n_total")).count() === 0)
+    df.unpersist()
+  }
+
   test("q_calibration: bins partition the holdout, counts conserve, and " +
       "conf/acc stay in per-mille range") {
     val df = QueryRegistry.byName("q_calibration").run(spark, dir)
