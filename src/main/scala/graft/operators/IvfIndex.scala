@@ -209,7 +209,7 @@ object IvfIndex {
       // oracle's by construction
       SimilarityOps.pqCodebook(spark, dir))
 
-  private def readCentroids(
+  private[operators] def readCentroids(
       spark: SparkSession, indexDir: String): Seq[(Long, Seq[Double])] =
     spark.read.parquet(s"$indexDir/centroids.parquet").collect()
       .map(r => (r.get(r.fieldIndex("cluster")).asInstanceOf[Number].longValue,
@@ -490,7 +490,7 @@ object IvfIndex {
   /** Build-if-absent against the corpus at `dir`; returns the index dir.
     * Shared with the composed IVF-PQ lane ([[IvfPq]]) so both read the
     * SAME store a prior q_ann_ivf_indexed run built. */
-  private[operators] def ensureIndex(spark: SparkSession, dir: String): String = {
+  private[graft] def ensureIndex(spark: SparkSession, dir: String): String = {
     val indexDir = indexDirFor(dir)
     if (!StoreRoot.exists(spark, s"$indexDir/cells.parquet"))
       buildFromCorpus(spark, dir, indexDir)
@@ -504,7 +504,7 @@ object IvfIndex {
     * ADC codes instead). */
   /** Probed cells × epochs as explicit directory paths, existence-checked
     * (a cell can be empty in an epoch). */
-  private def probedDirPaths(
+  private[operators] def probedDirPaths(
       spark: SparkSession, indexDir: String, cells: Seq[Long]): Seq[String] = {
     val cellsDir = s"$indexDir/cells.parquet"
     val f = fs(spark, indexDir)

@@ -81,17 +81,24 @@ object LabelOps {
     voteCensusFromTopk(topk, allQueries)
   }
 
+  /** The winner of a ranked top-k's majority vote, per query:
+    * (query_id, pred0). Shared by the census lanes and the streaming
+    * pseudo-label serve ([[graft.streaming.DocStream]]). */
+  private[graft] def predFromTopk(topk: DataFrame): DataFrame = {
+    val votes = topk.groupBy(col("query_id"), col("nlabel"))
+      .agg(count(lit(1)).as("n_votes"), min(col("rank")).as("best"))
+    val wVote = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("best").asc, col("nlabel").asc)
+    votes.withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("query_id"), col("nlabel").as("pred0"))
+  }
+
   /** The vote tail alone, for callers whose top-k is already ranked (the
     * persisted-index lane): topk (query_id, true_label, nlabel, rank) →
     * census. */
   private def voteCensusFromTopk(topk: DataFrame, allQueries: DataFrame): DataFrame = {
-    val votes = topk.groupBy(col("query_id"), col("true_label"), col("nlabel"))
-      .agg(count(lit(1)).as("n_votes"), min(col("rank")).as("best"))
-    val wVote = Window.partitionBy(col("query_id"))
-      .orderBy(col("n_votes").desc, col("best").asc, col("nlabel").asc)
-    val pred = votes.withColumn("vr", row_number().over(wVote))
-      .filter(col("vr") === 1)
-      .select(col("query_id"), col("nlabel").as("pred0"))
+    val pred = predFromTopk(topk)
     val full = allQueries.select(col("query_id"), col("true_label"))
       .join(pred, Seq("query_id"), "left")
       .select(col("true_label"), coalesce(col("pred0"), lit(-1)).as("pred_label"))
@@ -327,6 +334,69 @@ object LabelOps {
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
        |  FROM scored) t
        |WHERE rank <= $NegK""".stripMargin
+
+  // --- Serving: pseudo-label EXTERNAL vectors from the persisted store ---
+  /** Ranked VoteK nearest store members for a batch of vectors that are
+    * NOT in the store (the ingest-time auto-labeling shape): probing is
+    * DISTRIBUTED (batch × broadcast centroid table — no driver collect of
+    * the batch, unlike topKIndexed's bounded-query contract), the probed
+    * cell set collapses to ≤ k distinct ids driver-side to prune the read
+    * to explicit `cluster=C` paths, and candidates meet probes in a join
+    * declared on the cell key. Returns (query_id, neighbor_id, rank). */
+  private[graft] def serveTopkFromStore(
+      spark: SparkSession, store: String, batch: DataFrame): DataFrame = {
+    import spark.implicits._
+    val cents = IvfIndex.readCentroids(spark, store)
+    val cent = cents.toDF("cluster", "cv")
+    val np = SimilarityOps.autoNProbe(cents.size)
+    val q = batch
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"),
+          x => x.cast(org.apache.spark.sql.types.DoubleType)).as("qv"))
+      .withColumn("qnorm", sqrt(dot(col("qv"), col("qv"))))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("cr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(SimilarityOps.dist2(col("qv"), col("cv")), col("cluster"))))
+      .filter(col("cr") <= np)
+      .select(col("query_id"), col("qv"), col("qnorm"),
+        col("cluster").as("cl"))
+    // the probed CELL set is model-bounded (≤ k ids) even when the batch
+    // is not — collapsing it driver-side keeps the explicit-paths read
+    val probedCells = probes.select(col("cl")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val dirs = IvfIndex.probedDirPaths(spark, store, probedCells)
+    if (dirs.isEmpty)
+      return spark.emptyDataset[(Long, Long, Long)]
+        .toDF("query_id", "neighbor_id", "rank")
+    val cand = IvfIndex.minusTombstones(spark, store,
+      spark.read.parquet(dirs: _*)
+        .select(col("vec_id"), col("v"), col("norm"), col("cl")))
+      .dropDuplicates("vec_id") // compaction-window double-epoch tolerance
+    val scored = cand.join(probes, Seq("cl"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qnorm") * col("norm"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= VoteK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Pseudo-labels for an external batch: serve the top-k from the store,
+    * attach the corpus labels, vote. One row per input vector —
+    * abstentions (no candidate in any probed cell) are explicit as
+    * pred_label = -1, the census lanes' convention. */
+  private[graft] def pseudoLabels(
+      spark: SparkSession, corpusDir: String, store: String,
+      batch: DataFrame): DataFrame = {
+    val topk = serveTopkFromStore(spark, store, batch)
+    val labels = table(spark, corpusDir, "embeddings")
+      .select(col("vec_id").as("neighbor_id"), col("label").as("nlabel"))
+    val pred = predFromTopk(topk.join(labels, "neighbor_id"))
+    batch.select(col("vec_id"))
+      .join(pred, col("vec_id") === col("query_id"), "left")
+      .select(col("vec_id"), coalesce(col("pred0"), lit(-1)).as("pred_label"))
+  }
 
   // --- q_semantic_contamination: embedding-level eval-leakage census -----
   // The semantic complement of the lexical decontamination family

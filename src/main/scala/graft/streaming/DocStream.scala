@@ -1382,6 +1382,62 @@ object DocStream {
     report(findings ++ logged)
   }
 
+  /** Ingest-time auto-labeling: every micro-batch of incoming (vec_id,
+    * embedding) vectors is pseudo-labeled by the persisted IVF store's
+    * kNN majority vote ([[graft.operators.LabelOps.pseudoLabels]] —
+    * distributed probing, explicit probed-cell reads) and the
+    * (vec_id, pred_label) rows land as one epoch of a single-table
+    * output store. The store READ is side-effect-free (the serving
+    * driver writes nothing into the index — the SharedStoreFleetSpec
+    * contract); the OUTPUT append is a writer like any other: lock+lease
+    * serialized, staged atomic rename as the commit point, replay-safe
+    * by the resident-ids anti-join (a redelivered batch re-labels
+    * nothing). Abstentions are explicit pred_label = -1 rows, so
+    * coverage loss is visible downstream instead of silently missing. */
+  def pseudoLabelStream(
+      spark: SparkSession,
+      vecs: DataFrame,
+      corpusDir: String,
+      outDir: String): StreamingQuery =
+    vecs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processPseudoLabelBatch(spark, corpusDir, outDir, batch)
+      }
+      .start()
+
+  /** One micro-batch of [[pseudoLabelStream]] — factored out so the
+    * replay ≡ one-shot contract is directly testable. */
+  private[graft] def processPseudoLabelBatch(
+      spark: SparkSession, corpusDir: String, outDir: String,
+      batch0: DataFrame): Unit = {
+    val batch = batch0.select(col("vec_id"), col("embedding")).distinct()
+    if (batch.isEmpty) return
+    val store = graft.operators.IvfIndex.ensureIndex(spark, corpusDir)
+    val labelsDir = s"$outDir/labels.parquet"
+    val root = new org.apache.hadoop.fs.Path(labelsDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh =
+      if (!fs.exists(root)) batch
+      else batch.join(
+        spark.read.parquet(labelsDir).select(col("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+    if (fresh.isEmpty) return
+    val pred = graft.operators.LabelOps.pseudoLabels(spark, corpusDir, store, fresh)
+    // single-table store: the epoch rename IS the commit point; epoch
+    // numbering max+1 under the writer lock (the audit-ledger discipline)
+    graft.operators.StoreLock.withLock(spark, outDir, "pseudo-label-append") {
+      val next =
+        if (!fs.exists(root)) 0
+        else fs.listStatus(root).map(_.getPath.getName)
+          .filter(_.startsWith("epoch="))
+          .map(_.stripPrefix("epoch=").toInt).foldLeft(-1)(math.max) + 1
+      graft.operators.AtomicPublish.stageAndRename(
+        spark, labelsDir, s".epoch-$next.tmp", s"epoch=$next") { tmp =>
+        pred.write.mode("overwrite").parquet(tmp.toString)
+      }
+    }
+  }
+
   /** One micro-batch of [[classifierModelMaintenanceStream]]. */
   private[graft] def processClassifierModelBatch(
       spark: SparkSession, modelDir: String, batch: DataFrame,
