@@ -54,6 +54,15 @@ object LabelOps {
     * ClassifyOps holdout convention). */
   private val HoldMod = 5L
 
+  /** The brute-force lane's labeling BUDGET: its contract is the
+    * bounded-batch regime, so the batch is bounded by construction —
+    * `vec_id < BatchCap` on top of the holdout modulus. Covers every
+    * holdout vector at the gate SFs (≤ 2k ids), caps the broadcast side
+    * at stress/production sizes where an unbounded 20% batch would turn
+    * the one-scan plan quadratic (measured: 89.6 s at the 20k-vector
+    * stress fixture before the cap — see PERF.md round 14). */
+  private val BatchCap = 2000L
+
   /** Hard negatives returned per anchor. */
   private val NegK = 5
 
@@ -114,7 +123,8 @@ object LabelOps {
 
   // --- q_knn_label_prop: exact kNN majority-vote pseudo-labeling ---------
   private def qKnnLabelProp(spark: SparkSession, dir: String): DataFrame = {
-    val (unl, lab) = holdoutSplit(spark, dir)
+    val (unl0, lab) = holdoutSplit(spark, dir)
+    val unl = unl0.filter(col("query_id") < BatchCap)
     // the batch is the broadcast side; the labeled corpus is scanned once
     // (an explicit BroadcastNestedLoopJoin over mod-disjoint sets — every
     // labeled row scores against every batch anchor, like q_ann_cosine_topk)
@@ -163,7 +173,7 @@ object LabelOps {
     s"""WITH $ESql,
        |unl AS (
        |  SELECT vec_id AS query_id, label AS true_label, v AS qv, norm AS qnorm
-       |  FROM e WHERE vec_id % $HoldMod = 0),
+       |  FROM e WHERE vec_id % $HoldMod = 0 AND vec_id < $BatchCap),
        |lab AS (SELECT * FROM e WHERE vec_id % $HoldMod <> 0),
        |scored AS (
        |  SELECT u.query_id, u.true_label, l.label AS nlabel, l.vec_id AS neighbor_id,
@@ -171,15 +181,38 @@ object LabelOps {
        |      / (u.qnorm * l.norm) AS cosine
        |  FROM lab l CROSS JOIN unl u)""".stripMargin)
 
+  /** Axis-sign cell key over the first `bits` components — identical to
+    * [[SimilarityOps.axisBandKey]](v, 0) at the gate geometry (bits = 4),
+    * generalized for the scaled dispatch below. */
+  private def cellKey(v: org.apache.spark.sql.Column, bits: Int) =
+    (0 until bits).map { j =>
+      when(element_at(v, j + 1) > 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Cell-count dispatch, the [[SimilarityOps.centRowsAuto]] discipline:
+    * the oracle-pinned 4-bit geometry at the gate SFs; above the scale
+    * threshold, bits grow with the corpus toward a ~128-vector target
+    * cell (bits ≈ log2(n/128), capped at 16) — a FIXED cell count makes
+    * the per-cell vote quadratic in corpus size (measured: 36.5 s at the
+    * 20k-vector stress before the dispatch — PERF.md round 14). */
+  private[operators] def lshBitsFor(n: Long): Int =
+    if (n < SimilarityOps.IvfScaleThreshold) AxisBits
+    else {
+      val cells = math.max(2L, n / 128L)
+      math.min(16, math.max(AxisBits,
+        64 - java.lang.Long.numberOfLeadingZeros(cells - 1)))
+    }
+
   // --- q_label_prop_lsh: bucket-join propagation (the any-fraction shape) -
   private def qLabelPropLsh(spark: SparkSession, dir: String): DataFrame = {
     val (unl, lab) = holdoutSplit(spark, dir)
-    val labC = lab.withColumn("cell", axisBandKey(col("v"), 0))
+    val bits = lshBitsFor(table(spark, dir, "embeddings").count())
+    val labC = lab.withColumn("cell", cellKey(col("v"), bits))
     // query probes its own cell plus every Hamming-1 flip
     val probes = unl
-      .withColumn("cell0", axisBandKey(col("qv"), 0))
+      .withColumn("cell0", cellKey(col("qv"), bits))
       .select(col("query_id"), col("true_label"), col("qv"), col("qnorm"),
-        explode(array((col("cell0") +: (0 until AxisBits).map(j =>
+        explode(array((col("cell0") +: (0 until bits).map(j =>
           col("cell0").bitwiseXOR(lit(1L << j)))): _*)).as("cell"))
     // deliberately no broadcast() HINT: the join is declared on the cell
     // key, so when the unlabeled side outgrows the broadcast threshold
@@ -229,7 +262,12 @@ object LabelOps {
   // 80% labeled complement makes the starvation arithmetic statically
   // satisfied, so the fixed-depth probe plan is the certified one.
   private def qLabelPropIvf(spark: SparkSession, dir: String): DataFrame = {
-    val rows = SimilarityOps.learnedCentRows(spark, dir)
+    // geometry dispatch (centRowsAuto): the oracle-pinned k=10 label-cell
+    // training at the gate SFs, √N hash-init cells above the threshold —
+    // the SAME dispatch the persisted store builds with, so inline ≡
+    // indexed at every size, and the per-cell vote stays ~cell-sized
+    // instead of n/10 (measured 13.4 s at the 20k stress before this)
+    val rows = SimilarityOps.centRowsAuto(spark, dir)
     import spark.implicits._
     val cent = rows.toDF("cluster", "cv")
     val e = withNorm(table(spark, dir, "embeddings"))
@@ -241,7 +279,7 @@ object LabelOps {
       .crossJoin(broadcast(cent))
       .withColumn("cr", row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(SimilarityOps.dist2(col("qv"), col("cv")), col("cluster"))))
-      .filter(col("cr") <= SimilarityOps.IvfNProbe)
+      .filter(col("cr") <= SimilarityOps.autoNProbe(rows.size))
       .select(col("query_id"), col("true_label"), col("qv"), col("qnorm"),
         col("cluster"))
     val scored = e.filter(col("vec_id") % HoldMod =!= 0)

@@ -56,6 +56,16 @@ class LabelEvalOpsSpec extends AnyFunSuite {
       s"LSH diagonal $approx strays too far from exact $exact")
   }
 
+  test("LSH cell-count dispatch: oracle-pinned 4 bits below the scale " +
+      "threshold, ~128-vector target cells above, capped at 16 bits") {
+    assert(LabelOps.lshBitsFor(500L) === 4)
+    assert(LabelOps.lshBitsFor(9999L) === 4)
+    assert(LabelOps.lshBitsFor(10000L) === 7,  // ceil(log2(10000/128))
+      "just past the threshold the geometry must already grow")
+    assert(LabelOps.lshBitsFor(20000L) === 8)  // the measured stress point
+    assert(LabelOps.lshBitsFor(10000000L) === 16, "hard cap")
+  }
+
   test("q_label_prop_ivf: the persisted-store lane is row-identical to the " +
       "inline learned lane (the shared-oracle certificate), and the cell " +
       "probe covers every query") {
