@@ -133,7 +133,10 @@ object IndexCatalog {
       FamilyDef("buckets.parquet", "dsir",
         Count(DsirIndex.deleteFromIndex, DsirIndex.residentDocIds),
         Some(DsirIndex.compact),
-        Seq("buckets.parquet", "docs.parquet")))
+        Seq("buckets.parquet", "docs.parquet")),
+      FamilyDef(PseudoLabelStore.Table, "pseudo-labels",
+        Rewrite(PseudoLabelStore.deleteFromStore), None,
+        Seq(PseudoLabelStore.Table)))
   }
 
   /** Family row of a store given its table names — pure half of

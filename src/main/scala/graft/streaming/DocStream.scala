@@ -1413,14 +1413,12 @@ object DocStream {
     val batch = batch0.select(col("vec_id"), col("embedding")).distinct()
     if (batch.isEmpty) return
     val store = graft.operators.IvfIndex.ensureIndex(spark, corpusDir)
-    val labelsDir = s"$outDir/labels.parquet"
+    val labelsDir = s"$outDir/${graft.operators.PseudoLabelStore.Table}"
     val root = new org.apache.hadoop.fs.Path(labelsDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fresh =
-      if (!fs.exists(root)) batch
-      else batch.join(
-        spark.read.parquet(labelsDir).select(col("vec_id")).distinct(),
-        Seq("vec_id"), "left_anti")
+    val fresh = batch.join(
+      graft.operators.PseudoLabelStore.residentVecIds(spark, outDir),
+      Seq("vec_id"), "left_anti")
     if (fresh.isEmpty) return
     val pred = graft.operators.LabelOps.pseudoLabels(spark, corpusDir, store, fresh)
     // single-table store: the epoch rename IS the commit point; epoch

@@ -46,12 +46,18 @@ class TakedownRegistrySpec extends AnyFunSuite {
         (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
     PqIndex.buildIndex(spark, emb, s"$base/pq")
     AnnIndex.buildIndex(spark, emb, s"$base/lsh")
+    // the 16th family: the pseudo-label output store, built by its real
+    // writer (the stream's batch body against the sf0.001 corpus store)
+    graft.streaming.DocStream.processPseudoLabelBatch(
+      spark, "/root/testdata/sf0.001", s"$base/pseudo",
+      emb.filter(col("vec_id") < 3)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
     // the deliberately-unknown store: a table no family signs
     Seq((1L, "x")).toDF("k", "v").write.parquet(s"$base/mystery/stuff.parquet")
 
     val dirs = Seq("search", "eval", "lm", "dsir", "pack", "tok", "clf",
       "span", "sketch", "winnow", "incdedup", "cluster", "ivf", "pq", "lsh",
-      "mystery").map(d => s"$base/$d")
+      "pseudo", "mystery").map(d => s"$base/$d")
     val victims = docs.filter(col("doc_id") === 2L)
 
     // non-strict sweep: full report, error row for the unknown dir
@@ -61,12 +67,13 @@ class TakedownRegistrySpec extends AnyFunSuite {
     for (r <- results)
       assert(r.family === graft.IndexCatalog.report(spark, r.dir).family,
         s"sweep and catalog disagree on ${r.dir}")
-    // all fifteen families detected distinctly, none fell through
+    // all sixteen families detected distinctly, none fell through
     val byFamily = results.map(r => r.family -> r.action).toMap
     assert(results.map(_.family).distinct.size === results.size)
     assert(byFamily.keySet === Set("search", "eval-vocab", "lm-bigram",
       "dsir", "pack", "tokenizer", "classifier", "span", "sketch", "winnow",
-      "incremental-dedup", "cluster", "ivf", "pq", "ann-lsh", "unknown"))
+      "incremental-dedup", "cluster", "ivf", "pq", "ann-lsh", "pseudo-labels",
+      "unknown"))
     assert(byFamily("unknown") === "error_unknown_family")
     assert(byFamily("tokenizer") === "retrain_required")
     assert((byFamily - "unknown" - "tokenizer").values.toSet === Set("deleted"))

@@ -72,24 +72,53 @@ class PseudoLabelStreamSpec extends AnyFunSuite {
       q.processAllAvailable()
       in.addData(rowsOf(Seq(4L, 5L)))
       q.processAllAvailable()
-      val labels = spark.read.parquet(s"$out/labels.parquet")
+      val labels = spark.read.parquet(s"$out/pseudo_labels.parquet")
       assert(labels.count() === 5)
       assert(labels.select(col("vec_id")).distinct().count() === 5)
-      val epochs = new java.io.File(s"$out/labels.parquet").listFiles()
+      val epochs = new java.io.File(s"$out/pseudo_labels.parquet").listFiles()
         .map(_.getName).filter(_.startsWith("epoch=")).sorted.toSeq
       assert(epochs === Seq("epoch=0", "epoch=1"))
 
       // replay batch 2 (redelivery): resident anti-join absorbs it
       in.addData(rowsOf(Seq(4L, 5L)))
       q.processAllAvailable()
-      assert(spark.read.parquet(s"$out/labels.parquet").count() === 5,
+      assert(spark.read.parquet(s"$out/pseudo_labels.parquet").count() === 5,
         "a redelivered batch must re-label nothing")
-      assert(new java.io.File(s"$out/labels.parquet").listFiles()
+      assert(new java.io.File(s"$out/pseudo_labels.parquet").listFiles()
         .map(_.getName).count(_.startsWith("epoch=")) === 2)
 
       assert(storeSnapshot() === before,
         "the serve path must not write a byte into the index store")
     } finally q.stop()
+  }
+
+  test("takedown: the registered Rewrite discipline drops exactly the " +
+      "victims' label rows in one atomic folded rewrite; replay is a " +
+      "no-op and a missing store is skipped clean") {
+    val out = java.nio.file.Files.createTempDirectory("graft-pseudo-td").toString
+    DocStream.processPseudoLabelBatch(spark, dir, out,
+      copies(Seq(1L, 2L, 3L, 4L, 5L)))
+    assert(graft.IndexCatalog.detectFamily(spark, out) === "pseudo-labels",
+      "the output store must detect as its registered family")
+    val victims = Seq(1000002L, 1000004L).toDF("doc_id")
+    val res = graft.operators.Takedown.sweep(spark, victims, Seq(out))
+    assert(res.map(_.action) === Seq("deleted"))
+    val left = spark.read.parquet(s"$out/pseudo_labels.parquet")
+    assert(left.select(col("vec_id")).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(1000001L, 1000003L, 1000005L))
+    assert(new java.io.File(s"$out/pseudo_labels.parquet").listFiles()
+      .map(_.getName).count(_.startsWith("epoch=")) === 1,
+      "the rewrite folds history to one epoch")
+    // replayed request: same result, still one epoch, no residue
+    graft.operators.Takedown.sweep(spark, victims, Seq(out))
+    assert(spark.read.parquet(s"$out/pseudo_labels.parquet").count() === 3)
+    // a redelivered stream batch must not resurrect the deleted rows'
+    // ids... it MAY relabel them (they are no longer resident — exactly
+    // the takedown-then-reingest semantics every tombstone family has),
+    // so pin only that the delete left no pending state for it to trip on
+    DocStream.processPseudoLabelBatch(spark, dir, out, copies(Seq(5L)))
+    assert(spark.read.parquet(s"$out/pseudo_labels.parquet").count() === 3,
+      "resident id 1000005 is absorbed by the anti-join")
   }
 
   test("a batch of far-out vectors still gets one row each (abstention " +
