@@ -46,18 +46,19 @@ object PseudoLabelStore {
   def deleteFromStore(spark: SparkSession, dir: String, ids: DataFrame): Unit =
     StoreLock.withLock(spark, dir, "pseudo-labels-delete") {
       val t = new Path(dir, Table)
-      if (!fsOf(spark, t).exists(t)) return
-      val keep = spark.read.parquet(t.toString)
-        .join(ids.select(col("doc_id").as("vec_id")).distinct(),
-          Seq("vec_id"), "left_anti")
-        .select(col("vec_id"), col("pred_label"))
-        // the rewrite folds history to one epoch — materialize before the
-        // swap deletes the directory the plan reads from
-        .localCheckpoint()
-      AtomicPublish.swapDir(spark, dir,
-        tmpSuffix = ".delete-tmp", bakSuffix = ".delete-bak") { tmp =>
-        keep.write.mode(SaveMode.Overwrite)
-          .parquet(s"$tmp/$Table/epoch=0")
+      if (fsOf(spark, t).exists(t)) {
+        val keep = spark.read.parquet(t.toString)
+          .join(ids.select(col("doc_id").as("vec_id")).distinct(),
+            Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("pred_label"))
+          // the rewrite folds history to one epoch — materialize before
+          // the swap deletes the directory the plan reads from
+          .localCheckpoint()
+        AtomicPublish.swapDir(spark, dir,
+          tmpSuffix = ".delete-tmp", bakSuffix = ".delete-bak") { tmp =>
+          keep.write.mode(SaveMode.Overwrite)
+            .parquet(s"$tmp/$Table/epoch=0")
+        }
       }
     }
 }

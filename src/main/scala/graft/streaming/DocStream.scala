@@ -1416,6 +1416,8 @@ object DocStream {
     val labelsDir = s"$outDir/${graft.operators.PseudoLabelStore.Table}"
     val root = new org.apache.hadoop.fs.Path(labelsDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // cheap memo pre-check OUTSIDE the lock (the ensure-writer shape):
+    // skip the serve entirely when nothing in the batch is new
     val fresh = batch.join(
       graft.operators.PseudoLabelStore.residentVecIds(spark, outDir),
       Seq("vec_id"), "left_anti")
@@ -1424,14 +1426,31 @@ object DocStream {
     // single-table store: the epoch rename IS the commit point; epoch
     // numbering max+1 under the writer lock (the audit-ledger discipline)
     graft.operators.StoreLock.withLock(spark, outDir, "pseudo-label-append") {
-      val next =
-        if (!fs.exists(root)) 0
-        else fs.listStatus(root).map(_.getPath.getName)
-          .filter(_.startsWith("epoch="))
-          .map(_.stripPrefix("epoch=").toInt).foldLeft(-1)(math.max) + 1
-      graft.operators.AtomicPublish.stageAndRename(
-        spark, labelsDir, s".epoch-$next.tmp", s"epoch=$next") { tmp =>
-        pred.write.mode("overwrite").parquet(tmp.toString)
+      // authoritative re-check INSIDE the hold: a second fleet driver
+      // landing between the pre-check and this lock may have labeled
+      // part of the batch already — without this, both writers would
+      // publish rows for the same vec_ids (duplicate rows, and not
+      // necessarily value-identical if the index moved between them).
+      // The resident set is MATERIALIZED alone (localCheckpoint) before
+      // joining: `pred` already embeds the PRE-lock generation of the
+      // same parquet scan, and Spark's scan/exchange reuse canonicalizes
+      // the two generations as equal — joined lazily, the re-check would
+      // silently consume the STALE listing (caught by
+      // PseudoLabelRaceSpec; epoch dirs added between the two reads)
+      val resident2 = graft.operators.PseudoLabelStore
+        .residentVecIds(spark, outDir).localCheckpoint()
+      val out = pred.join(resident2, Seq("vec_id"), "left_anti")
+        .localCheckpoint()
+      if (!out.isEmpty) {
+        val next =
+          if (!fs.exists(root)) 0
+          else fs.listStatus(root).map(_.getPath.getName)
+            .filter(_.startsWith("epoch="))
+            .map(_.stripPrefix("epoch=").toInt).foldLeft(-1)(math.max) + 1
+        graft.operators.AtomicPublish.stageAndRename(
+          spark, labelsDir, s".epoch-$next.tmp", s"epoch=$next") { tmp =>
+          out.write.mode("overwrite").parquet(tmp.toString)
+        }
       }
     }
   }
