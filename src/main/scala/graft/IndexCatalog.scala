@@ -136,7 +136,17 @@ object IndexCatalog {
         Seq("buckets.parquet", "docs.parquet")),
       FamilyDef(PseudoLabelStore.Table, "pseudo-labels",
         Rewrite(PseudoLabelStore.deleteFromStore), None,
-        Seq(PseudoLabelStore.Table)))
+        Seq(PseudoLabelStore.Table)),
+      // NB: IVF stores also carry a baseline.parquet (assignment
+      // tightness) — they detect as `ivf` first via centroids.parquet
+      // (first match wins); a store whose ONLY table is baseline.parquet
+      // is the drift monitor's share census. The census stores per-mille
+      // shares, not counts, so one document's contribution cannot be
+      // reversed out of it — like the BPE merge table, deletion is an
+      // honest `retrain_required`: re-baseline from the post-deletion
+      // corpus (DriftMonitor.writeBaseline overwrites atomically).
+      FamilyDef("baseline.parquet", "drift-baseline", Retrain, None,
+        Seq("baseline.parquet")))
   }
 
   /** Family row of a store given its table names — pure half of

@@ -52,12 +52,14 @@ class TakedownRegistrySpec extends AnyFunSuite {
       spark, "/root/testdata/sf0.001", s"$base/pseudo",
       emb.filter(col("vec_id") < 3)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    // the 17th: the drift monitor's share baseline, via its real writer
+    DriftMonitor.writeBaseline(spark, docs, s"$base/drift")
     // the deliberately-unknown store: a table no family signs
     Seq((1L, "x")).toDF("k", "v").write.parquet(s"$base/mystery/stuff.parquet")
 
     val dirs = Seq("search", "eval", "lm", "dsir", "pack", "tok", "clf",
       "span", "sketch", "winnow", "incdedup", "cluster", "ivf", "pq", "lsh",
-      "pseudo", "mystery").map(d => s"$base/$d")
+      "pseudo", "drift", "mystery").map(d => s"$base/$d")
     val victims = docs.filter(col("doc_id") === 2L)
 
     // non-strict sweep: full report, error row for the unknown dir
@@ -67,16 +69,19 @@ class TakedownRegistrySpec extends AnyFunSuite {
     for (r <- results)
       assert(r.family === graft.IndexCatalog.report(spark, r.dir).family,
         s"sweep and catalog disagree on ${r.dir}")
-    // all sixteen families detected distinctly, none fell through
+    // all seventeen families detected distinctly, none fell through
     val byFamily = results.map(r => r.family -> r.action).toMap
     assert(results.map(_.family).distinct.size === results.size)
     assert(byFamily.keySet === Set("search", "eval-vocab", "lm-bigram",
       "dsir", "pack", "tokenizer", "classifier", "span", "sketch", "winnow",
       "incremental-dedup", "cluster", "ivf", "pq", "ann-lsh", "pseudo-labels",
-      "unknown"))
+      "drift-baseline", "unknown"))
     assert(byFamily("unknown") === "error_unknown_family")
     assert(byFamily("tokenizer") === "retrain_required")
-    assert((byFamily - "unknown" - "tokenizer").values.toSet === Set("deleted"))
+    assert(byFamily("drift-baseline") === "retrain_required",
+      "per-mille shares cannot un-count one document — re-baseline")
+    assert((byFamily - "unknown" - "tokenizer" - "drift-baseline")
+      .values.toSet === Set("deleted"))
 
     // strict sweep (the default): throws, but ONLY AFTER applying the
     // known stores — one unidentifiable dir must not block the other
