@@ -215,6 +215,32 @@ object TakedownBench {
       emit("shingle-graph", "sweep_1k_rewrite", s)
     }
 
+    // --- pseudo-label class: the single-table Rewrite store ---------------
+    {
+      val outStore = s"$workDir/pseudo"
+      // the STREAM's actual shape: a ~1k-vector micro-batch served from
+      // the warm persisted IVF store (ensureIndex untimed — the one-time
+      // build is the q_ann_ivf_indexed lane's number, not a per-batch
+      // cost), then delete half the labeled ids
+      val emb = Tables.table(spark, sfDir, "embeddings")
+      val nVec = emb.count()
+      val vstride = math.max(1L, nVec / 1000L)
+      val batch = emb.filter(col("vec_id") % vstride === 0)
+        .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+      operators.IvfIndex.ensureIndex(spark, sfDir)
+      val (_, tb) = timed(
+        streaming.DocStream.processPseudoLabelBatch(spark, sfDir, outStore, batch))
+      emit("pseudo-label", "serve_and_append", tb)
+      val vecVictims = batch.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("doc_id"))
+      val (_, s) = timed(
+        operators.Takedown.sweep(spark, vecVictims, Seq(outStore)))
+      emit("pseudo-label", "sweep_half_rewrite", s)
+      val (_, r) = timed(
+        operators.PseudoLabelStore.residentVecIds(spark, outStore).count())
+      emit("pseudo-label", "read_after", r)
+    }
+
     victims.unpersist()
     def ms(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
     val body = flat.map { case (k, v) => "\"" + k + "\":" + ms(v) }
