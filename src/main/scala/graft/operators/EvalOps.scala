@@ -33,11 +33,25 @@ object EvalOps {
   // usable signal → conf 0 by convention. Output: per confidence decile,
   // how often the prediction was RIGHT — a calibrated scorer's acc_pm
   // rises with the bin; flat acc_pm means the margin carries no signal.
-  private def qCalibration(spark: SparkSession, dir: String): DataFrame = {
+  private def qCalibration(spark: SparkSession, dir: String): DataFrame =
+    calibrationAgainst(spark, dir,
+      ClassifyOps.trainCounts(table(spark, dir, "documents")))
+
+  /** The production-cadence twin: the same reliability diagram served
+    * from the PERSISTED classifier model (built once per corpus identity,
+    * the q_classify_freq_indexed family) — model counts ≡ inline counts
+    * by the family's append≡rebuild contract, so the lane rides the same
+    * oracle. */
+  private def qCalibrationIndexed(spark: SparkSession, dir: String): DataFrame =
+    calibrationAgainst(spark, dir,
+      ClassifyIndex.modelCounts(spark, ClassifyIndex.ensureModel(spark, dir)))
+
+  private def calibrationAgainst(
+      spark: SparkSession, dir: String, counts: DataFrame): DataFrame = {
     val d = table(spark, dir, "documents")
     val (members, scored) = ClassifyOps.textScores(
       d.filter(col("doc_id") % ClassifyOps.TestMod === 0L),
-      ClassifyOps.trainCounts(d))
+      counts)
     val wRank = Window.partitionBy(col("tkey"))
       .orderBy(col("total").desc, col("lang"))
     val top2 = scored.withColumn("rn", row_number().over(wRank))
@@ -150,5 +164,7 @@ object EvalOps {
 
   def queries: Seq[QueryDef] = Seq(
     QueryDef("q_calibration", qCalibration, Some(qCalibrationSql)),
+    QueryDef("q_calibration_indexed", qCalibrationIndexed,
+      Some(qCalibrationSql)),
     QueryDef("q_quality_kappa", qQualityKappa, Some(qQualityKappaSql)))
 }
