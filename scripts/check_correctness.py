@@ -38,8 +38,31 @@ def sortable(row):
     return tuple((x is None, str(type(x)), str(x)) for x in row)
 
 
-def main(sf_dir, out_dir):
+def dump_rows(path, cols, rows):
+    """One row per line, typed repr per cell — two such files diff cleanly."""
+    with open(path, "w") as f:
+        f.write("\t".join(sorted(cols)) + "\n")
+        for r in rows:
+            f.write("\t".join(f"{v!r}:{type(v).__name__}" for v in r) + "\n")
+
+
+def first_cell_diff(cols, s_norm, o_norm):
+    names = sorted(cols)
+    for i, (a, b) in enumerate(zip(s_norm, o_norm)):
+        for j, (x, y) in enumerate(zip(a, b)):
+            if x != y:
+                return (f"row {i} col {names[j]}: "
+                        f"spark={x!r}:{type(x).__name__} "
+                        f"oracle={y!r}:{type(y).__name__}")
+    return None
+
+
+def main(sf_dir, out_dir, diff_lanes=frozenset()):
     out = Path(out_dir)
+    # env stamp: cross-environment gate disagreements (round 14) are
+    # unadjudicable without knowing WHICH comparator build judged
+    print(f"ENV  duckdb={duckdb.__version__} "
+          f"python={sys.version.split()[0]}")
     oracle = json.loads((out / "oracle_sql.json").read_text())
     con = duckdb.connect()
     for t in TABLES:
@@ -77,9 +100,16 @@ def main(sf_dir, out_dir):
         o_idx = [ora_cols.index(c) for c in sorted(ora_cols)]
         s_norm = sorted((tuple(normalize(r[i]) for i in s_idx) for r in spark_rows), key=sortable)
         o_norm = sorted((tuple(normalize(r[i]) for i in o_idx) for r in ora_rows), key=sortable)
+        if name in diff_lanes:
+            ddir = out / "_diff"
+            ddir.mkdir(exist_ok=True)
+            dump_rows(ddir / f"{name}.spark.txt", spark_cols, s_norm)
+            dump_rows(ddir / f"{name}.oracle.txt", ora_cols, o_norm)
+            print(f"DIFF {name}: both engines' sorted typed rows -> {ddir}")
         bad = [(a, b) for a, b in zip(s_norm, o_norm) if a != b]
         if bad:
-            print(f"FAIL {name}: {len(bad)}/{len(s_norm)} rows differ; first: spark={bad[0][0]} oracle={bad[0][1]}")
+            detail = first_cell_diff(spark_cols, s_norm, o_norm)
+            print(f"FAIL {name}: {len(bad)}/{len(s_norm)} rows differ; {detail}")
             failures += 1
         else:
             print(f"OK   {name}: {len(s_norm)} rows")
@@ -88,4 +118,10 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    lanes = frozenset()
+    argv = list(sys.argv[1:])
+    if "--diff" in argv:
+        i = argv.index("--diff")
+        lanes = frozenset(argv[i + 1].split(","))
+        del argv[i:i + 2]
+    sys.exit(main(argv[0], argv[1], lanes))

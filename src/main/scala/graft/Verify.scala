@@ -18,7 +18,13 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // GRAFT_VERIFY_ONLY=q_a,q_b — restrict the dump for fast local
     // iteration; the driver never sets it, so the gate always runs all.
-    val only = sys.env.get("GRAFT_VERIFY_ONLY").map(_.split(",").toSet)
+    // GRAFT_VERIFY_DIFF is the same restriction driven by
+    // scripts/verify_diff.sh, which then runs the bundled checker in
+    // --diff mode so BOTH engines' sorted typed rows land in
+    // <outDir>/_diff — one command turns a driver-red row into a
+    // cell-level diff instead of a boolean.
+    val only = sys.env.get("GRAFT_VERIFY_ONLY")
+      .orElse(sys.env.get("GRAFT_VERIFY_DIFF")).map(_.split(",").toSet)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -46,12 +52,21 @@ object Verify {
     // lane notes beside the dump: the permanent no-oracle lanes are
     // certified by their oracle-green _portable twins (one shared map,
     // QueryRegistry.certifiedByTwin) — so a correctness reader sees
-    // "certified by twin", not an unexplained null row
+    // "certified by twin", not an unexplained null row. `_env` stamps the
+    // producing environment (round-14 lesson: a gate disagreement between
+    // two environments is unadjudicable when neither record says which
+    // JVM/Spark built the dump — the comparator's own stamp lives in the
+    // checker's ENV line / the driver's record).
+    val envNote = s"{${q("jvm")}: ${q(System.getProperty("java.version"))}, " +
+      s"${q("spark")}: ${q(org.apache.spark.SPARK_VERSION)}, " +
+      s"${q("os")}: ${q(System.getProperty("os.name") + " " +
+        System.getProperty("os.version"))}, " +
+      s"${q("scala")}: ${q(scala.util.Properties.versionNumberString)}}"
     Files.writeString(Paths.get(s"$outDir/lane_notes.json"),
-      QueryRegistry.certifiedByTwin.map { case (k, v) =>
+      (QueryRegistry.certifiedByTwin.map { case (k, v) =>
         s"${q(k)}: {${q("status")}: ${q("certified_by_twin")}, " +
           s"${q("twin")}: ${q(v)}}"
-      }.mkString("{", ",", "}"))
+      } ++ Seq(s"${q("_env")}: $envNote")).mkString("{", ",", "}"))
     spark.stop()
   }
 }

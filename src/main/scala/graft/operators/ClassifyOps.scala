@@ -204,7 +204,7 @@ object ClassifyOps {
        |pt AS (SELECT true_lang, CAST(COUNT(*) AS BIGINT) AS n_true
        |       FROM preds GROUP BY 1)
        |SELECT p.true_lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n,
-       |  (COUNT(*) * 1000) // pt.n_true AS share_permille
+       |  CAST((COUNT(*) * 1000) // pt.n_true AS BIGINT) AS share_permille
        |FROM preds p JOIN pt ON pt.true_lang = p.true_lang
        |GROUP BY 1, 2, pt.n_true""".stripMargin
 

@@ -100,8 +100,8 @@ object EvalOps {
        |SELECT LEAST(conf_pm // 100, 9)::BIGINT AS bin,
        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(ok) AS BIGINT) AS n_correct,
-       |  (SUM(ok) * 1000) // COUNT(*) AS acc_pm,
-       |  SUM(conf_pm) // COUNT(*) AS mean_conf_pm
+       |  CAST((SUM(ok) * 1000) // COUNT(*) AS BIGINT) AS acc_pm,
+       |  CAST(SUM(conf_pm) // COUNT(*) AS BIGINT) AS mean_conf_pm
        |FROM c GROUP BY 1""".stripMargin
 
   // --- q_quality_kappa: chance-corrected agreement of two quality gates --

@@ -228,6 +228,11 @@ object LabelOps {
     voteCensus(scored, unl)
   }
 
+  // ORACLE COMPARABILITY BOUND: this SQL pins the 4-bit gate geometry,
+  // while the Spark side dispatches bits by live corpus size (lshBitsFor)
+  // — identical below IvfScaleThreshold (10k vectors), where every gate
+  // fixture lives (pinned by LabelEvalOpsSpec's comparability guard).
+  // Above it the lane is bench-only; the hash gate must not run there.
   private val qLabelPropLshSql = {
     val keyExpr = (0 until AxisBits).map(j =>
       s"(CASE WHEN v[${j + 1}] > 0.0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
@@ -448,15 +453,26 @@ object LabelOps {
   // q_semantic_dedup calibration note: the synthetic corpus has no true
   // paraphrases, the operator SHAPE is what transfers). Census per
   // label: flagged/total/share in per-mille — class-bounded output.
-  private val ContamTau = 0.35
+  private[operators] val ContamTau = 0.35
+
+  /** Corpus with PRE-NORMALIZED vectors, so the τ-compare is a plain dot
+    * — the exact arithmetic [[SimilarityOps]]' q_semantic_dedup uses
+    * (each element x_i/‖x‖ rounds once, then one left fold; NOT
+    * dot/(‖a‖·‖b‖), whose final ulps depend on the engine's division
+    * order and flipped the driver's gate in round 14). */
+  private[operators] def contamCorpus(spark: SparkSession, dir: String): DataFrame =
+    withNorm(table(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("label"),
+        transform(col("v"),
+          x => when(col("norm") > 0.0, x / col("norm")).otherwise(0.0)).as("nv"))
 
   private def qSemanticContamination(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(table(spark, dir, "embeddings"))
+    val e = contamCorpus(spark, dir)
     val evalSet = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("eval_id"), col("v").as("qv"), col("norm").as("qnorm"))
+      .select(col("vec_id").as("eval_id"), col("nv").as("qnv"))
     val flagged = e.join(broadcast(evalSet),
         col("vec_id") =!= col("eval_id") &&
-          (dot(col("qv"), col("v")) / (col("qnorm") * col("norm"))) >= ContamTau,
+          dot(col("qnv"), col("nv")) >= ContamTau,
         "left_semi")
       .select(col("vec_id")).withColumn("flag", lit(1L))
     e.select(col("vec_id"), col("label"))
@@ -469,18 +485,21 @@ object LabelOps {
 
   private val qSemanticContaminationSql =
     s"""WITH $ESql,
-       |ev AS (SELECT vec_id AS eval_id, v AS qv, norm AS qnorm
-       |       FROM e WHERE vec_id < $NumQueries),
+       |en AS (SELECT vec_id, label,
+       |  [CASE WHEN norm > 0.0 THEN xi / norm ELSE 0.0 END FOR xi IN v] AS nv
+       |  FROM e),
+       |ev AS (SELECT vec_id AS eval_id, nv AS qnv
+       |       FROM en WHERE vec_id < $NumQueries),
        |flagged AS (
-       |  SELECT DISTINCT e.vec_id FROM e JOIN ev ON e.vec_id != ev.eval_id
-       |  WHERE list_reduce(list_prepend(0.0, [ev.qv[i]*e.v[i] FOR i IN range(1, 65)]), (acc,x) -> acc+x)
-       |      / (ev.qnorm * e.norm) >= $ContamTau)
-       |SELECT e.label, CAST(COUNT(*) AS BIGINT) AS n_total,
+       |  SELECT DISTINCT en.vec_id FROM en JOIN ev ON en.vec_id != ev.eval_id
+       |  WHERE list_reduce(list_prepend(0.0, [ev.qnv[i]*en.nv[i] FOR i IN range(1, 65)]), (acc,x) -> acc+x)
+       |      >= $ContamTau)
+       |SELECT en.label, CAST(COUNT(*) AS BIGINT) AS n_total,
        |  CAST(SUM(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_flagged,
-       |  (SUM(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000)
-       |    // COUNT(*) AS share_pm
-       |FROM e LEFT JOIN flagged f ON f.vec_id = e.vec_id
+       |  CAST((SUM(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000)
+       |    // COUNT(*) AS BIGINT) AS share_pm
+       |FROM en LEFT JOIN flagged f ON f.vec_id = en.vec_id
        |GROUP BY 1""".stripMargin
 
   def queries: Seq[QueryDef] = Seq(

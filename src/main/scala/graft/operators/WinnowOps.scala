@@ -227,7 +227,8 @@ object WinnowOps {
        |      FROM e a JOIN e b USING (gh) JOIN dfok USING (gh)
        |      WHERE a.rep < b.rep)
        |SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared,
-       |  (COUNT(*) * 1000) // least(ANY_VALUE(na), ANY_VALUE(nb)) AS overlap_permille
+       |  CAST((COUNT(*) * 1000) // least(ANY_VALUE(na), ANY_VALUE(nb)) AS BIGINT)
+       |    AS overlap_permille
        |FROM p GROUP BY 1, 2 HAVING COUNT(*) >= $MinShared""".stripMargin
 
   def queries: Seq[QueryDef] = Seq(

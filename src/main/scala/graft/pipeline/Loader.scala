@@ -25,6 +25,14 @@ import graft.ingest.{CsvTableReader, Unzipper}
   * combined table under the slugified prefix (reference asymmetry,
   * SURVEY §1.2). The sink is pluggable: temp views always; `sink`
   * callback (e.g. PostgresSink.write or a parquet writer) per table.
+  *
+  * THREAD-SAFETY CONTRACT: `sink` is invoked from up to `maxParallel`
+  * concurrent threads (one per in-flight import — `inParallel`), so the
+  * callback must be thread-safe: synchronize any shared mutable state it
+  * touches, or use a concurrent collection. The Spark actions it runs are
+  * already safe to issue concurrently (fair-scheduled jobs); it is the
+  * driver-side bookkeeping around them that this contract is about.
+  * A sink that must be serial can set `maxParallel = 1`.
   */
 final case class LoaderConfig(
     sources: Seq[Path],

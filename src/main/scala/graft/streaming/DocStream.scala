@@ -1362,8 +1362,21 @@ object DocStream {
       logDir: Option[String] = None)(
       report: Seq[graft.operators.IndexFsck.Finding] => Unit): Unit = {
     if (batch.isEmpty) { report(Seq.empty); return }
-    val findings = graft.operators.DriftMonitor.driftFindings(
-      spark, batch, baselineDir, thresholdPm, minDocs)
+    // the census itself rides the same per-failure isolation as the
+    // ledger write below: a missing/unreadable baseline.parquet (monitor
+    // started before writeBaseline, or a read racing a baseline swap)
+    // must surface as an error finding, not kill the streaming query
+    val findings =
+      try graft.operators.DriftMonitor.driftFindings(
+        spark, batch, baselineDir, thresholdPm, minDocs)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          report(Seq(graft.operators.IndexFsck.Finding(
+            baselineDir, "drift", "drift_failed", "error",
+            s"drift census threw: ${e.getClass.getSimpleName}: " +
+              s"${Option(e.getMessage).getOrElse("").take(200)}")))
+          return
+      }
     val logged =
       try {
         logDir.foreach { ld =>
@@ -1410,7 +1423,13 @@ object DocStream {
   private[graft] def processPseudoLabelBatch(
       spark: SparkSession, corpusDir: String, outDir: String,
       batch0: DataFrame): Unit = {
-    val batch = batch0.select(col("vec_id"), col("embedding")).distinct()
+    // dedup on the KEY alone: a redelivered/corrected vector with the same
+    // vec_id but different embedding bytes must not reach the serve twice
+    // — distinct() over (vec_id, embedding) would let both rows through
+    // and the epoch write would violate the store's one-row-per-vec_id
+    // invariant (residentVecIds and the replay specs rely on it)
+    val batch = batch0.select(col("vec_id"), col("embedding"))
+      .dropDuplicates("vec_id")
     if (batch.isEmpty) return
     val store = graft.operators.IvfIndex.ensureIndex(spark, corpusDir)
     val labelsDir = s"$outDir/${graft.operators.PseudoLabelStore.Table}"

@@ -142,4 +142,51 @@ class ClusterIndexSpec extends AnyFunSuite {
         s"unexpected non-index scans: ${scans.filterNot(_.contains(idx))}")
     }
   }
+
+  test("q_dedup_canonical certificate: first run records and the served " +
+      "output equals the full inline recompute; a poisoned record " +
+      "self-heals; a diverged sample store throws loudly") {
+    val root = Files.createTempDirectory("graft-canon-cert").toString
+    spark.conf.set(StoreRoot.ConfKey, root)
+    try {
+      def canonRows(df: DataFrame): Set[(Long, Long, Long, Long)] =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val lane = graft.QueryRegistry.byName("q_dedup_canonical")
+      val served = canonRows(lane.run(spark, sfDir))
+      // the lane's oracle identity, re-proven here end to end: the
+      // store-served full map equals the full inline CC recompute
+      assert(served === canonRows(DedupOps.inlineCanonicalOver(spark, sfDir)))
+      val sdir = CurationFunnel.ensureSampleCorpus(spark, sfDir)
+      val cert = java.nio.file.Paths.get(sdir, "_canonical_certificate")
+      assert(Files.exists(cert), "first run must record the sample proof")
+      val recorded = Files.readString(cert)
+
+      // poisoned-but-parseable record: served != record → the inline side
+      // is recomputed, matches, and the record self-heals (no throw)
+      Files.writeString(cert,
+        "graft-canonical-certificate-v1\n1,1,1,1\nend")
+      assert(canonRows(lane.run(spark, sfDir)) === served)
+      assert(Files.readString(cert) === recorded, "record must self-heal")
+
+      // a genuinely diverged sample store: collapse every text into ONE
+      // cluster label — the served sample output departs from the inline
+      // truth and the certificate must fail loudly
+      val sIdx = StoreRoot.dir("graft-cluster-index-" + IndexStamp.dirKey(
+        IndexStamp.identity(sdir, "documents.parquet", "cluster-v1")))
+      val members = spark.read.parquet(s"$sIdx/members.parquet")
+      val poisoned = members.select(col("tkey")).distinct()
+        .withColumn("label", lit(0L))
+      val tmp = Files.createTempDirectory("graft-poison").toString
+      poisoned.write.mode("overwrite").parquet(s"$tmp/labels.parquet")
+      val fs = new org.apache.hadoop.fs.Path(sIdx)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$sIdx/labels.parquet"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/labels.parquet"),
+        new org.apache.hadoop.fs.Path(s"$sIdx/labels.parquet"))
+      Files.writeString(cert, "garbage") // force the inline re-proof
+      val e = intercept[IllegalStateException] { lane.run(spark, sfDir) }
+      assert(e.getMessage.contains("certificate FAILED"))
+    } finally spark.conf.unset(StoreRoot.ConfKey)
+  }
 }

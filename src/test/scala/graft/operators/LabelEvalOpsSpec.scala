@@ -118,6 +118,40 @@ class LabelEvalOpsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("contamination τ-margin: no eval×corpus cosine sits within ε of τ " +
+      "at the gate SFs, so a one-ulp engine difference can't flip the set") {
+    // round-14 lesson: the driver's gate disagreed on this lane while two
+    // local environments matched — float membership at a threshold is only
+    // hash-gateable if the fixture leaves a margin. Pre-normalized compare
+    // (one rounding per element, then one fold) + this margin make the
+    // flagged set engine-invariant.
+    val eps = 1e-6
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val e = LabelOps.contamCorpus(spark, sf)
+      val ev = e.filter(col("vec_id") < SimilarityOps.NumQueries)
+        .select(col("vec_id").as("eval_id"), col("nv").as("qnv"))
+      val minMargin = e.join(broadcast(ev), col("vec_id") =!= col("eval_id"))
+        .select(abs(graft.functions.VectorOps.dot(col("qnv"), col("nv"))
+          - LabelOps.ContamTau).as("m"))
+        .agg(min(col("m"))).head.getDouble(0)
+      assert(minMargin > eps,
+        s"$sf: a cosine sits $minMargin from τ — inside the $eps guard band")
+    }
+  }
+
+  test("q_label_prop_lsh oracle comparability: the SQL pins 4-bit cells, " +
+      "so the gate fixtures must stay below the scale threshold where the " +
+      "Spark side's lshBitsFor dispatch departs from the oracle") {
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val n = graft.Tables.table(spark, sf, "embeddings").count()
+      assert(n < SimilarityOps.IvfScaleThreshold,
+        s"$sf has $n vectors ≥ threshold — q_label_prop_lsh is no longer " +
+          "hash-gateable there; regenerate the fixture or derive the " +
+          "oracle's bit count from the same dispatch")
+      assert(LabelOps.lshBitsFor(n) === SimilarityOps.AxisBits)
+    }
+  }
+
   test("q_calibration: bins partition the holdout, counts conserve, and " +
       "conf/acc stay in per-mille range") {
     val df = QueryRegistry.byName("q_calibration").run(spark, dir)

@@ -85,6 +85,21 @@ class DriftStreamSpec extends AnyFunSuite {
     assert(got.isEmpty, "an empty batch reports clean")
   }
 
+  test("a missing baseline is an error FINDING, not a dead stream: the " +
+      "census failure rides the same isolation as a ledger-write failure") {
+    // monitor started before writeBaseline ever ran — driftFindings would
+    // throw on the unreadable path; the batch must surface drift_failed
+    // through report() and leave the caller (the streaming query) alive
+    val ghost = java.nio.file.Files.createTempDirectory("graft-drift-none")
+      .toString + "/never-written"
+    var got: Seq[IndexFsck.Finding] = null
+    DocStream.processDriftBatch(spark, docs, ghost,
+      thresholdPm = 100L, minDocs = 5L)(fs => got = fs)
+    assert(got != null && got.size === 1, s"exactly one error finding: $got")
+    assert(got.head.family === "drift" && got.head.status === "error" &&
+      got.head.check === "drift_failed", s"unexpected finding: ${got.head}")
+  }
+
   test("drift arithmetic: appearing and vanishing buckets both surface, " +
       "and the self-comparison is exactly zero") {
     val base = java.nio.file.Files.createTempDirectory("graft-drift3").toString

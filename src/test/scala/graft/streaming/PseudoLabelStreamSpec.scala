@@ -92,6 +92,23 @@ class PseudoLabelStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("intra-batch key dedup: a redelivered vec_id with DIFFERENT " +
+      "embedding bytes still publishes exactly one row for that key") {
+    // distinct() over (vec_id, embedding) would pass both variants through
+    // to the epoch write, breaking the store's one-row-per-vec_id
+    // invariant; dedup must be on the key alone
+    val out = java.nio.file.Files.createTempDirectory("graft-pseudo-dup").toString
+    val base = copies(Seq(7L, 8L))
+    val corrupted = base.filter(col("vec_id") === 1000007L)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
+    DocStream.processPseudoLabelBatch(spark, dir, out,
+      base.unionAll(corrupted))
+    val rows = spark.read.parquet(s"$out/pseudo_labels.parquet")
+    assert(rows.count() === 2, "one row per distinct vec_id")
+    assert(rows.select(col("vec_id")).distinct().count() === 2)
+  }
+
   test("takedown: the registered Rewrite discipline drops exactly the " +
       "victims' label rows in one atomic folded rewrite; replay is a " +
       "no-op and a missing store is skipped clean") {
