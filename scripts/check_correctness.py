@@ -57,13 +57,15 @@ def first_cell_diff(cols, s_norm, o_norm):
     return None
 
 
-def main(sf_dir, out_dir, diff_lanes=frozenset()):
+def main(sf_dir, out_dir, diff_lanes=frozenset(), only=None):
     out = Path(out_dir)
     # env stamp: cross-environment gate disagreements (round 14) are
     # unadjudicable without knowing WHICH comparator build judged
     print(f"ENV  duckdb={duckdb.__version__} "
           f"python={sys.version.split()[0]}")
     oracle = json.loads((out / "oracle_sql.json").read_text())
+    if only is not None:  # verify_diff.sh: judge only the re-dumped lanes
+        oracle = {k: v for k, v in oracle.items() if k in only}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -119,9 +121,14 @@ def main(sf_dir, out_dir, diff_lanes=frozenset()):
 
 if __name__ == "__main__":
     lanes = frozenset()
+    only = None
     argv = list(sys.argv[1:])
     if "--diff" in argv:
         i = argv.index("--diff")
         lanes = frozenset(argv[i + 1].split(","))
         del argv[i:i + 2]
-    sys.exit(main(argv[0], argv[1], lanes))
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = frozenset(argv[i + 1].split(","))
+        del argv[i:i + 2]
+    sys.exit(main(argv[0], argv[1], lanes, only))

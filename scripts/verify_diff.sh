@@ -20,6 +20,5 @@ OUT="/tmp/verify_diff_$(echo "$LANES" | tr ',' '_' | cut -c1-80)"
 rm -rf "$OUT"
 GRAFT_VERIFY_DIFF="$LANES" sbt -batch "runMain graft.Verify $SF $OUT" 2>&1 \
   | grep "\[verify\]" || true
-python3 scripts/check_correctness.py "$SF" "$OUT" --diff "$LANES" \
-  | grep -E "^(ENV|DIFF)|$(echo "$LANES" | sed 's/,/|/g')"
+python3 scripts/check_correctness.py "$SF" "$OUT" --diff "$LANES" --only "$LANES"
 echo "rows: $OUT/_diff/"
