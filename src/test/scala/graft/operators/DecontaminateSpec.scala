@@ -72,6 +72,12 @@ class DecontaminateSpec extends AnyFunSuite {
     val onePast = TextOps.cleanToFixpoint(train, evalSh, TextOps.DecontamPasses + 1)
       .collect().map(_.toSeq).toSet
     assert(atBudget === onePast, "the budget must reach the fixpoint here")
+    // the early exit makes the budget free past the fixpoint: a 50-pass
+    // budget must produce the identical frame (and terminate in
+    // fixpoint-depth passes, not 50 — this collect would crawl otherwise)
+    val farPast = TextOps.cleanToFixpoint(train, evalSh, 50)
+      .collect().map(_.toSeq).toSet
+    assert(atBudget === farPast)
     // the cleaned corpus provably contains no eval 3-gram
     val leaks = TextOps.evalShinglesOf(
       QueryRegistry.byName("q_decontaminate_fixpoint").run(spark, dir)
