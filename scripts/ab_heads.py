@@ -28,9 +28,20 @@ def run_bench(workdir, sf_dir):
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # stale-artifact guard: bench_queries.json persists from earlier runs,
+    # so a failed/aborted bench would silently feed stale per-lane times
+    # into the A/B medians. Delete first, then require BOTH a zero exit
+    # and a fresh file.
+    qf = os.path.join(workdir, "target", "bench_queries.json")
+    if os.path.exists(qf):
+        os.remove(qf)
     r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
                        cwd=workdir, env=env, capture_output=True, text=True)
-    qf = os.path.join(workdir, "target", "bench_queries.json")
+    if r.returncode != 0 or not os.path.exists(qf):
+        print(f"[ab] bench FAILED in {workdir} (exit {r.returncode}); "
+              f"skipping this run's samples. Last stderr lines:\n"
+              + "\n".join(r.stderr.splitlines()[-5:]), flush=True)
+        return None, None
     with open(qf) as f:
         queries = json.load(f)
     line = [l for l in r.stdout.splitlines() if l.startswith('{"metric"')]
@@ -46,9 +57,26 @@ def main():
     ap.add_argument("--out", default="ab_heads.json")
     args = ap.parse_args()
 
-    wt = f"/tmp/graft-ab-{args.old_ref}"
-    if not os.path.isdir(wt):
-        subprocess.run(["git", "worktree", "add", "--detach", wt, args.old_ref],
+    # slugify the ref (refs like origin/main contain '/') and, when the
+    # worktree already exists, verify it is actually checked out at
+    # old_ref — a stale worktree from a previous adjudication would
+    # silently measure the wrong HEAD
+    slug = "".join(c if c.isalnum() or c in "._-" else "_"
+                   for c in args.old_ref)
+    wt = f"/tmp/graft-ab-{slug}"
+    want = subprocess.run(["git", "rev-parse", args.old_ref + "^{commit}"],
+                          cwd=REPO, check=True, capture_output=True,
+                          text=True).stdout.strip()
+    if os.path.isdir(wt):
+        have = subprocess.run(["git", "rev-parse", "HEAD"], cwd=wt,
+                              capture_output=True, text=True).stdout.strip()
+        if have != want:
+            print(f"[ab] stale worktree {wt} at {have[:12]}, want "
+                  f"{want[:12]} — re-detaching", flush=True)
+            subprocess.run(["git", "checkout", "--detach", want],
+                           cwd=wt, check=True)
+    else:
+        subprocess.run(["git", "worktree", "add", "--detach", wt, want],
                        cwd=REPO, check=True)
 
     samples = {"old": {}, "new": {}}
@@ -57,6 +85,8 @@ def main():
         for side, wd in (("old", wt), ("new", REPO)):
             print(f"[ab] run {i + 1}/{args.runs} {side} ({wd})", flush=True)
             qs, sent = run_bench(wd, args.sf)
+            if qs is None:
+                continue
             sentinels[side].append(sent)
             for k, v in qs.items():
                 if v >= 0:

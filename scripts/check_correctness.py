@@ -64,6 +64,14 @@ def main(sf_dir, out_dir, diff_lanes=frozenset(), only=None):
     print(f"ENV  duckdb={duckdb.__version__} "
           f"python={sys.version.split()[0]}")
     oracle = json.loads((out / "oracle_sql.json").read_text())
+    # a typo'd --only/--diff lane must fail loudly, not judge zero lanes
+    # and exit 0 (verify_diff.sh would report success for a lane that was
+    # never checked)
+    unknown = (set(only or ()) | set(diff_lanes)) - set(oracle)
+    if unknown:
+        print(f"ERROR: --only/--diff lanes not in oracle_sql.json: "
+              f"{sorted(unknown)}")
+        return 2
     if only is not None:  # verify_diff.sh: judge only the re-dumped lanes
         oracle = {k: v for k, v in oracle.items() if k in only}
     con = duckdb.connect()
@@ -71,6 +79,7 @@ def main(sf_dir, out_dir, diff_lanes=frozenset(), only=None):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     failures = 0
+    green = set()
     for name in sorted(oracle):
         qdir = out / name
         if not qdir.exists():
@@ -115,7 +124,33 @@ def main(sf_dir, out_dir, diff_lanes=frozenset(), only=None):
             failures += 1
         else:
             print(f"OK   {name}: {len(s_norm)} rows")
-    print(f"\n{len(oracle) - failures}/{len(oracle)} queries match")
+            green.add(name)
+    # resolve twin certification (round 16, r15 verdict #4): the permanent
+    # no-oracle lanes (nondeterministic-hash lanes DuckDB cannot replay)
+    # are certified by their oracle-checked _portable twins. Reading
+    # lane_notes.json here turns their rows from unexplained red ink into
+    # an explicit CERT state — VERIFIED against the twin's result in this
+    # very run, not just claimed.
+    certified = 0
+    notes_path = out / "lane_notes.json"
+    if only is None and notes_path.exists():
+        notes = json.loads(notes_path.read_text())
+        for lane in sorted(notes):
+            note = notes[lane]
+            if not (isinstance(note, dict)
+                    and note.get("status") == "certified_by_twin"):
+                continue
+            twin = note.get("twin")
+            if twin in green:
+                print(f"CERT {lane}: certified_by_twin({twin}) — twin green"
+                      f" in this run")
+                certified += 1
+            else:
+                print(f"FAIL {lane}: certified_by_twin({twin}) but the twin"
+                      f" is NOT green in this run")
+                failures += 1
+    cert_note = f" (+{certified} certified by twin)" if certified else ""
+    print(f"\n{len(green)}/{len(oracle)} queries match{cert_note}")
     return 1 if failures else 0
 
 

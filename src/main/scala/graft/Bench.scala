@@ -63,6 +63,17 @@ object BenchGuard {
     (before > 0 && after > 0 && after > 2 * before) ||
       (before > 0 && floor.exists(f => before > 2 * f))
 
+  /** Generalized over N probes (round 16 — the bench now takes a MID
+    * sentinel between the two passes): contended iff the window changed
+    * shape at any probe boundary (max > 2× min — catches degradation AND
+    * recovery, including the no-floor start-degraded case the two-probe
+    * rule was blind to) or sat uniformly degraded above the committed
+    * floor (min > 2× floor). */
+  def contendedProbes(probes: Seq[Double], floor: Option[Double]): Boolean = {
+    val ok = probes.filter(_ > 0)
+    ok.nonEmpty && (ok.max > 2 * ok.min || floor.exists(f => ok.min > 2 * f))
+  }
+
   /** How many × slower than its committed floor the host ran this window
     * (1.0 when at/below the floor or no floor is known). Divides the raw
     * total into the sentinel-normalized one. */
@@ -71,6 +82,29 @@ object BenchGuard {
       case Some(f) if before > f && f > 0 => before / f
       case _ => 1.0
     }
+
+  /** Sentinel-normalized total — ONLY when one factor can describe the
+    * whole window: every positive probe within 2× of the others. The r15
+    * driver record normalized a bimodal window (pass totals 1439 s vs
+    * 741 s, sentinels [111.8, 2.79]) by its single pre-suite sentinel and
+    * published a nonsense 2.3 s "normalized total"; a window whose probes
+    * disagree >2× gets None — the record carries an explicit null plus
+    * the probes, instead of noise wearing a precise name. */
+  def normalizedTotal(
+      total: Double, probes: Seq[Double], floor: Option[Double]): Option[Double] = {
+    val ok = probes.filter(_ > 0)
+    if (ok.isEmpty || ok.max > 2 * ok.min) None
+    else Some(total / hostFactor(ok.min, floor))
+  }
+
+  /** Bounded degraded-start policy (r15 verdict: don't measure a window
+    * the harness already knows is garbage): when the pre-suite probe
+    * opens >2× the committed floor, wait and re-probe — up to
+    * `maxRetries` times — before starting the ~30-minute suite. */
+  def shouldRetryStart(
+      probe: Double, floor: Option[Double],
+      attempt: Int, maxRetries: Int): Boolean =
+    attempt < maxRetries && probe > 0 && floor.exists(f => probe > 2 * f)
 }
 
 object Bench {
@@ -158,10 +192,35 @@ object Bench {
     // BEFORE makes `contended` false-negative — min-of-3 pins the
     // baseline to the host's true floor whatever lands on rep 1
     val sentinelQuery = "q1_pricing_summary"
-    val sentinelBefore = (1 to 3).map(_ => materialize(sentinelQuery))
-      .filter(_ >= 0) match {
-      case Seq() => -1.0
-      case ok => ok.min
+    def sentinelProbe(): Double =
+      (1 to 3).map(_ => materialize(sentinelQuery)).filter(_ >= 0) match {
+        case Seq() => -1.0
+        case ok => ok.min
+      }
+    // floor resolved BEFORE the suite (the degraded-start policy needs
+    // it); dirs: explicit env override, the cwd, and the canonical repo
+    // checkout — all recorded so a missing floor is diagnosable from the
+    // record instead of silently disabling the start-degraded check
+    val floorDirs = (sys.env.get("SPARK_GRAFT_REPO_ROOT").toSeq ++
+      Seq(".", "/root/repo"))
+      .map(new java.io.File(_).getCanonicalFile).distinct
+    val floor = BenchGuard.committedSentinelFloor(floorDirs)
+    // degraded-start policy (r15 verdict #3): three consecutive driver
+    // windows opened >2× the committed floor and the harness measured a
+    // ~36-minute suite it already knew was garbage. Retry the probe
+    // (bounded: 3× over ~2 min) before starting; record the wait.
+    var sentinelBefore = sentinelProbe()
+    val startProbes = scala.collection.mutable.ArrayBuffer(sentinelBefore)
+    val StartRetryWaitMs = 40000L
+    var startRetries = 0
+    while (BenchGuard.shouldRetryStart(sentinelBefore, floor, startRetries, 3)) {
+      System.err.println(f"[bench] pre-suite sentinel $sentinelBefore%.3f s " +
+        f"opens >2x the committed floor ${floor.getOrElse(-1.0)}%.3f s — " +
+        s"waiting ${StartRetryWaitMs / 1000} s and re-probing")
+      Thread.sleep(StartRetryWaitMs)
+      startRetries += 1
+      sentinelBefore = sentinelProbe()
+      startProbes += sentinelBefore
     }
 
     // dev-only subset filter (comma-separated names); the driver never
@@ -171,17 +230,22 @@ object Bench {
     val ordered = QueryRegistry.all.sortBy(q => (!q.headline, q.name)).map(_.name)
       .filter(n => only.forall(_.contains(n)))
     val pass1 = ordered.map(n => n -> materialize(n))
+    // MID sentinel between the passes (round 16): one pre-suite probe
+    // cannot describe a bimodal window (the r15 driver window's pass
+    // totals were 1439 s vs 741 s); three probes bound each pass on both
+    // sides, drive the generalized contended rule, and gate whether a
+    // normalized total is meaningful at all
+    val sentinelMid = materialize(sentinelQuery)
     val pass2 = ordered.map(n => n -> materialize(n))
 
     // sentinel re-run + committed-floor check: flagged if the trivial
-    // plan regressed >2× across the suite OR the window STARTED >2× off
-    // the repo's committed sentinel floor (the r14 driver failure mode —
-    // a whole-window-degraded host read `contended:false`)
+    // plan changed shape >2× across any probe boundary OR the window sat
+    // uniformly >2× off the repo's committed sentinel floor (the r14
+    // driver failure mode — a whole-window-degraded host read
+    // `contended:false`)
     val sentinelAfter = materialize(sentinelQuery)
-    val floor = BenchGuard.committedSentinelFloor(Seq(
-      new java.io.File("."), new java.io.File("/root/repo"))
-      .map(_.getCanonicalFile).distinct)
-    val contended = BenchGuard.contended(sentinelBefore, sentinelAfter, floor)
+    val probes = Seq(sentinelBefore, sentinelMid, sentinelAfter)
+    val contended = BenchGuard.contendedProbes(probes, floor)
     val hostFactor = BenchGuard.hostFactor(sentinelBefore, floor)
 
     // per-query min of the two passes; a query that failed in one pass
@@ -213,14 +277,14 @@ object Bench {
     // inline twins re-shingle the corpus their _indexed twins serve from
     // the store). Labeled so a top-5 board separates by-design training
     // cost from a serving regression; top5_serving is the same board
-    // with them excluded. q_curation2 left the set in round 14 and
-    // q_dedup_canonical in round 15: their inline retrains now run once
-    // per sample universe (recorded certificates), so their recurring
-    // cost IS a serving cost — the store-backed full output plus the
-    // re-proven indexed sample output.
-    val ablationLanes = Set("q_ann_pq_wide",
-      "q_dedup_clusters", "q_dedup_incremental",
-      "q_substring_dedup", "q_winnow_matches")
+    // with them excluded. q_curation2 left the set in round 14,
+    // q_dedup_canonical in round 15, and q_dedup_clusters /
+    // q_dedup_incremental / q_winnow_matches in round 16 (the r15 verdict's
+    // task 5): their inline retrains now run once per sample universe
+    // (recorded digest certificates), so their recurring cost IS a serving
+    // cost — the store-backed full output plus the digest-re-proven
+    // indexed sample output.
+    val ablationLanes = Set("q_ann_pq_wide", "q_substring_dedup")
     val top5Serving = results
       .filter { case (k, v) => v >= 0 && !ablationLanes.contains(k) }
       .sortBy(-_._2).take(5)
@@ -265,14 +329,22 @@ object Bench {
       s""""cpus_avail":${Runtime.getRuntime.availableProcessors},""" +
       s""""store_dirs_warm":$storeDirsWarm}"""
     val floorJson = floor.map(ms).getOrElse("null")
+    val floorDirsJson = floorDirs.map("\"" + _.getPath + "\"")
+      .mkString("[", ",", "]")
     // sentinel-normalized total: the raw total divided by how many × the
-    // window's sentinel sat above the committed floor — a degraded window
-    // is self-describing instead of masquerading as a code regression
-    val totalNorm = total / hostFactor
+    // window's sentinels sat above the committed floor — but ONLY when
+    // the window was uniform enough for one factor to describe it
+    // (probes within 2×); a bimodal window records an explicit null
+    // instead of the r15 record's noise wearing a precise name
+    val totalNorm = BenchGuard.normalizedTotal(total, probes, floor)
+    val totalNormJson = totalNorm.map(ms).getOrElse("null")
+    val startWait = s"""{"retries":$startRetries,""" +
+      s""""waited_sec":${ms(startRetries * StartRetryWaitMs / 1000.0)},""" +
+      s""""probes":${startProbes.map(ms).mkString("[", ",", "]")}}"""
     // stop BEFORE printing the record: the JSON line must be the last
     // output of the whole invocation even under a combined stdout+stderr
     // capture, so nothing Spark logs during shutdown may follow it
     spark.stop()
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$failed,"pass_totals":[${ms(t1)},${ms(t2)}],"sentinel":[${ms(sentinelBefore)},${ms(sentinelAfter)}],"sentinel_floor":$floorJson,"host_factor":${ms(hostFactor)},"total_normalized":${ms(totalNorm)},"contended":$contended,"env":$env,"top5_slowest":$top5,"top5_serving":$top5Serving,"ablation_lanes":$ablationJson,"certified_by_twin":$certifiedJson,"queries_file":"target/bench_queries.json"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$failed,"pass_totals":[${ms(t1)},${ms(t2)}],"sentinel":[${ms(sentinelBefore)},${ms(sentinelAfter)}],"sentinels":${probes.map(ms).mkString("[", ",", "]")},"sentinel_floor":$floorJson,"floor_dirs":$floorDirsJson,"host_factor":${ms(hostFactor)},"total_normalized":$totalNormJson,"normalized_reliable":${totalNorm.isDefined},"start_wait":$startWait,"contended":$contended,"env":$env,"top5_slowest":$top5,"top5_serving":$top5Serving,"ablation_lanes":$ablationJson,"certified_by_twin":$certifiedJson,"queries_file":"target/bench_queries.json"}""")
   }
 }

@@ -372,75 +372,38 @@ object ClusterIndex {
     indexDir
   }
 
-  // --- the sampled inline≡indexed certificate (the q_curation2 move) ----
+  // --- the sampled inline≡indexed certificates (the q_curation2 move) ---
+  // Digest protocol and record layout live in [[SampledCert]] (round-16:
+  // the v1 canonical certificate collect()ed the full N/8 sample output to
+  // the driver per serve — the suite's one corpus-proportional driver
+  // materialization; v2 compares one order-insensitive digest row per
+  // side and the record is 4 fixed lines).
 
-  private val CanonCertHeader = "graft-canonical-certificate-v1"
-  private val CanonCertFooter = "end"
-
-  private def canonCertPath(sdir: String) =
-    new Path(sdir, "_canonical_certificate")
-
-  /** Header + one `doc,cluster,canonical,is_canonical` row per sample doc
-    * + footer; anything malformed (crash-truncated write, pre-upgrade
-    * layout) reads as None → the caller recomputes the inline side — one
-    * redundant CC retrain, never a wrong reference. */
-  private def readCanonCert(
-      spark: SparkSession, sdir: String): Option[Seq[(Long, Long, Long, Long)]] = {
-    val p = canonCertPath(sdir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    try FsText.read(fs, p).flatMap { txt =>
-      val lines = txt.linesIterator.filter(_.nonEmpty).toSeq
-      if (lines.size < 3 || lines.head != CanonCertHeader ||
-        lines.last != CanonCertFooter) None
-      else Some(lines.slice(1, lines.size - 1).map { l =>
-        val Array(d, c, k, i) = l.split(',')
-        (d.toLong, c.toLong, k.toLong, i.toLong)
-      })
-    } catch { case _: MatchError | _: NumberFormatException => None }
-  }
-
-  private def writeCanonCert(
-      spark: SparkSession, sdir: String,
-      rows: Seq[(Long, Long, Long, Long)]): Unit = {
-    val p = canonCertPath(sdir)
-    FsText.writeAtomic(p.getFileSystem(spark.sparkContext.hadoopConfiguration),
-      p, (CanonCertHeader +:
-        rows.map { case (d, c, k, i) => s"$d,$c,$k,$i" } :+ CanonCertFooter)
-        .mkString("\n"))
-  }
-
-  /** Prove inline≡indexed over the deterministic 1/8 sample universe
-    * ([[CurationFunnel.ensureSampleCorpus]] — the same sample corpus the
-    * funnel certificate rides, so one sample store serves both). The
-    * inline side (full pair graph + CC) is a pure function of the
-    * immutable sample corpus — computed once per universe and RECORDED;
-    * the indexed side (build + fold-in append + store reads — the part
-    * that can actually drift) is re-served and compared on EVERY
-    * invocation. Divergence throws loudly; an absent/unreadable record
-    * recomputes the inline truth (self-healing on legitimate semantic
-    * changes, same as the funnel certificate). */
+  /** Prove canonical inline≡indexed over the deterministic 1/8 sample
+    * universe ([[CurationFunnel.ensureSampleCorpus]] — the same sample
+    * corpus the funnel certificate rides, so one sample store serves
+    * both). The inline side (full pair graph + CC) is a pure function of
+    * the immutable sample corpus — computed once per universe and
+    * RECORDED; the indexed side (build + fold-in append + store reads —
+    * the part that can actually drift) is re-served and digest-compared
+    * on EVERY invocation. */
   private[operators] def certifySampledCanonical(
       spark: SparkSession, dir: String): Unit = {
     val sdir = CurationFunnel.ensureSampleCorpus(spark, dir)
-    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long)] =
-      df.collect().toSeq
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-        .sorted
-    val indexed = rows(canonicalFromIndex(spark, ensureIndex(spark, sdir)))
-    readCanonCert(spark, sdir) match {
-      case Some(rec) if rec == indexed => () // the proof stands
-      case _ =>
-        val inline = rows(DedupOps.inlineCanonicalOver(spark, sdir))
-        if (inline != indexed)
-          throw new IllegalStateException(
-            s"canonical inline≡indexed certificate FAILED on the sampled " +
-              s"sub-corpus $sdir: ${inline.size} inline rows vs " +
-              s"${indexed.size} indexed; first diff: " +
-              inline.zip(indexed).find { case (a, b) => a != b }
-                .map { case (a, b) => s"inline=$a indexed=$b" }
-                .getOrElse("row-count mismatch"))
-        writeCanonCert(spark, sdir, inline)
-    }
+    SampledCert.certify(spark, sdir, "canonical",
+      canonicalFromIndex(spark, ensureIndex(spark, sdir)),
+      DedupOps.inlineCanonicalOver(spark, sdir))
+  }
+
+  /** Same proof for the cluster map (labels ⋈ members ⋈ min-rep): the
+    * round-15 verdict's task 5 — `q_dedup_clusters` moves from a
+    * per-run full-corpus inline ablation to certified store serving. */
+  private[operators] def certifySampledClusters(
+      spark: SparkSession, dir: String): Unit = {
+    val sdir = CurationFunnel.ensureSampleCorpus(spark, dir)
+    SampledCert.certify(spark, sdir, "clusters",
+      clustersFromIndex(spark, ensureIndex(spark, sdir)),
+      DedupOps.inlineClustersOver(spark, sdir))
   }
 
   private def qClustersIndexed(spark: SparkSession, dir: String): DataFrame =

@@ -264,7 +264,8 @@ object DedupOps {
   // inverted index is built once over the union (df cap identical to
   // q_dedup_ngram_jaccard); per-shingle OLD×NEW cross pairs are generated
   // inline, bounded by the cap — no old×old pair is ever materialized.
-  private def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def inlineIncrementalOver(
+      spark: SparkSession, dir: String): DataFrame = {
     // rides the shared text-level machinery (ngramTextPairs): similarity
     // is computed once per distinct-text pair; the old/new SPLIT is
     // per-document (hash bucket), so side membership filters during the
@@ -316,7 +317,8 @@ object DedupOps {
   // iteration therefore runs on a graph smaller by the dup ratio squared;
   // cluster ids (min doc id of the component) come from min-rep per
   // component, and the doc expansion is one output-sized join.
-  private def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def inlineClustersOver(
+      spark: SparkSession, dir: String): DataFrame = {
     val (members, counts, simTexts) = ngramTextPairs(spark, dir)
     val copies = members.groupBy(col("tkey"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("rep"))
@@ -407,7 +409,7 @@ object DedupOps {
     * semantics [[qDedupCanonicalSql]] restates in DuckDB. */
   private[operators] def inlineCanonicalOver(
       spark: SparkSession, dir: String): DataFrame = {
-    val clusters = qDedupClusters(spark, dir)
+    val clusters = inlineClustersOver(spark, dir)
       .select(col("doc_id"), col("cluster_id"))
     val labeled = table(spark, dir, "documents")
       .select(col("doc_id"), col("n_chars"))
@@ -438,6 +440,36 @@ object DedupOps {
       spark: SparkSession, dir: String): DataFrame = {
     ClusterIndex.certifySampledCanonical(spark, dir)
     ClusterIndex.canonicalFromIndex(spark, ClusterIndex.ensureIndex(spark, dir))
+  }
+
+  /** q_dedup_clusters — CERTIFICATION lane as of round 16 (the round-15
+    * verdict's task 5 applied the q_dedup_canonical move here: 4.1 s of
+    * the quiet board was a full-corpus inline ablation whose warm
+    * `_indexed` twin serves the identical rows for 0.35 s). (1) prove
+    * inline≡indexed over the deterministic 1/8 sample
+    * ([[ClusterIndex.certifySampledClusters]] — inline CC retrain
+    * recorded once per sample universe as a digest, the store-served side
+    * digest-re-proven every run), then (2) serve the full-corpus map
+    * through the same store path as `q_dedup_clusters_indexed` — which
+    * rides THIS oracle, so the output stays hash-gated against DuckDB's
+    * independent full inline recomputation at every Verify. */
+  private def qDedupClustersCertified(
+      spark: SparkSession, dir: String): DataFrame = {
+    ClusterIndex.certifySampledClusters(spark, dir)
+    ClusterIndex.clustersFromIndex(spark, ClusterIndex.ensureIndex(spark, dir))
+  }
+
+  /** q_dedup_incremental — CERTIFICATION lane as of round 16 (same move;
+    * the inline twin re-shingled the whole corpus per run — 3.8 s — while
+    * `q_dedup_incremental_indexed` serves the identical rows from the
+    * persisted corpus index plus O(batch) work). The incremental serve is
+    * NOT a pure store read (the batch×corpus phase recomputes per run by
+    * design), so the certificate proves the index-backed pipeline, not a
+    * cached result. */
+  private def qDedupIncrementalCertified(
+      spark: SparkSession, dir: String): DataFrame = {
+    IncrementalDedup.certifySampledIncremental(spark, dir)
+    IncrementalDedup.indexedIncrementalOver(spark, dir)
   }
 
   private[operators] val qDedupCanonicalSql =
@@ -1042,12 +1074,14 @@ object DedupOps {
     QueryDef("q_dedup_simhash_portable", qSimhashPortable, Some(qSimhashPortableSql)),
     QueryDef("q_dedup_embedding", qEmbeddingDedup, Some(qEmbeddingDedupSql)),
     QueryDef("q_dedup_minhash_verified", qMinhashVerified, None, headline = true),
-    QueryDef("q_dedup_clusters", qDedupClusters, Some(qDedupClustersSql)),
+    QueryDef("q_dedup_clusters", qDedupClustersCertified,
+      Some(qDedupClustersSql)),
     QueryDef("q_dedup_canonical", qDedupCanonicalCertified,
       Some(qDedupCanonicalSql)),
     QueryDef("q_block_dedup", qBlockDedup, Some(qBlockDedupSql)),
     QueryDef("q_block_rewrite", qBlockRewrite, Some(qBlockRewriteSql)),
     QueryDef("q_prefix_dedup", qPrefixDedup, Some(qPrefixDedupSql)),
     QueryDef("q_containment", qContainment, Some(qContainmentSql)),
-    QueryDef("q_dedup_incremental", qDedupIncremental, Some(qDedupIncrementalSql)))
+    QueryDef("q_dedup_incremental", qDedupIncrementalCertified,
+      Some(qDedupIncrementalSql)))
 }

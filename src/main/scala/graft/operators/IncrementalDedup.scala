@@ -436,12 +436,28 @@ object IncrementalDedup {
     StoreRoot.dir(s"graft-corpus-index-$key")
   }
 
-  private def qIncrementalIndexed(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def indexedIncrementalOver(
+      spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.table(spark, dir, "documents")
     val indexDir = indexDirFor(dir)
     if (!StoreRoot.exists(spark, s"$indexDir/members.parquet"))
       buildIndex(docs.filter(bucketOf(col("doc_id")) < 90), indexDir)
     run(spark, indexDir, docs.filter(bucketOf(col("doc_id")) >= 90))
+  }
+
+  private def qIncrementalIndexed(spark: SparkSession, dir: String): DataFrame =
+    indexedIncrementalOver(spark, dir)
+
+  /** Prove the index-backed incremental pipeline ≡ the inline recompute
+    * over the deterministic 1/8 sample universe ([[SampledCert]] digest
+    * protocol) — the `q_dedup_incremental` certification lane's proof
+    * obligation (round 16; see [[graft.operators.DedupOps]]). */
+  private[operators] def certifySampledIncremental(
+      spark: SparkSession, dir: String): Unit = {
+    val sdir = CurationFunnel.ensureSampleCorpus(spark, dir)
+    SampledCert.certify(spark, sdir, "incremental",
+      indexedIncrementalOver(spark, sdir),
+      DedupOps.inlineIncrementalOver(spark, sdir))
   }
 
   def queries: Seq[QueryDef] = Seq(

@@ -195,7 +195,7 @@ object LabelOps {
     * cell (bits ≈ log2(n/128), capped at 16) — a FIXED cell count makes
     * the per-cell vote quadratic in corpus size (measured: 36.5 s at the
     * 20k-vector stress before the dispatch — PERF.md round 14). */
-  private[operators] def lshBitsFor(n: Long): Int =
+  private[graft] def lshBitsFor(n: Long): Int =
     if (n < SimilarityOps.IvfScaleThreshold) AxisBits
     else {
       val cells = math.max(2L, n / 128L)

@@ -301,6 +301,18 @@ object WinnowIndex {
   private def qWinnowMatchesIndexed(spark: SparkSession, dir: String): DataFrame =
     matchesFromIndex(spark, ensureIndex(spark, dir))
 
+  /** Prove the store-served match report ≡ the inline recompute over the
+    * deterministic 1/8 sample universe ([[SampledCert]] digest protocol)
+    * — the `q_winnow_matches` certification lane's proof obligation
+    * (round 16; see [[WinnowOps]]). */
+  private[operators] def certifySampledWinnow(
+      spark: SparkSession, dir: String): Unit = {
+    val sdir = CurationFunnel.ensureSampleCorpus(spark, dir)
+    SampledCert.certify(spark, sdir, "winnow",
+      matchesFromIndex(spark, ensureIndex(spark, sdir)),
+      WinnowOps.inlineMatchesOver(spark, sdir))
+  }
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef("q_winnow_matches_indexed", qWinnowMatchesIndexed,
       Some(WinnowOps.qWinnowMatchesSql)))

@@ -171,11 +171,27 @@ object WinnowOps {
         expr("(n_shared * 1000) div least(na, nb)").as("overlap_permille"))
   }
 
+  /** The fully-inline match report (selection re-run over the corpus at
+    * `dir`) — the certificate's reference side. */
+  private[operators] def inlineMatchesOver(
+      spark: SparkSession, dir: String): DataFrame =
+    matchesFrom(fpRows(table(spark, dir, "documents")))
+
   /** q_winnow_matches: MOSS-style match report — text pairs sharing
     * ≥ MinShared selected fingerprints, overlap estimated from the
-    * sampled sets only (never a full-text comparison). */
-  private def qWinnowMatches(spark: SparkSession, dir: String): DataFrame =
-    matchesFrom(fpRows(table(spark, dir, "documents")))
+    * sampled sets only (never a full-text comparison). CERTIFICATION lane
+    * as of round 16 (the q_dedup_canonical move, round-15 verdict task 5:
+    * 3.9 s of the quiet board re-selected every text's fingerprints per
+    * run while the warm `q_winnow_matches_indexed` twin served the
+    * identical rows for 1.1 s): prove inline≡indexed over the 1/8 sample
+    * ([[WinnowIndex.certifySampledWinnow]]), then serve the full report
+    * from the persisted fingerprint store — whose lane rides THIS oracle,
+    * so the output stays hash-gated against DuckDB's independent inline
+    * recomputation at every Verify. */
+  private def qWinnowMatches(spark: SparkSession, dir: String): DataFrame = {
+    WinnowIndex.certifySampledWinnow(spark, dir)
+    WinnowIndex.matchesFromIndex(spark, WinnowIndex.ensureIndex(spark, dir))
+  }
 
   // ---- oracles: naive formulations in DuckDB list comprehensions -------
 

@@ -61,4 +61,47 @@ class BenchGuardSpec extends AnyFunSuite {
     val f = BenchGuard.committedSentinelFloor(Seq(new java.io.File("/root/repo")))
     assert(f.exists(v => v > 0.1 && v < 1.3), s"unexpected floor: $f")
   }
+
+  // --- round-16 additions: 3-probe window, gated normalization, retry ---
+
+  test("contendedProbes: the r15 driver window ([111.788, ?, 2.790]) flags " +
+      "on probe disagreement alone, with or without a floor") {
+    assert(BenchGuard.contendedProbes(Seq(111.788, 2.790), Floor))
+    assert(BenchGuard.contendedProbes(Seq(111.788, 2.790), None))
+    // quiet window: uniform probes at the floor
+    assert(!BenchGuard.contendedProbes(Seq(0.8, 0.85, 0.9), Floor))
+    // uniformly degraded window: probes agree but sit >2x the floor
+    assert(BenchGuard.contendedProbes(Seq(5.0, 5.2, 4.9), Floor))
+    assert(!BenchGuard.contendedProbes(Seq(5.0, 5.2, 4.9), None))
+    // failed probes are ignored; all-failed never flags
+    assert(!BenchGuard.contendedProbes(Seq(-1.0, 0.8, 0.9), Floor))
+    assert(!BenchGuard.contendedProbes(Seq(-1.0, -1.0), Floor))
+  }
+
+  test("normalizedTotal: a bimodal window (the r15 record: pass totals " +
+      "1439s vs 741s under sentinels [111.8, 2.79]) is explicitly " +
+      "unreliable — None, never a precise-looking nonsense number") {
+    assert(BenchGuard.normalizedTotal(436.5, Seq(111.788, 2.790), Floor).isEmpty)
+    // uniform degraded window: normalization IS meaningful
+    val n = BenchGuard.normalizedTotal(400.0, Seq(5.94, 5.0, 5.5), Floor)
+    assert(n.exists(v => math.abs(v - 400.0 / (5.0 / 0.594)) < 1e-9))
+    // quiet window: normalized by the (small) factor above the floor
+    assert(BenchGuard.normalizedTotal(176.0, Seq(0.8, 0.9), Floor)
+      .exists(v => math.abs(v - 176.0 / (0.8 / 0.594)) < 1e-9))
+    // at/below the floor: factor 1, raw total passes through
+    assert(BenchGuard.normalizedTotal(176.0, Seq(0.594, 0.6), Floor)
+      .exists(v => math.abs(v - 176.0) < 1e-9))
+    // no usable probes: no claim
+    assert(BenchGuard.normalizedTotal(176.0, Seq(-1.0), Floor).isEmpty)
+  }
+
+  test("shouldRetryStart: a degraded-start probe retries (bounded), a " +
+      "quiet one proceeds, and no floor disables the policy") {
+    assert(BenchGuard.shouldRetryStart(9.0, Floor, 0, 3))
+    assert(BenchGuard.shouldRetryStart(9.0, Floor, 2, 3))
+    assert(!BenchGuard.shouldRetryStart(9.0, Floor, 3, 3), "bounded")
+    assert(!BenchGuard.shouldRetryStart(0.8, Floor, 0, 3), "quiet start")
+    assert(!BenchGuard.shouldRetryStart(9.0, None, 0, 3), "no floor")
+    assert(!BenchGuard.shouldRetryStart(-1.0, Floor, 0, 3), "failed probe")
+  }
 }

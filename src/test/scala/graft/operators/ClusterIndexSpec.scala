@@ -35,12 +35,16 @@ class ClusterIndexSpec extends AnyFunSuite {
     Files.createTempDirectory(s"graft-clidx-$tag").toString + "/idx"
 
   test("indexed clusters and canonical match the inline operators exactly") {
-    val inlineC = clusterRows(
-      graft.QueryRegistry.byName("q_dedup_clusters").run(spark, sfDir))
+    // the reference side is the FULL inline recompute (not another indexed
+    // lane): since round 16 q_dedup_clusters itself serves from the store,
+    // so the oracle identity is re-proven here against inlineClustersOver
+    val inlineC = clusterRows(DedupOps.inlineClustersOver(spark, sfDir))
     val indexedC = clusterRows(
       graft.QueryRegistry.byName("q_dedup_clusters_indexed").run(spark, sfDir))
     assert(indexedC === inlineC)
     assert(indexedC.nonEmpty)
+    assert(clusterRows(
+      graft.QueryRegistry.byName("q_dedup_clusters").run(spark, sfDir)) === inlineC)
     def canon(df: DataFrame): Set[Seq[Any]] = df.collect().map(_.toSeq).toSet
     assert(canon(graft.QueryRegistry.byName("q_dedup_canonical_indexed").run(spark, sfDir))
       === canon(graft.QueryRegistry.byName("q_dedup_canonical").run(spark, sfDir)))
@@ -165,7 +169,7 @@ class ClusterIndexSpec extends AnyFunSuite {
       // poisoned-but-parseable record: served != record → the inline side
       // is recomputed, matches, and the record self-heals (no throw)
       Files.writeString(cert,
-        "graft-canonical-certificate-v1\n1,1,1,1\nend")
+        "graft-canonical-certificate-v2\n1\n1\nend")
       assert(canonRows(lane.run(spark, sfDir)) === served)
       assert(Files.readString(cert) === recorded, "record must self-heal")
 
