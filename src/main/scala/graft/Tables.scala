@@ -33,6 +33,22 @@ object Tables {
     // sane at 100 TB (where totalBytes/parallelism exceeds the cap).
     "spark.sql.files.openCostInBytes" -> "131072")
 
+  /** Fan a narrow scan out to the session's parallelism for MAP-BOUND
+    * per-row lanes (heavy regex/parse work before any shuffle). The
+    * openCost tuning above multiplies SPLITS, but a small parquet file is
+    * usually ONE row group and parquet assigns a row group to the single
+    * split holding its midpoint — so the other splits are empty tasks and
+    * the real pre-shuffle parallelism is the row-group count (one core at
+    * gate SFs; measured round 16: q_type_census 3.2 → 1.4 s). The guard
+    * makes it scale-adaptive: at 100 TB the scan already carries more
+    * splits than cores and this is a no-op, never an added shuffle.
+    * Keyless repartition stays deterministic under retries via Spark's
+    * default sort-before-repartition (SPARK-23207). */
+  def fanOut(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {

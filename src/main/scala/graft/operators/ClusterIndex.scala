@@ -114,7 +114,10 @@ object ClusterIndex {
     * the df cap BECAUSE stop-shingles are filtered first. */
   private def allEdges(sh: DataFrame, dfTab: DataFrame, texts: DataFrame): DataFrame = {
     val inter = sh
-      .join(dfTab.filter(col("cdf") <= MaxShingleDf).select("sh"), "sh")
+      // cap as an anti-join against the small HOT set (round 16 §2.3;
+      // the DedupOps.ngramTextPairStats move)
+      .join(dfTab.filter(col("cdf") > MaxShingleDf).select("sh"),
+        Seq("sh"), "left_anti")
       .groupBy(col("sh")).agg(collect_list(col("tkey")).as("ts"))
       .filter(size(col("ts")) >= 2)
       .select(explode(expr(inlinePairsExpr)).as("p"))
@@ -133,7 +136,8 @@ object ClusterIndex {
       sh: DataFrame, dfTab: DataFrame, texts: DataFrame,
       touched: DataFrame): DataFrame = {
     val lists = sh.join(touched, "tkey")
-      .join(dfTab.filter(col("cdf") <= MaxShingleDf).select("sh"), "sh")
+      .join(dfTab.filter(col("cdf") > MaxShingleDf).select("sh"),
+        Seq("sh"), "left_anti")
       .groupBy(col("sh")).agg(collect_list(col("tkey")).as("ts"))
     val hits = sh.join(broadcast(lists), "sh")
     val cross = hits.filter(!array_contains(col("ts"), col("tkey")))

@@ -104,10 +104,24 @@ object DedupOps {
     val tsh = groups
       .select(col("tkey"), col("n_copies"), split(trim(col("text")), " ").as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col("tkey"), col("n_copies"), explode(shingleArrayOf(col("w"))).as("shingle"))
-    val dfOk = tsh.groupBy(col("shingle")).agg(sum(col("n_copies")).as("df"))
-      .filter(col("df") <= MaxShingleDf)
-    val sh = tsh.join(dfOk, "shingle").cache()
+      .select(col("tkey"), col("n_copies"), explode(shingleArrayOf(col("w"))).as("s"))
+      // hash the shingle to a LONG key before anything shuffles (round
+      // 16, guide §2.3 narrower types): the df agg, the cap anti-join
+      // and the pair-generation agg all key on 8 bytes instead of the
+      // 3-word string — the same xxhash64 key the persisted corpus index
+      // stores (IncrementalDedup.textShingles), same collision contract
+      .select(col("tkey"), col("n_copies"), xxhash64(col("s")).as("shingle"))
+    // df-cap as an ANTI-join against the HOT set (round 16, guide §2.3):
+    // downstream needs only the ≤cap PREDICATE, never the df value, and
+    // the ok-set is nearly the whole vocabulary (most shingles are rare)
+    // while the hot set is the handful of boilerplate shingles — so the
+    // join ships the small side instead of re-shuffling the large one.
+    // At gate SFs the hot set broadcasts; at scale the planner's fallback
+    // shuffle anti-join still moves strictly fewer bytes than the old
+    // inner join against the ok-set.
+    val dfHot = tsh.groupBy(col("shingle")).agg(sum(col("n_copies")).as("df"))
+      .filter(col("df") > MaxShingleDf).select(col("shingle"))
+    val sh = tsh.join(dfHot, Seq("shingle"), "left_anti").cache()
     // capped shingle count per TEXT (identical for every copy of it)
     val counts = sh.groupBy(col("tkey")).agg(count(lit(1)).as("n"))
     // inverted-index pair generation: per-shingle text lists are bounded

@@ -60,7 +60,9 @@ object FunctionQueries {
   // parse with the real dispatch, compare against directly-computed UTC
   // instants. Offset branch: wall time labelled +01:00 → UTC = wall - 1h.
   private def qParseTs(spark: SparkSession, dir: String): DataFrame = {
-    val e = table(spark, dir, "events")
+    // 4 multi-branch parses per row, all pre-shuffle — map-bound
+    // (Tables.fanOut: one row group = one core without it)
+    val e = Tables.fanOut(table(spark, dir, "events"))
     val ts = col("ts")
     val sOffset  = concat(upper(date_format(ts, "dd-MMM-yy hh.mm.ss a")), lit(" +01:00"))
     val sNamed   = concat(upper(date_format(ts, "dd-MMM-yy hh.mm.ss.SSSSSSSSS a")), lit(" GMT"))

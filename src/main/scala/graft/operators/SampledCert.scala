@@ -62,39 +62,95 @@ object SampledCert {
 
   private def header(name: String) = s"graft-$name-certificate-v2"
 
-  /** 4 fixed lines: header, n, hsum, footer; anything malformed
+  /** Fixed lines: header, n, hsum[, stamp], footer; anything malformed
     * (crash-truncated write, a pre-v2 row-per-doc layout) reads as None →
     * the caller recomputes the inline truth — one redundant retrain,
     * never a wrong reference. */
-  private def readRecord(
-      spark: SparkSession, sdir: String, name: String): Option[Digest] = {
+  private[operators] def readRecord(
+      spark: SparkSession, sdir: String, name: String
+  ): Option[(Digest, Option[String])] = {
     val p = certPath(sdir, name)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try FsText.read(fs, p).flatMap { txt =>
       val lines = txt.linesIterator.filter(_.nonEmpty).toSeq
-      if (lines.size != 4 || lines.head != header(name) || lines.last != Footer)
-        None
-      else Some(Digest(lines(1).toLong, new java.math.BigDecimal(lines(2))))
+      if ((lines.size != 4 && lines.size != 5) ||
+        lines.head != header(name) || lines.last != Footer) None
+      else Some((Digest(lines(1).toLong, new java.math.BigDecimal(lines(2))),
+        if (lines.size == 5) Some(lines(3)) else None))
     } catch { case _: NumberFormatException => None }
   }
 
-  private def writeRecord(
-      spark: SparkSession, sdir: String, name: String, d: Digest): Unit = {
+  private def writeRecord(spark: SparkSession, sdir: String, name: String,
+      d: Digest, stamp: Option[String] = None): Unit = {
     val p = certPath(sdir, name)
     FsText.writeAtomic(p.getFileSystem(spark.sparkContext.hadoopConfiguration),
-      p, Seq(header(name), d.n.toString, d.hsum.toPlainString, Footer)
-        .mkString("\n"))
+      p, (Seq(header(name), d.n.toString, d.hsum.toPlainString) ++
+        stamp :+ Footer).mkString("\n"))
+  }
+
+  /** Content identity of a store directory tree: every file's relative
+    * path, length and mtime, folded into one hex digest. A pure
+    * FILESYSTEM listing — no Spark jobs — so a stamped certificate's
+    * fast path costs nothing on the cluster. Any append/compact/
+    * takedown/rebuild rewrites files and flips the stamp. */
+  def stampOf(spark: SparkSession, dir: String): String = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: Path): Seq[String] = {
+      val st = try fs.listStatus(p) catch {
+        case _: java.io.FileNotFoundException => return Seq(s"absent:$p")
+      }
+      st.toSeq.sortBy(_.getPath.getName).flatMap { s =>
+        if (s.isDirectory) walk(s.getPath)
+        else Seq(s"${s.getPath.toString.stripPrefix(root.toString)}," +
+          s"${s.getLen},${s.getModificationTime}")
+      }
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(walk(root).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.digest().map("%02x".format(_)).mkString
   }
 
   /** Prove `indexed` ≡ `inline` over the sample corpus at `sdir`.
     * `indexed` is evaluated (digested) every call; `inline` only on a
     * record miss. Throws [[IllegalStateException]] on divergence. */
   def certify(spark: SparkSession, sdir: String, name: String,
-      indexed: => DataFrame, inline: => DataFrame): Unit = {
+      indexed: => DataFrame, inline: => DataFrame): Unit =
+    certifyImpl(spark, sdir, name, None, indexed, inline)
+
+  /** The stamped variant — for lanes whose indexed SAMPLE re-serve is
+    * itself a deep multi-stage pipeline (q_dedup_incremental: the batch×
+    * index machinery costs more stages than the data it touches, so
+    * re-digesting it per serve would cost more than the inline lane the
+    * certificate replaced). The proof obligation dispatches on the sample
+    * STORE's content identity instead: while [[stampOf]] over the store
+    * dir matches the recorded stamp, the recorded digest proof stands
+    * (zero Spark jobs); ANY store mutation — append, compact, takedown,
+    * rebuild — flips the stamp and forces the full digest re-proof
+    * (inline recompute on digest mismatch, as ever). What this trades
+    * away vs [[certify]]: read-path code drift over an UNTOUCHED store is
+    * caught at the next Verify hash gate (the lane and its `_indexed`
+    * twin ride the same DuckDB oracle) rather than at serve time. */
+  def certifyStamped(spark: SparkSession, sdir: String, name: String,
+      storeDir: String, indexed: => DataFrame, inline: => DataFrame): Unit =
+    certifyImpl(spark, sdir, name, Some(stampOf(spark, storeDir)),
+      indexed, inline)
+
+  private def certifyImpl(spark: SparkSession, sdir: String, name: String,
+      stamp: Option[String], indexed: => DataFrame,
+      inline: => DataFrame): Unit = {
+    val rec = readRecord(spark, sdir, name)
+    // stamped fast path: untouched store + standing record = standing proof
+    if (stamp.isDefined && rec.exists(r => r._2 == stamp)) return
     val idx = indexed
     val served = digestOf(idx)
-    readRecord(spark, sdir, name) match {
-      case Some(rec) if rec.same(served) => () // the proof stands
+    rec match {
+      case Some((d, _)) if d.same(served) =>
+        // the digest proof stands; refresh a stale/absent stamp so the
+        // next serve takes the zero-job path
+        if (stamp.isDefined && rec.exists(_._2 != stamp))
+          writeRecord(spark, sdir, name, served, stamp)
       case _ =>
         // no record, an unreadable record, or a record the served side no
         // longer matches. The last case is AMBIGUOUS: a genuinely diverged
@@ -114,7 +170,7 @@ object SampledCert {
               s"indexed-only rows (<=3): ${onlyIndexed.mkString("; ")} — a " +
               "persisted store diverged from its inline-retrained twin")
         }
-        writeRecord(spark, sdir, name, truth)
+        writeRecord(spark, sdir, name, truth, stamp)
     }
   }
 }

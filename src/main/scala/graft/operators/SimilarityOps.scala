@@ -30,7 +30,13 @@ object SimilarityOps {
     graft.functions.VectorOps.dot(a, b)
 
   private[operators] def withNorm(df: DataFrame): DataFrame = {
-    val d = df.select(col("vec_id"), col("label"),
+    // fan the scan out first (Tables.fanOut, round 16): every consumer
+    // does its heavy per-row vector math PRE-shuffle — broadcast-join dot
+    // products execute in the probe side's scan stage, and a small
+    // embeddings parquet is one row group = ONE task regardless of split
+    // tuning (measured: q_knn_label_prop 2.25 → ~0.6 s at sf0.1). At
+    // scale the scan already out-splits the cores and this is a no-op.
+    val d = Tables.fanOut(df).select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
     d.withColumn("norm", sqrt(dot(col("v"), col("v"))))
   }

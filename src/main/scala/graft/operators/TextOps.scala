@@ -1140,7 +1140,9 @@ object TextOps {
   private val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
   private def qRedact(spark: SparkSession, dir: String): DataFrame = {
-    val d = table(spark, dir, "documents")
+    // 6 regex passes over full text per row, all pre-shuffle — map-bound
+    // (Tables.fanOut: one row group = one core without it)
+    val d = graft.Tables.fanOut(table(spark, dir, "documents"))
     val pii = concat(
       col("text"),
       when(col("doc_id") % 3 === 0,
@@ -1280,7 +1282,15 @@ object TextOps {
     * corpus. Shared by the dir lane and the sampled certificate's
     * inline side. */
   private[operators] def ccnetBucketsOver(docs: DataFrame): DataFrame = {
+    // cache the NARROW per-doc score frame: ccnetBucketsFrom references
+    // the scorer in two plan branches (the ≤CcK×sources sample and the
+    // final full assignment), and `lmBigramOver`'s internal cache only
+    // covers the bigram explode — the model-count joins + per-text
+    // aggregation were still evaluated once per branch (round 16;
+    // measured 3.64 → 2.6 s at sf0.1). Narrow (doc_id, fit_score) rows,
+    // intra-query only — the bench clears caches between lanes.
     val full = lmBigramOver(docs)
+      .select(col("doc_id"), col("fit_score")).cache()
     ccnetBucketsFrom(docs,
       dd => full.join(dd.select(col("doc_id")), Seq("doc_id"), "left_semi"))
   }

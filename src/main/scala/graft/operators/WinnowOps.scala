@@ -151,10 +151,14 @@ object WinnowOps {
     * ([[WinnowIndex.matchBatch]]) can cap on the FULL merged posting set
     * and then narrow the pair generation to batch-relevant grams. */
   private[graft] def dfCapped(fps: DataFrame): DataFrame = {
-    val dfok = fps.groupBy(col("gh")).agg(count(lit(1)).as("n_texts"))
-      .filter(col("n_texts") <= DfCap)
+    // anti-join against the HOT fingerprints (round 16, guide §2.3): the
+    // cap is a predicate, so ship the small over-cap set rather than
+    // re-joining the posting rows against the nearly-whole-vocabulary
+    // ok-set (the DedupOps.ngramTextPairStats move).
+    val hot = fps.groupBy(col("gh")).agg(count(lit(1)).as("n_texts"))
+      .filter(col("n_texts") > DfCap)
       .select(col("gh"))
-    fps.join(dfok, Seq("gh"))
+    fps.join(hot, Seq("gh"), "left_anti")
   }
 
   /** The pair half of [[matchesFrom]], over already-capped postings. */

@@ -61,6 +61,44 @@ class SampledCertSpec extends AnyFunSuite {
     assert(Files.readString(cert) === recorded)
   }
 
+  test("certifyStamped: an untouched store serves on the recorded proof " +
+      "without evaluating either side; a store mutation forces the digest " +
+      "re-proof (and only a digest mismatch reaches the inline truth)") {
+    val sdir = Files.createTempDirectory("graft-certstamp").toString
+    val store = Files.createTempDirectory("graft-certstore")
+    Files.writeString(store.resolve("epoch-0.parquet"), "payload")
+    def df(rows: Seq[(Long, Long)]): DataFrame = rows.toDF("k", "v")
+    val good = Seq((1L, 10L), (2L, 20L))
+    var idxRuns = 0
+    var inlRuns = 0
+    def indexed: DataFrame = { idxRuns += 1; df(good) }
+    def inline: DataFrame = { inlRuns += 1; df(good) }
+
+    SampledCert.certifyStamped(spark, sdir, "st", store.toString, indexed, inline)
+    assert((idxRuns, inlRuns) === ((1, 1)), "first run proves both sides")
+
+    SampledCert.certifyStamped(spark, sdir, "st", store.toString, indexed, inline)
+    assert((idxRuns, inlRuns) === ((1, 1)),
+      "an untouched store must not evaluate either side (zero Spark jobs)")
+
+    // mutate the store: the stamp flips, the served side is re-digested,
+    // matches the recorded digest, and the stamp self-refreshes
+    Files.writeString(store.resolve("epoch-1.parquet"), "more")
+    SampledCert.certifyStamped(spark, sdir, "st", store.toString, indexed, inline)
+    assert((idxRuns, inlRuns) === ((2, 1)),
+      "a mutated store re-digests the served side but not the inline truth")
+    SampledCert.certifyStamped(spark, sdir, "st", store.toString, indexed, inline)
+    assert((idxRuns, inlRuns) === ((2, 1)), "stamp refreshed — fast again")
+
+    // mutate the store AND diverge the served rows: full failure path
+    Files.writeString(store.resolve("epoch-2.parquet"), "evil")
+    val e = intercept[IllegalStateException] {
+      SampledCert.certifyStamped(spark, sdir, "st", store.toString,
+        df(Seq((1L, 10L), (2L, 99L))), inline)
+    }
+    assert(e.getMessage.contains("certificate FAILED"))
+  }
+
   test("round-16 certification lanes still equal their full inline " +
       "recomputes end-to-end (winnow + incremental)") {
     def rows(df: DataFrame): Map[Seq[Any], Int] =
