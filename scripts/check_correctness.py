@@ -141,9 +141,27 @@ def main(sf_dir, out_dir, diff_lanes=frozenset(), only=None):
                     and note.get("status") == "certified_by_twin"):
                 continue
             twin = note.get("twin")
-            if twin in green:
+            # the certified lane's OWN dump must exist and load with rows:
+            # Verify catches a lane's exception and only prints to stderr,
+            # so a crashed lane would otherwise still read "CERT ... twin
+            # green in this run" on the strength of its healthy twin
+            lane_dir = out / lane
+            lane_rows = -1
+            if lane_dir.exists():
+                try:
+                    lane_rows = con.execute(
+                        f"SELECT count(*) FROM read_parquet("
+                        f"'{lane_dir}/*.parquet')").fetchone()[0]
+                except Exception:
+                    lane_rows = -1
+            if lane_rows <= 0:
+                print(f"FAIL {lane}: certified_by_twin({twin}) but the"
+                      f" lane's own dump is missing/empty/unreadable"
+                      f" ({lane_dir}, rows={lane_rows})")
+                failures += 1
+            elif twin in green:
                 print(f"CERT {lane}: certified_by_twin({twin}) — twin green"
-                      f" in this run")
+                      f" and lane dump loads ({lane_rows} rows) in this run")
                 certified += 1
             else:
                 print(f"FAIL {lane}: certified_by_twin({twin}) but the twin"

@@ -247,6 +247,14 @@ object Bench {
     val probes = Seq(sentinelBefore, sentinelMid, sentinelAfter)
     val contended = BenchGuard.contendedProbes(probes, floor)
     val hostFactor = BenchGuard.hostFactor(sentinelBefore, floor)
+    // the factor total_normalized actually divides by (min positive
+    // probe) — emitted beside the legacy pre-suite-probe host_factor so
+    // the record is self-consistent: value/host_factor_norm ==
+    // total_normalized whenever normalized_reliable (ADVICE r16)
+    val hostFactorNorm = probes.filter(_ > 0) match {
+      case Seq() => 1.0
+      case ok => BenchGuard.hostFactor(ok.min, floor)
+    }
 
     // per-query min of the two passes; a query that failed in one pass
     // reports the other pass's time, and -1 only if it failed in both
@@ -345,6 +353,6 @@ object Bench {
     // output of the whole invocation even under a combined stdout+stderr
     // capture, so nothing Spark logs during shutdown may follow it
     spark.stop()
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$failed,"pass_totals":[${ms(t1)},${ms(t2)}],"sentinel":[${ms(sentinelBefore)},${ms(sentinelAfter)}],"sentinels":${probes.map(ms).mkString("[", ",", "]")},"sentinel_floor":$floorJson,"floor_dirs":$floorDirsJson,"host_factor":${ms(hostFactor)},"total_normalized":$totalNormJson,"normalized_reliable":${totalNorm.isDefined},"start_wait":$startWait,"contended":$contended,"env":$env,"top5_slowest":$top5,"top5_serving":$top5Serving,"ablation_lanes":$ablationJson,"certified_by_twin":$certifiedJson,"queries_file":"target/bench_queries.json"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$failed,"pass_totals":[${ms(t1)},${ms(t2)}],"sentinel":[${ms(sentinelBefore)},${ms(sentinelAfter)}],"sentinels":${probes.map(ms).mkString("[", ",", "]")},"sentinel_floor":$floorJson,"floor_dirs":$floorDirsJson,"host_factor":${ms(hostFactor)},"host_factor_norm":${ms(hostFactorNorm)},"total_normalized":$totalNormJson,"normalized_reliable":${totalNorm.isDefined},"start_wait":$startWait,"contended":$contended,"env":$env,"top5_slowest":$top5,"top5_serving":$top5Serving,"ablation_lanes":$ablationJson,"certified_by_twin":$certifiedJson,"queries_file":"target/bench_queries.json"}""")
   }
 }

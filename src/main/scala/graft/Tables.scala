@@ -31,7 +31,27 @@ object Tables {
     // parallelism term govern — splits shrink to fill the cluster on small
     // inputs while the 128 MiB maxPartitionBytes cap keeps task counts
     // sane at 100 TB (where totalBytes/parallelism exceeds the cap).
-    "spark.sql.files.openCostInBytes" -> "131072")
+    "spark.sql.files.openCostInBytes" -> "131072",
+    // POST-shuffle twin of the openCost tuning (round 17): AQE's
+    // partition coalescing merges small post-shuffle partitions up to
+    // this floor (parallelismFirst=true, the default, ignores the 64 MB
+    // advisory and respects only this). The 1 MiB default prices
+    // partitions by BYTES, but this engine's hot stages are
+    // compute-dense per byte (bigram explodes + model-join probes, 48
+    // type-census predicates, vector arithmetic): a ~1 MB post-shuffle
+    // frame coalesces to ONE task and serializes a 1.5 s stage on one
+    // core (measured round 17: q_lm_bigram_indexed single-task stage
+    // 1.49 s → parallel tasks, lane 1.97 → 0.58 s). 32 KiB keeps such
+    // stages parallel; 16 KiB over-fragments the many-small-stage eval
+    // lanes (interleaved A/B over a 17-lane mix: 32k beat 16k 19.7/22.2
+    // vs 21.0/25.4 s and 1m's 26.1). Scale shape: every graft entry
+    // point pins spark.sql.shuffle.partitions to the core count, so the
+    // floor can fragment a stage into at most #cores tasks — bounded
+    // scheduling overhead at any scale — and at 100 TB post-shuffle
+    // partitions are ≫1 MiB, where the floor is inert. Env-overridable
+    // for deployments whose shuffle.partitions ≫ cores.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize" ->
+      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "32k"))
 
   /** Fan a narrow scan out to the session's parallelism for MAP-BOUND
     * per-row lanes (heavy regex/parse work before any shuffle). The

@@ -45,12 +45,11 @@ object TypeInference {
     // cell), so its wall time is bounded by the SCAN's parallelism — and
     // a small all-text table is one parquet split, i.e. one core (round
     // 16, guide §2: 3.2 s at sf0.1 with 31 idle cores). Fan the rows out
-    // to the session's parallelism first when the scan is narrower; the
-    // shuffled bytes are just the string rows (cheap next to the
-    // predicates), and at scale — where the input already carries more
-    // splits than cores — this is a no-op, never an added shuffle.
-    val par = dfIn.sparkSession.sparkContext.defaultParallelism
-    val df = if (dfIn.rdd.getNumPartitions < par) dfIn.repartition(par) else dfIn
+    // via the one shared heuristic (ADVICE r16: this was an inline copy
+    // of Tables.fanOut, and two copies of the guard can drift); at scale
+    // — where the input already carries more splits than cores — it is a
+    // no-op, never an added shuffle.
+    val df = graft.Tables.fanOut(dfIn)
     val cols = df.schema.fields.filter(_.dataType == StringType).map(_.name).toSeq
     if (cols.isEmpty) return Nil
     val aggs: Seq[Column] = cols.flatMap { c =>

@@ -75,14 +75,20 @@ object EvalIndex {
   def deleteFromIndex(spark: SparkSession, indexDir: String, ids: DataFrame): Unit =
     Tombstones.delete(spark, indexDir, ids, "doc_id")
 
-  /** The served leak vocabulary — tombstone-excluded rows, then the
+  /** Doc-attributed served rows (doc_id, shingle) — tombstone-excluded,
     * distinct read-merge, so duplicate epochs and the compaction publish
-    * window change nothing. */
-  def shingles(spark: SparkSession, indexDir: String): DataFrame =
+    * window change nothing. Serves the contamination lane's per-doc
+    * totals (round 17) without re-shingling the eval texts per run;
+    * [[shingles]] is its projection. */
+  def docShingles(spark: SparkSession, indexDir: String): DataFrame =
     Tombstones.minus(spark, indexDir,
       spark.read.parquet(s"$indexDir/shingles.parquet")
         .select(col("doc_id"), col("shingle")), "doc_id")
-      .select(col("shingle")).distinct()
+      .distinct()
+
+  /** The served leak vocabulary. */
+  def shingles(spark: SparkSession, indexDir: String): DataFrame =
+    docShingles(spark, indexDir).select(col("shingle")).distinct()
 
   /** Fold all epochs into one — the read-merge, made durable; tombstoned
     * docs fold out of both tables, then the SNAPSHOT's tombstone epochs

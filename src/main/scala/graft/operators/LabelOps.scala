@@ -275,7 +275,10 @@ object LabelOps {
     val rows = SimilarityOps.centRowsAuto(spark, dir)
     import spark.implicits._
     val cent = rows.toDF("cluster", "cv")
-    val e = withNorm(table(spark, dir, "embeddings"))
+    // fan = false: the vote's first real operation is the cluster-keyed
+    // join exchange, so the round-robin fan-out was pure cost (r16
+    // verdict #1: +30% on this lane)
+    val e = withNorm(table(spark, dir, "embeddings"), fan = false)
       .withColumn("cluster", SimilarityOps.assignExpr(rows, col("v")))
     val unl = e.filter(col("vec_id") % HoldMod === 0)
       .select(col("vec_id").as("query_id"), col("label").as("true_label"),

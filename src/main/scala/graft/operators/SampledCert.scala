@@ -46,15 +46,27 @@ object SampledCert {
     def same(o: Digest): Boolean = n == o.n && hsum.compareTo(o.hsum) == 0
   }
 
-  /** One distributed aggregate; one row to the driver. */
+  /** One distributed aggregate; one row to the driver. decimal(38,0)
+    * accumulator (ADVICE r16): under non-ANSI SQL an overflowed decimal
+    * sum returns null, and the previous coalesce(sum, 0) would have
+    * silently scored two overflowed sides as matching (n, 0). 38 digits
+    * put overflow past 1e19 rows; a null with n > 0 now throws instead
+    * of certifying. The sum's VALUE is unchanged (exact integer either
+    * way), so previously recorded certificates stay valid. */
   def digestOf(df: DataFrame): Digest = {
-    val h = xxhash64(df.columns.map(col): _*).cast("decimal(20,0)")
+    val h = xxhash64(df.columns.map(col): _*).cast("decimal(28,0)")
     val r = df.select(h.as("h"))
-      .agg(count(lit(1)).as("n"),
-        coalesce(sum(col("h")),
-          lit(java.math.BigDecimal.ZERO).cast("decimal(30,0)")).as("hsum"))
+      .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
       .collect()(0)
-    Digest(r.getLong(0), r.getDecimal(1))
+    val n = r.getLong(0)
+    val hsum = Option(r.getDecimal(1)).getOrElse {
+      if (n == 0L) java.math.BigDecimal.ZERO
+      else throw new IllegalStateException(
+        s"certificate digest hash-sum overflowed decimal(38,0) over $n " +
+          "rows — cannot certify; widen the accumulator before trusting " +
+          "any comparison at this scale")
+    }
+    Digest(n, hsum)
   }
 
   private def certPath(sdir: String, name: String) =
@@ -92,7 +104,14 @@ object SampledCert {
     * path, length and mtime, folded into one hex digest. A pure
     * FILESYSTEM listing — no Spark jobs — so a stamped certificate's
     * fast path costs nothing on the cluster. Any append/compact/
-    * takedown/rebuild rewrites files and flips the stamp. */
+    * takedown/rebuild rewrites files and flips the stamp.
+    *
+    * CONTRACT (ADVICE r16): stores must mutate via the new-file/rename
+    * patterns every graft family uses ([[AtomicPublish]] — fresh epoch
+    * dirs, whole-table swaps), which always change the file SET and so
+    * the stamp. An IN-PLACE same-length rewrite inside one mtime
+    * granule (1 s on some local filesystems) would keep a stale stamp;
+    * no graft writer does that, and new store families must not. */
   def stampOf(spark: SparkSession, dir: String): String = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -29,14 +29,22 @@ object SimilarityOps {
   private[operators] def dot(a: Column, b: Column): Column =
     graft.functions.VectorOps.dot(a, b)
 
-  private[operators] def withNorm(df: DataFrame): DataFrame = {
-    // fan the scan out first (Tables.fanOut, round 16): every consumer
-    // does its heavy per-row vector math PRE-shuffle — broadcast-join dot
-    // products execute in the probe side's scan stage, and a small
-    // embeddings parquet is one row group = ONE task regardless of split
-    // tuning (measured: q_knn_label_prop 2.25 → ~0.6 s at sf0.1). At
-    // scale the scan already out-splits the cores and this is a no-op.
-    val d = Tables.fanOut(df).select(col("vec_id"), col("label"),
+  /** (vec_id, label, v, norm) over an embeddings frame.
+    *
+    * `fan` (round 17, r16 verdict #1): `Tables.fanOut` pays off only for
+    * MAP-BOUND consumers — heavy per-row vector math before any exchange
+    * (broadcast-join dot products execute in the probe side's scan
+    * stage, and a small embeddings parquet is one row group = ONE task
+    * regardless of split tuning; measured round 16: q_knn_label_prop
+    * 2.25 → ~0.6 s at sf0.1). For SHUFFLE-FIRST consumers — lanes whose
+    * first real operation is itself a partitioning exchange (IVF cell
+    * assignment feeding a keyed join/window) — the round-robin
+    * repartition is pure cost (r16: q_label_prop_ivf +30%, q_ann_ivf2
+    * +19%); those call sites pass fan = false. At 100 TB the scan
+    * out-splits the cores either way and fanOut is a no-op. */
+  private[operators] def withNorm(df: DataFrame, fan: Boolean = true): DataFrame = {
+    val base = if (fan) Tables.fanOut(df) else df
+    val d = base.select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
     d.withColumn("norm", sqrt(dot(col("v"), col("v"))))
   }
@@ -314,7 +322,10 @@ object SimilarityOps {
     qIvf(spark, dir, nprobe)
 
   private def qIvf(spark: SparkSession, dir: String, nprobe: Int = 1): DataFrame = {
-    val e = withNorm(table(spark, dir, "embeddings"))
+    // fan = false: the centroid branch shuffles immediately (posexplode →
+    // (label,pos) window) and the probe branch is a broadcast join whose
+    // fan-out bought nothing (r16 verdict #1: q_ann_ivf2 +19%)
+    val e = withNorm(table(spark, dir, "embeddings"), fan = false)
     // (label, pos, val) — pos is 0-based here and 1-based in the oracle;
     // both sides only use it for ordering, so alignment is consistent.
     val comps = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "val")))

@@ -392,37 +392,91 @@ object TextOps {
   // not the corpus.
   private val BloomBits = 1L << 18
 
+  // two bit positions per element (k=2); seed the second draw by hashing
+  // the shingle together with a constant column
+  private def bloomP1(c: Column) = pmod(xxhash64(c), lit(BloomBits))
+  private def bloomP2(c: Column) = pmod(xxhash64(c, lit(2L)), lit(BloomBits))
+
+  /** Bloom word table over a shingle vocabulary: bit positions from two
+    * independent xxhash64 draws, OR-folded per 64-bit word by a
+    * map-side-combined bit_or agg — a plain DataFrame of ≤ m/64
+    * (word_idx, word) rows, broadcastable into the probe joins. */
+  private def bloomWordsOf(sh: DataFrame): DataFrame = sh
+    .select(explode(array(bloomP1(col("shingle")), bloomP2(col("shingle")))).as("p"))
+    .select(shiftright(col("p"), 6).as("word_idx"),
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("bit"))
+    .groupBy(col("word_idx")).agg(expr("bit_or(bit)").as("word"))
+
+  // --- persisted Bloom artifact (round 17, r16 verdict #5) ---------------
+  // The filter is a pure function of the eval (contamination) vocabulary
+  // — itself persisted in the [[EvalIndex]] store — yet the lane rebuilt
+  // it per run from a full corpus re-shingle. It is now materialized once
+  // per eval-store state ([[DerivedArtifact]] watermark: any eval append/
+  // takedown/compact re-derives) and the serve path only PROBES: build
+  // cost leaves the plan (§2.4), exactly like the LM totals artifacts.
+  private def bloomDirFor(dir: String): String = {
+    val key = IndexStamp.dirKey(
+      IndexStamp.identity(dir, "documents.parquet", "contambloom-v1"))
+    StoreRoot.dir(s"graft-contambloom-$key")
+  }
+
+  private val BloomWordsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("word_idx",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("word",
+      org.apache.spark.sql.types.LongType)))
+
+  private def ensureBloomWords(
+      spark: SparkSession, dir: String, evalDir: String): String = {
+    val adir = bloomDirFor(dir)
+    val live = s"$adir/words.parquet"
+    DerivedArtifact.ensureWriter(spark, adir, "contambloom-build")(
+      stale = DerivedArtifact.readWatermark(spark, live)
+        .forall(DerivedArtifact.storesMtime(spark, Seq(evalDir)) > _)) {
+      val preRead = DerivedArtifact.storesMtime(spark, Seq(evalDir))
+      AtomicPublish.stageAndRename(spark, adir, ".words.tmp", "words.parquet") {
+        tmp =>
+          bloomWordsOf(EvalIndex.shingles(spark, evalDir)).coalesce(1)
+            .write.mode("overwrite").parquet(tmp.toString)
+          DerivedArtifact.writeWatermark(spark, tmp, preRead)
+      }
+    }
+    live
+  }
+
   private def qContaminationBloom(spark: SparkSession, dir: String): DataFrame = {
     val bucket = pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(100L))
     val t = table(spark, dir, "documents")
       .select(col("doc_id"), xxhash64(col("text")).as("tkey"), col("text"))
     val members = t.select(col("doc_id"), col("tkey"), bucket.as("bucket"))
-    val tsh = t.groupBy(col("tkey")).agg(first(col("text")).as("text"))
+    // TEST side from the persisted eval store (round 17): the eval split
+    // (splitBucket >= 90 — the same bucket arithmetic as `bucket` here)
+    // is shingled once at [[EvalIndex]] build and served doc-attributed;
+    // the per-run work is the TRAIN side — at production the huge,
+    // per-run side by design. Output rows stay hash-gated against
+    // DuckDB's fully-inline recomputation (same oracle as
+    // q_contamination), so store ≡ inline is re-proven at every Verify.
+    val evalDir = EvalIndex.ensureIndex(spark, dir)
+    val evalDocSh = EvalIndex.docShingles(spark, evalDir)
+    val testSh = evalDocSh.select(col("shingle")).distinct()
+    val words = spark.read.schema(BloomWordsSchema)
+      .parquet(ensureBloomWords(spark, dir, evalDir))
+    val trainKeys = members.filter(col("bucket") < 80).select(col("tkey")).distinct()
+    val tshTrain = t.join(trainKeys, Seq("tkey"), "left_semi")
+      .groupBy(col("tkey")).agg(first(col("text")).as("text"))
       .select(col("tkey"), split(trim(col("text")), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("tkey"), explode(array_distinct(
         transform(sequence(lit(1), size(col("w")) - 2),
           i => concat_ws(" ", element_at(col("w"), i),
             element_at(col("w"), i + 1), element_at(col("w"), i + 2))))).as("shingle"))
-      .cache()
-    val testKeys = members.filter(col("bucket") >= 90).select(col("tkey")).distinct()
-    val trainKeys = members.filter(col("bucket") < 80).select(col("tkey")).distinct()
-    val testSh = tsh.join(testKeys, "tkey").select(col("shingle")).distinct()
-    // two bit positions per element (k=2); seed the second draw by hashing
-    // the shingle together with a constant column
-    def p1(c: Column) = pmod(xxhash64(c), lit(BloomBits))
-    def p2(c: Column) = pmod(xxhash64(c, lit(2L)), lit(BloomBits))
-    val words = testSh
-      .select(explode(array(p1(col("shingle")), p2(col("shingle")))).as("p"))
-      .select(shiftright(col("p"), 6).as("word_idx"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("bit"))
-      .groupBy(col("word_idx")).agg(expr("bit_or(bit)").as("word"))
     // map-only probe of the distinct train vocabulary: an absent word_idx
     // means no bit set, so the inner broadcast join doubles as the filter
     val b1 = words.select(col("word_idx").as("w1"), col("word").as("wd1"))
     val b2 = words.select(col("word_idx").as("w2"), col("word").as("wd2"))
-    val survivors = tsh.join(trainKeys, "tkey").select(col("shingle")).distinct()
-      .select(col("shingle"), p1(col("shingle")).as("p1"), p2(col("shingle")).as("p2"))
+    val survivors = tshTrain.select(col("shingle")).distinct()
+      .select(col("shingle"), bloomP1(col("shingle")).as("p1"),
+        bloomP2(col("shingle")).as("p2"))
       .join(broadcast(b1), shiftright(col("p1"), 6) === col("w1"))
       .filter(expr("(wd1 & shiftleft(CAST(1 AS BIGINT), CAST(p1 % 64 AS INT))) != 0"))
       .join(broadcast(b2), shiftright(col("p2"), 6) === col("w2"))
@@ -430,12 +484,16 @@ object TextOps {
       .select(col("shingle"))
     // exact verify: false positives die here; false negatives don't exist
     val shared = testSh.join(survivors, Seq("shingle"), "left_semi")
-    val totalsT = tsh.groupBy(col("tkey")).agg(count(lit(1)).as("n_shingles"))
-    val sharedT = tsh.join(shared, "shingle")
-      .groupBy(col("tkey")).agg(count(lit(1)).as("n_shared"))
-    members.filter(col("bucket") >= 90)
-      .join(totalsT, "tkey")
-      .join(sharedT, Seq("tkey"), "left")
+    // per-doc totals ride the store's doc-attributed rows (same values as
+    // the old per-distinct-text computation fanned out through tkey: the
+    // store shingles with the same array_distinct builder, and docs with
+    // <3 tokens have no store rows, so the inner totals join drops them
+    // exactly as before)
+    val totalsD = evalDocSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val sharedD = evalDocSh.join(shared, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    totalsD
+      .join(sharedD, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         (coalesce(col("n_shared"), lit(0L)).cast(DoubleType)
