@@ -582,10 +582,11 @@ object CorpusOps {
   // source, keep the k smallest DISTINCT portable hashes of its shingles;
   // D̂ = (k-1)·M / h_(k) for hash space [0, M). Deterministic (portable
   // polynomial hash, integer estimator) → fully oracle-checkable, unlike
-  // HLL whose harmonic mean needs floats. The rank filter plans as
-  // WindowGroupLimit: each task keeps only its local k minima before the
-  // exchange — the sketch property itself. Exact counts ride along to show
-  // estimator error.
+  // HLL whose harmonic mean needs floats. The sketch is ONE bounded
+  // aggregation ([[graft.functions.BottomKDistinct]], round 17): each
+  // task's partial buffer keeps its local k minima — the sketch property
+  // itself — and ships ≤k longs per source. Exact counts ride along (same
+  // aggregation) to show estimator error.
   private val KmvK = 64
   private val HashMod = 1000000007L
   private val KmvNum: Long = (KmvK - 1).toLong * HashMod // integer-exact numerator
@@ -604,20 +605,26 @@ object CorpusOps {
         explode(graft.functions.PolyMinHash.shingleHashes(col("text"))).as("h"))
       .distinct()
 
-  private def qKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = kmvHashed(spark, dir).cache()
-    val wK = Window.partitionBy(col("source")).orderBy(col("h"))
-    val kth = hashed
-      .withColumn("r", row_number().over(wK))
-      .filter(col("r") <= KmvK)
+  /** Bounded bottom-k per source in ONE aggregation (round 17, r16
+    * verdict #4 — [[graft.functions.BottomKDistinct]]): replaces the
+    * rank-window formulation, whose per-source sort (WindowGroupLimit-
+    * pruned but still a window exchange + sort) and separate exact-count
+    * agg + join cost three plan stages where one map-side-combined
+    * aggregation suffices. The k smallest of a set are arrival-order-
+    * independent, so the result is bit-identical to the window's. */
+  private lazy val bottomK =
+    udaf(new graft.functions.BottomKDistinct(KmvK),
+      org.apache.spark.sql.Encoders.scalaLong)
+
+  private def qKmvDistinct(spark: SparkSession, dir: String): DataFrame =
+    kmvHashed(spark, dir)
       .groupBy(col("source"))
-      .agg(max(col("h")).as("kth_min"), count(lit(1)).as("kc"))
-      .filter(col("kc") === KmvK)
-      .select(col("source"), col("kth_min"))
-    val exact = hashed.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
-    exact.join(kth, Seq("source"))
+      .agg(count(lit(1)).as("n_exact"), bottomK(col("h")).as("mins"))
+      // kc === KmvK ⇔ the source has at least k distinct hashes
+      .filter(size(col("mins")) === KmvK)
+      .select(col("source"), col("n_exact"),
+        element_at(col("mins"), KmvK).as("kth_min"))
       .withColumn("kmv_estimate", expr(s"$KmvNum div greatest(kth_min, 1L)"))
-  }
 
   private val qKmvDistinctSql =
     s"""WITH sh AS (
@@ -650,13 +657,12 @@ object CorpusOps {
   // |sources|-row table of k-long arrays — constant in corpus size.
   // Deterministic integer arithmetic end to end → fully oracle-checked.
   private def qKmvUnion(spark: SparkSession, dir: String): DataFrame = {
-    val wK = Window.partitionBy(col("source")).orderBy(col("h"))
+    // same one-aggregation bottom-k as qKmvDistinct (already sorted
+    // ascending — the window+sort_array(collect_list) pair it replaces)
     val sketches = kmvHashed(spark, dir)
-      .withColumn("r", row_number().over(wK))
-      .filter(col("r") <= KmvK)
       .groupBy(col("source"))
-      .agg(sort_array(collect_list(col("h"))).as("mins"), count(lit(1)).as("kc"))
-      .filter(col("kc") === KmvK)
+      .agg(bottomK(col("h")).as("mins"))
+      .filter(size(col("mins")) === KmvK)
       .select(col("source"), col("mins"))
     val a = sketches.select(col("source").as("source_a"), col("mins").as("la"))
     val b = sketches.select(col("source").as("source_b"), col("mins").as("lb"))
