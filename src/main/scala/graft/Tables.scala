@@ -41,17 +41,22 @@ object Tables {
     // type-census predicates, vector arithmetic): a ~1 MB post-shuffle
     // frame coalesces to ONE task and serializes a 1.5 s stage on one
     // core (measured round 17: q_lm_bigram_indexed single-task stage
-    // 1.49 s → parallel tasks, lane 1.97 → 0.58 s). 32 KiB keeps such
-    // stages parallel; 16 KiB over-fragments the many-small-stage eval
-    // lanes (interleaved A/B over a 17-lane mix: 32k beat 16k 19.7/22.2
-    // vs 21.0/25.4 s and 1m's 26.1). Scale shape: every graft entry
-    // point pins spark.sql.shuffle.partitions to the core count, so the
-    // floor can fragment a stage into at most #cores tasks — bounded
-    // scheduling overhead at any scale — and at 100 TB post-shuffle
-    // partitions are ≫1 MiB, where the floor is inert. Env-overridable
-    // for deployments whose shuffle.partitions ≫ cores.
+    // 1.49 s → parallel tasks, lane 1.97 → 0.58 s). The value is a
+    // trade: the first pick (32k, A/B over a 17-lane mix biased toward
+    // the compute-dense lanes) over-fragmented the many-small-stage
+    // eval/search lanes — a same-window 5-point scan over BOTH families
+    // (8 fragmentation-sensitive + 6 compute-dense lanes, sf0.1:
+    // 1m 16.75+11.33 / 256k 16.50+7.92 / 128k 17.15+7.34 /
+    // 64k 18.30+6.62 / 32k 19.26+6.49 s) shows 256 KiB keeps the broad
+    // suite at its 1 MiB baseline while capturing most of the
+    // compute-dense win. Scale shape: every graft entry point pins
+    // spark.sql.shuffle.partitions to the core count, so the floor can
+    // fragment a stage into at most #cores tasks — bounded scheduling
+    // overhead at any scale — and at 100 TB post-shuffle partitions are
+    // ≫1 MiB, where the floor is inert. Env-overridable for deployments
+    // whose shuffle.partitions ≫ cores.
     "spark.sql.adaptive.coalescePartitions.minPartitionSize" ->
-      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "32k"))
+      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "256k"))
 
   /** Fan a narrow scan out to the session's parallelism for MAP-BOUND
     * per-row lanes (heavy regex/parse work before any shuffle). The

@@ -86,22 +86,35 @@ object ClassifyOps {
 
   /** The pre-argmax score surface: (members (doc_id, true_lang, tkey),
     * scored (tkey, lang, total)) — the argmax lane above and the
-    * calibration lane ([[EvalOps]]) consume the same totals. */
+    * calibration lane ([[EvalOps]]) consume the same totals.
+    *
+    * No vocab×class grid (round 17, §2.3 shuffle fewer bytes / §3): an
+    * in-vocab token whose (word, class) pair has NO training count
+    * scores `(0+1)·Scale div (n_l+v)` — the SAME integer as the
+    * out-of-vocab default `s0 = Scale div (n_l+v)` — so materializing a
+    * smoothed score for every vocab×class cell and fanning every test
+    * token out k ways through the grid join buys nothing. The scorer
+    * joins test tokens straight to the counts table (fan-out only to
+    * the classes that actually saw the word, usually 1 of k) and routes
+    * every unmatched (token, class) slot through the default term
+    * `(n_toks − n_rows(lang))·s0`, summing the identical integers the
+    * grid would have. Plan effect: the vocab-distinct + grid build +
+    * k-way token fan-out (2 Exchanges and the widest join of the lane)
+    * collapse into one token⨝counts join. */
   private[operators] def textScores(test: DataFrame, counts: DataFrame): (DataFrame, DataFrame) = {
+    // the model table feeds three consumers (class totals, vocabulary
+    // size, the token join), each recomputing its derivation — measured
+    // CHEAPER than caching it: a .cache() here cost ~+1 s per lane
+    // (InMemoryRelation materialization is its own uncodegen'd job and
+    // the broadcast builds serialize behind it), so the recompute stays.
     val langTotals = counts.groupBy(col("lang")).agg(sum(col("c")).as("n_l"))
     val vocabN = counts.select(col("word")).distinct()
       .agg(count(lit(1)).as("v"))
-
-    // vocab × class score grid with Laplace smoothing (absent counts → 0)
-    val grid = counts.select(col("word")).distinct()
-      .crossJoin(broadcast(langTotals))
-      .join(counts, Seq("word", "lang"), "left")
-      .crossJoin(broadcast(vocabN))
-      .select(col("word"), col("lang"),
-        expr(s"((coalesce(c, 0) + 1) * ${Scale}L) div (n_l + v)").as("s"))
-    // smoothing floor for tokens outside the training vocabulary
+    // smoothing floor — the score of ANY (token, class) slot without a
+    // training count, in or out of vocabulary
     val dflt = langTotals.crossJoin(broadcast(vocabN))
-      .select(col("lang"), expr(s"${Scale}L div (n_l + v)").as("s0"))
+      .select(col("lang"), col("n_l"),
+        expr(s"${Scale}L div (n_l + v)").as("s0"))
 
     // one row per test doc; scoring below touches distinct texts only
     val members = test.select(col("doc_id"), col("lang").as("true_lang"),
@@ -111,14 +124,18 @@ object ClassifyOps {
       .select(col("tkey"), toks.as("w"))
       .select(col("tkey"), col("w"), size(col("w")).cast(LongType).as("n_toks"))
     val testTok = texts.select(col("tkey"), explode(col("w")).as("word"))
-    // every in-vocab token contributes one row per class, so n_rows is the
-    // per-class in-vocab token count (identical across classes)
-    val hits = testTok.join(grid, "word")
+    // counted (word, class) pairs only; n_rows is per-class now, so the
+    // default term below must use the same per-class count
+    val hits = testTok.join(counts, "word")
+      .join(broadcast(dflt.select(col("lang"), col("n_l"))), "lang")
+      .crossJoin(broadcast(vocabN))
+      .select(col("tkey"), col("lang"),
+        expr(s"((c + 1) * ${Scale}L) div (n_l + v)").as("s"))
       .groupBy(col("tkey"), col("lang"))
       .agg(sum(col("s")).as("sum_s"), count(lit(1)).as("n_rows"))
 
     val scored = texts.select(col("tkey"), col("n_toks"))
-      .crossJoin(broadcast(dflt))
+      .crossJoin(broadcast(dflt.select(col("lang"), col("s0"))))
       .join(hits, Seq("tkey", "lang"), "left")
       .select(col("tkey"), col("lang"),
         (coalesce(col("sum_s"), lit(0L))
@@ -190,11 +207,15 @@ object ClassifyOps {
   // class²-bounded (a report, not data), aggregated map-side.
   private def qClassifyEval(spark: SparkSession, dir: String): DataFrame = {
     val preds = qClassifyFreq(spark, dir)
-    val perTrue = preds.groupBy(col("true_lang"))
-      .agg(count(lit(1)).as("n_true"))
+    // n_true = Σ n over the true class's confusion row — derived from the
+    // class²-bounded confusion table itself (one window over ≤k² rows)
+    // instead of a SECOND full train→predict pipeline feeding a join
+    // (round 17, §2.4: the two consumers of `preds` each recomputed the
+    // whole scorer)
     preds.groupBy(col("true_lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
-      .join(perTrue, "true_lang")
+      .withColumn("n_true",
+        sum(col("n")).over(Window.partitionBy(col("true_lang"))))
       .select(col("true_lang"), col("pred_lang"), col("n"),
         expr("(n * 1000) div n_true").as("share_permille"))
   }

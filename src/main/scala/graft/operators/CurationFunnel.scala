@@ -193,10 +193,36 @@ object CurationFunnel {
     def rows(df: DataFrame): Seq[(String, Long, Long)] =
       df.collect().toSeq
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // STAMPED fast path (round 17 — the [[SampledCert.certifyStamped]]
+    // discipline, q_dedup_incremental/q_moore_lewis precedent): the
+    // sampled indexed re-serve is itself a ~20-stage pipeline (votes
+    // read + three gate joins + winnow fingerprint plumbing), so its
+    // per-serve cost exceeded the proof's information content while the
+    // stores stand still. The ledger's served side is a pure function of
+    // (sample corpus, votes artifact, winnow store): the votes artifact
+    // subsumes the classifier+LM stores (ensureVotes re-materializes it
+    // on ANY mutation of either, changing the artifact's files), so a
+    // content stamp over (votes dir, winnow dir) — pure filesystem
+    // listing, zero Spark jobs — dispatches the proof obligation: stamp
+    // unchanged + standing record = standing proof; ANY store mutation
+    // flips it and forces the full re-serve (inline recompute on
+    // mismatch, as ever). Trade-off, same as certifyStamped's: read-path
+    // code drift over an UNTOUCHED store is caught at the next Verify
+    // hash gate (this lane and its _indexed twin ride the same DuckDB
+    // oracle, independently recomputed fully inline) rather than at
+    // serve time.
+    val votesDir = ensureVotes(spark, sdir)
+    val winDir = WinnowIndex.ensureIndex(spark, sdir)
+    val stamp = SampledCert.stampOf(spark, votesDir) +
+      SampledCert.stampOf(spark, winDir)
     val recorded = readCertRecord(spark, sdir)
+    if (recorded.exists(_._2.contains(stamp))) return
     val indexed = rows(curationLedger(spark, sdir, indexed = true))
-    recorded match {
-      case Some(rec) if rec == indexed => () // fast path: the proof stands
+    recorded.map(_._1) match {
+      case Some(rec) if rec == indexed =>
+        // the row proof stands; refresh the stale/absent stamp so the
+        // next serve takes the zero-job path
+        writeCertRecord(spark, sdir, indexed, stamp)
       case _ =>
         // no record, an unreadable record, or a record the served side no
         // longer matches. The last case is AMBIGUOUS: a genuinely
@@ -212,7 +238,7 @@ object CurationFunnel {
               s" freshly-retrained inline=$inline vs indexed=$indexed — a" +
               " persisted funnel store or the votes artifact diverged from" +
               " its inline-retrained twin")
-        writeCertRecord(spark, sdir, inline)
+        writeCertRecord(spark, sdir, inline, stamp)
     }
   }
 
@@ -222,21 +248,25 @@ object CurationFunnel {
   private val CertHeader = "graft-funnel-certificate-v1"
   private val CertFooter = "end"
 
-  /** Header + 6 rows + footer; a file missing ANY of the three shapes
-    * (crash-truncated write, concurrent non-atomic observation, a
+  /** Header + 6 rows [+ stamp] + footer; a file missing ANY of the
+    * shapes (crash-truncated write, concurrent non-atomic observation, a
     * pre-upgrade layout) reads as None → the caller recomputes the
-    * inline side — one redundant retrain, never a wrong reference. */
+    * inline side — one redundant retrain, never a wrong reference. A
+    * pre-stamp 8-line record reads as (rows, None): the row proof is
+    * honored, the stamp refreshed on the next serve. */
   private def readCertRecord(
-      spark: SparkSession, sdir: String): Option[Seq[(String, Long, Long)]] = {
+      spark: SparkSession, sdir: String
+  ): Option[(Seq[(String, Long, Long)], Option[String])] = {
     val p = certPath(sdir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try FsText.read(fs, p).flatMap { txt =>
       val lines = txt.linesIterator.filter(_.nonEmpty).toSeq
-      if (lines.size != 8 || lines.head != CertHeader || lines.last != CertFooter)
+      if ((lines.size != 8 && lines.size != 9) ||
+        lines.head != CertHeader || lines.last != CertFooter)
         None
-      else Some(lines.slice(1, 7).map { l =>
+      else Some((lines.slice(1, 7).map { l =>
         val Array(s, n, t) = l.split(','); (s, n.toLong, t.toLong)
-      })
+      }, if (lines.size == 9) Some(lines(7)) else None))
     } catch { case _: MatchError | _: NumberFormatException => None }
   }
 
@@ -246,12 +276,12 @@ object CurationFunnel {
     * which is safe in the direction that matters. */
   private def writeCertRecord(
       spark: SparkSession, sdir: String,
-      rows: Seq[(String, Long, Long)]): Unit = {
+      rows: Seq[(String, Long, Long)], stamp: String): Unit = {
     val p = certPath(sdir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     FsText.writeAtomic(fs, p,
-      (CertHeader +: rows.map { case (s, n, t) => s"$s,$n,$t" } :+ CertFooter)
-        .mkString("\n"))
+      ((CertHeader +: rows.map { case (s, n, t) => s"$s,$n,$t" }) ++
+        Seq(stamp, CertFooter)).mkString("\n"))
   }
 
   /** The funnel ledger over an arbitrary documents frame, every model

@@ -104,13 +104,23 @@ object DedupOps {
     val tsh = groups
       .select(col("tkey"), col("n_copies"), split(trim(col("text")), " ").as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col("tkey"), col("n_copies"), explode(shingleArrayOf(col("w"))).as("s"))
-      // hash the shingle to a LONG key before anything shuffles (round
-      // 16, guide §2.3 narrower types): the df agg, the cap anti-join
-      // and the pair-generation agg all key on 8 bytes instead of the
-      // 3-word string — the same xxhash64 key the persisted corpus index
-      // stores (IncrementalDedup.textShingles), same collision contract
-      .select(col("tkey"), col("n_copies"), xxhash64(col("s")).as("shingle"))
+      // hash each shingle to a LONG key straight from its word triple
+      // (round 17): the df agg, the cap anti-join and the pair-generation
+      // agg all key on 8 bytes (round-16 move, §2.3 narrower types), and
+      // hashing the three words directly — xxhash64 chains its arguments
+      // — skips allocating the concatenated 3-word string per shingle
+      // that the old explode-then-hash pipeline built first. Same 2^-64
+      // collision contract as every hashed key in the suite; this inline
+      // machinery never joins hashes against a persisted store (the
+      // _indexed twins shingle via IncrementalDedup.textShingles).
+      // NOT cached despite the two consumers below: a .cache() here was
+      // measured 2× WORSE (the InMemoryRelation fill of the exploded
+      // frame costs more than the second codegen'd pass — §5's "caching
+      // is only worth it when recomputing is more expensive").
+      .select(col("tkey"), col("n_copies"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("w")) - 2),
+          i => xxhash64(element_at(col("w"), i), element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2))))).as("shingle"))
     // df-cap as an ANTI-join against the HOT set (round 16, guide §2.3):
     // downstream needs only the ≤cap PREDICATE, never the df value, and
     // the ok-set is nearly the whole vocabulary (most shingles are rare)
@@ -128,12 +138,20 @@ object DedupOps {
     // by the df cap (#distinct texts ≤ df ≤ MaxShingleDf — collect_list
     // is safe BECAUSE the stop-shingles are already gone), pairs
     // generated inline — cheaper than a self-join shuffling both sides.
+    // sorted positional enumeration (round 17): sort IN the aggregation
+    // (a materialized attribute — a later-Project alias could be
+    // re-inlined into each lambda evaluation), then generate each pair
+    // once from strictly-later positions instead of materializing all n²
+    // structs and filtering half. A text occurring k× on one shingle
+    // yields adjacent equal ids; the t1 <> t2 filter drops those
+    // self-pairs exactly as the old t1 < t2 did (sorted ⇒ t1 ≤ t2).
     val textPairs = sh
-      .groupBy(col("shingle")).agg(collect_list(col("tkey")).as("ids"))
+      .groupBy(col("shingle")).agg(sort_array(collect_list(col("tkey"))).as("ids"))
       .filter(size(col("ids")) >= 2)
       .select(explode(expr(
-        "filter(flatten(transform(ids, x -> transform(ids, y -> named_struct('t1', x, 't2', y))))," +
-          " p -> p.t1 < p.t2)")).as("p"))
+        "filter(flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), y -> " +
+          "named_struct('t1', x, 't2', y)))), p -> p.t1 <> p.t2)")).as("p"))
       .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
       .agg(count(lit(1)).as("inter"))
     val pairStats = textPairs

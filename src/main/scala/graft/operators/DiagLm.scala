@@ -4,7 +4,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.scheduler._
 import scala.collection.concurrent.TrieMap
 
-// TEMPORARY diagnostic (round 17) — deleted before commit.
+/** Per-stage task accounting for any lane list (DIAG_LANES env, comma-
+  * separated): 2 warm-up serves, then one timed serve with a listener
+  * summing per-stage task time — the §1 empirical-loop tool that found
+  * the AQE byte-floor serialization (a 1.49 s single-task stage with 31
+  * idle cores). Diagnostic main, not part of any query path. */
 object DiagLm {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -220,16 +220,27 @@ object WinnowIndex {
 
   /** Merged fingerprint rows served by the index. FAST path (no pending
     * deletions — the overwhelmingly common read): min-merge the persisted
-    * epoch reps, no members join. SLOW path (tombstones pending): reps
-    * re-derived from the surviving members, texts with no survivor drop
-    * out — bit-identical to a rebuild without the deleted docs. */
+    * epoch reps, no members join; when the table holds a SINGLE epoch
+    * (fresh build or post-compact) even that merge is skipped — each
+    * epoch's rows are (tid, gh)-unique with their final rep by the write
+    * invariant (fpRows emits distinct rows; compact folds to one epoch),
+    * so the min-merge would be a full-store no-op shuffle (§2.4; round
+    * 17: the serve's largest Exchange for every single-epoch store).
+    * SLOW path (tombstones pending): reps re-derived from the surviving
+    * members, texts with no survivor drop out — bit-identical to a
+    * rebuild without the deleted docs. */
   def fpRowsFromIndex(spark: SparkSession, indexDir: String): DataFrame =
-    if (!Tombstones.pending(spark, indexDir))
-      spark.read.parquet(s"$indexDir/fps.parquet")
-        .groupBy(col("tid"), col("gh"))
-        .agg(min(col("rep")).as("rep"), min(col("nfp")).as("nfp"))
-        .select(col("tid"), col("rep"), col("nfp"), col("gh"))
-    else
+    if (!Tombstones.pending(spark, indexDir)) {
+      val live = s"$indexDir/fps.parquet"
+      if (EpochCompact.epochCount(spark, live) <= 1)
+        spark.read.parquet(live)
+          .select(col("tid"), col("rep"), col("nfp"), col("gh"))
+      else
+        spark.read.parquet(live)
+          .groupBy(col("tid"), col("gh"))
+          .agg(min(col("rep")).as("rep"), min(col("nfp")).as("nfp"))
+          .select(col("tid"), col("rep"), col("nfp"), col("gh"))
+    } else
       mergeStoredFps(spark.read.parquet(s"$indexDir/fps.parquet"))
         .join(survivingReps(spark, indexDir), "tid")
         .select(col("tid"), col("rep"), col("nfp"), col("gh"))

@@ -161,19 +161,37 @@ object WinnowOps {
     fps.join(hot, Seq("gh"), "left_anti")
   }
 
-  /** The pair half of [[matchesFrom]], over already-capped postings. */
-  private[graft] def pairsFrom(capped: DataFrame): DataFrame = {
-    val a = capped.select(col("gh"), col("rep").as("doc_a"), col("nfp").as("na"))
-    val b = capped.select(col("gh"), col("rep").as("doc_b"), col("nfp").as("nb"))
-    a.join(b, Seq("gh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+  /** The pair half of [[matchesFrom]], over already-capped postings.
+    * Inverted-index pair generation (round 17 — the DedupOps
+    * ngramTextPairStats move, §2.3/§2.4): per-gram posting lists are
+    * bounded by the df cap (≤ DfCap structs — collect_list is safe
+    * BECAUSE the hot grams are already gone), ordered pairs generated
+    * inline. Replaces the a×b self-join, which shuffled the posting rows
+    * TWICE and sort-merged them, with ONE exchange on gh; output rows
+    * are identical (same ordered pairs, same counts — na/nb are
+    * functions of their doc). */
+  private[graft] def pairsFrom(capped: DataFrame): DataFrame =
+    capped
+      .groupBy(col("gh"))
+      // sorted IN the aggregation so the enumeration below references a
+      // materialized attribute (an alias in a later Project could be
+      // re-inlined into each lambda evaluation — the selectedGrams
+      // CollapseProject hazard); struct arrays sort by leading field (rep)
+      .agg(sort_array(collect_list(struct(col("rep"), col("nfp")))).as("xs"))
+      .filter(size(col("xs")) >= 2)
+      // sorted positional enumeration: each unordered pair generated
+      // exactly once with ra < rb by construction (reps are distinct per
+      // text), instead of materializing all n² structs and filtering half
+      .select(explode(expr(
+        "flatten(transform(xs, (a, i) -> " +
+          "transform(slice(xs, i + 2, size(xs) - i - 1), b -> " +
+          "struct(a.rep AS ra, a.nfp AS na, b.rep AS rb, b.nfp AS nb))))")).as("p"))
+      .groupBy(col("p.ra").as("doc_a"), col("p.rb").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"),
-        first(col("na")).as("na"), first(col("nb")).as("nb"))
+        first(col("p.na")).as("na"), first(col("p.nb")).as("nb"))
       .filter(col("n_shared") >= MinShared)
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         expr("(n_shared * 1000) div least(na, nb)").as("overlap_permille"))
-  }
 
   /** The fully-inline match report (selection re-run over the corpus at
     * `dir`) — the certificate's reference side. */
