@@ -529,13 +529,18 @@ object CorpusOps {
     // aggregation) — one corpus-sized exchange on the hashed key where
     // there were two on strings. array_distinct dedups within a doc
     // before the explode, so the exchange input is per-doc distinct.
+    // The key is hashed straight from each word TRIPLE (xxhash64 chains
+    // its arguments) — no concatenated 3-word string is ever allocated
+    // (the DedupOps.ngramTextPairStats move, round 17).
     val sh = table(spark, dir, "documents")
       .select(col("source"), col("text"))
       .distinct()
       .select(col("source"), toks.as("w"))
       .filter(size(w) >= 3)
       .select(col("source"),
-        explode(array_distinct(transform(shingles(w), s => xxhash64(s)))).as("sh"))
+        explode(array_distinct(transform(sequence(lit(1), size(w) - 2),
+          i => xxhash64(element_at(w, i), element_at(w, i + 1),
+            element_at(w, i + 2))))).as("sh"))
     val bySh = sh.groupBy(col("sh"))
       .agg(sort_array(collect_set(col("source"))).as("ss"))
       .cache() // narrow (long, small array); feeds sizes AND pairs below

@@ -29,20 +29,6 @@ object EpochCompact {
     * `consolidate` (a sum/distinct over the epoch-union). No-op when the
     * table already has ≤1 epoch — unless `force` (a family with pending
     * tombstones must fold even a single epoch before retiring them). */
-  /** How many `epoch=` partitions `tableDir` currently holds — a pure
-    * filesystem listing (no Spark job). Read paths use it to skip the
-    * cross-epoch merge aggregation when the table has a single epoch
-    * (fresh build or post-compact — the overwhelmingly common serving
-    * state): each epoch's rows are internally key-unique by the family
-    * write invariant, so the merge is only needed ACROSS epochs and a
-    * single-epoch merge is a full-table no-op shuffle (guide §2.4). */
-  def epochCount(spark: SparkSession, tableDir: String): Int = {
-    val live = new Path(tableDir)
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(live)) 0
-    else fs.listStatus(live).map(_.getPath.getName).count(_.startsWith("epoch="))
-  }
-
   def compactTable(
       spark: SparkSession, tableDir: String,
       consolidate: DataFrame => DataFrame,

@@ -80,11 +80,23 @@ object EvalIndex {
     * window change nothing. Serves the contamination lane's per-doc
     * totals (round 17) without re-shingling the eval texts per run;
     * [[shingles]] is its projection. */
-  def docShingles(spark: SparkSession, indexDir: String): DataFrame =
-    Tombstones.minus(spark, indexDir,
-      spark.read.parquet(s"$indexDir/shingles.parquet")
-        .select(col("doc_id"), col("shingle")), "doc_id")
-      .distinct()
+  def docShingles(spark: SparkSession, indexDir: String): DataFrame = {
+    val live = s"$indexDir/shingles.parquet"
+    // single-epoch fast path (round 17, §2.4): each epoch's rows are
+    // (doc_id, shingle)-unique by the write invariant (array_distinct
+    // per doc at build/append; compact folds to one epoch), so with no
+    // pending tombstones the dedup-distinct — which exists to absorb
+    // double-appended crash-window epochs — would shuffle the whole
+    // store to change nothing
+    if (!Tombstones.pending(spark, indexDir) &&
+      IndexPolicy.epochCount(spark, live) <= 1)
+      spark.read.parquet(live).select(col("doc_id"), col("shingle"))
+    else
+      Tombstones.minus(spark, indexDir,
+        spark.read.parquet(live)
+          .select(col("doc_id"), col("shingle")), "doc_id")
+        .distinct()
+  }
 
   /** The served leak vocabulary. */
   def shingles(spark: SparkSession, indexDir: String): DataFrame =

@@ -260,8 +260,20 @@ object LmIndex {
     val d = docs.select(col("doc_id"), xxhash64(col("text")).as("tkey"), col("text"))
     val members = d.select(col("doc_id"), col("tkey"))
     val w = split(trim(col("text")), " ")
-    // slice-based pairs: in-bounds by construction, no <2-token special case
-    val perText = d.groupBy(col("tkey")).agg(first(col("text")).as("text"))
+    // slice-based pairs: in-bounds by construction, no <2-token special case.
+    // The tkey exchange is a USER repartition at the session's shuffle
+    // partition count (round 17): the stage consuming it — bigram explode
+    // + two model probes + partial agg, the lane's compute-dense heart —
+    // is ~1 MB of text at gate SF, so AQE's byte-priced coalescing folds
+    // it to 1-4 skewed tasks (measured: a 1.5 s max task with 31 idle
+    // cores); an explicit repartition is exempt from coalescing, and at
+    // the same count as spark.sql.shuffle.partitions the groupBy reuses
+    // it — same single exchange, parallelism pinned. Scale shape: graft
+    // entry points pin shuffle.partitions to the core count, so this is
+    // the partitioning the exchange would have anyway.
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val perText = d.repartition(shufflePartitions, col("tkey"))
+      .groupBy(col("tkey")).agg(first(col("text")).as("text"))
       .select(col("tkey"), explode(transform(
         slice(w, lit(1), greatest(size(w) - 1, lit(0))),
         (x, i) => struct(x.as("l"), element_at(w, i + 2).as("r")))).as("p"))

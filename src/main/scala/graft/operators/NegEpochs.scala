@@ -76,8 +76,18 @@ private[operators] object NegEpochs {
       spark: SparkSession, modelDir: String, table: String,
       keys: Seq[String], cnts: Seq[String], pos: DataFrame): DataFrame = {
     val nd = negDir(modelDir, table)
-    val committed = EpochLedger.committedMax(spark, delsDir(modelDir))
     val posKC = pos.select((keys ++ cnts).map(col): _*)
+    // single-epoch fast path (round 17, §2.4): with no negative epochs
+    // and ≤1 positive epoch the netting aggregation is a full-table
+    // no-op shuffle — every count family writes an epoch as one
+    // aggregation's output (key-unique, counters ≥ 1), and the compact
+    // folds to exactly one such epoch, so the rows ARE the net totals.
+    // Any append (second epoch) or deletion (neg epoch) takes the exact
+    // netting path below, row-identical by construction.
+    if (EpochLedger.epochs(spark, nd).isEmpty &&
+      IndexPolicy.epochCount(spark, s"$modelDir/$table") <= 1)
+      return posKC
+    val committed = EpochLedger.committedMax(spark, delsDir(modelDir))
     val all =
       if (EpochLedger.epochs(spark, nd).isEmpty) posKC
       else posKC.unionByName(

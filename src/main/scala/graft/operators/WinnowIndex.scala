@@ -232,7 +232,7 @@ object WinnowIndex {
   def fpRowsFromIndex(spark: SparkSession, indexDir: String): DataFrame =
     if (!Tombstones.pending(spark, indexDir)) {
       val live = s"$indexDir/fps.parquet"
-      if (EpochCompact.epochCount(spark, live) <= 1)
+      if (IndexPolicy.epochCount(spark, live) <= 1)
         spark.read.parquet(live)
           .select(col("tid"), col("rep"), col("nfp"), col("gh"))
       else
